@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
+from bloomy_etl_spark.operators.bloomy_queries import BLOOMY_ORACLE_SQL, BLOOMY_QUERIES
 from bloomy_etl_spark.operators.relational import ORACLE_SQL, QUERIES
+
+ALL_QUERIES = {**QUERIES, **BLOOMY_QUERIES}
+ALL_ORACLES = {**ORACLE_SQL, **BLOOMY_ORACLE_SQL}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -24,8 +28,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return dict(ALL_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    return dict(ALL_ORACLES)
