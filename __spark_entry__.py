@@ -16,10 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, "/root/repo")
 
 from bloomy_etl_spark.operators.bloomy_queries import BLOOMY_ORACLE_SQL, BLOOMY_QUERIES
+from bloomy_etl_spark.operators.llm_queries import LLM_ORACLE_SQL, LLM_QUERIES
 from bloomy_etl_spark.operators.relational import ORACLE_SQL, QUERIES
 
-ALL_QUERIES = {**QUERIES, **BLOOMY_QUERIES}
-ALL_ORACLES = {**ORACLE_SQL, **BLOOMY_ORACLE_SQL}
+ALL_QUERIES = {**QUERIES, **BLOOMY_QUERIES, **LLM_QUERIES}
+ALL_ORACLES = {**ORACLE_SQL, **BLOOMY_ORACLE_SQL, **LLM_ORACLE_SQL}
 
 
 def entry(spark: SparkSession) -> DataFrame:

