@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark runner: the full declared corpus at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "corpus_wallclock", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf string>, ...}
+
+Protocol (BASELINE.md): warm JVM (one discarded q1 run), then each query
+once, materialized through the noop sink (full compute, no I/O cost, no
+driver collect). DuckDB total on the same queries is included as
+``duckdb_sec`` for a same-process baseline reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from bloomy_etl_spark import get_spark
+    from __spark_entry__ import queries, oracle_sql
+
+    spark = get_spark(app_name="bloomy-etl-bench")
+    qmap = queries()
+
+    # warm-up: JVM/codegen/parquet-footer caches; discarded per BASELINE.md
+    materialize(qmap["q1_pricing_summary"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in sorted(qmap):
+        df = qmap[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        materialize(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+
+    # DuckDB single-threaded-process baseline on identical SQL + data.
+    duck_total = None
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        t0 = time.perf_counter()
+        for name, sql in oracle_sql().items():
+            con.execute(sql).fetchall()
+        duck_total = round(time.perf_counter() - t0, 3)
+    except Exception:
+        pass
+
+    sf = SF_DIR.rstrip("/").split("/")[-1].replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_wallclock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "duckdb_sec": duck_total,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

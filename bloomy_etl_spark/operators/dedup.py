@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bloomy_etl_spark.functions.text import md5_int, tokens, word_shingles
-from bloomy_etl_spark.functions.vectors import cosine
+from bloomy_etl_spark.functions.vectors import dot, normalize
 
 MERSENNE = 2147483647  # 2^31 - 1
 
@@ -68,24 +68,41 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact Jaccard over n-word shingles for every pair sharing ≥1 shingle.
 
-    |A∩B| from the inverted-index self-join; |A∪B| by inclusion-exclusion
-    with per-doc shingle counts — never materializes non-overlapping pairs,
-    which is what makes this viable beyond toy scale.
+    |A∩B| via the inverted index grouped per shingle: posting lists →
+    in-row i<j combinations → pair-count aggregate (one shuffle keyed by
+    shingle, one by pair — no posting-list self-join). |A∪B| by
+    inclusion-exclusion with per-doc shingle counts. Non-overlapping pairs
+    are never materialized, which is what makes this viable beyond toy
+    scale; hot shingles (stop-shingles) dominate cost — at corpus scale
+    drop postings above a frequency cap before pairing.
     """
     idx = shingle_index(docs, n, text_col, id_col)
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = idx.alias("a")
-    b = idx.alias("b")
+    postings = (
+        idx.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("i"), y.alias("j")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("i"), F.col("n_sh").alias("n_i"))
     sb = sizes.select(F.col("doc_id").alias("j"), F.col("n_sh").alias("n_j"))
     return (
-        inter.join(sa, "i")
-        .join(sb, "j")
+        inter.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
         .withColumn("jaccard", F.col("n_inter") / (F.col("n_i") + F.col("n_j") - F.col("n_inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
@@ -111,9 +128,15 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 16, n: int = 3,
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
-    """Band the signature and bucket-join: docs agreeing on all ``rows``
+    """Band the signature and bucket: docs agreeing on all ``rows``
     minhashes of any band become a candidate pair. Collision probability
-    for true Jaccard J is 1-(1-J^rows)^bands."""
+    for true Jaccard J is 1-(1-J^rows)^bands.
+
+    Pairs are generated bucket-locally: groupBy (band, signature) →
+    sorted member list → in-row i<j combinations. One shuffle keyed by
+    bucket, no self-join — pair cost is Σ C(|bucket|,2), the LSH invariant
+    that holds at any corpus size (bucket width is tuned by bands/rows,
+    not data volume)."""
     band_cols = [
         F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
         for b in range(bands)
@@ -128,15 +151,24 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4, rows: int = 4) ->
             ])
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.sig").alias("sig"))
-    l, r = stacked.alias("l"), stacked.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    buckets = (
+        stacked.groupBy("band_idx", "sig")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("i"), y.alias("j")),
+            ),
         )
-        .select(F.col("l.doc_id").alias("i"), F.col("r.doc_id").alias("j"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
         .distinct()
     )
 
@@ -145,13 +177,33 @@ def minhash_near_dups(docs: DataFrame, num_perm: int = 16, n: int = 3,
                       bands: int = 4, rows: int = 4, threshold: float = 0.8,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    exact-Jaccard verification of candidates only."""
+    exact-Jaccard verification of the candidates ONLY.
+
+    Verification joins each candidate pair to the two docs' shingle
+    arrays and intersects in-row (array_intersect) — no pairwise shuffle,
+    cost O(|candidates| · shingles). This is the property that makes the
+    operator viable at 100 TB: work scales with LSH collisions, never
+    with n²."""
     sigs = minhash_signatures(docs, num_perm, n, text_col, id_col)
     cands = lsh_candidate_pairs(sigs, bands, rows)
-    verified = ngram_jaccard_pairs(docs, n, threshold, text_col, id_col)
-    # verify = semi-join exact pairs with candidates (candidate set is the
-    # scale limiter; exact Jaccard only computed where a shingle is shared)
-    return verified.join(cands, ["i", "j"], "left_semi")
+    sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    )
+    si = sets.select(F.col("doc_id").alias("i"), F.col("shingles").alias("sh_i"))
+    sj = sets.select(F.col("doc_id").alias("j"), F.col("shingles").alias("sh_j"))
+    n_inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j")))
+    jaccard = n_inter / (F.size("sh_i") + F.size("sh_j") - n_inter)
+    # candidate list is tiny relative to the corpus — broadcast it through
+    # both lookups so the shingle-array tables never shuffle
+    enriched = F.broadcast(cands).join(si, "i")
+    return (
+        F.broadcast(enriched)
+        .join(sj, "j")
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -204,20 +256,35 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
             ])
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.block_idx").alias("block_idx"), F.col("bk.block").alias("block"))
-    l, r = blocks.alias("l"), blocks.alias("r")
+    # bucket-local pair generation (same shape as lsh_candidate_pairs):
+    # members carry (doc_id, simhash) so hamming is computable in-row
+    buckets = (
+        blocks.groupBy("block_idx", "block")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("doc_id"), F.col("simhash")))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
+    ms = F.col("ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("i"),
+                    y["doc_id"].alias("j"),
+                    x["simhash"].alias("sh_i"),
+                    y["simhash"].alias("sh_j"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        l.join(
-            r,
-            (F.col("l.block_idx") == F.col("r.block_idx"))
-            & (F.col("l.block") == F.col("r.block"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("i"),
-            F.col("r.doc_id").alias("j"),
-            F.col("l.simhash").alias("sh_i"),
-            F.col("r.simhash").alias("sh_j"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.i", "p.j", "p.sh_i", "p.sh_j")
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_i").bitwiseXOR(F.col("sh_j")))
@@ -235,17 +302,21 @@ def embedding_near_dups(embs: DataFrame, threshold: float = 0.4,
                         vec_col: str = "embedding") -> DataFrame:
     """Blocked pairwise cosine: only pairs within the same block are
     compared (at scale the block is an LSH bucket — see
-    operators/similarity.py — here any coarse cluster column works)."""
-    a = embs.select(
-        F.col(id_col).alias("i"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va")
+    operators/similarity.py — here any coarse cluster column works).
+
+    Vectors are unit-normalized *before* the join so the per-pair cost is
+    a single dot product — n normalizations instead of 2·|pairs|."""
+    normed = embs.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("blk"),
+        normalize(F.col(vec_col)).alias("_nv"),
     )
-    b = embs.select(
-        F.col(id_col).alias("j"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vb")
-    )
+    a = normed.select(F.col("_id").alias("i"), "blk", F.col("_nv").alias("va"))
+    b = normed.select(F.col("_id").alias("j"), "blk", F.col("_nv").alias("vb"))
     return (
         a.join(b, "blk")
         .filter(F.col("i") < F.col("j"))
-        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos_sim", dot(F.col("va"), F.col("vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("i", "j", "cos_sim")
     )

@@ -129,8 +129,14 @@ def q35_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint = min shingle hash (1-perm MinHash); clusters
     sharing a fingerprint are near-dup candidates."""
     docs = load_table(spark, sf_dir, "documents")
-    idx = D.shingle_index(docs).withColumn("h", T.md5_int(F.col("shingle")))
-    fp = idx.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
+    # array_min over an in-row transform — no explode, no extra shuffle;
+    # the only shuffle is the final fingerprint groupBy.
+    fp = docs.select(
+        "doc_id",
+        F.array_min(
+            F.transform(T.word_shingles(F.col("text")), lambda s: T.md5_int(s))
+        ).alias("fingerprint"),
+    )
     return (
         fp.groupBy("fingerprint")
         .agg(

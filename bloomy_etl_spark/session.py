@@ -39,6 +39,11 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # local[N] has no network shuffle; keep partition count near core count.
     "spark.sql.shuffle.partitions": "32",
+    # Small fixture files land in one input split by default (128 MB
+    # target), serializing compute-heavy scans (shingling, hashing) onto a
+    # single core. Force at least one split per core; at cluster scale
+    # files exceed the split target anyway, so this floor is inert there.
+    "spark.sql.files.minPartitionNum": "32",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "48g",
 }

@@ -31,6 +31,10 @@ TABLE_NAMES = (
 # Small dimension tables that should broadcast in joins at any scale.
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
+# Tables whose per-row compute (text shingling/hashing, vector math)
+# dominates scan cost — candidates for scan fan-out (see load_table).
+COMPUTE_HEAVY_TABLES = frozenset({"documents", "embeddings"})
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
@@ -46,6 +50,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # division — epoch-ns (~1.7e18) exceeds double's 53-bit mantissa,
         # so a float path would corrupt low-order microseconds.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name in COMPUTE_HEAVY_TABLES:
+        # Single-row-group fixture files arrive as one unsplittable scan
+        # partition, serializing per-row-heavy work (shingling, hashing,
+        # vector math) onto one core. Fan out when the scan has fewer
+        # partitions than cores; at cluster scale scans already exceed
+        # core count and this is a no-op.
+        cores = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < cores:
+            df = df.repartition(cores)
     return df
 
 
