@@ -1,0 +1,70 @@
+"""Streaming sources: micro-batch replay of the events table.
+
+The reference's ingestion loop processes granules in batches of 10 with a
+pause between batches (``/root/reference/core/pipeline.py:98-124``) — a
+hand-rolled micro-batch trigger. Structured Streaming's file source is the
+idiomatic equivalent: each new file (or ``maxFilesPerTrigger`` slice of the
+backlog) is one micro-batch, checkpointed and replayable.
+
+Scale: the file-source listing is driver-side but incremental; at real
+scale the same code points at a cloud-storage prefix or is swapped for a
+Kafka source — every downstream operator in :mod:`windows` /
+:mod:`stateful` is source-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The events fixture stores TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong=true (session default) it scans as
+# int64 ns. Streaming reads need the schema declared up front.
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch ns
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def replay_dir(spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 8) -> str:
+    """Materialize ``events`` as ``n_files`` time-ordered parquet files so a
+    file-source stream replays it in ``n_files`` micro-batches.
+
+    Ordering by ts before the split makes the replay in-event-time-order
+    across batches (late data is then injected deliberately in tests, not
+    accidentally by file layout). Range-partitioning by ts keeps each file
+    a contiguous time slice — the shape a real ingest (hourly drops,
+    Kafka log segments) produces.
+    """
+    events = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .repartitionByRange(n_files, "ts")
+        .sortWithinPartitions("ts")
+    )
+    events.write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """``readStream`` over a directory of events parquet files.
+
+    Returns the same shape batch ``load_table`` yields: ts as µs
+    TimestampType (ns DIV 1000 in integer space — a float path would
+    corrupt low-order microseconds).
+    """
+    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -1,0 +1,255 @@
+"""Incremental event detection: the streaming form of operators/events.py.
+
+Reference parity: ``EventDetector.detect_events``
+(``/root/reference/core/quality.py:105-181``) classifies each point of the
+NDVI series using its previous value (drop), next value (recovery) and a
+3-point trailing window (sustained change). Batch expresses this with
+lag/lead windows (SURVEY W1-W3); on an unbounded stream the same
+semantics become keyed state:
+
+  * history — the last 3 (date, value) points per series key;
+  * pending — a detected drop awaiting its *next* point for
+    transient-vs-permanent classification (the lead(v) dependency);
+  * timeout — the reference's last-element ``recent_event`` case
+    (``quality.py:147-154``): a drop with no next point. In streaming
+    "no next point" = no data before the processing-time timeout fires.
+
+The per-point transition is a pure function (:func:`step`) shared by the
+unit tests; ``applyInPandasWithState`` supplies durable state, shuffle
+partitioning by series key, and exactly-once replay. State per key is O(1)
+— three floats and a pending struct — so key cardinality, not stream
+length, bounds the state store: the plan survives any scale-up by adding
+executors.
+
+Ordering contract: points must arrive in event-time order per key (the
+reference sorts its series first, ``quality.py:24``). Feed this operator
+from an ordered replay or a watermarked window-agg upstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from bloomy_etl_spark.functions.indices import DEFAULT_QUALITY, QualityThresholds
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.StringType()),
+        T.StructField("event_kind", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("start_date", T.StringType()),
+        T.StructField("end_date", T.StringType()),
+        T.StructField("ndvi_before", T.DoubleType()),
+        T.StructField("ndvi_during", T.DoubleType()),
+        T.StructField("ndvi_after", T.DoubleType()),
+        T.StructField("drop_mag", T.DoubleType()),
+        T.StructField("ndvi_sustained", T.DoubleType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+# history: parallel arrays of the last ≤3 points; pending: the
+# unclassified drop (pend_set discriminates because every field of a
+# pending drop may legitimately be NULL).
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("dates", T.ArrayType(T.StringType(), containsNull=True)),
+        T.StructField("vals", T.ArrayType(T.DoubleType(), containsNull=True)),
+        T.StructField("pend_set", T.BooleanType()),
+        T.StructField("pend_date", T.StringType()),
+        T.StructField("pend_prev", T.DoubleType()),
+        T.StructField("pend_v", T.DoubleType()),
+    ]
+)
+
+
+@dataclass
+class SeriesState:
+    """Pure-Python mirror of STATE_SCHEMA."""
+
+    dates: list
+    vals: list
+    pend_set: bool = False
+    pend_date: str | None = None
+    pend_prev: float | None = None
+    pend_v: float | None = None
+
+
+def _row(kind: str, **kw) -> dict:
+    base = {
+        "event_kind": kind,
+        "date": None,
+        "start_date": None,
+        "end_date": None,
+        "ndvi_before": None,
+        "ndvi_during": None,
+        "ndvi_after": None,
+        "drop_mag": None,
+        "ndvi_sustained": None,
+        "event_type": None,
+    }
+    base.update(kw)
+    return base
+
+
+def _finite(x) -> bool:
+    return x is not None and x == x  # NaN-safe (reference treats NaN as missing)
+
+
+def step(
+    st: SeriesState, date: str, v: float | None, q: QualityThresholds
+) -> list[dict]:
+    """Advance one point; mutate ``st``; return emitted event rows.
+
+    Mirrors the batch classification exactly (operators/events.py):
+    a pending drop resolves as transient_anomaly iff the new point
+    recovers by more than recovery_threshold, else possible_fire_or_harvest
+    (NULL recovery counts as no recovery — quality.py:137-145 via the
+    coalesce in the batch filter).
+    """
+    out: list[dict] = []
+    if st.pend_set:
+        recovered = (
+            _finite(v)
+            and _finite(st.pend_v)
+            and (v - st.pend_v) > q.recovery_threshold
+        )
+        if recovered:
+            out.append(
+                _row(
+                    "anomaly",
+                    date=st.pend_date,
+                    ndvi_before=st.pend_prev,
+                    ndvi_during=st.pend_v,
+                    ndvi_after=v,
+                    event_type="transient_anomaly",
+                )
+            )
+        else:
+            out.append(
+                _row(
+                    "abrupt_drop",
+                    date=st.pend_date,
+                    ndvi_before=st.pend_prev,
+                    ndvi_after=st.pend_v,
+                    drop_mag=abs(st.pend_v - st.pend_prev),
+                    event_type="possible_fire_or_harvest",
+                )
+            )
+        st.pend_set = False
+        st.pend_date = st.pend_prev = st.pend_v = None
+
+    prev = st.vals[-1] if st.vals else None
+    if _finite(v) and _finite(prev) and (v - prev) < q.abrupt_drop:
+        st.pend_set = True
+        st.pend_date, st.pend_prev, st.pend_v = date, prev, v
+
+    # sustained change: v[i-3] > high AND all of v[i-2..i] < low
+    # (quality.py:156-165); the all-non-null guard is batch's cnt3 == 3.
+    if len(st.vals) >= 3:
+        v_m3, v_m2, v_m1 = st.vals[-3], st.vals[-2], st.vals[-1]
+        window = [v_m2, v_m1, v]
+        if (
+            all(_finite(x) for x in window)
+            and _finite(v_m3)
+            and max(window) < q.sustained_low
+            and v_m3 > q.sustained_high_before
+        ):
+            out.append(
+                _row(
+                    "sustained_change",
+                    start_date=st.dates[-2],
+                    end_date=date,
+                    ndvi_before=v_m3,
+                    ndvi_sustained=sum(window) / 3.0,
+                    event_type="sustained_change",
+                )
+            )
+
+    st.dates.append(date)
+    st.vals.append(None if not _finite(v) else float(v))
+    if len(st.vals) > 3:
+        st.dates = st.dates[-3:]
+        st.vals = st.vals[-3:]
+    return out
+
+
+def flush(st: SeriesState) -> list[dict]:
+    """End-of-series: a still-pending drop is the reference's last-element
+    ``recent_event`` (quality.py:147-154)."""
+    if not st.pend_set:
+        return []
+    row = _row(
+        "abrupt_drop",
+        date=st.pend_date,
+        ndvi_before=st.pend_prev,
+        ndvi_after=st.pend_v,
+        drop_mag=abs(st.pend_v - st.pend_prev),
+        event_type="recent_event",
+    )
+    st.pend_set = False
+    st.pend_date = st.pend_prev = st.pend_v = None
+    return [row]
+
+
+def _detect_fn(q: QualityThresholds, timeout_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        series_id = key[0]
+        if state.exists:
+            dates, vals, pend_set, pend_date, pend_prev, pend_v = state.get
+            st = SeriesState(list(dates), list(vals), pend_set, pend_date, pend_prev, pend_v)
+        else:
+            st = SeriesState([], [])
+
+        rows: list[dict] = []
+        if state.hasTimedOut:
+            rows.extend(flush(st))
+        else:
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            batch = batch.sort_values("time")
+            for date, v in zip(batch["date"], batch["value"]):
+                rows.extend(step(st, date, None if pd.isna(v) else float(v), q))
+
+        state.update((st.dates, st.vals, st.pend_set, st.pend_date, st.pend_prev, st.pend_v))
+        if timeout_ms > 0:
+            state.setTimeoutDuration(timeout_ms)
+        if rows:
+            out = pd.DataFrame(rows)
+            out.insert(0, "series_id", series_id)
+            yield out
+
+    return fn
+
+
+def streaming_detect_events(
+    series_stream: DataFrame,
+    q: QualityThresholds = DEFAULT_QUALITY,
+    key_col: str = "series_id",
+    timeout_ms: int = 60_000,
+) -> DataFrame:
+    """Stateful streaming event detector.
+
+    ``series_stream`` columns: ``key_col`` (series identity — AOI/tile),
+    ``time`` (timestamp), ``date`` (string), ``value`` (double, nullable).
+    Emits the batch detector's schema plus the key. A drop at the stream
+    head stays pending until the next point or until ``timeout_ms`` of
+    processing-time silence, which resolves it as ``recent_event``.
+    """
+    cols = series_stream.select(
+        series_stream[key_col].alias("series_id"), "time", "date", "value"
+    )
+    return cols.groupBy("series_id").applyInPandasWithState(
+        _detect_fn(q, timeout_ms),
+        outputStructType=EVENT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,268 @@
+"""M5 streaming: batch-equivalence after watermark closure (SURVEY §5.2.4).
+
+Each test replays the events fixture through a file-source stream in
+micro-batches (availableNow trigger) and asserts the streaming result
+equals the batch computation on the same data — the only ground truth a
+streaming op has (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.functions.indices import DEFAULT_QUALITY
+from bloomy_etl_spark.operators.events import detect_events
+from bloomy_etl_spark.sources.tables import load_table
+from bloomy_etl_spark.streaming import (
+    read_events_stream,
+    replay_dir,
+    sessionized_user_activity,
+    stream_dedup,
+    streaming_detect_events,
+    windowed_event_stats,
+)
+from bloomy_etl_spark.streaming.stateful import SeriesState, flush, step
+from bloomy_etl_spark.streaming.windows import daily_value_means
+
+from conftest import SF_SMOKE
+
+
+def run_to_memory(stream_df, name: str, spark):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if "dedup" in name else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@pytest.fixture(scope="module")
+def replay(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_replay"))
+    return replay_dir(spark, SF_SMOKE, out, n_files=6)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def _sorted_pdf(df, cols) -> pd.DataFrame:
+    return (
+        df.select(*cols)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+
+
+class TestWindowedAggs:
+    def test_tumbling_daily_stats_match_batch(self, spark, replay, batch_events):
+        stream = read_events_stream(spark, replay, max_files_per_trigger=2)
+        got = run_to_memory(
+            windowed_event_stats(stream, window="1 day"), "win_stats", spark
+        )
+        want = (
+            batch_events.groupBy(
+                F.window("ts", "1 day").alias("win"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("value").alias("mean_value"),
+                F.stddev_pop("value").alias("std_value"),
+            )
+            .select(
+                F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"),
+                "event_type",
+                "n",
+                "mean_value",
+                "std_value",
+            )
+        )
+        cols = ["win_start", "win_end", "event_type", "n"]
+        pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+
+    def test_daily_merge_matches_batch_epoch_mean(self, spark, replay, batch_events):
+        stream = read_events_stream(spark, replay, max_files_per_trigger=3)
+        got = run_to_memory(daily_value_means(stream), "daily_means", spark)
+        want = (
+            batch_events.groupBy(F.window("ts", "1 day").alias("win"))
+            .agg(
+                F.timestamp_micros(
+                    F.avg(F.unix_micros("ts").cast("decimal(20,0)")).cast("long")
+                ).alias("merged_ts"),
+                F.avg("value").alias("mean_value"),
+                F.count(F.lit(1)).alias("n_merged"),
+            )
+            .select(
+                F.col("win.start").cast("date").alias("day"),
+                "merged_ts",
+                "mean_value",
+                "n_merged",
+            )
+        )
+        cols = ["day", "merged_ts", "n_merged"]
+        pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+
+    def test_session_windows_cover_all_events(self, spark, replay, batch_events):
+        stream = read_events_stream(spark, replay, max_files_per_trigger=3)
+        got = run_to_memory(
+            sessionized_user_activity(stream, gap="6 hours"), "sessions", spark
+        )
+        # invariants: every event lands in exactly one session of its user
+        assert got.agg(F.sum("n_events")).first()[0] == batch_events.count()
+        assert got.filter(F.col("sess_end") < F.col("sess_start")).count() == 0
+        per_user = got.groupBy("user_id").agg(F.sum("n_events").alias("n"))
+        want = batch_events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        cols = ["user_id", "n"]
+        pd.testing.assert_frame_equal(
+            _sorted_pdf(per_user, cols), _sorted_pdf(want, cols)
+        )
+
+
+class TestStreamDedup:
+    def test_duplicate_replay_collapses(self, spark, replay, batch_events, tmp_path):
+        # duplicate the stream dir contents → every event arrives twice
+        dup = str(tmp_path / "dup")
+        base = spark.read.parquet(replay)
+        base.unionAll(base).repartitionByRange(4, "ts").write.parquet(dup)
+        stream = read_events_stream(spark, dup, max_files_per_trigger=1)
+        # watermark must cover the whole fixture span: the file source does
+        # not guarantee time-ordered file pickup, and a short watermark
+        # would drop whole slices as late rather than exercise dedup
+        got = run_to_memory(
+            stream_dedup(stream, keys=["event_id"], watermark="90 days"),
+            "dedup_stream",
+            spark,
+        )
+        assert got.count() == batch_events.count()
+        assert got.select("event_id").distinct().count() == batch_events.count()
+
+
+class TestStatefulDetector:
+    def _series(self, batch_events):
+        """Per-day mean value series (the detector's batch input shape)."""
+        return (
+            batch_events.groupBy(F.date_trunc("day", "ts").alias("time"))
+            .agg(F.avg("value").alias("v"))
+            .select(
+                "time", F.date_format("time", "yyyy-MM-dd").alias("date"), "v"
+            )
+        )
+
+    def test_stream_matches_batch_detector(self, spark, batch_events, tmp_path):
+        series = self._series(batch_events).orderBy("time")
+        src = tmp_path / "series"
+        src.mkdir()
+        # One file per micro-batch. The file source picks files up in
+        # modification-time order, NOT path order — set mtimes explicitly
+        # so slices replay in event-time order (the detector's ordering
+        # contract; the reference sorts its series too, quality.py:24).
+        pdf = series.toPandas()
+        n_slices, t0 = 4, 1_000_000_000
+        bounds = np.linspace(0, len(pdf), n_slices + 1, dtype=int)
+        for i in range(n_slices):
+            f = src / f"slice-{i:05d}.parquet"
+            # µs timestamps: pandas' default ns parquet would scan as raw
+            # int64 under the session's nanosAsLong conf
+            pdf.iloc[bounds[i] : bounds[i + 1]].to_parquet(
+                f, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+            )
+            os.utime(f, (t0 + i * 10, t0 + i * 10))
+        src = str(src)
+
+        schema = "time timestamp, date string, v double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select(
+                F.lit("s0").alias("series_id"),
+                "time",
+                "date",
+                F.col("v").alias("value"),
+            )
+        )
+        out = streaming_detect_events(stream, timeout_ms=0)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_events")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.table("stream_events").drop("series_id")
+
+        want = detect_events(series)
+        # the stream never "ends", so the batch last-element recent_event
+        # cannot have fired (it maps to the processing-time timeout)
+        want = want.filter(F.col("event_type") != "recent_event")
+        cols = ["event_kind", "date", "start_date", "end_date", "event_type"]
+        pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+        num = ["ndvi_before", "ndvi_during", "ndvi_after", "drop_mag", "ndvi_sustained"]
+        g = _sorted_pdf(got, cols + num)[num].astype(float)
+        w = _sorted_pdf(want, cols + num)[num].astype(float)
+        pd.testing.assert_frame_equal(g, w, atol=1e-9, check_exact=False)
+
+
+class TestStepFunction:
+    """Pure-transition unit tests, incl. the timeout → recent_event edge
+    that availableNow replay cannot reach."""
+
+    def test_transient_anomaly_then_recovery(self):
+        st = SeriesState([], [])
+        q = DEFAULT_QUALITY
+        assert step(st, "d1", 0.8, q) == []
+        ev = step(st, "d2", 0.3, q)  # drop of -0.5
+        assert ev == []  # pending until next point
+        ev = step(st, "d3", 0.7, q)  # recovery +0.4 > 0.2
+        assert len(ev) == 1 and ev[0]["event_type"] == "transient_anomaly"
+        assert ev[0]["ndvi_before"] == 0.8 and ev[0]["ndvi_after"] == 0.7
+
+    def test_permanent_drop_no_recovery(self):
+        st = SeriesState([], [])
+        q = DEFAULT_QUALITY
+        step(st, "d1", 0.8, q)
+        step(st, "d2", 0.3, q)
+        ev = step(st, "d3", 0.35, q)  # recovery 0.05 < 0.2
+        assert len(ev) == 1 and ev[0]["event_type"] == "possible_fire_or_harvest"
+        assert ev[0]["drop_mag"] == pytest.approx(0.5)
+
+    def test_timeout_flush_is_recent_event(self):
+        st = SeriesState([], [])
+        q = DEFAULT_QUALITY
+        step(st, "d1", 0.8, q)
+        step(st, "d2", 0.3, q)
+        ev = flush(st)
+        assert len(ev) == 1 and ev[0]["event_type"] == "recent_event"
+        assert flush(st) == []  # idempotent
+
+    def test_sustained_change(self):
+        st = SeriesState([], [])
+        q = DEFAULT_QUALITY
+        for d, v in [("d1", 0.8), ("d2", 0.2), ("d3", 0.25)]:
+            step(st, d, v, q)
+        ev = step(st, "d4", 0.1, q)
+        kinds = [e["event_kind"] for e in ev]
+        assert "sustained_change" in kinds
+        sus = next(e for e in ev if e["event_kind"] == "sustained_change")
+        assert sus["start_date"] == "d2" and sus["end_date"] == "d4"
+        assert sus["ndvi_before"] == 0.8
+
+    def test_null_disables_comparisons(self):
+        st = SeriesState([], [])
+        q = DEFAULT_QUALITY
+        step(st, "d1", 0.8, q)
+        assert step(st, "d2", None, q) == []  # no drop vs null
+        # null then low: prev is null → still no drop
+        assert step(st, "d3", 0.1, q) == []
