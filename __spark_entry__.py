@@ -22,14 +22,55 @@ from bloomy_etl_spark.operators.relational import ORACLE_SQL, QUERIES
 ALL_QUERIES = {**QUERIES, **BLOOMY_QUERIES, **LLM_QUERIES}
 ALL_ORACLES = {**ORACLE_SQL, **BLOOMY_ORACLE_SQL, **LLM_ORACLE_SQL}
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``bloomy_etl_spark`` importable on executor Python workers.
+
+    The external driver creates its own SparkSession from an arbitrary
+    cwd; pandas-UDF closures (mapInPandas decode, stateful detectors)
+    pickle module references that workers must re-import. Shipping the
+    package once per SparkContext via ``addPyFile`` covers any driver
+    environment — equivalent to ``--py-files`` on a real cluster submit.
+    """
+    import os
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    base = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(base, "bloomy_etl_spark")
+    zpath = os.path.join(tempfile.gettempdir(), "bloomy_etl_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, base))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(key)
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (Q1 pricing summary) on /root/testdata/sf0.001."""
+    _ship_package(spark)
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(ALL_QUERIES)
+    return {name: _wrap(fn) for name, fn in ALL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -6,21 +6,24 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <sf string>, ...}
 
 Protocol (BASELINE.md): warm JVM (one discarded q1 run), then each query
-once, materialized through the noop sink (full compute, no I/O cost, no
-driver collect). DuckDB total on the same queries is included as
-``duckdb_sec`` for a same-process baseline reference.
+``BENCH_RUNS`` times (default 3) — the recorded figure is the per-query
+MEDIAN, materialized through the noop sink (full compute, no I/O cost,
+no driver collect). DuckDB runs the same SQL on the same parquet under
+the identical median-of-N protocol, reported as ``duckdb_sec``.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
 
 def materialize(df) -> None:
@@ -39,13 +42,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(qmap):
-        df = qmap[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        materialize(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(RUNS):
+            df = qmap[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            materialize(df)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
     total = round(sum(timings.values()), 3)
 
-    # DuckDB single-threaded-process baseline on identical SQL + data.
+    # DuckDB same-process baseline: identical SQL + data, same protocol.
     duck_total = None
     try:
         import duckdb
@@ -58,10 +64,15 @@ def main() -> None:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
             )
-        t0 = time.perf_counter()
+        duck_total = 0.0
         for name, sql in oracle_sql().items():
-            con.execute(sql).fetchall()
-        duck_total = round(time.perf_counter() - t0, 3)
+            samples = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                samples.append(time.perf_counter() - t0)
+            duck_total += statistics.median(samples)
+        duck_total = round(duck_total, 3)
     except Exception:
         pass
 

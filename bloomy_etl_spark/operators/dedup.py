@@ -29,6 +29,73 @@ from bloomy_etl_spark.functions.vectors import dot, normalize
 
 MERSENNE = 2147483647  # 2^31 - 1
 
+# in-row pair construction is capped at this many members; larger (hot)
+# buckets switch to the chunked distributed path
+BUCKET_PAIR_CAP = 64
+
+
+def bucket_pairs(buckets: DataFrame, cap: int = BUCKET_PAIR_CAP) -> DataFrame:
+    """All i<j member pairs for each bucket row (column ``ms``: a sorted
+    array of members — plain ids or structs ordered by id).
+
+    Small buckets (≤ ``cap``) expand in-row: one flatten/transform builds
+    C(n,2) pair structs inside the row. Hot buckets — the skew reality of
+    LSH blocking at scale (a stop-shingle band, a dominant SimHash block
+    that can hold most of the corpus) — would build a single C(n,2) array
+    in a single task that way, so they are chunked instead: the member
+    array is cut into cap-sized slices, every (chunk_i ≤ chunk_j) slice
+    pair becomes its own row, a round-robin repartition spreads those rows
+    across the cluster, and each expands to ≤ cap² pairs in-row. Per-task
+    pair work is bounded by cap² regardless of bucket size, with no salted
+    self-join and no driver involvement.
+
+    Returns columns ``a``, ``b`` with a < b in member sort order.
+    """
+    ms = F.col("ms")
+
+    def combos(arr):
+        return F.flatten(
+            F.transform(
+                arr,
+                lambda x, i: F.transform(
+                    F.slice(arr, i + 2, F.size(arr)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+
+    small = buckets.filter(F.size(ms) <= cap).select(F.explode(combos(ms)).alias("p"))
+
+    k = F.ceil(F.size(ms) / cap).cast("int")
+    chunk_rows = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda ci: F.transform(
+                F.sequence(ci, k - 1),
+                lambda cj: F.struct(
+                    F.slice(ms, ci * cap + 1, cap).alias("ma"),
+                    F.slice(ms, cj * cap + 1, cap).alias("mb"),
+                    (ci == cj).alias("same"),
+                ),
+            ),
+        )
+    )
+    big = buckets.filter(F.size(ms) > cap).select(F.explode(chunk_rows).alias("c"))
+    parallelism = buckets.sparkSession.sparkContext.defaultParallelism
+    big = big.repartition(parallelism)
+    ma, mb = F.col("c.ma"), F.col("c.mb")
+    # chunks come from one sorted array: same-chunk → combinations,
+    # ci<cj cross-chunk → full cross product (every ma member < every mb)
+    cross = F.flatten(
+        F.transform(
+            ma, lambda x: F.transform(mb, lambda y: F.struct(x.alias("a"), y.alias("b")))
+        )
+    )
+    big_pairs = big.select(
+        F.explode(F.when(F.col("c.same"), combos(ma)).otherwise(cross)).alias("p")
+    )
+    return small.unionByName(big_pairs).select("p.a", "p.b")
+
 
 def perm_coeffs(num_perm: int) -> list[tuple[int, int]]:
     """Deterministic MinHash permutation coefficients (a odd, b spread)."""
@@ -80,22 +147,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     postings = (
         idx.groupBy("shingle")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("i"), y.alias("j")),
-            ),
-        )
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
     inter = (
-        postings.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        bucket_pairs(postings)
+        .groupBy(F.col("a").alias("i"), F.col("b").alias("j"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("i"), F.col("n_sh").alias("n_i"))
@@ -115,16 +172,38 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
 
 def minhash_signatures(docs: DataFrame, num_perm: int = 16, n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc MinHash signature: one groupBy with num_perm min-aggregates
-    over (a_j·h + b_j) mod 2³¹−1 of the shingle hashes."""
-    idx = shingle_index(docs, n, text_col, id_col).withColumn(
-        "h", md5_int(F.col("shingle"))
+    """Per-doc MinHash signature ``sig`` (array<bigint>, ``sig[j]`` = min
+    over shingles of (a_j·h + b_j) mod 2³¹−1), computed entirely in-row
+    as ONE fold: hash the shingle array once, then a single ``aggregate``
+    pass carries all num_perm running minima in its accumulator
+    (``zip_with`` of the minima array against the coefficient array).
+
+    Why one fold instead of num_perm ``array_min`` columns: Catalyst
+    inlines single-use projections, so 16 separate min columns become 16
+    full passes over the hashed-shingle array (and in downstream banding
+    each pass is duplicated again). A single array-typed expression is
+    referenced — not recomputed — downstream, because the optimizer's
+    CollapseProject guard never duplicates a non-cheap expression with
+    multiple uses.
+
+    No explode, no groupBy — signature extraction pipelines with the scan
+    (zero shuffles at any corpus size)."""
+    hashes = F.transform(word_shingles(F.col(text_col), n), lambda s: md5_int(s))
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in perm_coeffs(num_perm)
+        ]
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE).alias(f"mh{j}")
-        for j, (a, b) in enumerate(perm_coeffs(num_perm))
-    ]
-    return idx.groupBy("doc_id").agg(*aggs)
+    init = F.array_repeat(F.lit(MERSENNE).cast("bigint"), num_perm)
+    sig = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, params, lambda m, p: F.least(m, (p["a"] * h + p["b"]) % MERSENNE)
+        ),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
@@ -137,38 +216,28 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4, rows: int = 4) ->
     bucket, no self-join — pair cost is Σ C(|bucket|,2), the LSH invariant
     that holds at any corpus size (bucket width is tuned by bands/rows,
     not data volume)."""
-    band_cols = [
-        F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = signatures.select("doc_id", *band_cols)
-    stacked = banded.select(
+    def band_key(b):
+        return F.concat_ws(
+            "_", *[F.col("sig")[b * rows + r] for r in range(rows)]
+        )
+
+    stacked = signatures.select(
         "doc_id",
         F.explode(
             F.array(*[
-                F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("sig"))
+                F.struct(F.lit(b).alias("band_idx"), band_key(b).alias("sig"))
                 for b in range(bands)
             ])
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.sig").alias("sig"))
     buckets = (
         stacked.groupBy("band_idx", "sig")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    ids = F.col("ids")
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("i"), y.alias("j")),
-            ),
-        )
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        bucket_pairs(buckets)
+        .select(F.col("a").alias("i"), F.col("b").alias("j"))
         .distinct()
     )
 
@@ -183,10 +252,21 @@ def minhash_near_dups(docs: DataFrame, num_perm: int = 16, n: int = 3,
     arrays and intersects in-row (array_intersect) — no pairwise shuffle,
     cost O(|candidates| · shingles). This is the property that makes the
     operator viable at 100 TB: work scales with LSH collisions, never
-    with n²."""
+    with n².
+
+    The shingle arrays are built only for docs that appear in a candidate
+    pair (broadcast semi-join before the shingling projection): each
+    verify branch re-scans the corpus but re-shingles only the candidate
+    sliver — at scale the scan is column-pruned to (id, text) and the
+    expensive text work is proportional to |candidates|."""
     sigs = minhash_signatures(docs, num_perm, n, text_col, id_col)
     cands = lsh_candidate_pairs(sigs, bands, rows)
-    sets = docs.select(
+    cand_ids = cands.select(
+        F.explode(F.array("i", "j")).alias("cand_id")
+    ).distinct()
+    sets = docs.join(
+        F.broadcast(cand_ids), docs[id_col] == F.col("cand_id"), "left_semi"
+    ).select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), n).alias("shingles"),
     )
@@ -213,24 +293,29 @@ def minhash_near_dups(docs: DataFrame, num_perm: int = 16, n: int = 3,
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Per-doc SimHash: bit b is set iff Σ_words (±1 on word-hash bit b) > 0.
-    Distinct words weighted once (matches the SQL oracle)."""
-    words = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("w"),
-    ).withColumn("h", md5_int(F.col("w")))
-    bit_sums = words.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(bits)
-        ]
+    Distinct words weighted once (matches the SQL oracle).
+
+    Computed entirely in-row: hash the distinct-word array once, then per
+    bit count set-bits with a ``filter`` fold — sum(±1) > 0 ⟺
+    2·count_set > n_words. A pure projection pipelined with the scan
+    (zero shuffles); the explode + 32-conditional-sum groupBy it replaces
+    recomputed the md5 inside every aggregate expression."""
+    hashes = F.transform(
+        F.array_distinct(tokens(F.lower(F.col(text_col)))), lambda w: md5_int(w)
+    )
+    row = docs.select(
+        F.col(id_col).alias("doc_id"), hashes.alias("hs"), F.size(hashes).alias("n")
     )
     fingerprint = None
     for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        n_set = F.size(
+            F.filter(F.col("hs"), lambda h: F.shiftright(h, b).bitwiseAND(1) == 1)
+        )
+        term = F.when(n_set * 2 > F.col("n"), F.lit(2 ** b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         fingerprint = term if fingerprint is None else fingerprint + term
-    return bit_sums.select("doc_id", fingerprint.alias("simhash"))
+    return row.select("doc_id", fingerprint.alias("simhash"))
 
 
 def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
@@ -256,8 +341,10 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
             ])
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.block_idx").alias("block_idx"), F.col("bk.block").alias("block"))
-    # bucket-local pair generation (same shape as lsh_candidate_pairs):
-    # members carry (doc_id, simhash) so hamming is computable in-row
+    # bucket-local pair generation via the skew-safe hybrid: members carry
+    # (doc_id, simhash) so hamming is computable in-row. SimHash blocks are
+    # the canonical hot-bucket case — a common 8-bit block can hold most of
+    # the corpus, which is exactly what bucket_pairs chunks up.
     buckets = (
         blocks.groupBy("block_idx", "block")
         .agg(
@@ -267,24 +354,14 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
         )
         .filter(F.size("ms") > 1)
     )
-    ms = F.col("ms")
-    pair_structs = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.size(ms)),
-                lambda y: F.struct(
-                    x["doc_id"].alias("i"),
-                    y["doc_id"].alias("j"),
-                    x["simhash"].alias("sh_i"),
-                    y["simhash"].alias("sh_j"),
-                ),
-            ),
-        )
-    )
     pairs = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.i", "p.j", "p.sh_i", "p.sh_j")
+        bucket_pairs(buckets)
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.col("a.simhash").alias("sh_i"),
+            F.col("b.simhash").alias("sh_j"),
+        )
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_i").bitwiseXOR(F.col("sh_j")))

@@ -149,6 +149,56 @@ def q35_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH buckets → candidate join →
+    exact cosine re-rank. Approximate by construction (recall floor is
+    asserted against q33's exact top-k in tests/test_multimodal.py), so
+    there is no SQL oracle — the driver's rows-only check applies."""
+    from bloomy_etl_spark.operators.similarity import lsh_topk
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0)
+    out = lsh_topk(embs, queries, k=5, bits=4, tables=16)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def q37_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end on synthesized media (document text
+    bytes as payloads, kind round-robined): Arrow-batched mapInPandas
+    decode → per-kind stats. mapInPandas is not SQL-expressible — driver
+    rows-only check."""
+    from bloomy_etl_spark.operators.multimodal import decode_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"), F.lit(48).alias("height"),
+            F.lit(3).alias("channels"), F.lit(16000).alias("sample_rate"),
+            F.lit(16).alias("n_frames"), F.lit("synthetic").alias("format"),
+        ).alias("meta"),
+    )
+    stats = decode_stats(media)
+    return (
+        stats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+            F.round(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
+            F.round(F.avg("byte_entropy_proxy"), 4).alias("avg_entropy"),
+            F.count_distinct("content_hash").alias("n_distinct"),
+        )
+        .orderBy("kind")
+    )
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -160,6 +210,9 @@ LLM_QUERIES = {
     "q33_cosine_topk": q33_cosine_topk,
     "q34_embedding_neardups": q34_embedding_neardups,
     "q35_fingerprint_clusters": q35_fingerprint_clusters,
+    # no-oracle entries (non-SQL-expressible; driver rows-only check)
+    "q36_ann_lsh_topk": q36_ann_lsh_topk,
+    "q37_multimodal_decode": q37_multimodal_decode,
 }
 
 
