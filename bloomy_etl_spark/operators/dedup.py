@@ -136,31 +136,50 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     """Exact Jaccard over n-word shingles for every pair sharing ≥1 shingle.
 
     |A∩B| via the inverted index grouped per shingle: posting lists →
-    in-row i<j combinations → pair-count aggregate (one shuffle keyed by
-    shingle, one by pair — no posting-list self-join). |A∪B| by
-    inclusion-exclusion with per-doc shingle counts. Non-overlapping pairs
-    are never materialized, which is what makes this viable beyond toy
-    scale; hot shingles (stop-shingles) dominate cost — at corpus scale
-    drop postings above a frequency cap before pairing.
+    i<j pair generation (skew-safe bucket_pairs) → pair-count aggregate —
+    one shuffle keyed by shingle, one by pair, no posting-list self-join.
+    |A∪B| by inclusion-exclusion: each posting member carries its doc's
+    shingle count (computed in-row before the explode), so pairs arrive
+    with (n_i, n_j) attached and no per-doc sizes table or join exists.
+    Non-overlapping pairs are never materialized, which is what makes
+    this viable beyond toy scale; hot shingles (stop-shingles) are the
+    bucket_pairs chunked path — at corpus scale additionally drop
+    postings above a frequency cap before pairing.
     """
-    idx = shingle_index(docs, n, text_col, id_col)
-    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # bind the shingle array to an attribute BEFORE the explode: selecting
+    # size(word_shingles(..)) next to explode(word_shingles(..)) would put
+    # the size's full shingling into the Project above the Generate and
+    # recompute it once per exploded row
+    arr = docs.select(
+        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    idx = arr.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
     postings = (
         idx.groupBy("shingle")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ms"))
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("doc_id"), F.col("n_sh")))
+            ).alias("ms")
+        )
         .filter(F.size("ms") > 1)
     )
     inter = (
         bucket_pairs(postings)
-        .groupBy(F.col("a").alias("i"), F.col("b").alias("j"))
+        .groupBy(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.col("a.n_sh").alias("n_i"),
+            F.col("b.n_sh").alias("n_j"),
+        )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("i"), F.col("n_sh").alias("n_i"))
-    sb = sizes.select(F.col("doc_id").alias("j"), F.col("n_sh").alias("n_j"))
     return (
-        inter.join(F.broadcast(sa), "i")
-        .join(F.broadcast(sb), "j")
-        .withColumn("jaccard", F.col("n_inter") / (F.col("n_i") + F.col("n_j") - F.col("n_inter")))
+        inter.withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_i") + F.col("n_j") - F.col("n_inter")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
     )

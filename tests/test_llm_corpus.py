@@ -13,6 +13,8 @@ from tests.oracle import compare, register_duck_views
 
 @pytest.mark.parametrize("name", sorted(LLM_QUERIES))
 def test_llm_query_matches_oracle(spark, duck, name):
+    if name not in LLM_ORACLE_SQL:
+        pytest.skip(f"{name} is a rows-only entry (non-SQL-expressible)")
     register_duck_views(duck, SF_ORACLE)
     df = LLM_QUERIES[name](spark, SF_ORACLE)
     compare(df, duck, LLM_ORACLE_SQL[name])
