@@ -1,0 +1,201 @@
+"""Property-based tests (SURVEY.md §5.2.3): clip idempotence/bounds,
+mask monotonicity, merge permutation-invariance, skew-safe pair
+generation vs brute force, n-gram Jaccard vs brute force.
+
+Hypothesis drives the data; each example is one small local Spark job,
+so max_examples stays modest and deadlines are off (JVM scheduling
+jitter would otherwise flake)."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.functions.indices import (
+    DEFAULT_QUALITY,
+    QualityThresholds,
+    clip,
+    with_indices,
+    with_masks,
+)
+from bloomy_etl_spark.operators.dedup import bucket_pairs, ngram_jaccard_pairs
+from bloomy_etl_spark.operators.merge import merge_all
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite = st.floats(
+    min_value=-50.0, max_value=50.0, allow_nan=False, allow_infinity=False
+)
+
+
+@given(vals=st.lists(finite, min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_clip_idempotent_and_bounded(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = df.select(
+        clip(F.col("v"), -1.0, 1.0).alias("c1"),
+        clip(clip(F.col("v"), -1.0, 1.0), -1.0, 1.0).alias("c2"),
+        "v",
+    ).collect()
+    for r in out:
+        assert -1.0 <= r["c1"] <= 1.0
+        assert r["c1"] == r["c2"], "clip must be idempotent"
+        if -1.0 <= r["v"] <= 1.0:
+            assert r["c1"] == r["v"], "in-range values pass through"
+
+
+band = st.one_of(st.none(), st.integers(min_value=-500, max_value=12000))
+pixel = st.tuples(
+    band, band, band, st.one_of(st.none(), st.integers(min_value=0, max_value=255))
+)
+
+
+@given(pixels=st.lists(pixel, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_mask_monotone_and_is_component_or(spark, pixels):
+    """Adding a mask component never increases the valid count, and the
+    combined mask is exactly the OR of its components (F11)."""
+    df = spark.createDataFrame(
+        [(float(r) if r is not None else None,
+          float(n) if n is not None else None,
+          float(b) if b is not None else None,
+          f) for r, n, b, f in pixels],
+        "red double, nir double, blue double, fmask int",
+    )
+    no_haze = QualityThresholds(blue_haze=float("1e18"))  # haze disabled
+    rows = with_masks(df).collect()
+    relaxed = with_masks(df, no_haze).collect()
+    comp = ["outside", "cloud_shadow", "anomaly_low", "anomaly_high", "haze",
+            "invalid_ndvi"]
+    for r in rows:
+        assert r["mask"] == any(r[c] for c in comp)
+    n_valid = sum(not r["mask"] for r in rows)
+    n_valid_relaxed = sum(not r["mask"] for r in relaxed)
+    assert n_valid <= n_valid_relaxed
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["T01", "T02"]),               # tile_id
+            st.integers(min_value=0, max_value=2),         # day
+            st.integers(min_value=0, max_value=1),         # intra-day hour
+            st.integers(min_value=0, max_value=2),         # y
+            st.integers(min_value=0, max_value=2),         # x
+            st.one_of(st.none(), finite),                  # ndvi
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    seed=st.randoms(use_true_random=False),
+)
+@settings(**SETTINGS)
+def test_merge_all_permutation_invariant(spark, rows, seed):
+    """merge_all output must not depend on input row order — the reference
+    sorts its dataset list explicitly (core/merger.py:25,69,104); the
+    relational form must be order-free by construction."""
+    def df_of(rs):
+        data = [
+            (t, f"2024-06-{d + 1:02d} {10 + h}:00:00", y, x, v,
+             v / 2 if v is not None else None)
+            for t, d, h, y, x, v in rs
+        ]
+        return spark.createDataFrame(
+            data, "tile_id string, time string, y int, x int, ndvi double, evi double"
+        ).withColumn("time", F.col("time").cast("timestamp"))
+
+    shuffled = list(rows)
+    seed.shuffle(shuffled)
+
+    def canon(df):
+        out = []
+        for r in merge_all(df).collect():
+            out.append(
+                (str(r["time"]), r["y"], r["x"],
+                 None if r["ndvi"] is None else round(r["ndvi"], 9),
+                 None if r["evi"] is None else round(r["evi"], 9),
+                 r["num_granules_merged"])
+            )
+        return sorted(out, key=str)
+
+    assert canon(df_of(rows)) == canon(df_of(shuffled))
+
+
+@given(
+    n_members=st.integers(min_value=2, max_value=120),
+    cap=st.integers(min_value=2, max_value=16),
+)
+@settings(**SETTINGS)
+def test_bucket_pairs_exhaustive_no_dup(spark, n_members, cap):
+    """The skew-safe chunked path must emit exactly the C(n,2) i<j pairs —
+    no gaps, no duplicates — for any bucket size and chunk cap."""
+    members = list(range(n_members))
+    df = spark.createDataFrame([(members,)], "ms array<int>")
+    got = sorted(
+        (r["a"], r["b"]) for r in bucket_pairs(df, cap=cap).collect()
+    )
+    want = sorted(itertools.combinations(members, 2))
+    assert got == want
+
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+
+
+@given(
+    docs=st.lists(
+        st.lists(words, min_size=3, max_size=8), min_size=2, max_size=8
+    ),
+    threshold=st.sampled_from([0.1, 0.5, 0.9]),
+)
+@settings(**SETTINGS)
+def test_ngram_jaccard_matches_bruteforce(spark, docs, threshold):
+    n = 2
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=n, threshold=threshold).collect()
+    }
+    shingles = [
+        {" ".join(ws[k:k + n]) for k in range(len(ws) - n + 1)} for ws in docs
+    ]
+    want = {}
+    for i, j in itertools.combinations(range(len(docs)), 2):
+        inter = len(shingles[i] & shingles[j])
+        if inter == 0:
+            continue
+        jac = inter / len(shingles[i] | shingles[j])
+        if jac >= threshold:
+            want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert math.isclose(got[k], v, rel_tol=1e-9)
+
+
+@given(vals=st.lists(st.one_of(st.none(), finite), min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_masked_indices_never_out_of_range(spark, vals):
+    """After with_indices, every non-NULL ndvi ∈ [-1,1] and evi ∈ [-3,3]
+    regardless of band values (P4+P5 composition)."""
+    data = [
+        (v, None if v is None else v * 3 + 50.0, 10.0, 0) for v in vals
+    ]
+    df = spark.createDataFrame(
+        data, "red double, nir double, blue double, fmask int"
+    )
+    out = with_indices(with_masks(df)).collect()
+    for r in out:
+        if r["ndvi"] is not None:
+            assert -1.0 <= r["ndvi"] <= 1.0
+        if r["evi"] is not None:
+            assert -3.0 <= r["evi"] <= 3.0

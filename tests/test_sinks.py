@@ -93,6 +93,39 @@ def test_export_geotiff_downsample(spark, tmp_path):
     assert meta["transform"][0] == 0.2 and meta["transform"][4] == -0.2
 
 
+def test_cache_partition_and_anti_join_probe(spark, tmp_path):
+    """S5/S6 + J5: the reference's per-(tile, day) NetCDF cache
+    (core/processor.py:342-367) as a partitioned parquet table; the
+    skip-if-cached probe (core/processor.py:49-53) as a left-anti join
+    on the partition keys — a cache hit is a partition-pruned read."""
+    from bloomy_etl_spark.sinks import write_cache_partition
+
+    cache = str(tmp_path / "cache")
+    cached = make_cube(spark).withColumn("tile_id", F.lit("T01"))
+    write_cache_partition(cached, cache)
+
+    # cache index = partition keys only (pruned scan, no pixel columns)
+    idx = (
+        spark.read.parquet(cache)
+        .select("tile_id", "date")
+        .distinct()
+    )
+    assert sorted(str(r["date"]) for r in idx.collect()) == [
+        "2024-06-01",
+        "2024-06-02",
+    ]
+
+    incoming = spark.createDataFrame(
+        [("T01", "2024-06-01"), ("T01", "2024-06-03"), ("T02", "2024-06-01")],
+        "tile_id string, date string",
+    ).withColumn("date", F.col("date").cast("date"))
+    todo = incoming.join(idx, ["tile_id", "date"], "left_anti").collect()
+    assert sorted((r["tile_id"], str(r["date"])) for r in todo) == [
+        ("T01", "2024-06-03"),
+        ("T02", "2024-06-01"),
+    ]
+
+
 def test_index_and_style_json(spark, tmp_path):
     idx_path = write_index_json(make_cube(spark), str(tmp_path / "index.json"))
     idx = json.load(open(idx_path))
