@@ -34,9 +34,12 @@ MERSENNE = 2147483647  # 2^31 - 1
 BUCKET_PAIR_CAP = 64
 
 
-def bucket_pairs(buckets: DataFrame, cap: int = BUCKET_PAIR_CAP) -> DataFrame:
+def bucket_pairs(buckets: DataFrame, cap: int = BUCKET_PAIR_CAP,
+                 carry: tuple[str, ...] = ()) -> DataFrame:
     """All i<j member pairs for each bucket row (column ``ms``: a sorted
-    array of members — plain ids or structs ordered by id).
+    array of members — plain ids or structs ordered by id). Columns named
+    in ``carry`` are passed through to the output unchanged (e.g. the
+    bucket key, so callers can dedupe multi-block collisions in-row).
 
     Small buckets (≤ ``cap``) expand in-row: one flatten/transform builds
     C(n,2) pair structs inside the row. Hot buckets — the skew reality of
@@ -64,7 +67,9 @@ def bucket_pairs(buckets: DataFrame, cap: int = BUCKET_PAIR_CAP) -> DataFrame:
             )
         )
 
-    small = buckets.filter(F.size(ms) <= cap).select(F.explode(combos(ms)).alias("p"))
+    small = buckets.filter(F.size(ms) <= cap).select(
+        *carry, F.explode(combos(ms)).alias("p")
+    )
 
     k = F.ceil(F.size(ms) / cap).cast("int")
     chunk_rows = F.flatten(
@@ -80,7 +85,9 @@ def bucket_pairs(buckets: DataFrame, cap: int = BUCKET_PAIR_CAP) -> DataFrame:
             ),
         )
     )
-    big = buckets.filter(F.size(ms) > cap).select(F.explode(chunk_rows).alias("c"))
+    big = buckets.filter(F.size(ms) > cap).select(
+        *carry, F.explode(chunk_rows).alias("c")
+    )
     parallelism = buckets.sparkSession.sparkContext.defaultParallelism
     big = big.repartition(parallelism)
     ma, mb = F.col("c.ma"), F.col("c.mb")
@@ -92,9 +99,10 @@ def bucket_pairs(buckets: DataFrame, cap: int = BUCKET_PAIR_CAP) -> DataFrame:
         )
     )
     big_pairs = big.select(
-        F.explode(F.when(F.col("c.same"), combos(ma)).otherwise(cross)).alias("p")
+        *carry,
+        F.explode(F.when(F.col("c.same"), combos(ma)).otherwise(cross)).alias("p"),
     )
-    return small.unionByName(big_pairs).select("p.a", "p.b")
+    return small.unionByName(big_pairs).select(*carry, "p.a", "p.b")
 
 
 def perm_coeffs(num_perm: int) -> list[tuple[int, int]]:
@@ -373,19 +381,31 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
         )
         .filter(F.size("ms") > 1)
     )
-    pairs = (
-        bucket_pairs(buckets)
-        .select(
-            F.col("a.doc_id").alias("i"),
-            F.col("b.doc_id").alias("j"),
-            F.col("a.simhash").alias("sh_i"),
-            F.col("b.simhash").alias("sh_j"),
-        )
-        .distinct()
+    pairs = bucket_pairs(buckets, carry=("block_idx",)).select(
+        "block_idx",
+        F.col("a.doc_id").alias("i"),
+        F.col("b.doc_id").alias("j"),
+        F.col("a.simhash").alias("sh_i"),
+        F.col("b.simhash").alias("sh_j"),
     )
+    # A pair agreeing on several blocks collides once per block; keep only
+    # the FIRST agreeing block — decidable in-row from the two fingerprints
+    # (for every earlier block the 8-bit slices must differ) — so no
+    # distinct() shuffle over the raw pair stream ever happens. At corpus
+    # scale that stream is the dominant intermediate (Σ C(|bucket|,2) rows).
+    def blk(c, k):
+        return F.shiftright(c, k * band_bits).bitwiseAND(mask)
+
+    first_match = F.lit(True)
+    for k in range(n_blocks):
+        first_match = first_match & (
+            (F.lit(k) >= F.col("block_idx")) | (blk(F.col("sh_i"), k) != blk(F.col("sh_j"), k))
+        )
     hamming = F.bit_count(F.col("sh_i").bitwiseXOR(F.col("sh_j")))
-    return pairs.select("i", "j", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    return (
+        pairs.filter(first_match)
+        .select("i", "j", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -75,7 +75,7 @@ def q29_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q30_minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) → LSH(4 bands × 4 rows) candidates → exact-Jaccard ≥ 0.8
     verification."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     pairs = D.minhash_near_dups(docs)
     return pairs.select("i", "j", F.round("jaccard", 4).alias("jaccard")).orderBy("i", "j")
 
@@ -83,7 +83,7 @@ def q30_minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q31_ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8) — the
     ground truth the LSH variant is measured against."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     pairs = D.ngram_jaccard_pairs(docs)
     return pairs.select("i", "j", F.round("jaccard", 4).alias("jaccard")).orderBy("i", "j")
 
@@ -94,7 +94,7 @@ def q32_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary makes low hamming common (simhash correctly reports high
     word-set similarity), so the pair list is large; the histogram keeps
     the cross-engine check compact while exercising the full pipeline."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     pairs = D.simhash_near_dups(docs)
     return (
         pairs.groupBy(F.col("hamming").cast("int").alias("hamming"))
@@ -109,7 +109,7 @@ def q32_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for every 100th vector (broadcast query
     side, corpus never shuffles)."""
-    embs = load_table(spark, sf_dir, "embeddings")
+    embs = load_table(spark, sf_dir, "embeddings", fan_out=True)
     queries = embs.filter(F.col("vec_id") % 100 == 0)
     out = cosine_topk(embs, queries, k=5)
     return out.select(
@@ -120,7 +120,7 @@ def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-blocked pairwise cosine ≥ 0.4 (the blocked all-pairs shape;
     at scale the block is an LSH bucket)."""
-    embs = load_table(spark, sf_dir, "embeddings")
+    embs = load_table(spark, sf_dir, "embeddings", fan_out=True)
     pairs = D.embedding_near_dups(embs, threshold=0.4)
     return pairs.select("i", "j", F.round("cos_sim", 4).alias("cos_sim")).orderBy("i", "j")
 
@@ -128,7 +128,7 @@ def q34_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q35_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint = min shingle hash (1-perm MinHash); clusters
     sharing a fingerprint are near-dup candidates."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     # array_min over an in-row transform — no explode, no extra shuffle;
     # the only shuffle is the final fingerprint groupBy.
     fp = docs.select(
@@ -156,7 +156,7 @@ def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     there is no SQL oracle — the driver's rows-only check applies."""
     from bloomy_etl_spark.operators.similarity import lsh_topk
 
-    embs = load_table(spark, sf_dir, "embeddings")
+    embs = load_table(spark, sf_dir, "embeddings", fan_out=True)
     queries = embs.filter(F.col("vec_id") % 100 == 0)
     out = lsh_topk(embs, queries, k=5, bits=4, tables=16)
     return out.select(
@@ -171,7 +171,7 @@ def q37_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check."""
     from bloomy_etl_spark.operators.multimodal import decode_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(

@@ -335,7 +335,15 @@ def q15_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
             F.round(F.avg(F.length("p_name")), 4).alias("avg_name_len"),
-            F.min(F.concat(F.upper("p_brand"), F.lit("-"), F.col("p_type"))).alias("min_brand_type"),
+            # MIN over a string: a declarative min(string) forces
+            # SortAggregate (string agg buffers are immutable types, so
+            # HashAggregate refuses the whole aggregate and every column
+            # pays for the sort). collect_set is TypedImperative →
+            # ObjectHashAggregate keeps the hash path; the set is bounded
+            # by the brand×type dimension domain, not the fact cardinality.
+            F.array_min(
+                F.collect_set(F.concat(F.upper("p_brand"), F.lit("-"), F.col("p_type")))
+            ).alias("min_brand_type"),
         )
         .orderBy("name_head", "order_year", "order_month")
     )

@@ -77,27 +77,40 @@ def lsh_topk(embs: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     when the table is clustered by bucket).
     """
     def bucketed(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        cols = [F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)]
-        for t in range(tables):
-            cols.append(lsh_bucket(F.col(vec_col), t, bits, dim).alias(f"b{t}"))
-        return df.select(*cols)
+        """One row per (vector, hash table): stack every table's bucket id
+        with a single explode so ALL tables join in one pass — a per-table
+        join loop would run ``tables`` sequential shuffle stages over the
+        same corpus; stacked, the whole candidate generation is one join."""
+        stacked = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket(F.col(vec_col), t, bits, dim).alias("bucket"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        )
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            stacked.alias("tb"),
+        ).select(id_alias, vec_alias, "tb.t", "tb.bucket")
 
+    # query side is small → broadcast; the corpus never shuffles, each task
+    # scans its slice once and emits only same-bucket collisions
     qb = bucketed(queries, "query_id", "qv")
     cb = bucketed(embs, "neighbor_id", "cv")
-
-    candidates = None
-    for t in range(tables):
-        q_t = qb.select("query_id", "qv", F.col(f"b{t}").alias("bucket"))
-        c_t = cb.select("neighbor_id", "cv", F.col(f"b{t}").alias("bucket"))
-        pairs = q_t.join(c_t, "bucket").filter(
-            F.col("query_id") != F.col("neighbor_id")
-        ).select("query_id", "neighbor_id", "qv", "cv")
-        candidates = pairs if candidates is None else candidates.unionByName(pairs)
-
-    scored = (
-        candidates.distinct()
+    pairs = (
+        cb.join(F.broadcast(qb), ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
-        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    # a pair colliding in several tables appears once per table — collapse
+    # by key (scalar agg, not a distinct over the vector arrays)
+    scored = pairs.groupBy("query_id", "neighbor_id").agg(
+        F.max("cos_sim").alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

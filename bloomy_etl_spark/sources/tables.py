@@ -31,12 +31,20 @@ TABLE_NAMES = (
 # Small dimension tables that should broadcast in joins at any scale.
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
-# Tables whose per-row compute (text shingling/hashing, vector math)
-# dominates scan cost — candidates for scan fan-out (see load_table).
-COMPUTE_HEAVY_TABLES = frozenset({"documents", "embeddings"})
 
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               fan_out: bool = False) -> DataFrame:
+    """Read one fixture table.
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ``fan_out=True`` repartitions a narrow scan across all cores. The
+    fixtures are single-row-group parquet files, so their scan is ONE
+    unsplittable partition; an operator whose per-row compute dominates
+    scan cost (shingling/MinHash, vector math, Arrow-batched decode)
+    requests fan-out so that work spreads, paying one small shuffle.
+    Cheap scans (plain aggregates, digest grouping) must NOT fan out —
+    measured at sf0.1 the extra shuffle costs more than it recovers. At
+    cluster scale inputs exceed the split target and the repartition is a
+    no-op either way, so the flag only affects small-file corners."""
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
@@ -50,12 +58,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # division — epoch-ns (~1.7e18) exceeds double's 53-bit mantissa,
         # so a float path would corrupt low-order microseconds.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    if name in COMPUTE_HEAVY_TABLES:
-        # Single-row-group fixture files arrive as one unsplittable scan
-        # partition, serializing per-row-heavy work (shingling, hashing,
-        # vector math) onto one core. Fan out when the scan has fewer
-        # partitions than cores; at cluster scale scans already exceed
-        # core count and this is a no-op.
+    if fan_out:
         cores = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < cores:
             df = df.repartition(cores)
