@@ -199,3 +199,35 @@ def test_masked_indices_never_out_of_range(spark, vals):
             assert -1.0 <= r["ndvi"] <= 1.0
         if r["evi"] is not None:
             assert -3.0 <= r["evi"] <= 3.0
+
+
+def test_bucket_pairs_carry_passthrough(spark):
+    """``carry`` columns must ride along unchanged on BOTH expansion paths
+    (in-row small buckets and the chunked hot-bucket path)."""
+    df = spark.createDataFrame(
+        [(7, list(range(3))), (9, list(range(10)))], "key int, ms array<int>"
+    )
+    rows = bucket_pairs(df, cap=4, carry=("key",)).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append((r["a"], r["b"]))
+    assert sorted(by_key[7]) == sorted(itertools.combinations(range(3), 2))
+    assert sorted(by_key[9]) == sorted(itertools.combinations(range(10), 2))
+
+
+def test_word_shingles_edges(spark):
+    """Shingling edge semantics: short docs collapse to one joined-token
+    shingle; exactly-n docs give one shingle; repeats dedupe but keep
+    first-occurrence order."""
+    from bloomy_etl_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(
+        [("one",), ("two words",), ("a b c",), ("x y x y x y",)], "text string"
+    )
+    got = [r[0] for r in df.select(word_shingles(F.col("text"), 3)).collect()]
+    assert got == [
+        ["one"],
+        ["two words"],
+        ["a b c"],
+        ["x y x", "y x y"],
+    ]
