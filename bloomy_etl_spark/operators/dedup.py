@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bloomy_etl_spark.functions.text import md5_int, tokens, word_shingles
-from bloomy_etl_spark.functions.vectors import dot, normalize
+from bloomy_etl_spark.functions.vectors import cosine, dot, normalize
 
 MERSENNE = 2147483647  # 2^31 - 1
 
@@ -140,7 +140,9 @@ def shingle_index(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_doc_freq: int | None = None,
+                        dropped_obs=None) -> DataFrame:
     """Exact Jaccard over n-word shingles for every pair sharing ≥1 shingle.
 
     |A∩B| via the inverted index grouped per shingle: posting lists →
@@ -150,9 +152,22 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     shingle count (computed in-row before the explode), so pairs arrive
     with (n_i, n_j) attached and no per-doc sizes table or join exists.
     Non-overlapping pairs are never materialized, which is what makes
-    this viable beyond toy scale; hot shingles (stop-shingles) are the
-    bucket_pairs chunked path — at corpus scale additionally drop
-    postings above a frequency cap before pairing.
+    this viable beyond toy scale.
+
+    ``max_doc_freq`` is the stop-shingle cap, the knob that makes this
+    operator survive a real corpus: a shingle appearing in > cap docs is
+    dropped from the inverted index BEFORE pairing, so no posting list can
+    generate more than C(cap, 2) pairs. Even with bucket_pairs chunking,
+    an uncapped stop-shingle ("in the of") posting of size m still emits
+    ~C(m,2)/cap² chunk rows — at 100 TB that single shingle dominates the
+    whole job. With the cap, worst-case pair volume is
+    |shingles| · C(cap,2), independent of document count skew. The cost:
+    dropped shingles no longer contribute to |A∩B| (|A∪B| via the per-doc
+    counts is unaffected), so reported Jaccard is a lower bound for pairs
+    that shared a dropped shingle — the standard stop-shingle tradeoff,
+    and exactly how production MinHash/Jaccard dedup is run. Default
+    ``None`` (no cap) keeps oracle parity; pass a pyspark ``Observation``
+    as ``dropped_obs`` to count dropped shingles without a second job.
     """
     # bind the shingle array to an attribute BEFORE the explode: selecting
     # size(word_shingles(..)) next to explode(word_shingles(..)) would put
@@ -173,6 +188,15 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         )
         .filter(F.size("ms") > 1)
     )
+    if max_doc_freq is not None:
+        if dropped_obs is not None:
+            postings = postings.observe(
+                dropped_obs,
+                F.sum(
+                    (F.size("ms") > max_doc_freq).cast("long")
+                ).alias("dropped_shingles"),
+            )
+        postings = postings.filter(F.size("ms") <= max_doc_freq)
     inter = (
         bucket_pairs(postings)
         .groupBy(
@@ -345,16 +369,45 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text",
     return row.select("doc_id", fingerprint.alias("simhash"))
 
 
+def simhash_block_layout(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(bit_offset, width) for each of ``n_blocks`` near-even blocks
+    covering ``bits`` — the Manku-style partition whose pigeonhole
+    guarantee (pairs with hamming ≤ n_blocks−1 agree on ≥1 block) is the
+    exhaustiveness proof for :func:`simhash_near_dups`."""
+    base, rem = divmod(bits, n_blocks)
+    widths = [base + 1] * rem + [base] * (n_blocks - rem)
+    layout, off = [], 0
+    for w in widths:
+        layout.append((off, w))
+        off += w
+    return layout
+
+
 def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
-                      band_bits: int = 8, text_col: str = "text",
+                      n_blocks: int | None = None, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
-    """Hamming-distance pairs via bit-band blocking: split the fingerprint
-    into bits/band_bits blocks; pairs within hamming ≤ (blocks-1) must agree
-    on ≥1 block (pigeonhole), so the bucket join is exhaustive for
-    max_hamming < blocks while avoiding the O(n²) pair space."""
+    """Hamming-distance pairs via Manku-style bit-block blocking: split the
+    fingerprint into ``n_blocks`` (default ``max_hamming + 1``) near-even
+    bit blocks; a pair with hamming ≤ max_hamming has fewer differing bits
+    than blocks, so by pigeonhole it agrees EXACTLY on ≥1 block — the
+    bucket join is exhaustive (no recall loss) while avoiding the O(n²)
+    pair space. ``n_blocks > max_hamming`` is asserted, never assumed."""
+    n_blocks = max_hamming + 1 if n_blocks is None else n_blocks
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole requires n_blocks > max_hamming "
+            f"(got n_blocks={n_blocks}, max_hamming={max_hamming}): "
+            f"pairs whose differing bits span all blocks would be dropped"
+        )
+    if n_blocks > bits:
+        raise ValueError(f"n_blocks={n_blocks} exceeds bits={bits}")
+    layout = simhash_block_layout(bits, n_blocks)
+
+    def blk(c: Column, k: int) -> Column:
+        off, w = layout[k]
+        return F.shiftright(c, off).bitwiseAND((1 << w) - 1)
+
     fps = simhash(docs, bits, text_col, id_col)
-    n_blocks = bits // band_bits
-    mask = (1 << band_bits) - 1
     blocks = fps.select(
         "doc_id",
         "simhash",
@@ -362,7 +415,7 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
             F.array(*[
                 F.struct(
                     F.lit(k).alias("block_idx"),
-                    F.shiftright(F.col("simhash"), k * band_bits).bitwiseAND(mask).alias("block"),
+                    blk(F.col("simhash"), k).alias("block"),
                 )
                 for k in range(n_blocks)
             ])
@@ -390,12 +443,9 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
     )
     # A pair agreeing on several blocks collides once per block; keep only
     # the FIRST agreeing block — decidable in-row from the two fingerprints
-    # (for every earlier block the 8-bit slices must differ) — so no
+    # (for every earlier block the bit slices must differ) — so no
     # distinct() shuffle over the raw pair stream ever happens. At corpus
     # scale that stream is the dominant intermediate (Σ C(|bucket|,2) rows).
-    def blk(c, k):
-        return F.shiftright(c, k * band_bits).bitwiseAND(mask)
-
     first_match = F.lit(True)
     for k in range(n_blocks):
         first_match = first_match & (
@@ -415,24 +465,35 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
 
 def embedding_near_dups(embs: DataFrame, threshold: float = 0.4,
                         block_col: str = "label", id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        exact_cosine: bool = True) -> DataFrame:
     """Blocked pairwise cosine: only pairs within the same block are
     compared (at scale the block is an LSH bucket — see
     operators/similarity.py — here any coarse cluster column works).
 
-    Vectors are unit-normalized *before* the join so the per-pair cost is
-    a single dot product — n normalizations instead of 2·|pairs|."""
+    ``exact_cosine=True`` (default, the oracle-checked path) evaluates
+    dot(a,b)/(‖a‖·‖b‖) per pair — bit-identical float accumulation to the
+    DuckDB oracle's formula, so pairs sitting exactly on the threshold or
+    a rounding boundary cannot flip between engines. ``exact_cosine=False``
+    is the scale path: unit-normalize *before* the join so per-pair cost
+    is a single dot product — n normalizations instead of 2·|pairs|."""
+    prepped = F.col(vec_col) if exact_cosine else normalize(F.col(vec_col))
     normed = embs.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("blk"),
-        normalize(F.col(vec_col)).alias("_nv"),
+        prepped.alias("_nv"),
     )
     a = normed.select(F.col("_id").alias("i"), "blk", F.col("_nv").alias("va"))
     b = normed.select(F.col("_id").alias("j"), "blk", F.col("_nv").alias("vb"))
+    sim = (
+        cosine(F.col("va"), F.col("vb"))
+        if exact_cosine
+        else dot(F.col("va"), F.col("vb"))
+    )
     return (
         a.join(b, "blk")
         .filter(F.col("i") < F.col("j"))
-        .withColumn("cos_sim", dot(F.col("va"), F.col("vb")))
+        .withColumn("cos_sim", sim)
         .filter(F.col("cos_sim") >= threshold)
         .select("i", "j", "cos_sim")
     )

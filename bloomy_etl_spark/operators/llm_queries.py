@@ -89,11 +89,14 @@ def q31_ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q32_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash with 8-bit-block LSH blocking, hamming ≤ 6 —
-    summarized as a hamming histogram. The fixture's shared bag-of-words
-    vocabulary makes low hamming common (simhash correctly reports high
-    word-set similarity), so the pair list is large; the histogram keeps
-    the cross-engine check compact while exercising the full pipeline."""
+    """32-bit SimHash with Manku-style 7-block LSH blocking (= max_hamming
+    + 1 blocks, so pigeonhole makes the blocked join EXHAUSTIVE for
+    hamming ≤ 6) — summarized as a hamming histogram. The fixture's shared
+    bag-of-words vocabulary makes low hamming common (simhash correctly
+    reports high word-set similarity), so the pair list is large; the
+    histogram keeps the cross-engine check compact while exercising the
+    full pipeline. Exhaustiveness vs brute force is separately asserted in
+    tests/test_llm_corpus.py."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     pairs = D.simhash_near_dups(docs)
     return (
@@ -262,6 +265,11 @@ _SIMHASH_FP = " + ".join(
     f"(CASE WHEN s{b} > 0 THEN {2**b}::BIGINT ELSE 0::BIGINT END)" for b in range(32)
 )
 
+_SIMHASH_BLOCKS_VALUES = ", ".join(
+    f"({k}, {off}, {(1 << w) - 1})"
+    for k, (off, w) in enumerate(D.simhash_block_layout(32, 7))
+)
+
 _COS = (
     "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
     "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
@@ -380,9 +388,11 @@ LLM_ORACLE_SQL = {
         bit_sums AS (SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM hashed GROUP BY doc_id),
         fp AS (SELECT doc_id, {_SIMHASH_FP} AS simhash FROM bit_sums),
         blocks AS (
+            -- Manku-style 7-block layout, generated from the same
+            -- simhash_block_layout() the Spark operator uses
             SELECT doc_id, simhash, k AS block_idx,
-                   (simhash >> (k * 8)) & 255 AS block
-            FROM fp, (VALUES (0), (1), (2), (3)) t(k)
+                   (simhash >> off) & mask AS block
+            FROM fp, (VALUES {_SIMHASH_BLOCKS_VALUES}) t(k, off, mask)
         ),
         pairs AS (
             SELECT DISTINCT l.doc_id AS i, r.doc_id AS j,

@@ -42,10 +42,9 @@ def test_minhash_lsh_recall(spark):
 
 
 def test_simhash_covers_neardups(spark):
-    """4×8-bit block LSH guarantees recall only for hamming ≤ 3 (pigeonhole
-    over blocks); pairs at hamming 4-6 are probabilistic. Assert the
-    guarantee exactly and ≥90% coverage of the exact near-dup pairs
-    (fixture near-dups sit at hamming 0-6)."""
+    """Manku-style blocking (max_hamming+1 = 7 blocks) is exhaustive by
+    pigeonhole, so ≥90% coverage of the exact near-dup pairs only reflects
+    how well word-set simhash tracks shingle Jaccard on the fixture."""
     exact = {
         (r["i"], r["j"])
         for r in LLM_QUERIES["q31_ngram_jaccard_neardups"](spark, SF_ORACLE).collect()
@@ -61,3 +60,84 @@ def test_simhash_covers_neardups(spark):
     assert len(exact & sim) >= 0.9 * len(exact), (
         f"simhash near-dup coverage too low: {len(exact & sim)}/{len(exact)}"
     )
+
+
+def test_simhash_blocking_exhaustive_vs_brute_force(spark):
+    """The pigeonhole guarantee, end to end: blocked simhash_near_dups must
+    return EXACTLY the brute-force hamming ≤ k pair set (the round-1
+    defaults dropped pairs whose differing bits spanned all 4 blocks)."""
+    from pyspark.sql import functions as F
+
+    from bloomy_etl_spark.operators.dedup import simhash, simhash_near_dups
+    from bloomy_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").filter(F.col("doc_id") < 200)
+    for k in (3, 6):
+        blocked = {
+            (r["i"], r["j"])
+            for r in simhash_near_dups(docs, max_hamming=k).select("i", "j").collect()
+        }
+        fps = simhash(docs)
+        a = fps.select(F.col("doc_id").alias("i"), F.col("simhash").alias("sa"))
+        b = fps.select(F.col("doc_id").alias("j"), F.col("simhash").alias("sb"))
+        brute = {
+            (r["i"], r["j"])
+            for r in a.crossJoin(b)
+            .filter(F.col("i") < F.col("j"))
+            .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= k)
+            .collect()
+        }
+        assert blocked == brute, (
+            f"k={k}: blocked {len(blocked)} pairs != brute-force {len(brute)}"
+        )
+
+
+def test_simhash_rejects_pigeonhole_violation(spark):
+    from bloomy_etl_spark.operators.dedup import simhash_near_dups
+    from bloomy_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(docs, max_hamming=6, n_blocks=4)
+
+
+def test_simhash_block_layout_covers_all_bits():
+    from bloomy_etl_spark.operators.dedup import simhash_block_layout
+
+    for bits, n_blocks in ((32, 7), (64, 4), (32, 5), (16, 16)):
+        layout = simhash_block_layout(bits, n_blocks)
+        covered = []
+        for off, w in layout:
+            assert w >= 1
+            covered.extend(range(off, off + w))
+        assert covered == list(range(bits))
+
+
+def test_ngram_posting_cap_noop_when_above_max_freq(spark):
+    """With the cap above the max observed posting size the pair output is
+    identical; with a tight cap it is a subset and the dropped-shingle
+    observation fires."""
+    from pyspark.sql import Observation
+
+    from bloomy_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from bloomy_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    base = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs).collect()
+    }
+    capped_hi = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, max_doc_freq=10**6).collect()
+    }
+    assert capped_hi == base
+
+    obs = Observation("dropped")
+    lo = ngram_jaccard_pairs(docs, max_doc_freq=2, dropped_obs=obs).collect()
+    lo_pairs = {(r["i"], r["j"]) for r in lo}
+    assert lo_pairs <= set(base)
+    assert obs.get["dropped_shingles"] > 0
+    # reported jaccard under a cap is a lower bound of the uncapped value
+    for r in lo:
+        assert r["jaccard"] <= base[(r["i"], r["j"])] + 1e-9
