@@ -57,7 +57,10 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     # DuckDB same-process baseline: identical SQL + data, same protocol.
+    # Per-query medians are recorded so the 2x budget is measurable per
+    # query, not just at the corpus level (VERDICT r01 item 1).
     duck_total = None
+    duck_timings: dict[str, float] = {}
     try:
         import duckdb
 
@@ -71,15 +74,17 @@ def main() -> None:
             )
         duck_total = 0.0
         for name, sql in oracle_sql().items():
+            con.execute(sql).fetchall()  # discard first (buffer-cache warm)
             samples = []
             for _ in range(RUNS):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 samples.append(time.perf_counter() - t0)
+            duck_timings[name] = round(statistics.median(samples), 3)
             duck_total += statistics.median(samples)
         duck_total = round(duck_total, 3)
     except Exception:
-        pass
+        duck_timings = {}
 
     sf = SF_DIR.rstrip("/").split("/")[-1].replace("sf", "")
     print(
@@ -92,6 +97,10 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "duckdb_sec": duck_total,
+                "duckdb_queries": duck_timings,
+                "ratio": (
+                    round(total / duck_total, 2) if duck_total else None
+                ),
             }
         )
     )

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bloomy_etl_spark.functions.text import md5_int, tokens, word_shingles
-from bloomy_etl_spark.functions.vectors import cosine, dot, normalize
+from bloomy_etl_spark.functions.vectors import dot, norm, normalize
 
 MERSENNE = 2147483647  # 2^31 - 1
 
@@ -383,15 +383,7 @@ def simhash_block_layout(bits: int, n_blocks: int) -> list[tuple[int, int]]:
     return layout
 
 
-def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
-                      n_blocks: int | None = None, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
-    """Hamming-distance pairs via Manku-style bit-block blocking: split the
-    fingerprint into ``n_blocks`` (default ``max_hamming + 1``) near-even
-    bit blocks; a pair with hamming ≤ max_hamming has fewer differing bits
-    than blocks, so by pigeonhole it agrees EXACTLY on ≥1 block — the
-    bucket join is exhaustive (no recall loss) while avoiding the O(n²)
-    pair space. ``n_blocks > max_hamming`` is asserted, never assumed."""
+def _simhash_layout(bits: int, max_hamming: int, n_blocks: int | None) -> list[tuple[int, int]]:
     n_blocks = max_hamming + 1 if n_blocks is None else n_blocks
     if n_blocks <= max_hamming:
         raise ValueError(
@@ -401,15 +393,43 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
         )
     if n_blocks > bits:
         raise ValueError(f"n_blocks={n_blocks} exceeds bits={bits}")
-    layout = simhash_block_layout(bits, n_blocks)
+    return simhash_block_layout(bits, n_blocks)
+
+
+def simhash_groups(docs: DataFrame, bits: int = 32, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Collapse docs to distinct fingerprints: (simhash, members sorted,
+    n). Exact-duplicate collapse BEFORE near-dup pairing is the Manku trick
+    that keeps blocked SimHash viable on real corpora — duplicate-heavy
+    data (the common case that motivates dedup in the first place) would
+    otherwise multiply every bucket's C(n,2) by the dup factor squared."""
+    fps = simhash(docs, bits, text_col, id_col)
+    return fps.groupBy("simhash").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("members"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def simhash_fp_pairs(groups: DataFrame, bits: int = 32, max_hamming: int = 6,
+                     n_blocks: int | None = None) -> DataFrame:
+    """Distinct-fingerprint pairs with 1 ≤ hamming ≤ max_hamming, via
+    Manku-style exhaustive blocking: split the fingerprint into
+    ``n_blocks`` (default ``max_hamming + 1``) near-even bit blocks; a
+    pair with hamming ≤ max_hamming has fewer differing bits than blocks,
+    so by pigeonhole it agrees EXACTLY on ≥1 block — the bucket join is
+    exhaustive (no recall loss) while avoiding the O(n²) pair space.
+    ``n_blocks > max_hamming`` is asserted, never assumed.
+
+    The candidate stream is pure int64 fingerprint pairs — the dominant
+    intermediate at scale stays narrow; member lists are joined back only
+    after the hamming filter (see :func:`simhash_near_dups`)."""
+    layout = _simhash_layout(bits, max_hamming, n_blocks)
 
     def blk(c: Column, k: int) -> Column:
         off, w = layout[k]
         return F.shiftright(c, off).bitwiseAND((1 << w) - 1)
 
-    fps = simhash(docs, bits, text_col, id_col)
-    blocks = fps.select(
-        "doc_id",
+    blocks = groups.select(
         "simhash",
         F.explode(
             F.array(*[
@@ -417,29 +437,20 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
                     F.lit(k).alias("block_idx"),
                     blk(F.col("simhash"), k).alias("block"),
                 )
-                for k in range(n_blocks)
+                for k in range(len(layout))
             ])
         ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.block_idx").alias("block_idx"), F.col("bk.block").alias("block"))
-    # bucket-local pair generation via the skew-safe hybrid: members carry
-    # (doc_id, simhash) so hamming is computable in-row. SimHash blocks are
-    # the canonical hot-bucket case — a common 8-bit block can hold most of
-    # the corpus, which is exactly what bucket_pairs chunks up.
+    ).select("simhash", F.col("bk.block_idx").alias("block_idx"), F.col("bk.block").alias("block"))
+    # bucket-local pair generation via the skew-safe hybrid. SimHash blocks
+    # are the canonical hot-bucket case — a common narrow block value can
+    # hold much of the corpus, which is exactly what bucket_pairs chunks.
     buckets = (
         blocks.groupBy("block_idx", "block")
-        .agg(
-            F.array_sort(
-                F.collect_set(F.struct(F.col("doc_id"), F.col("simhash")))
-            ).alias("ms")
-        )
+        .agg(F.array_sort(F.collect_set("simhash")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
     pairs = bucket_pairs(buckets, carry=("block_idx",)).select(
-        "block_idx",
-        F.col("a.doc_id").alias("i"),
-        F.col("b.doc_id").alias("j"),
-        F.col("a.simhash").alias("sh_i"),
-        F.col("b.simhash").alias("sh_j"),
+        "block_idx", F.col("a").alias("sh_i"), F.col("b").alias("sh_j")
     )
     # A pair agreeing on several blocks collides once per block; keep only
     # the FIRST agreeing block — decidable in-row from the two fingerprints
@@ -447,16 +458,52 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
     # distinct() shuffle over the raw pair stream ever happens. At corpus
     # scale that stream is the dominant intermediate (Σ C(|bucket|,2) rows).
     first_match = F.lit(True)
-    for k in range(n_blocks):
+    for k in range(len(layout)):
         first_match = first_match & (
             (F.lit(k) >= F.col("block_idx")) | (blk(F.col("sh_i"), k) != blk(F.col("sh_j"), k))
         )
     hamming = F.bit_count(F.col("sh_i").bitwiseXOR(F.col("sh_j")))
     return (
         pairs.filter(first_match)
-        .select("i", "j", hamming.alias("hamming"))
+        .select("sh_i", "sh_j", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
+                      n_blocks: int | None = None, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Doc-level hamming ≤ max_hamming pairs (i < j), exhaustive.
+
+    Three stages, each scale-shaped: (1) collapse to distinct fingerprints
+    (:func:`simhash_groups`); (2) blocked fingerprint-pair generation over
+    int64s only (:func:`simhash_fp_pairs`); (3) join member lists back to
+    the surviving pairs and expand — cross-fingerprint pairs have the
+    pair's hamming, same-fingerprint groups contribute their C(n,2)
+    hamming-0 pairs via the skew-safe bucket_pairs path. The doc-pair
+    output is ground truth (brute-force equality is pytest-asserted); the
+    expansion IS the result size, not an intermediate."""
+    groups = simhash_groups(docs, bits, text_col, id_col)
+    fp_pairs = simhash_fp_pairs(groups, bits, max_hamming, n_blocks)
+    gi = groups.select(F.col("simhash").alias("sh_i"), F.col("members").alias("m_i"))
+    gj = groups.select(F.col("simhash").alias("sh_j"), F.col("members").alias("m_j"))
+    cross = (
+        fp_pairs.join(gi, "sh_i")
+        .join(gj, "sh_j")
+        .select(F.explode("m_i").alias("x"), "m_j", "hamming")
+        .select("x", F.explode("m_j").alias("y"), "hamming")
+        .select(
+            F.least("x", "y").alias("i"),
+            F.greatest("x", "y").alias("j"),
+            "hamming",
+        )
+    )
+    within = bucket_pairs(
+        groups.filter(F.col("n") > 1).select(F.col("members").alias("ms"))
+    ).select(
+        F.col("a").alias("i"), F.col("b").alias("j"), F.lit(0).cast("bigint").alias("hamming")
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
@@ -472,21 +519,32 @@ def embedding_near_dups(embs: DataFrame, threshold: float = 0.4,
     operators/similarity.py — here any coarse cluster column works).
 
     ``exact_cosine=True`` (default, the oracle-checked path) evaluates
-    dot(a,b)/(‖a‖·‖b‖) per pair — bit-identical float accumulation to the
-    DuckDB oracle's formula, so pairs sitting exactly on the threshold or
-    a rounding boundary cannot flip between engines. ``exact_cosine=False``
-    is the scale path: unit-normalize *before* the join so per-pair cost
-    is a single dot product — n normalizations instead of 2·|pairs|."""
+    dot(a,b)/(‖a‖·‖b‖) — bit-identical float accumulation to the DuckDB
+    oracle's formula, so pairs sitting exactly on the threshold or a
+    rounding boundary cannot flip between engines. The norms are
+    precomputed per VECTOR before the join (a norm is a deterministic
+    function of one vector, so na·nb is the same float either way) — 2n
+    norm evaluations instead of 2·|pairs|. ``exact_cosine=False`` is the
+    scale path: unit-normalize *before* the join so per-pair cost is a
+    single dot product."""
     prepped = F.col(vec_col) if exact_cosine else normalize(F.col(vec_col))
+    extra = [norm(F.col(vec_col)).alias("_nm")] if exact_cosine else []
     normed = embs.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("blk"),
         prepped.alias("_nv"),
+        *extra,
     )
-    a = normed.select(F.col("_id").alias("i"), "blk", F.col("_nv").alias("va"))
-    b = normed.select(F.col("_id").alias("j"), "blk", F.col("_nv").alias("vb"))
+    a = normed.select(
+        F.col("_id").alias("i"), "blk", F.col("_nv").alias("va"),
+        *([F.col("_nm").alias("_na")] if exact_cosine else []),
+    )
+    b = normed.select(
+        F.col("_id").alias("j"), "blk", F.col("_nv").alias("vb"),
+        *([F.col("_nm").alias("_nb")] if exact_cosine else []),
+    )
     sim = (
-        cosine(F.col("va"), F.col("vb"))
+        dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
         if exact_cosine
         else dot(F.col("va"), F.col("vb"))
     )

@@ -53,14 +53,14 @@ def detect_events(
     MAX would differ from ``all(...)`` over NaN; the ``count = 3`` guard
     restores the reference behavior.
     """
-    w = (
-        Window.partitionBy(*partition_cols).orderBy("time")
-        if partition_cols
-        else Window.orderBy("time")
-    )
-    frame3 = w.rowsBetween(-2, 0)
+    # Constant partition key when no partition_cols: identical single-
+    # partition execution (the input is the per-timestamp aggregate, one
+    # row per day — bounded by construction) but declared intentionally so
+    # WindowExec does not warn; multi-series callers pass partition_cols.
     part = list(partition_cols)
-    wall = Window.partitionBy(*part) if part else Window.partitionBy()
+    key = part if part else [F.lit(0)]
+    w = Window.partitionBy(*key).orderBy("time")
+    frame3 = w.rowsBetween(-2, 0)
 
     x = series.select(
         *part,
@@ -74,7 +74,9 @@ def detect_events(
         F.max("v").over(frame3).alias("max3"),
         F.avg("v").over(frame3).alias("avg3"),
         F.count("v").over(frame3).alias("cnt3"),
-        (F.row_number().over(w) == F.count(F.lit(1)).over(wall)).alias("is_last"),
+        # last row of the series = no successor in the ordered window — a
+        # lead() in the SAME window pass, not a second all-rows count.
+        F.lead("time", 1).over(w).isNull().alias("is_last"),
     )
 
     diff = F.col("v") - F.col("v_prev")

@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -65,10 +66,11 @@ def _decode_payload(payload: bytes, kind: str) -> dict:
     except ImportError:
         pass
     digest = hashlib.sha256(payload).digest()
-    n = max(len(payload), 1)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n = max(arr.size, 1)
     return {
-        "byte_mean": sum(payload) / n,
-        "byte_entropy_proxy": len(set(payload)) / 256.0,
+        "byte_mean": float(arr.sum(dtype=np.int64)) / n,
+        "byte_entropy_proxy": np.unique(arr).size / 256.0,
         "content_hash": digest.hex()[:16],
     }
 
@@ -84,15 +86,20 @@ def decode_stats(media: DataFrame) -> DataFrame:
     task regardless of corpus size."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # column-wise zip, not iterrows(): iterrows materializes a Series
+        # per row (~100x the cost of the stats themselves); the per-item
+        # work below is numpy C loops + one sha256 call.
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                stats = _decode_payload(payload, row["kind"])
+            for media_id, kind, payload in zip(
+                pdf["media_id"].to_numpy(), pdf["kind"], pdf["payload"]
+            ):
+                payload = bytes(payload)
+                stats = _decode_payload(payload, kind)
                 out.append(
                     {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
+                        "media_id": media_id,
+                        "kind": kind,
                         "n_bytes": len(payload),
                         **stats,
                     }
@@ -112,21 +119,25 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     encoder stage would emit, so similarity/dedup operators compose."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized block means: reshape the first dim*step bytes to
+        # (dim, step) and mean along axis 1 — one numpy pass per payload
+        # instead of dim python slice-sum loops.
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                if not payload:
+            for media_id, payload in zip(pdf["media_id"].to_numpy(), pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size == 0:
                     vec = [0.0] * dim
+                elif arr.size < dim:
+                    padded = np.zeros(dim)
+                    padded[: arr.size] = arr / 255.0
+                    vec = padded.tolist()
                 else:
-                    step = max(len(payload) // dim, 1)
-                    vec = [
-                        sum(payload[i * step : (i + 1) * step])
-                        / max(len(payload[i * step : (i + 1) * step]), 1)
-                        / 255.0
-                        for i in range(dim)
-                    ]
-                rows.append({"media_id": row["media_id"], "features": vec})
+                    step = arr.size // dim
+                    vec = (
+                        arr[: dim * step].reshape(dim, step).mean(axis=1) / 255.0
+                    ).tolist()
+                rows.append({"media_id": media_id, "features": vec})
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)

@@ -109,17 +109,23 @@ def filter_timestamps(
     its mean is NULL — hence the has_prev/has_next arithmetic below
     rather than a null-skipping avg over a window frame.
     """
-    w = Window.partitionBy(*partition_cols).orderBy("time", "tile_id") if partition_cols else Window.orderBy("time", "tile_id")
-    wall = (
-        Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
-    )
+    # Constant partition key when no partition_cols: execution is identical
+    # to an unpartitioned window (one partition — safe by construction, the
+    # input is the per-granule stats table, #granules rows) but the intent
+    # is declared, so WindowExec does not warn. Multi-series deployments
+    # pass partition_cols and parallelize per series.
+    key = list(partition_cols) if partition_cols else [F.lit(0)]
+    w = Window.partitionBy(*key).orderBy("time", "tile_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
     rn = F.row_number().over(w)
-    n = F.count(F.lit(1)).over(wall)
+    # Same (partition, order) spec as the lag/lead frames → Catalyst fuses
+    # all of these into ONE WindowExec pass (no second all-rows window).
+    n = F.count(F.lit(1)).over(wfull)
     prev_mean = F.lag("ndvi_mean", 1).over(w)
     next_mean = F.lead("ndvi_mean", 1).over(w)
     has_prev = rn > 1
-    has_next = rn < n
+    has_next = F.lead("time", 1).over(w).isNotNull()
 
     annotated = stats.select(
         "*",

@@ -199,7 +199,9 @@ def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events — groupBy reduces first, so the unpartitioned window is safe.
 # --------------------------------------------------------------------------
 def q9_event_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("day")
+    # constant partition key == unpartitioned execution, declared so
+    # WindowExec does not warn (input is the per-day aggregate, #days rows)
+    w = Window.partitionBy(F.lit(0)).orderBy("day")
     daily = _daily_series(spark, sf_dir)
     flagged = daily.select(
         "day",
@@ -223,7 +225,7 @@ def q9_event_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predicate, /root/reference/core/quality.py:156-165 → W3/W4).
 # --------------------------------------------------------------------------
 def q10_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("day")
+    w = Window.partitionBy(F.lit(0)).orderBy("day")  # see q9 note
     frame = w.rowsBetween(-2, 0)
     daily = _daily_series(spark, sf_dir)
     return daily.select(

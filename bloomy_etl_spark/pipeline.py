@@ -1,0 +1,123 @@
+"""End-to-end pipeline orchestrator: one call from raw pixels to cube +
+events + sinks.
+
+Reference parity: ``HLSPipeline.execute`` + ``run_pipeline``
+(``/root/reference/core/pipeline.py:93-183``) wires
+search → per-granule process (decode, mask, indices, granule gates) →
+timestamp quality filter → two-stage merge → event detection → sinks.
+Every stage already exists in this package as a tested operator; this
+module is the composition — the Spark analogue of the reference's
+imperative driver loop, expressed as ONE lazy DataFrame DAG.
+
+Where the reference batches granules 10-at-a-time through asyncio
+(pipeline.py:99-126) to bound download concurrency, the Spark plan has no
+driver loop at all: granule parallelism is task parallelism, and the
+"batch size" is the scheduler's executor-slot count. The stage boundaries
+the reference enforces with ``await gather`` are shuffle boundaries here,
+and everything up to the first aggregate is pipelined per partition.
+
+Scale: the DAG is pixels → mask/indices (narrow, whole-stage codegen) →
+granule stats (hash agg on (tile_id, time) — the storage partitioning of
+raster data, so mostly partition-local) → gates + timestamp filter (on
+the per-granule STATS table, tiny at any scale) → semi-join back to
+pixels (broadcast: the kept-granule list is small) → merge (two hash
+aggs) → events (window over the per-day series). No collect touches
+pixel data; sinks write distributed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.functions.indices import DEFAULT_QUALITY, QualityThresholds
+from bloomy_etl_spark.functions.indices import with_indices, with_masks
+from bloomy_etl_spark.operators.events import detect_events, ndvi_series
+from bloomy_etl_spark.operators.merge import merge_all
+from bloomy_etl_spark.operators.quality import (
+    apply_granule_gates,
+    filter_timestamps,
+    granule_stats,
+)
+
+
+@dataclass
+class PipelineResult:
+    """Lazy handles to every stage output (nothing is computed until a
+    sink or action touches it — the whole pipeline is one DAG)."""
+
+    pixels: DataFrame          # mask/index-annotated pixel table
+    stats: DataFrame           # per-granule stats (A1/A2)
+    kept_stats: DataFrame      # after gates F12/F13 + timestamp filter F14/F15
+    cube: DataFrame            # merged spatio-temporal cube (J2/A3/A4)
+    series: DataFrame          # per-timestamp spatial-mean NDVI
+    events: DataFrame          # detected events (W1-W3)
+
+
+def run_pipeline(
+    raw_pixels: DataFrame,
+    q: QualityThresholds = DEFAULT_QUALITY,
+    disable_quality_filter: bool = False,
+    merge_same_day: bool = True,
+    detect: bool = True,
+) -> PipelineResult:
+    """Compose the full reference chain over a raw pixel table
+    (tile_id, time, y, x, red, nir, blue, fmask).
+
+    Mirrors ``HLSPipeline.execute`` (pipeline.py:128-183): per-granule
+    processing with gates, the optional timestamp filter
+    (``disable_quality_filter`` = the reference's flag), merge, then
+    detection. Flags keep the reference's CLI semantics
+    (``main.py:39-55``).
+    """
+    px = with_indices(with_masks(raw_pixels))
+    stats = granule_stats(px)
+
+    # Granule gates: the reference's per-granule early return
+    # (processor.py:280-292). Then the timestamp filter runs over the
+    # SURVIVING granules' series, as the reference filters the processed
+    # dataset list (pipeline.py:155-161).
+    gated = apply_granule_gates(stats, q)
+    if disable_quality_filter:
+        kept = gated
+    else:
+        flagged = filter_timestamps(gated, q)
+        kept = flagged.filter(~F.col("rejected")).drop("rejected")
+
+    # Broadcast semi-join: pixels of kept granules only. The kept list is
+    # one row per granule — broadcastable at any raster scale.
+    good_px = px.filter(~F.col("mask")).join(
+        F.broadcast(kept.select("tile_id", "time")), ["tile_id", "time"], "left_semi"
+    )
+    cube = merge_all(
+        good_px.select("tile_id", "time", "y", "x", "ndvi", "evi"),
+        merge_same_day=merge_same_day,
+    )
+    series = ndvi_series(cube)
+    events = (
+        detect_events(series, q) if detect else series.limit(0).select(
+            F.lit("none").alias("event_kind")
+        )
+    )
+    return PipelineResult(px, stats, kept, cube, series, events)
+
+
+def write_outputs(result: PipelineResult, out_dir: str) -> dict[str, str]:
+    """Persist the pipeline outputs the way the reference does
+    (pipeline.py:167-177: events JSON next to the cube file): the cube as
+    the main sink, events as JSON, plus the granule-stats index. Returns
+    the written paths."""
+    from bloomy_etl_spark.sinks.writers import (
+        write_cube,
+        write_events_json,
+        write_index_json,
+    )
+
+    cube_path = f"{out_dir}/cube"
+    events_path = f"{out_dir}/events"
+    write_cube(result.cube, cube_path)
+    write_events_json(result.events, events_path)
+    index_path = write_index_json(result.cube, f"{out_dir}/index.json")
+    return {"cube": cube_path, "events": events_path, "index": index_path}

@@ -103,24 +103,39 @@ def export_geotiff(
     out_dir: str,
     downsample: int = 1,
     transform6: tuple | None = None,
+    grid: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Per-date raster export; returns the manifest DataFrame
     (date, path, width, height, n_valid, writer).
 
+    ``grid=(width, height)`` is the FULL-resolution AOI grid; every date's
+    raster is emitted on it (the reference writes every timestamp on the
+    fixed ``dst_transform`` grid, ``core/arcgis.py:40-45`` — per-date
+    max-derived shapes would silently crop trailing all-masked rows/cols
+    and desync the transform from pixel indexing). When ``grid`` is None
+    it is computed ONCE globally (one cheap max-aggregate over the cube),
+    never per date.
+
     Downsample is the reference's stride trick (``core/arcgis.py:47-61``,
     P7/F16): a modulo predicate BEFORE the shuffle, so the network moves
-    1/k² of the pixels and the grid re-indexes to (y/k, x/k). Width/height
-    derive from the post-stride grid; the transform is rescaled by k as
-    the reference does with ``Affine.scale``.
+    1/k² of the pixels and the grid re-indexes to (y/k, x/k). The grid
+    shrinks by ceil-division and the transform is rescaled by k as the
+    reference does with ``Affine.scale``.
     """
     os.makedirs(out_dir, exist_ok=True)
     px = cube.withColumn("date", F.date_format("time", "yyyy-MM-dd"))
+    if grid is None:
+        extent = px.agg(F.max("x").alias("mx"), F.max("y").alias("my")).first()
+        grid = (int(extent["mx"]) + 1, int(extent["my"]) + 1)
+    width, height = grid
     if downsample > 1:
         px = (
             px.filter((F.col("y") % downsample == 0) & (F.col("x") % downsample == 0))
             .withColumn("y", (F.col("y") / downsample).cast("int"))
             .withColumn("x", (F.col("x") / downsample).cast("int"))
         )
+        width = -(-width // downsample)
+        height = -(-height // downsample)
         if transform6:
             a, b, c, d, e, f0 = transform6
             transform6 = (a * downsample, b, c, d, e * downsample, f0)
@@ -129,8 +144,6 @@ def export_geotiff(
         if pdf.empty:
             return pd.DataFrame(columns=[f.name for f in MANIFEST_SCHEMA.fields])
         date = pdf["date"].iloc[0]
-        width = int(pdf["x"].max()) + 1
-        height = int(pdf["y"].max()) + 1
         ndvi = _densify(pdf, width, height, "ndvi")
         evi = _densify(pdf, width, height, "evi")
         path, writer = _write_one(date, ndvi, evi, out_dir, transform6)

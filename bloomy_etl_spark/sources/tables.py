@@ -60,7 +60,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     if fan_out:
         cores = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < cores:
+        # file-count heuristic, NOT df.rdd.getNumPartitions(): the rdd
+        # probe forces a plan→RDD translation on the driver per query
+        # (measured overhead on the bench hot path). inputFiles() reuses
+        # the already-resolved file listing. Single-file fixtures always
+        # need the respread; a many-file cluster table never does.
+        if len(df.inputFiles()) < cores:
             df = df.repartition(cores)
     return df
 

@@ -211,16 +211,23 @@ def _detect_fn(q: QualityThresholds, timeout_ms: int):
 
         rows: list[dict] = []
         if state.hasTimedOut:
+            # Timed-out = the series went idle: flush the pending drop and
+            # DROP the state-store entry. Re-arming here would cycle every
+            # idle key through timeouts forever — unbounded key retention.
+            # If the series later resumes, detection restarts with an
+            # empty history (the same contract as watermark-expired state).
             rows.extend(flush(st))
+            state.remove()
         else:
             batch = pd.concat(list(pdfs), ignore_index=True)
             batch = batch.sort_values("time")
             for date, v in zip(batch["date"], batch["value"]):
                 rows.extend(step(st, date, None if pd.isna(v) else float(v), q))
-
-        state.update((st.dates, st.vals, st.pend_set, st.pend_date, st.pend_prev, st.pend_v))
-        if timeout_ms > 0:
-            state.setTimeoutDuration(timeout_ms)
+            state.update(
+                (st.dates, st.vals, st.pend_set, st.pend_date, st.pend_prev, st.pend_v)
+            )
+            if timeout_ms > 0:
+                state.setTimeoutDuration(timeout_ms)
         if rows:
             out = pd.DataFrame(rows)
             out.insert(0, "series_id", series_id)

@@ -1,0 +1,55 @@
+"""Plan-shape tests: the 100 TB posture asserted on the physical plan.
+
+These pin the optimizer outcomes the scale story depends on — broadcast
+joins for dims, predicate pushdown to the parquet scan, column pruning,
+and the absence of cartesian products — so a refactor that silently
+regresses a plan fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bloomy_etl_spark.operators.relational import QUERIES
+from bloomy_etl_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    plan_string,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_q2_dims_broadcast(spark):
+    # nation + region are byte-sized dims: both must broadcast, never shuffle.
+    assert_broadcast_join(QUERIES["q2_revenue_by_region"](spark, SF_SMOKE), 2)
+
+
+def test_q3_part_broadcast_and_filter_pushed(spark):
+    df = QUERIES["q3_brand_revenue"](spark, SF_SMOKE)
+    assert_broadcast_join(df, 1)
+    # p_size < 20 must reach the part scan, not run post-join.
+    assert_pushed_filters(df, "LessThan(p_size,20)")
+
+
+def test_q1_shipdate_filter_pushed(spark):
+    assert_pushed_filters(
+        QUERIES["q1_pricing_summary"](spark, SF_SMOKE), "LessThanOrEqual(l_shipdate"
+    )
+
+
+def test_q1_column_pruning(spark):
+    # The aggregate touches 5 lineitem columns; the scan must not read all 16.
+    plan = plan_string(QUERIES["q1_pricing_summary"](spark, SF_SMOKE))
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas, f"no ReadSchema line in plan:\n{plan}"
+    assert "l_orderkey" not in read_schemas[0], (
+        f"unpruned lineitem scan: {read_schemas[0]}"
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["q19_asof_last_order", "q20_interval_join", "q2_revenue_by_region"]
+)
+def test_join_queries_no_cartesian(spark, name):
+    assert_no_cartesian(QUERIES[name](spark, SF_SMOKE))
