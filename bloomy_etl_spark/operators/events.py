@@ -29,6 +29,17 @@ from pyspark.sql import functions as F
 from bloomy_etl_spark.functions.indices import DEFAULT_QUALITY, QualityThresholds
 
 
+def single_series_key(time_col: str) -> F.Column:
+    """Constant partition key for an intentionally-single-partition window
+    over one bounded series (the post-aggregate daily table). A plain
+    ``F.lit(0)`` is constant-folded out of the window spec, resurrecting
+    the empty partition spec and its WindowExec warning — deriving the
+    constant from the (non-null) order column survives optimization while
+    executing identically. Multi-series callers pass ``partition_cols``
+    instead and parallelize per series."""
+    return F.year(time_col) * 0
+
+
 def ndvi_series(merged: DataFrame) -> DataFrame:
     """Per-timestamp spatial mean NDVI (quality.py:118-121): nanmean →
     null-skipping avg. Emits (time, date, v)."""
@@ -53,12 +64,10 @@ def detect_events(
     MAX would differ from ``all(...)`` over NaN; the ``count = 3`` guard
     restores the reference behavior.
     """
-    # Constant partition key when no partition_cols: identical single-
-    # partition execution (the input is the per-timestamp aggregate, one
-    # row per day — bounded by construction) but declared intentionally so
-    # WindowExec does not warn; multi-series callers pass partition_cols.
+    # Single-series window when no partition_cols (see single_series_key);
+    # input is the per-timestamp aggregate — one row per day, bounded.
     part = list(partition_cols)
-    key = part if part else [F.lit(0)]
+    key = part if part else [single_series_key("time")]
     w = Window.partitionBy(*key).orderBy("time")
     frame3 = w.rowsBetween(-2, 0)
 

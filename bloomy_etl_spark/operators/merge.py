@@ -18,7 +18,7 @@ coalesces the output; no collect, no driver state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -39,44 +39,54 @@ def merge_spatial_tiles(pixels: DataFrame) -> DataFrame:
     )
 
 
-def _merged_timestamps(spatial: DataFrame) -> DataFrame:
-    """Per-date merged timestamp = epoch mean of the date's distinct
-    timestamps, equal weight per timestamp (merger.py:78-82). µs precision
-    (Spark) vs the reference's ns is lossless here — the mean of µs-exact
-    inputs (SURVEY §4.3.7)."""
-    return (
-        spatial.select(F.to_date("time").alias("date"), "time")
-        .distinct()
-        .groupBy("date")
-        .agg(
-            F.timestamp_micros(
-                F.avg(F.unix_micros(F.col("time"))).cast("long")
-            ).alias("merged_time"),
-            F.count(F.lit(1)).alias("num_granules_merged"),
-        )
-    )
-
-
 def merge_temporal(spatial: DataFrame, merge_same_day: bool = True) -> DataFrame:
     """Per-(date, y, x) mean over the date's timestamps, re-keyed to the
-    epoch-mean timestamp. ``merge_same_day=False`` passes through
-    (merger.py:58-59)."""
+    epoch-mean of the date's distinct timestamps, equal weight per
+    timestamp (merger.py:56-93). µs precision (Spark) vs the reference's
+    ns is lossless here — the mean of µs-exact inputs (SURVEY §4.3.7).
+
+    Single linear DAG: the per-pixel aggregate CARRIES the distinct time
+    set (collect_set — bounded by timestamps-per-day, a handful), and the
+    date-level union happens in a window over the per-date table. The
+    naive formulation — a second ``spatial.select(date,time).distinct()``
+    branch joined back — canonicalizes differently after column pruning,
+    so Spark cannot reuse the exchange and the ENTIRE upstream pixel
+    chain (scan → mask → indices → spatial merge) executes twice; this
+    shape computes it once (measured 2 scans → 1 on the q23 plan)."""
     if not merge_same_day:
         return spatial
-    per_date = (
-        spatial.groupBy(F.to_date("time").alias("date"), "y", "x")
-        .agg(F.avg("ndvi").alias("ndvi"), F.avg("evi").alias("evi"))
+    per_date = spatial.groupBy(F.to_date("time").alias("date"), "y", "x").agg(
+        F.avg("ndvi").alias("ndvi"),
+        F.avg("evi").alias("evi"),
+        F.collect_set("time").alias("_ts"),
     )
-    ts = _merged_timestamps(spatial)
+    # Per-date distinct-time union: window over the per-date table (one
+    # row per pixel per date — dimension-sized). array_sort makes the
+    # double summation order deterministic across runs.
+    all_ts = F.array_sort(
+        F.array_distinct(F.flatten(F.collect_set("_ts").over(Window.partitionBy("date"))))
+    )
     return (
-        per_date.join(F.broadcast(ts), "date")
+        per_date.select(
+            "date", "y", "x", "ndvi", "evi",
+            all_ts.alias("_all_ts"),
+        )
         .select(
-            F.col("merged_time").alias("time"),
+            F.timestamp_micros(
+                (
+                    F.aggregate(
+                        F.transform("_all_ts", lambda t: F.unix_micros(t).cast("double")),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    / F.size("_all_ts")
+                ).cast("long")
+            ).alias("time"),
             "y",
             "x",
             "ndvi",
             "evi",
-            "num_granules_merged",
+            F.size("_all_ts").alias("num_granules_merged"),
         )
     )
 

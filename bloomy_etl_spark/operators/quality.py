@@ -109,12 +109,12 @@ def filter_timestamps(
     its mean is NULL — hence the has_prev/has_next arithmetic below
     rather than a null-skipping avg over a window frame.
     """
-    # Constant partition key when no partition_cols: execution is identical
-    # to an unpartitioned window (one partition — safe by construction, the
-    # input is the per-granule stats table, #granules rows) but the intent
-    # is declared, so WindowExec does not warn. Multi-series deployments
-    # pass partition_cols and parallelize per series.
-    key = list(partition_cols) if partition_cols else [F.lit(0)]
+    # Single-series window when no partition_cols (see
+    # events.single_series_key); input is the per-granule stats table —
+    # #granules rows, bounded at any pixel scale.
+    from bloomy_etl_spark.operators.events import single_series_key
+
+    key = list(partition_cols) if partition_cols else [single_series_key("time")]
     w = Window.partitionBy(*key).orderBy("time", "tile_id")
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 

