@@ -46,7 +46,7 @@ def q27_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q28_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals + composite score."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     text = F.col("text")
     return docs.select(
         "doc_id",
@@ -154,9 +154,12 @@ def q35_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH buckets → candidate join →
-    exact cosine re-rank. Approximate by construction (recall floor is
-    asserted against q33's exact top-k in tests/test_multimodal.py), so
-    there is no SQL oracle — the driver's rows-only check applies."""
+    exact cosine re-rank. Approximate RELATIVE TO exact top-k (recall
+    floor asserted against q33 in tests), but fully deterministic in
+    itself — the hyperplanes are a seeded arithmetic sequence — so the
+    DuckDB oracle replicates the whole algorithm (same planes, same
+    accumulation order via list_dot_product) and the full
+    rows+schema+hash gate applies."""
     from bloomy_etl_spark.operators.similarity import lsh_topk
 
     embs = load_table(spark, sf_dir, "embeddings", fan_out=True)
@@ -170,8 +173,10 @@ def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q37_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end on synthesized media (document text
     bytes as payloads, kind round-robined): Arrow-batched mapInPandas
-    decode → per-kind stats. mapInPandas is not SQL-expressible — driver
-    rows-only check."""
+    decode → per-kind stats. ``codec="stub"`` pins the deterministic
+    byte-statistics path, which IS SQL-expressible (the fixture text is
+    pure ASCII, so per-byte stats are per-char stats in the oracle) —
+    full rows+schema+hash gate despite the Python UDF in the plan."""
     from bloomy_etl_spark.operators.multimodal import decode_stats
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
@@ -188,7 +193,7 @@ def q37_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(16).alias("n_frames"), F.lit("synthetic").alias("format"),
         ).alias("meta"),
     )
-    stats = decode_stats(media)
+    stats = decode_stats(media, codec="stub")
     return (
         stats.groupBy("kind")
         .agg(
@@ -442,5 +447,98 @@ LLM_ORACLE_SQL = {
                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
         ORDER BY fingerprint
+    """,
+    # q36 oracle: the SAME LSH algorithm — hyperplane weights from the
+    # identical seeded integer sequence (similarity.py::_hyperplane),
+    # bucket = sign-bit pattern, candidates = same-(table,bucket) pairs,
+    # exact-cosine re-rank. list_dot_product accumulates in index order,
+    # matching the Spark-side aggregate/zip_with fold, so the doubles are
+    # bit-identical and ranks cannot diverge.
+    "q36_ann_lsh_topk": """
+        WITH qv AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        bq AS (
+            SELECT vec_id AS query_id, v AS qvec, t,
+                   list_sum(list_transform(range(0, 4), b ->
+                       CASE WHEN list_dot_product(v,
+                            list_transform(range(0, 64), d ->
+                                CAST(((1103515245*(t*7919 + b*104729 + d) + 12345) >> 16) % 19 - 9 AS DOUBLE)))
+                            > 0 THEN (1 << b) ELSE 0 END)) AS bucket
+            FROM qv CROSS JOIN range(0, 16) tr(t)
+            WHERE vec_id % 100 = 0
+        ),
+        bc AS (
+            SELECT vec_id AS neighbor_id, v AS cvec, t,
+                   list_sum(list_transform(range(0, 4), b ->
+                       CASE WHEN list_dot_product(v,
+                            list_transform(range(0, 64), d ->
+                                CAST(((1103515245*(t*7919 + b*104729 + d) + 12345) >> 16) % 19 - 9 AS DOUBLE)))
+                            > 0 THEN (1 << b) ELSE 0 END)) AS bucket
+            FROM qv CROSS JOIN range(0, 16) tr(t)
+        ),
+        pairs AS (
+            SELECT q.query_id, c.neighbor_id,
+                   list_dot_product(q.qvec, c.cvec) /
+                   (sqrt(list_dot_product(q.qvec, q.qvec)) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))) AS cos_sim
+            FROM bc c JOIN bq q ON c.t = q.t AND c.bucket = q.bucket
+            WHERE q.query_id <> c.neighbor_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id, MAX(cos_sim) AS cos_sim
+            FROM pairs GROUP BY query_id, neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+    # q37 oracle replicates the STUB codec formulas exactly. The fixture
+    # text is pure ASCII (asserted: octet_length(encode(text)) ==
+    # length(text) for every row), so per-BYTE statistics equal per-CHAR
+    # statistics: byte_mean = avg(ascii(char)), entropy proxy =
+    # count(distinct char)/256, content_hash = first 16 hex of sha256.
+    "q37_multimodal_decode": """
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                   text
+            FROM documents
+        ),
+        chars AS (
+            SELECT media_id, kind, LENGTH(text) AS n_bytes, text,
+                   UNNEST(range(1, LENGTH(text) + 1)) AS i
+            FROM media
+        ),
+        per AS (
+            SELECT media_id, kind, n_bytes,
+                   AVG(ascii(substring(text, CAST(i AS INT), 1))) AS byte_mean,
+                   COUNT(DISTINCT substring(text, CAST(i AS INT), 1)) / 256.0
+                       AS byte_entropy_proxy,
+                   substring(sha256(ANY_VALUE(text)), 1, 16) AS content_hash
+            FROM chars GROUP BY media_id, kind, n_bytes
+        ),
+        -- empty payloads: stub emits byte_mean 0, entropy 0 (no chars row)
+        full_stats AS (
+            SELECT m.media_id, m.kind, LENGTH(m.text) AS n_bytes,
+                   COALESCE(p.byte_mean, 0.0) AS byte_mean,
+                   COALESCE(p.byte_entropy_proxy, 0.0) AS byte_entropy_proxy,
+                   COALESCE(p.content_hash, substring(sha256(m.text), 1, 16))
+                       AS content_hash
+            FROM media m LEFT JOIN per p ON m.media_id = p.media_id
+        )
+        SELECT kind, COUNT(*) AS n_items,
+               ROUND(AVG(n_bytes), 4) AS avg_bytes,
+               ROUND(AVG(byte_mean), 4) AS avg_byte_mean,
+               ROUND(AVG(byte_entropy_proxy), 4) AS avg_entropy,
+               COUNT(DISTINCT content_hash) AS n_distinct
+        FROM full_stats GROUP BY kind ORDER BY kind
     """,
 }

@@ -51,20 +51,22 @@ MEDIA_SCHEMA = STypes.StructType(
 )
 
 
-def _decode_payload(payload: bytes, kind: str) -> dict:
-    """Decode stub. A real deployment imports the codec here (PIL for
-    images, soundfile/librosa for audio, av for video); none ship in this
-    container, so we derive deterministic pseudo-statistics from the bytes
-    — the downstream plumbing is agnostic to which.
-    """
-    try:  # pragma: no cover - codec not installed in this environment
-        import PIL.Image  # noqa: F401
+def _decode_payload(payload: bytes, kind: str, codec: str = "auto") -> dict:
+    """Decode step. ``codec="auto"``: a real deployment imports the codec
+    here (PIL for images, soundfile/librosa for audio, av for video); none
+    ship in this container, so it falls through to the stub.
+    ``codec="stub"``: ALWAYS the deterministic byte statistics —
+    environment-independent, which is what the oracle-checked q37 pins
+    (its DuckDB oracle replicates exactly these formulas in SQL)."""
+    if codec == "auto":  # pragma: no cover - codec not installed here
+        try:
+            import PIL.Image  # noqa: F401
 
-        raise NotImplementedError(
-            "real image decode path not wired; container lacks test images"
-        )
-    except ImportError:
-        pass
+            raise NotImplementedError(
+                "real image decode path not wired; container lacks test images"
+            )
+        except ImportError:
+            pass
     digest = hashlib.sha256(payload).digest()
     arr = np.frombuffer(payload, dtype=np.uint8)
     n = max(arr.size, 1)
@@ -81,7 +83,7 @@ DECODED_SCHEMA = (
 )
 
 
-def decode_stats(media: DataFrame) -> DataFrame:
+def decode_stats(media: DataFrame, codec: str = "auto") -> DataFrame:
     """Per-item decode → summary stats. Arrow-batched; constant memory per
     task regardless of corpus size."""
 
@@ -95,7 +97,7 @@ def decode_stats(media: DataFrame) -> DataFrame:
                 pdf["media_id"].to_numpy(), pdf["kind"], pdf["payload"]
             ):
                 payload = bytes(payload)
-                stats = _decode_payload(payload, kind)
+                stats = _decode_payload(payload, kind, codec)
                 out.append(
                     {
                         "media_id": media_id,
