@@ -218,12 +218,41 @@ def q25_bloomy_event_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_kind", F.coalesce("date", "end_date"))
 
 
+def q38_bloomy_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pipeline in one call (pipeline.run_pipeline — reference
+    ``core/pipeline.py:93-183``): mask/indices → granule stats → gates →
+    timestamp quality filter → kept-granule semi-join → two-stage merge,
+    summarized per day with the day's surviving-granule count. This is
+    the composition check: every stage already passes alone (q21–q25);
+    here the hash covers their interaction order."""
+    from bloomy_etl_spark.pipeline import run_pipeline
+
+    res = run_pipeline(synthetic_pixels(spark, sf_dir), detect=False)
+    kept_per_day = (
+        res.kept_stats.groupBy(F.to_date("time").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_kept_granules"))
+    )
+    return (
+        res.cube.groupBy(F.to_date("time").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_px"),
+            F.round(F.sum("ndvi"), 4).alias("sum_ndvi"),
+            F.round(F.sum("evi"), 4).alias("sum_evi"),
+            F.max("num_granules_merged").alias("n_granules"),
+        )
+        .join(F.broadcast(kept_per_day), "day")
+        .select("day", "n_px", "sum_ndvi", "sum_evi", "n_granules", "n_kept_granules")
+        .orderBy("day")
+    )
+
+
 BLOOMY_QUERIES = {
     "q21_bloomy_granule_stats": q21_bloomy_granule_stats,
     "q22_bloomy_granule_gates": q22_bloomy_granule_gates,
     "q23_bloomy_merged_cube": q23_bloomy_merged_cube,
     "q24_bloomy_quality_filter": q24_bloomy_quality_filter,
     "q25_bloomy_event_detection": q25_bloomy_event_detection,
+    "q38_bloomy_end_to_end": q38_bloomy_end_to_end,
 }
 
 
@@ -320,6 +349,84 @@ BLOOMY_ORACLE_SQL = {
         FROM flagged
         WHERE NOT COALESCE(rejected, FALSE)
         ORDER BY tile_id, time
+    """,
+    "q38_bloomy_end_to_end": f"""
+        WITH {_PIXELS_CTE.strip()}, {_MASKED_CTE.strip()}, {_STATS_CTE.strip()},
+        gated AS (
+            SELECT * FROM stats
+            WHERE contamination_pct <= 30.0 AND valid_px >= total_px * 0.10
+        ),
+        w AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (ORDER BY time, tile_id) AS rn,
+                   COUNT(*) OVER () AS n,
+                   LAG(ndvi_mean) OVER (ORDER BY time, tile_id) AS prev_mean,
+                   LEAD(ndvi_mean) OVER (ORDER BY time, tile_id) AS next_mean
+            FROM gated
+        ),
+        decided AS (
+            SELECT *,
+                   CASE WHEN rn > 1 AND rn < n THEN (prev_mean + next_mean) / 2.0
+                        WHEN rn > 1 THEN prev_mean
+                        WHEN rn < n THEN next_mean END AS avg_neighbor
+            FROM w
+        ),
+        flagged AS (
+            SELECT *,
+                   CASE
+                     WHEN n < 3 THEN FALSE
+                     WHEN valid_pixels_pct < 20.0 THEN TRUE
+                     WHEN contamination_pct > 30.0 THEN TRUE
+                     WHEN contamination_pct > 20.0
+                          OR (ndvi_mean < 0.15 AND ndvi_std > 0.3) THEN
+                       CASE
+                         WHEN (avg_neighbor - ndvi_mean) > 0.3 THEN
+                           COALESCE(rn < n AND (next_mean - ndvi_mean) > 0.2, FALSE)
+                         ELSE
+                           (rn > 1 OR rn < n)
+                           AND NOT COALESCE((avg_neighbor - ndvi_mean) > 0.3, FALSE)
+                           AND contamination_pct > 25.0
+                       END
+                     ELSE FALSE
+                   END AS rejected
+            FROM decided
+        ),
+        kept AS (
+            SELECT tile_id, time FROM flagged
+            WHERE NOT COALESCE(rejected, FALSE)
+        ),
+        {_INDEXED_CTE.strip()},
+        spatial AS (
+            SELECT i.time, i.y, i.x, AVG(i.ndvi) AS ndvi, AVG(i.evi) AS evi
+            FROM indexed i JOIN kept k
+              ON i.tile_id = k.tile_id AND i.time = k.time
+            WHERE NOT i.mask
+            GROUP BY i.time, i.y, i.x
+        ),
+        temporal AS (
+            SELECT CAST(time AS DATE) AS day, y, x,
+                   AVG(ndvi) AS ndvi, AVG(evi) AS evi
+            FROM spatial GROUP BY 1, y, x
+        ),
+        granules_per_day AS (
+            SELECT day, COUNT(*) AS n_granules FROM (
+                SELECT DISTINCT CAST(time AS DATE) AS day, time FROM spatial
+            ) g GROUP BY day
+        ),
+        kept_per_day AS (
+            SELECT CAST(time AS DATE) AS day, COUNT(*) AS n_kept_granules
+            FROM kept GROUP BY 1
+        )
+        SELECT t.day, COUNT(*) AS n_px,
+               ROUND(SUM(t.ndvi), 4) AS sum_ndvi,
+               ROUND(SUM(t.evi), 4) AS sum_evi,
+               MAX(g.n_granules) AS n_granules,
+               MAX(k.n_kept_granules) AS n_kept_granules
+        FROM temporal t
+        JOIN granules_per_day g ON t.day = g.day
+        JOIN kept_per_day k ON t.day = k.day
+        GROUP BY t.day
+        ORDER BY t.day
     """,
     "q25_bloomy_event_detection": f"""
         WITH {_PIXELS_CTE.strip()}, {_MASKED_CTE.strip()}, {_INDEXED_CTE.strip()},
