@@ -80,3 +80,31 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     recall = len(exact & approx) / len(exact)
     # measured 0.80 at bits=4/tables=16 on the seed-42 fixtures
     assert recall >= 0.7, f"ANN recall {recall:.2f} below floor"
+
+
+def test_lsh_ann_recall_sweep_monotone_in_tables(spark):
+    """Recall curve: adding hash tables can only ADD candidate pairs (the
+    candidate set is a union over tables), so recall is non-decreasing in
+    ``tables`` at fixed bits. A parameter change that silently degrades
+    q36 breaks this sweep before it reaches the corpus gate. (Monotonicity
+    in ``bits`` is NOT asserted — more bits = smaller buckets = fewer
+    candidates, a recall/cost trade, not a safety property.)"""
+    from bloomy_etl_spark.operators.similarity import cosine_topk, lsh_topk
+    from bloomy_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = embs.filter(F.col("vec_id") % 200 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(embs, queries, k=5).collect()
+    }
+    recalls = []
+    for tables in (2, 8, 16):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(embs, queries, k=5, bits=4, tables=tables).collect()
+        }
+        recalls.append(len(exact & approx) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone in tables: {recalls}"
+    assert recalls[-1] >= 0.7, f"recall floor broken at 16 tables: {recalls}"

@@ -215,6 +215,82 @@ class TestStatefulDetector:
         pd.testing.assert_frame_equal(g, w, atol=1e-9, check_exact=False)
 
 
+    def test_stream_matches_batch_on_engineered_series(self, spark, tmp_path):
+        """SURVEY §5.2.4 full-corpus shape: the q25 day-factored series
+        (drops on day 12, sustained low 20–22, recovery spikes) fires
+        EVERY event branch; streamed replay must equal the batch detector
+        branch for branch, not just on the quiet natural series."""
+        from bloomy_etl_spark.operators.bloomy_queries import synthetic_pixels
+        from bloomy_etl_spark.functions.indices import with_indices, with_masks
+        from bloomy_etl_spark.operators.merge import merge_all
+
+        px = with_indices(with_masks(synthetic_pixels(spark, SF_SMOKE)))
+        cube = merge_all(
+            px.filter(~F.col("mask")).select("tile_id", "time", "y", "x", "ndvi", "evi")
+        )
+        daily = cube.groupBy(F.to_date("time").alias("day")).agg(
+            F.avg("ndvi").alias("raw")
+        )
+        dom = F.dayofmonth("day")
+        factor = (
+            F.when(dom == 12, 0.2)
+            .when(dom.isin(20, 21, 22), 0.15)
+            .when(dom == 30, 0.25)
+            .otherwise(1.0)
+        )
+        series = daily.select(
+            F.col("day").cast("timestamp").alias("time"),
+            F.date_format("day", "yyyy-MM-dd").alias("date"),
+            (F.lit(0.6) * factor + F.lit(0.05) * F.col("raw")).alias("v"),
+        ).orderBy("time")
+
+        src = tmp_path / "factored_series"
+        src.mkdir()
+        pdf = series.toPandas()
+        n_slices, t0 = 6, 1_000_000_000
+        bounds = np.linspace(0, len(pdf), n_slices + 1, dtype=int)
+        for i in range(n_slices):
+            f = src / f"slice-{i:05d}.parquet"
+            pdf.iloc[bounds[i] : bounds[i + 1]].to_parquet(
+                f, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+            )
+            os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+        stream = (
+            spark.readStream.schema("time timestamp, date string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .select(
+                F.lit("s0").alias("series_id"), "time", "date",
+                F.col("v").alias("value"),
+            )
+        )
+        out = streaming_detect_events(stream, timeout_ms=0)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_events_factored")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.table("stream_events_factored").drop("series_id")
+
+        want = detect_events(series).filter(F.col("event_type") != "recent_event")
+        cols = ["event_kind", "date", "start_date", "end_date", "event_type"]
+        pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+        num = ["ndvi_before", "ndvi_during", "ndvi_after", "drop_mag", "ndvi_sustained"]
+        g = _sorted_pdf(got, cols + num)[num].astype(float)
+        w = _sorted_pdf(want, cols + num)[num].astype(float)
+        pd.testing.assert_frame_equal(g, w, atol=1e-9, check_exact=False)
+        # the engineered factors must exercise the drop and sustained
+        # branches (the transient-anomaly branch needs a next-day recovery
+        # point, which the sparse smoke-SF day grid does not guarantee —
+        # all three branches are covered at sf0.01 by q25's oracle gate)
+        kinds = {r["event_kind"] for r in got.select("event_kind").distinct().collect()}
+        assert {"abrupt_drop", "sustained_change"} <= kinds
+
+
 class TestStepFunction:
     """Pure-transition unit tests, incl. the timeout → recent_event edge
     that availableNow replay cannot reach."""
