@@ -1,0 +1,117 @@
+"""CLI entry point: ``python -m bloomy_etl_spark --output /tmp/run``.
+
+Reference parity: ``main.py:39-55`` (argparse surface: ``--start/--end``
+date range, ``--output``, ``--cloud-cover``, ``--only-export``,
+``--export-geotiff``, ``--geotiff-dir``, ``--downsample``) and
+``main.py:57-89`` (export-only mode short-circuits processing). The
+reference's AOI GeoJSON + NASA CMR search has no public-data analogue
+here; the input is a pixel parquet table (``--pixels``) or the driver
+fixture derivation (``--sf-dir``), which stands in for
+search → download → decode (see ``operators/bloomy_queries.py``).
+
+The pipeline body is ``pipeline.run_pipeline`` — one lazy DataFrame DAG;
+this module only parses flags, builds the session, and triggers sinks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from dataclasses import replace
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bloomy_etl_spark",
+        description="PySpark bloom-detection ETL pipeline",
+    )
+    p.add_argument("--pixels", help="Input pixel parquet (tile_id, time, y, x, red, nir, blue, fmask)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                   help="Fixture dir: derive pixels from its events table (default when --pixels absent)")
+    p.add_argument("--start", help="Start date (YYYY-MM-DD), inclusive")
+    p.add_argument("--end", help="End date (YYYY-MM-DD), inclusive")
+    p.add_argument("--output", required=True, help="Output directory (cube/, events/, index.json)")
+    p.add_argument("--cloud-cover", type=float, default=30.0,
+                   help="Max contamination %% per granule (reference --cloud-cover)")
+    p.add_argument("--disable-quality-filter", action="store_true",
+                   help="Skip the timestamp quality filter (reference flag)")
+    p.add_argument("--no-merge-same-day", action="store_true",
+                   help="Keep same-day granules separate (skip A3 merge)")
+    p.add_argument("--no-detect", action="store_true", help="Skip event detection")
+    p.add_argument("--only-export", action="store_true",
+                   help="ONLY export GeoTIFFs from an existing cube (do not process)")
+    p.add_argument("--export-geotiff", action="store_true",
+                   help="Export per-date GeoTIFFs after processing")
+    p.add_argument("--geotiff-dir", help="GeoTIFF dir (default: <output>/geotiffs)")
+    p.add_argument("--downsample", type=int, default=1,
+                   help="Downsample factor for GeoTIFFs (1=original, 2=half)")
+    p.add_argument("--cpus", help="local[N] cores (default: $SPARK_GRAFT_CPUS or *)")
+    return p
+
+
+def _export(spark, cube_path: str, args) -> dict:
+    from bloomy_etl_spark.sinks.geotiff import export_geotiff
+
+    gt_dir = args.geotiff_dir or f"{args.output}/geotiffs"
+    cube = spark.read.parquet(cube_path)
+    manifest = export_geotiff(cube, gt_dir, downsample=args.downsample)
+    n = manifest.count()
+    return {"geotiff_dir": gt_dir, "n_rasters": n}
+
+
+def main(argv: list[str] | None = None) -> dict:
+    """Run the CLI; returns the summary dict (also printed as JSON)."""
+    args = _build_parser().parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from bloomy_etl_spark import get_spark
+    from bloomy_etl_spark.functions.indices import DEFAULT_QUALITY
+    from bloomy_etl_spark.operators.bloomy_queries import synthetic_pixels
+    from bloomy_etl_spark.pipeline import run_pipeline, write_outputs
+
+    master = f"local[{args.cpus}]" if args.cpus else None
+    spark = get_spark(app_name="bloomy-etl-cli", master=master)
+
+    cube_path = f"{args.output}/cube"
+    if args.only_export:
+        # reference main.py:57-89: export an existing cube without processing
+        summary = {"mode": "export-only", **_export(spark, cube_path, args)}
+        print(json.dumps(summary))
+        return summary
+
+    if args.pixels:
+        px = spark.read.parquet(args.pixels)
+    else:
+        px = synthetic_pixels(spark, args.sf_dir)
+    if args.start:
+        px = px.filter(F.col("time") >= F.lit(args.start).cast("timestamp"))
+    if args.end:
+        # inclusive end-date, as the reference's CMR temporal range is
+        px = px.filter(F.to_date("time") <= F.lit(args.end).cast("date"))
+
+    q = replace(DEFAULT_QUALITY, contamination_reject=args.cloud_cover)
+    result = run_pipeline(
+        px,
+        q=q,
+        disable_quality_filter=args.disable_quality_filter,
+        merge_same_day=not args.no_merge_same_day,
+        detect=not args.no_detect,
+    )
+    paths = write_outputs(result, args.output)
+    summary = {
+        "mode": "process",
+        "granules_kept": result.kept_stats.count(),
+        "cube_rows": spark.read.parquet(paths["cube"]).count(),
+        "n_events": result.events.count() if not args.no_detect else 0,
+        "paths": paths,
+    }
+    if args.export_geotiff:
+        summary.update(_export(spark, paths["cube"], args))
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() is not None else 1)

@@ -1,0 +1,52 @@
+"""CLI surface (``python -m bloomy_etl_spark``): reference ``main.py:39-89``.
+
+Runs ``main()`` in-process (same warm session via getOrCreate) rather than
+spawning a JVM per test.
+"""
+
+import json
+import os
+
+import pytest
+
+from bloomy_etl_spark.__main__ import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cli_process_writes_all_sinks(spark, tmp_path):
+    out = str(tmp_path / "run")
+    summary = main(["--sf-dir", SF, "--output", out])
+    assert summary["mode"] == "process"
+    assert summary["granules_kept"] > 0
+    assert summary["cube_rows"] > 0
+    assert os.path.isdir(summary["paths"]["cube"])
+    assert os.path.isdir(summary["paths"]["events"])
+    with open(summary["paths"]["index"]) as f:
+        idx = json.load(f)
+    assert len(idx["dates"]) >= 1 and idx["width"] >= 1
+
+
+def test_cli_date_range_and_flags(spark, tmp_path):
+    out = str(tmp_path / "run")
+    full = main(["--sf-dir", SF, "--output", str(tmp_path / "full")])
+    clipped = main(
+        ["--sf-dir", SF, "--output", out,
+         "--start", "2024-01-05", "--end", "2024-01-10",
+         "--disable-quality-filter", "--no-detect"]
+    )
+    assert clipped["cube_rows"] < full["cube_rows"]
+    assert clipped["n_events"] == 0
+    # 100% cloud tolerance can only keep >= granules vs a strict gate
+    lax = main(["--sf-dir", SF, "--output", str(tmp_path / "lax"),
+                "--cloud-cover", "100"])
+    assert lax["granules_kept"] >= full["granules_kept"]
+
+
+def test_cli_export_only_reuses_existing_cube(spark, tmp_path):
+    out = str(tmp_path / "run")
+    main(["--sf-dir", SF, "--output", out])
+    summary = main(["--output", out, "--only-export", "--downsample", "2"])
+    assert summary["mode"] == "export-only"
+    assert summary["n_rasters"] >= 1
+    assert os.path.isdir(summary["geotiff_dir"])
