@@ -38,22 +38,31 @@ def main() -> None:
     qmap = queries()
 
     # warm-up: JVM/codegen/parquet-footer caches; discarded per BASELINE.md
-    materialize(qmap["q1_pricing_summary"](spark, SF_DIR))
+    try:
+        materialize(qmap["q1_pricing_summary"](spark, SF_DIR))
+    except Exception:
+        pass  # per-query loop below records the error
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(qmap):
         # BASELINE.md protocol: discard the first run of each query (it
         # pays one-time whole-stage-codegen JIT compilation — pure setup
         # cost that amortizes to nothing on long-running queries at real
         # scale), then record the median of RUNS timed executions.
-        materialize(qmap[name](spark, SF_DIR))
-        samples = []
-        for _ in range(RUNS):
-            df = qmap[name](spark, SF_DIR)
-            t0 = time.perf_counter()
-            materialize(df)
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+        # Per-query try/except: one broken query must never erase the
+        # round's perf signal for the other 37 (BENCH_r02 lesson).
+        try:
+            materialize(qmap[name](spark, SF_DIR))
+            samples = []
+            for _ in range(RUNS):
+                df = qmap[name](spark, SF_DIR)
+                t0 = time.perf_counter()
+                materialize(df)
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 3)
+        except Exception as exc:  # noqa: BLE001 — record and keep timing
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     total = round(sum(timings.values()), 3)
 
     # DuckDB same-process baseline: identical SQL + data, same protocol.
@@ -74,14 +83,17 @@ def main() -> None:
             )
         duck_total = 0.0
         for name, sql in oracle_sql().items():
-            con.execute(sql).fetchall()  # discard first (buffer-cache warm)
-            samples = []
-            for _ in range(RUNS):
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                samples.append(time.perf_counter() - t0)
-            duck_timings[name] = round(statistics.median(samples), 3)
-            duck_total += statistics.median(samples)
+            try:
+                con.execute(sql).fetchall()  # discard first (buffer-cache warm)
+                samples = []
+                for _ in range(RUNS):
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    samples.append(time.perf_counter() - t0)
+                duck_timings[name] = round(statistics.median(samples), 3)
+                duck_total += statistics.median(samples)
+            except Exception:
+                continue
         duck_total = round(duck_total, 3)
     except Exception:
         duck_timings = {}
@@ -101,6 +113,14 @@ def main() -> None:
                 "ratio": (
                     round(total / duck_total, 2) if duck_total else None
                 ),
+                # per-query spark/duckdb ratio — makes the 2x budget
+                # attributable per query (VERDICT r02 item 8)
+                "query_ratios": {
+                    n: round(timings[n] / duck_timings[n], 2)
+                    for n in timings
+                    if duck_timings.get(n)
+                },
+                "errors": errors,
             }
         )
     )

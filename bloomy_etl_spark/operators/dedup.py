@@ -325,12 +325,15 @@ def minhash_near_dups(docs: DataFrame, num_perm: int = 16, n: int = 3,
     sj = sets.select(F.col("doc_id").alias("j"), F.col("shingles").alias("sh_j"))
     n_inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j")))
     jaccard = n_inter / (F.size("sh_i") + F.size("sh_j") - n_inter)
-    # candidate list is tiny relative to the corpus — broadcast it through
-    # both lookups so the shingle-array tables never shuffle
-    enriched = F.broadcast(cands).join(si, "i")
+    # Broadcast ONLY the narrow (i, j) candidate list — never a row set
+    # carrying shingle arrays. The first join broadcasts cands into the
+    # sh_i table; the second join keys the two shingle-bearing sides on j
+    # and is left to the planner/AQE (hash join on j at scale). A dup
+    # storm then costs a bounded shuffle, not candidate-count ×
+    # shingle-array bytes through the driver (VERDICT r02 item 4).
+    enriched = si.join(F.broadcast(cands), "i")
     return (
-        F.broadcast(enriched)
-        .join(sj, "j")
+        enriched.join(sj, "j")
         .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
@@ -511,12 +514,28 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
 # ---------------------------------------------------------------------------
 
 def embedding_near_dups(embs: DataFrame, threshold: float = 0.4,
-                        block_col: str = "label", id_col: str = "vec_id",
+                        block_col: str | None = "label", id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        exact_cosine: bool = True) -> DataFrame:
+                        exact_cosine: bool = True,
+                        lsh_bits: int = 4, lsh_tables: int = 16,
+                        dim: int = 64) -> DataFrame:
     """Blocked pairwise cosine: only pairs within the same block are
-    compared (at scale the block is an LSH bucket — see
-    operators/similarity.py — here any coarse cluster column works).
+    compared.
+
+    ``block_col`` names any coarse cluster column (the oracle-checked q34
+    path uses ``label``, which DuckDB can reproduce exactly). Passing
+    ``block_col=None`` switches to the REAL scale path: random-hyperplane
+    LSH buckets (``similarity.lsh_bucket``) — each vector lands in one
+    bucket per hash table, pairs are generated per (table, bucket), and
+    multi-table collisions collapse with a scalar groupBy. Within-block
+    all-pairs on a low-cardinality label column is quadratic in block
+    size; LSH bucket width is tuned by ``lsh_bits``, independent of corpus
+    size, so pair volume stays Σ C(|bucket|,2) with small buckets. Recall
+    vs the exhaustive result is probabilistic (a pair at cosine s collides
+    in one table with p = (1 - acos(s)/π)^bits) and is measured in
+    tests/test_multimodal.py — 0.86 on the sf0.01 fixture at the defaults
+    (uniform random vectors, the weak-signal regime; true near-dups at
+    cos ≥ 0.9 collide with far higher probability).
 
     ``exact_cosine=True`` (default, the oracle-checked path) evaluates
     dot(a,b)/(‖a‖·‖b‖) — bit-identical float accumulation to the DuckDB
@@ -525,21 +544,35 @@ def embedding_near_dups(embs: DataFrame, threshold: float = 0.4,
     precomputed per VECTOR before the join (a norm is a deterministic
     function of one vector, so na·nb is the same float either way) — 2n
     norm evaluations instead of 2·|pairs|. ``exact_cosine=False`` is the
-    scale path: unit-normalize *before* the join so per-pair cost is a
-    single dot product."""
+    cheaper variant: unit-normalize *before* the join so per-pair cost is
+    a single dot product."""
+    from bloomy_etl_spark.operators.similarity import lsh_bucket
+
     prepped = F.col(vec_col) if exact_cosine else normalize(F.col(vec_col))
     extra = [norm(F.col(vec_col)).alias("_nm")] if exact_cosine else []
-    normed = embs.select(
-        F.col(id_col).alias("_id"),
-        F.col(block_col).alias("blk"),
-        prepped.alias("_nv"),
-        *extra,
-    )
-    a = normed.select(
+    if block_col is not None:
+        blk = F.struct(F.lit(0).alias("t"), F.col(block_col).alias("bucket"))
+        block_src = embs.select(
+            F.col(id_col).alias("_id"), blk.alias("blk"), prepped.alias("_nv"), *extra
+        )
+    else:
+        stacked = F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket(F.col(vec_col), t, lsh_bits, dim).alias("bucket"),
+                )
+                for t in range(lsh_tables)
+            ])
+        )
+        block_src = embs.select(
+            F.col(id_col).alias("_id"), stacked.alias("blk"), prepped.alias("_nv"), *extra
+        )
+    a = block_src.select(
         F.col("_id").alias("i"), "blk", F.col("_nv").alias("va"),
         *([F.col("_nm").alias("_na")] if exact_cosine else []),
     )
-    b = normed.select(
+    b = block_src.select(
         F.col("_id").alias("j"), "blk", F.col("_nv").alias("vb"),
         *([F.col("_nm").alias("_nb")] if exact_cosine else []),
     )
@@ -548,10 +581,16 @@ def embedding_near_dups(embs: DataFrame, threshold: float = 0.4,
         if exact_cosine
         else dot(F.col("va"), F.col("vb"))
     )
-    return (
+    pairs = (
         a.join(b, "blk")
         .filter(F.col("i") < F.col("j"))
         .withColumn("cos_sim", sim)
         .filter(F.col("cos_sim") >= threshold)
         .select("i", "j", "cos_sim")
     )
+    if block_col is not None:
+        return pairs
+    # multi-table collisions: a pair sharing buckets in several hash tables
+    # appears once per table — collapse by key (scalar agg; cos_sim is the
+    # same value from any table, max is just the collapse)
+    return pairs.groupBy("i", "j").agg(F.max("cos_sim").alias("cos_sim"))

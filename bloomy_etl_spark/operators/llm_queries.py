@@ -218,7 +218,8 @@ LLM_QUERIES = {
     "q33_cosine_topk": q33_cosine_topk,
     "q34_embedding_neardups": q34_embedding_neardups,
     "q35_fingerprint_clusters": q35_fingerprint_clusters,
-    # no-oracle entries (non-SQL-expressible; driver rows-only check)
+    # fully oracle-gated since r2: q36's oracle replays the deterministic
+    # hyperplane buckets in SQL, q37's pins the stub codec's arithmetic
     "q36_ann_lsh_topk": q36_ann_lsh_topk,
     "q37_multimodal_decode": q37_multimodal_decode,
 }

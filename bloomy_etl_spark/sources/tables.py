@@ -32,6 +32,30 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to plain TIMESTAMP (µs, session-tz instant).
+
+    Fixture generations have shipped two physical types:
+
+    * parquet TIMESTAMP(NANOS) — Spark (with ``nanosAsLong``) scans it as
+      int64 epoch-ns. Convert with integer division: epoch-ns (~1.7e18)
+      exceeds double's 53-bit mantissa, so a float path would corrupt
+      low-order microseconds.
+    * parquet ``timestamp[us]`` without timezone — Spark scans it as
+      TIMESTAMP_NTZ, which ``unix_micros``/``window`` et al. reject. Under
+      the UTC session timezone the NTZ→TIMESTAMP cast is value-preserving
+      (same wall-clock field values, now pinned to UTC instants).
+
+    Downstream operators only ever see TimestampType.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                fan_out: bool = False) -> DataFrame:
     """Read one fixture table.
@@ -48,16 +72,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # The events fixture stores TIMESTAMP(NANOS), which Spark rejects
+        # Older events fixtures store TIMESTAMP(NANOS), which Spark rejects
         # outright; set the session conf here (not only in our session
         # factory) so the loader also works under a caller-provided session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The engine's documented timestamp semantic is UTC (session.py);
+        # pin it for caller-provided sessions too — the NTZ→TIMESTAMP
+        # normalization below and all epoch arithmetic (unix_micros vs the
+        # DuckDB oracle's naive-as-UTC epoch()) depend on it.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) parquet read as int64 ns (nanosAsLong). Integer
-        # division — epoch-ns (~1.7e18) exceeds double's 53-bit mantissa,
-        # so a float path would corrupt low-order microseconds.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     if fan_out:
         cores = spark.sparkContext.defaultParallelism
         # file-count heuristic, NOT df.rdd.getNumPartitions(): the rdd

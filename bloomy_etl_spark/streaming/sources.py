@@ -17,16 +17,17 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# The events fixture stores TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong=true (session default) it scans as
-# int64 ns. Streaming reads need the schema declared up front.
+# ``replay_dir`` rewrites the fixture with ts already normalized to plain
+# TIMESTAMP (see ``sources.tables.normalize_events_ts`` — it absorbs both
+# the nanos-as-long and the timestamp_ntz fixture generations), so the
+# declared streaming schema is the normalized shape. Streaming reads need
+# the schema declared up front.
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch ns
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -45,8 +46,10 @@ def replay_dir(spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 8)
     a contiguous time slice — the shape a real ingest (hourly drops,
     Kafka log segments) produces.
     """
+    from ..sources.tables import load_table
+
     events = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        load_table(spark, sf_dir, "events")
         .repartitionByRange(n_files, "ts")
         .sortWithinPartitions("ts")
     )
@@ -57,14 +60,11 @@ def replay_dir(spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 8)
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = 1
 ) -> DataFrame:
-    """``readStream`` over a directory of events parquet files.
-
-    Returns the same shape batch ``load_table`` yields: ts as µs
-    TimestampType (ns DIV 1000 in integer space — a float path would
-    corrupt low-order microseconds).
+    """``readStream`` over a directory of events parquet files (as written
+    by :func:`replay_dir`, ts already normalized to plain TimestampType —
+    the same shape batch ``load_table`` yields).
     """
     reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return reader.parquet(path)

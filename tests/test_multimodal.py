@@ -108,3 +108,31 @@ def test_lsh_ann_recall_sweep_monotone_in_tables(spark):
         recalls.append(len(exact & approx) / len(exact))
     assert recalls == sorted(recalls), f"recall not monotone in tables: {recalls}"
     assert recalls[-1] >= 0.7, f"recall floor broken at 16 tables: {recalls}"
+
+
+def test_embedding_neardups_lsh_block_recall(spark):
+    """The scale path of embedding_near_dups (block_col=None → LSH-bucket
+    blocking) must (a) emit ONLY true threshold pairs (each emitted pair's
+    cosine is computed exactly, so precision is 1.0 by construction —
+    asserted as a subset check) and (b) recover ≥70% of the exhaustive
+    threshold pairs on the fixtures at the default bits/tables (measured
+    0.86 on the seed-42 sf0.01 embeddings — uniform vectors are the
+    weak-signal regime for hyperplane LSH)."""
+    from bloomy_etl_spark.operators.dedup import embedding_near_dups
+    from bloomy_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    # exhaustive ground truth: everyone in one block
+    one = embs.withColumn("_one", F.lit(1))
+    exact = {
+        (r["i"], r["j"])
+        for r in embedding_near_dups(one, threshold=0.4, block_col="_one").collect()
+    }
+    blocked = {
+        (r["i"], r["j"])
+        for r in embedding_near_dups(embs, threshold=0.4, block_col=None).collect()
+    }
+    assert blocked <= exact, f"false positives: {blocked - exact}"
+    recall = len(exact & blocked) / len(exact)
+    assert recall >= 0.7, f"LSH-block recall {recall:.2f} below floor"

@@ -53,3 +53,48 @@ def test_q1_column_pruning(spark):
 )
 def test_join_queries_no_cartesian(spark, name):
     assert_no_cartesian(QUERIES[name](spark, SF_SMOKE))
+
+
+def test_minhash_verify_never_broadcasts_shingle_rows(spark):
+    """The minhash verify stage must broadcast ONLY narrow id lists — the
+    (i,j) candidate pairs and candidate-id semi-join probe — never a row
+    set carrying shingle arrays (a dup storm would then push
+    |candidates| x shingle-bytes through the driver; VERDICT r02 item 4).
+
+    With auto-broadcast and AQE disabled, every BroadcastExchange in the
+    plan comes from an explicit hint; the formatted plan lists each
+    exchange's Input columns, so the invariant is directly checkable: no
+    BroadcastExchange input may contain a shingle-array column, and the
+    shingle-vs-shingle join on j degrades to a shuffle join."""
+    import re
+
+    from bloomy_etl_spark.operators.dedup import minhash_near_dups
+    from bloomy_etl_spark.sources.tables import load_table
+    from bloomy_etl_spark.plans.explain import plan_string
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        docs = load_table(spark, SF_SMOKE, "documents")
+        plan = plan_string(minhash_near_dups(docs))
+        # formatted-plan detail blocks: "(12) BroadcastExchange\nInput [2]: [...]"
+        blocks = re.findall(
+            r"\(\d+\) BroadcastExchange\nInput \[\d+\]: (\[[^\n]*\])", plan
+        )
+        assert len(blocks) >= 2, f"hinted broadcasts missing from plan:\n{plan}"
+        for cols in blocks:
+            assert "sh" not in cols.replace("shuffle", ""), (
+                f"shingle-bearing broadcast: {cols}"
+            )
+        assert "SortMergeJoin" in plan, (
+            f"shingle-side join on j should shuffle, not broadcast:\n{plan}"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
