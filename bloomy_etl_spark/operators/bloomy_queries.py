@@ -26,6 +26,7 @@ from bloomy_etl_spark.operators.quality import (
     granule_stats,
 )
 from bloomy_etl_spark.sources.tables import load_table
+from bloomy_etl_spark.output import presentation_sort as _psort
 
 
 def synthetic_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,7 +136,7 @@ def _rounded_stats(stats: DataFrame) -> DataFrame:
         F.round("contamination_pct", 4).alias("contamination_pct"),
         F.round("ndvi_mean", 4).alias("ndvi_mean"),
         F.round("ndvi_std", 4).alias("ndvi_std"),
-    ).orderBy("tile_id", "time")
+    ).transform(_psort, "tile_id", "time")
 
 
 def q21_bloomy_granule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +155,12 @@ def q23_bloomy_merged_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage spatial+temporal merge J2/A3/A4 (merger.py:16-93),
     checksummed per day for the cross-engine hash."""
     px = with_indices(with_masks(synthetic_pixels(spark, sf_dir)))
-    cube = merge_all(px.filter(~F.col("mask")).select("tile_id", "time", "y", "x", "ndvi", "evi"))
+    # track_tiles=False: the summary drops tile bookkeeping, so skip the
+    # per-group string-set aggregation in the spatial merge
+    cube = merge_all(
+        px.filter(~F.col("mask")).select("tile_id", "time", "y", "x", "ndvi", "evi"),
+        track_tiles=False,
+    )
     return (
         cube.groupBy(F.to_date("time").alias("day"))
         .agg(
@@ -163,7 +169,7 @@ def q23_bloomy_merged_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("evi"), 4).alias("sum_evi"),
             F.max("num_granules_merged").alias("n_granules"),
         )
-        .orderBy("day")
+        .transform(_psort, "day")
     )
 
 
@@ -180,7 +186,7 @@ def q24_bloomy_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("valid_pixels_pct", 4).alias("valid_pixels_pct"),
             F.round("contamination_pct", 4).alias("contamination_pct"),
         )
-        .orderBy("tile_id", "time")
+        .transform(_psort, "tile_id", "time")
     )
 
 
@@ -189,7 +195,10 @@ def q25_bloomy_event_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from the merged cube (factors inject drops/recoveries so every
     event branch fires on the fixtures)."""
     px = with_indices(with_masks(synthetic_pixels(spark, sf_dir)))
-    cube = merge_all(px.filter(~F.col("mask")).select("tile_id", "time", "y", "x", "ndvi", "evi"))
+    cube = merge_all(
+        px.filter(~F.col("mask")).select("tile_id", "time", "y", "x", "ndvi", "evi"),
+        track_tiles=False,
+    )
     daily = cube.groupBy(F.to_date("time").alias("day")).agg(F.avg("ndvi").alias("raw"))
     dom = F.dayofmonth("day")
     factor = (
@@ -215,7 +224,7 @@ def q25_bloomy_event_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("drop_mag", 4).alias("drop_mag"),
         F.round("ndvi_sustained", 4).alias("ndvi_sustained"),
         "event_type",
-    ).orderBy("event_kind", F.coalesce("date", "end_date"))
+    ).transform(_psort, "event_kind", F.coalesce("date", "end_date"))
 
 
 def q38_bloomy_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,10 +236,12 @@ def q38_bloomy_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     here the hash covers their interaction order."""
     from bloomy_etl_spark.pipeline import run_pipeline
 
-    res = run_pipeline(synthetic_pixels(spark, sf_dir), detect=False)
-    kept_per_day = (
-        res.kept_stats.groupBy(F.to_date("time").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n_kept_granules"))
+    # carry_kept_day_count annotates the cube rows with the day's
+    # surviving-granule count instead of re-aggregating kept_stats in a
+    # second subtree — the old join-back shape re-executed the whole
+    # scan→stats chain (3 scans; column pruning defeats exchange reuse)
+    res = run_pipeline(
+        synthetic_pixels(spark, sf_dir), detect=False, carry_kept_day_count=True
     )
     return (
         res.cube.groupBy(F.to_date("time").alias("day"))
@@ -239,10 +250,9 @@ def q38_bloomy_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("ndvi"), 4).alias("sum_ndvi"),
             F.round(F.sum("evi"), 4).alias("sum_evi"),
             F.max("num_granules_merged").alias("n_granules"),
+            F.max("n_kept_granules").alias("n_kept_granules"),
         )
-        .join(F.broadcast(kept_per_day), "day")
-        .select("day", "n_px", "sum_ndvi", "sum_evi", "n_granules", "n_kept_granules")
-        .orderBy("day")
+        .transform(_psort, "day")
     )
 
 

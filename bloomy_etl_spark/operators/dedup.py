@@ -353,7 +353,10 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text",
     bit count set-bits with a ``filter`` fold — sum(±1) > 0 ⟺
     2·count_set > n_words. A pure projection pipelined with the scan
     (zero shuffles); the explode + 32-conditional-sum groupBy it replaces
-    recomputed the md5 inside every aggregate expression."""
+    recomputed the md5 inside every aggregate expression. (An
+    array-accumulator ``aggregate``/``zip_with`` single fold was measured
+    ~4x SLOWER — nested higher-order lambdas fall out of codegen and
+    allocate a fresh counts array per word.)"""
     hashes = F.transform(
         F.array_distinct(tokens(F.lower(F.col(text_col)))), lambda w: md5_int(w)
     )

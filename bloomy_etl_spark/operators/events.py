@@ -91,63 +91,72 @@ def detect_events(
     diff = F.col("v") - F.col("v_prev")
     recovery = F.col("v_next") - F.col("v")
     dropped = diff < q.abrupt_drop
+    nulls = F.lit(None).cast("string")
+    nulld = F.lit(None).cast("double")
 
-    anomalies = x.filter(
-        dropped & ~F.col("is_last") & (recovery > q.recovery_threshold)
-    ).select(
-        *part,
+    # One event struct per family, all with the identical field layout so
+    # they can share one array. A filter-per-family + union would execute
+    # the ENTIRE upstream chain (at q25 that is the full pixel→merge cube
+    # DAG) once per family — column pruning projects each branch
+    # differently, so neither Catalyst nor AQE can reuse the exchanges.
+    # Building the up-to-3 candidate structs in-row and exploding keeps
+    # detection a single pass over a single window stage.
+    anomaly = F.struct(
         F.lit("anomaly").alias("event_kind"),
-        "date",
-        F.lit(None).cast("string").alias("start_date"),
-        F.lit(None).cast("string").alias("end_date"),
+        F.col("date").alias("date"),
+        nulls.alias("start_date"),
+        nulls.alias("end_date"),
         F.col("v_prev").alias("ndvi_before"),
         F.col("v").alias("ndvi_during"),
         F.col("v_next").alias("ndvi_after"),
-        F.lit(None).cast("double").alias("drop_mag"),
-        F.lit(None).cast("double").alias("ndvi_sustained"),
+        nulld.alias("drop_mag"),
+        nulld.alias("ndvi_sustained"),
         F.lit("transient_anomaly").alias("event_type"),
     )
-
     # Reference records ndvi_after = the dropped value itself for
     # abrupt_drops (quality.py:143) — "after the event began".
-    abrupt = x.filter(
-        dropped
-        & (
-            F.col("is_last")
-            | ~F.coalesce(recovery > q.recovery_threshold, F.lit(False))
-        )
-    ).select(
-        *part,
+    abrupt = F.struct(
         F.lit("abrupt_drop").alias("event_kind"),
-        "date",
-        F.lit(None).cast("string").alias("start_date"),
-        F.lit(None).cast("string").alias("end_date"),
+        F.col("date").alias("date"),
+        nulls.alias("start_date"),
+        nulls.alias("end_date"),
         F.col("v_prev").alias("ndvi_before"),
-        F.lit(None).cast("double").alias("ndvi_during"),
+        nulld.alias("ndvi_during"),
         F.col("v").alias("ndvi_after"),
         F.abs(diff).alias("drop_mag"),
-        F.lit(None).cast("double").alias("ndvi_sustained"),
+        nulld.alias("ndvi_sustained"),
         F.when(F.col("is_last"), "recent_event")
         .otherwise("possible_fire_or_harvest")
         .alias("event_type"),
     )
-
-    sustained = x.filter(
-        (F.col("cnt3") == 3)
-        & (F.col("max3") < q.sustained_low)
-        & (F.col("v_m3") > q.sustained_high_before)
-    ).select(
-        *part,
+    sustained = F.struct(
         F.lit("sustained_change").alias("event_kind"),
-        F.lit(None).cast("string").alias("date"),
+        nulls.alias("date"),
         F.col("date_m2").alias("start_date"),
         F.col("date").alias("end_date"),
         F.col("v_m3").alias("ndvi_before"),
-        F.lit(None).cast("double").alias("ndvi_during"),
-        F.lit(None).cast("double").alias("ndvi_after"),
-        F.lit(None).cast("double").alias("drop_mag"),
+        nulld.alias("ndvi_during"),
+        nulld.alias("ndvi_after"),
+        nulld.alias("drop_mag"),
         F.col("avg3").alias("ndvi_sustained"),
         F.lit("sustained_change").alias("event_type"),
     )
-
-    return anomalies.unionByName(abrupt).unionByName(sustained)
+    candidates = F.array(
+        F.when(dropped & ~F.col("is_last") & (recovery > q.recovery_threshold), anomaly),
+        F.when(
+            dropped
+            & (
+                F.col("is_last")
+                | ~F.coalesce(recovery > q.recovery_threshold, F.lit(False))
+            ),
+            abrupt,
+        ),
+        F.when(
+            (F.col("cnt3") == 3)
+            & (F.col("max3") < q.sustained_low)
+            & (F.col("v_m3") > q.sustained_high_before),
+            sustained,
+        ),
+    )
+    fired = F.filter(candidates, lambda e: e.isNotNull())
+    return x.select(*part, F.explode(fired).alias("_e")).select(*part, "_e.*")

@@ -17,13 +17,14 @@ from bloomy_etl_spark.functions import text as T
 from bloomy_etl_spark.operators import dedup as D
 from bloomy_etl_spark.operators.similarity import cosine_topk
 from bloomy_etl_spark.sources.tables import load_table
+from bloomy_etl_spark.output import presentation_sort as _psort
 
 
 def q26_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup via sha256 digest grouping (all fixtures are
     unique → every n_copies = 1; the operator semantics are the contract)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.exact_duplicates(docs).orderBy("keep_id")
+    return D.exact_duplicates(docs).transform(_psort, "keep_id")
 
 
 def q27_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,7 +41,7 @@ def q27_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(T.token_count(text)).alias("max_tokens"),
             F.round(F.avg(T.bpe_ish_token_count(text)), 4).alias("avg_bpe_tokens"),
         )
-        .orderBy("lang", "source")
+        .transform(_psort, "lang", "source")
     )
 
 
@@ -56,19 +57,24 @@ def q28_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(T.mean_word_length(text), 4).alias("mean_word_len"),
         F.round(T.punct_ratio(text), 4).alias("punct_ratio"),
         F.round(T.quality_score(text), 4).alias("quality"),
-    ).orderBy("doc_id")
+        # isolate: this sort sits directly on the per-document scoring
+        # projection (no shuffle in between) — coalesce(1) would
+        # serialize the whole fan-out compute
+    ).transform(_psort, "doc_id", isolate=True)
 
 
 def q29_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language-ID vs the labeled lang (confusion counts).
     The fixture vocabulary is shared across langs, so this certifies the
     operator's determinism, not its accuracy on real text."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the per-doc marker-regex evaluation dominates the scan
+    # (measured 2x at sf0.1), unlike q26/q27's cheap digest/count exprs
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return (
         docs.select("lang", T.predict_lang(F.col("text")).alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("lang", "predicted")
+        .transform(_psort, "lang", "predicted")
     )
 
 
@@ -77,7 +83,7 @@ def q30_minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     pairs = D.minhash_near_dups(docs)
-    return pairs.select("i", "j", F.round("jaccard", 4).alias("jaccard")).orderBy("i", "j")
+    return pairs.select("i", "j", F.round("jaccard", 4).alias("jaccard")).transform(_psort, "i", "j")
 
 
 def q31_ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,7 +91,7 @@ def q31_ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth the LSH variant is measured against."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     pairs = D.ngram_jaccard_pairs(docs)
-    return pairs.select("i", "j", F.round("jaccard", 4).alias("jaccard")).orderBy("i", "j")
+    return pairs.select("i", "j", F.round("jaccard", 4).alias("jaccard")).transform(_psort, "i", "j")
 
 
 def q32_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,19 +99,55 @@ def q32_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     + 1 blocks, so pigeonhole makes the blocked join EXHAUSTIVE for
     hamming ≤ 6) — summarized as a hamming histogram. The fixture's shared
     bag-of-words vocabulary makes low hamming common (simhash correctly
-    reports high word-set similarity), so the pair list is large; the
-    histogram keeps the cross-engine check compact while exercising the
-    full pipeline. Exhaustiveness vs brute force is separately asserted in
-    tests/test_llm_corpus.py."""
+    reports high word-set similarity), so the DOC-pair space is huge
+    (5.2M pairs at sf0.1); the histogram keeps the cross-engine check
+    compact. The aggregate is pushed THROUGH the member expansion
+    algebraically instead of materializing it: a fingerprint pair
+    (i-group x j-group) contributes n_i*n_j doc pairs at its hamming, a
+    same-fingerprint group contributes C(n,2) at hamming 0, and the
+    group-minimal pair key is a closed form of the two sorted member
+    heads (members are disjoint across fingerprints, so
+    least/greatest(m_i[0], m_j[0]) IS the minimum over the cross
+    product). The full doc-pair expansion (``simhash_near_dups``) stays
+    the operator contract and is brute-force-asserted in
+    tests/test_llm_corpus.py; the DuckDB oracle still materializes every
+    pair, so the hash gate checks the identity end-to-end."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    pairs = D.simhash_near_dups(docs)
-    return (
-        pairs.groupBy(F.col("hamming").cast("int").alias("hamming"))
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.min(F.col("i") * 100000 + F.col("j")).alias("min_pair_key"),
+    groups = D.simhash_groups(docs)
+    fp_pairs = D.simhash_fp_pairs(groups)
+    gi = groups.select(
+        F.col("simhash").alias("sh_i"), F.col("members").alias("m_i"),
+        F.col("n").alias("n_i"),
+    )
+    gj = groups.select(
+        F.col("simhash").alias("sh_j"), F.col("members").alias("m_j"),
+        F.col("n").alias("n_j"),
+    )
+    cross = (
+        fp_pairs.join(gi, "sh_i")
+        .join(gj, "sh_j")
+        .select(
+            "hamming",
+            (F.col("n_i") * F.col("n_j")).alias("n_pairs"),
+            (
+                F.least(F.col("m_i")[0], F.col("m_j")[0]) * 100000
+                + F.greatest(F.col("m_i")[0], F.col("m_j")[0])
+            ).alias("pair_key"),
         )
-        .orderBy("hamming")
+    )
+    within = groups.filter(F.col("n") > 1).select(
+        F.lit(0).cast("bigint").alias("hamming"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_pairs"),
+        (F.col("members")[0] * 100000 + F.col("members")[1]).alias("pair_key"),
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy(F.col("hamming").cast("int").alias("hamming"))
+        .agg(
+            F.sum("n_pairs").alias("n_pairs"),
+            F.min("pair_key").alias("min_pair_key"),
+        )
+        .transform(_psort, "hamming")
     )
 
 
@@ -117,7 +159,7 @@ def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cosine_topk(embs, queries, k=5)
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
-    ).orderBy("query_id", "rank")
+    ).transform(_psort, "query_id", "rank")
 
 
 def q34_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,7 +167,7 @@ def q34_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale the block is an LSH bucket)."""
     embs = load_table(spark, sf_dir, "embeddings", fan_out=True)
     pairs = D.embedding_near_dups(embs, threshold=0.4)
-    return pairs.select("i", "j", F.round("cos_sim", 4).alias("cos_sim")).orderBy("i", "j")
+    return pairs.select("i", "j", F.round("cos_sim", 4).alias("cos_sim")).transform(_psort, "i", "j")
 
 
 def q35_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,7 +190,7 @@ def q35_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
         .filter(F.col("n_docs") > 1)
-        .orderBy("fingerprint")
+        .transform(_psort, "fingerprint")
     )
 
 
@@ -167,7 +209,7 @@ def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = lsh_topk(embs, queries, k=5, bits=4, tables=16)
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
-    ).orderBy("query_id", "rank")
+    ).transform(_psort, "query_id", "rank")
 
 
 def q37_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,7 +245,7 @@ def q37_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("byte_entropy_proxy"), 4).alias("avg_entropy"),
             F.count_distinct("content_hash").alias("n_distinct"),
         )
-        .orderBy("kind")
+        .transform(_psort, "kind")
     )
 
 

@@ -22,24 +22,37 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def merge_spatial_tiles(pixels: DataFrame) -> DataFrame:
+def merge_spatial_tiles(pixels: DataFrame, track_tiles: bool = True,
+                        carry: tuple[str, ...] = ()) -> DataFrame:
     """Per-(time, y, x) null-skipping mean across tiles.
 
     Long format makes xr.combine_by_coords' coordinate union implicit:
     a pixel covered by one tile keeps its value (avg of 1); overlap
     averages; NULL (masked) members are skipped like skipna=True.
     Tile bookkeeping mirrors ``'+'.join(tiles)`` (merger.py:45), order-
-    stabilized with array_sort (SURVEY X16).
+    stabilized with array_sort (SURVEY X16); consumers that drop the tile
+    column anyway (the cube summaries) pass ``track_tiles=False`` and skip
+    the per-group string-set aggregation entirely.
+
+    ``carry`` names annotation columns constant within a group (e.g. a
+    per-day count attached upstream) passed through with ``max``.
     """
-    return pixels.groupBy("time", "y", "x").agg(
+    aggs = [
         F.avg("ndvi").alias("ndvi"),
         F.avg("evi").alias("evi"),
-        F.concat_ws("+", F.array_sort(F.collect_set("tile_id"))).alias("tile_id"),
         F.count(F.lit(1)).alias("num_tiles_merged"),
-    )
+        *[F.max(c).alias(c) for c in carry],
+    ]
+    if track_tiles:
+        aggs.insert(
+            2,
+            F.concat_ws("+", F.array_sort(F.collect_set("tile_id"))).alias("tile_id"),
+        )
+    return pixels.groupBy("time", "y", "x").agg(*aggs)
 
 
-def merge_temporal(spatial: DataFrame, merge_same_day: bool = True) -> DataFrame:
+def merge_temporal(spatial: DataFrame, merge_same_day: bool = True,
+                   carry: tuple[str, ...] = ()) -> DataFrame:
     """Per-(date, y, x) mean over the date's timestamps, re-keyed to the
     epoch-mean of the date's distinct timestamps, equal weight per
     timestamp (merger.py:56-93). µs precision (Spark) vs the reference's
@@ -59,6 +72,7 @@ def merge_temporal(spatial: DataFrame, merge_same_day: bool = True) -> DataFrame
         F.avg("ndvi").alias("ndvi"),
         F.avg("evi").alias("evi"),
         F.collect_set("time").alias("_ts"),
+        *[F.max(c).alias(c) for c in carry],
     )
     # Per-date distinct-time union: window over the per-date table (one
     # row per pixel per date — dimension-sized). array_sort makes the
@@ -70,6 +84,7 @@ def merge_temporal(spatial: DataFrame, merge_same_day: bool = True) -> DataFrame
         per_date.select(
             "date", "y", "x", "ndvi", "evi",
             all_ts.alias("_all_ts"),
+            *carry,
         )
         .select(
             F.timestamp_micros(
@@ -87,14 +102,30 @@ def merge_temporal(spatial: DataFrame, merge_same_day: bool = True) -> DataFrame
             "ndvi",
             "evi",
             F.size("_all_ts").alias("num_granules_merged"),
+            *carry,
         )
     )
 
 
-def merge_all(pixels: DataFrame, merge_same_day: bool = True) -> DataFrame:
+def merge_all(pixels: DataFrame, merge_same_day: bool = True,
+              track_tiles: bool = True, carry: tuple[str, ...] = ()) -> DataFrame:
     """Spatial then temporal merge; ordering is a query-time concern
-    (ORDER BY time at the consumer/sink), not a storage property."""
-    return merge_temporal(merge_spatial_tiles(pixels), merge_same_day)
+    (ORDER BY time at the consumer/sink), not a storage property.
+
+    One explicit repartition by the pixel identity (y, x) feeds BOTH
+    stages: hash-clustering on a subset of each groupBy's keys satisfies
+    ClusteredDistribution for (time, y, x) and (date, y, x) alike, so
+    neither aggregate adds its own exchange. At any scale this replaces
+    {shuffle(pixels on time,y,x) + shuffle(spatial on date,y,x)} with
+    {shuffle(pixels on y,x)} — same bytes moved in the big first hop, the
+    second hop eliminated (verified 2 exchanges → 1 on the q23 plan)."""
+    return merge_temporal(
+        merge_spatial_tiles(
+            pixels.repartition("y", "x"), track_tiles=track_tiles, carry=carry
+        ),
+        merge_same_day,
+        carry=carry,
+    )
 
 
 def merged_stats(stats: DataFrame) -> DataFrame:

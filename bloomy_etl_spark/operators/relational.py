@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bloomy_etl_spark.sources.tables import load_table
+from bloomy_etl_spark.output import presentation_sort as _psort
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -47,7 +48,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(_psort, "l_returnflag", "l_linestatus")
     )
 
 
@@ -70,7 +71,7 @@ def q2_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .orderBy("r_name")
+        .transform(_psort, "r_name")
     )
 
 
@@ -88,7 +89,7 @@ def q3_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy("p_brand")
+        .transform(_psort, "p_brand")
     )
 
 
@@ -103,7 +104,7 @@ def q4_big_spender_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy("c_mktsegment")
+        .transform(_psort, "c_mktsegment")
     )
 
 
@@ -117,7 +118,7 @@ def q5_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
+        .transform(_psort, "c_custkey")
     )
 
 
@@ -145,7 +146,7 @@ def q6_fullouter_daily_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_click",
             "avg_view",
         )
-        .orderBy("day")
+        .transform(_psort, "day")
     )
 
 
@@ -162,7 +163,7 @@ def q7_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
         .filter((F.col("n_events") >= 60) & (F.col("avg_value") > 48.0))
-        .orderBy("user_id")
+        .transform(_psort, "user_id")
     )
 
 
@@ -181,7 +182,7 @@ def q8_masked_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(masked), 4).alias("avg_masked"),
             F.round(F.stddev_pop(masked), 4).alias("std_masked"),
         )
-        .orderBy("day")
+        .transform(_psort, "day")
     )
 
 
@@ -217,7 +218,7 @@ def q9_event_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("recovery") > 1.0, "transient_anomaly")
         .otherwise("possible_fire_or_harvest")
         .alias("event_class"),
-    ).orderBy("day")
+    ).transform(_psort, "day")
 
 
 # --------------------------------------------------------------------------
@@ -238,7 +239,7 @@ def q10_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("sustained_low"),
-    ).orderBy("day")
+    ).transform(_psort, "day")
 
 
 # --------------------------------------------------------------------------
@@ -257,7 +258,7 @@ def q11_top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 3)
-        .orderBy("c_mktsegment", "rn")
+        .transform(_psort, "c_mktsegment", "rn")
     )
 
 
@@ -270,7 +271,7 @@ def q12_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = cust_k.intersect(supp_k).select(F.lit("both").alias("tag"), "k")
     # intersect/subtract are DISTINCT set ops, matching SQL INTERSECT/EXCEPT.
     cust_only = cust_k.subtract(supp_k).select(F.lit("customer_only").alias("tag"), "k")
-    return both.unionByName(cust_only).orderBy("tag", "k")
+    return both.unionByName(cust_only).transform(_psort, "tag", "k")
 
 
 # --------------------------------------------------------------------------
@@ -297,7 +298,7 @@ def q13_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_nation",
             "n_customers",
         )
-        .orderBy("g_region", "g_nation", "region_name", "nation_name")
+        .transform(_psort, "g_region", "g_nation", "region_name", "nation_name")
     )
 
 
@@ -311,7 +312,7 @@ def q14_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.to_date("ts").alias("day"), "event_type")
         .agg(F.countDistinct("user_id").alias("n_users"))
-        .orderBy("day", "event_type")
+        .transform(_psort, "day", "event_type")
     )
 
 
@@ -375,7 +376,7 @@ def q15_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("_len_sum") / F.sum("_n"), 4).alias("avg_name_len"),
             F.min("brand_type").alias("min_brand_type"),
         )
-        .orderBy("name_head", "order_year", "order_month")
+        .transform(_psort, "name_head", "order_year", "order_month")
     )
 
 
@@ -399,7 +400,7 @@ def q16_funnel_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_kinds") == 3)
         .drop("n_kinds")
-        .orderBy("user_id")
+        .transform(_psort, "user_id")
     )
 
 
@@ -419,7 +420,7 @@ def q17_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-02-01").cast("timestamp"))
     )
-    return jan96.unionByName(jan97).orderBy("o_orderdate", "o_orderkey").limit(100)
+    return jan96.unionByName(jan97).transform(_psort, "o_orderdate", "o_orderkey").limit(100)
 
 
 # --------------------------------------------------------------------------
@@ -433,7 +434,7 @@ def q18_mean_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.to_date("ts").alias("day"))
         .agg(F.round(F.avg(epoch_s), 0).alias("mean_epoch_s"))
-        .orderBy("day")
+        .transform(_psort, "day")
     )
 
 
@@ -458,7 +459,7 @@ def q19_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("event_id", "user_id")
         .agg(F.max("o_day").alias("last_order_day"))
-        .orderBy("event_id")
+        .transform(_psort, "event_id")
     )
 
 
@@ -486,7 +487,7 @@ def q20_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("custkey")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .orderBy("custkey")
+        .transform(_psort, "custkey")
     )
 
 

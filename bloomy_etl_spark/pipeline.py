@@ -62,6 +62,7 @@ def run_pipeline(
     disable_quality_filter: bool = False,
     merge_same_day: bool = True,
     detect: bool = True,
+    carry_kept_day_count: bool = False,
 ) -> PipelineResult:
     """Compose the full reference chain over a raw pixel table
     (tile_id, time, y, x, red, nir, blue, fmask).
@@ -71,6 +72,13 @@ def run_pipeline(
     (``disable_quality_filter`` = the reference's flag), merge, then
     detection. Flags keep the reference's CLI semantics
     (``main.py:39-55``).
+
+    ``carry_kept_day_count=True`` annotates every cube row with
+    ``n_kept_granules`` (surviving granules of that row's day). The count
+    rides the kept list INTO the broadcast join and through the merge
+    aggregates — consuming ``kept_stats`` in a second subtree instead
+    would re-execute the whole scan→stats chain, because column pruning
+    projects each consumer differently and defeats exchange reuse.
     """
     px = with_indices(with_masks(raw_pixels))
     stats = granule_stats(px)
@@ -88,12 +96,25 @@ def run_pipeline(
 
     # Broadcast semi-join: pixels of kept granules only. The kept list is
     # one row per granule — broadcastable at any raster scale.
+    carry: tuple[str, ...] = ()
+    kept_sel = kept.select("tile_id", "time")
+    if carry_kept_day_count:
+        from pyspark.sql import Window
+
+        kept_sel = kept_sel.withColumn(
+            "n_kept_granules",
+            F.count(F.lit(1)).over(Window.partitionBy(F.to_date("time"))),
+        )
+        carry = ("n_kept_granules",)
+    # kept is one row per granule (distinct keys), so the inner join that
+    # carries the annotation has exactly the left_semi cardinality
     good_px = px.filter(~F.col("mask")).join(
-        F.broadcast(kept.select("tile_id", "time")), ["tile_id", "time"], "left_semi"
+        F.broadcast(kept_sel), ["tile_id", "time"], "inner" if carry else "left_semi"
     )
     cube = merge_all(
-        good_px.select("tile_id", "time", "y", "x", "ndvi", "evi"),
+        good_px.select("tile_id", "time", "y", "x", "ndvi", "evi", *carry),
         merge_same_day=merge_same_day,
+        carry=carry,
     )
     series = ndvi_series(cube)
     events = (

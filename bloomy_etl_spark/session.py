@@ -29,6 +29,18 @@ _DEFAULTS: dict[str, str] = {
     # --- scale/perf ---
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Let AQE coalesce post-shuffle partitions to the advisory size rather
+    # than preserving task-count parallelism: on this deployment (local,
+    # single-digit-MB shuffles) 32 near-empty reduce tasks per stage cost
+    # more scheduling than they buy in parallelism. The advisory is a
+    # DEPLOYMENT sizing knob: 1m fits the bench's shuffle volumes while
+    # leaving compute-heavy stages (shingle posting lists, pair
+    # generation — several MB) multiple partitions wide; a cluster run at
+    # real scale should raise it to 64-256m (partitions there exceed any
+    # advisory, so coalescing simply stops firing — plan shapes are
+    # unchanged).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -17,6 +17,7 @@ from bloomy_etl_spark.sinks.writers import (
     write_style_json,
 )
 from bloomy_etl_spark.sinks.geotiff import export_geotiff
+from bloomy_etl_spark.sinks.netcdf import export_netcdf, read_netcdf_cube
 
 __all__ = [
     "write_cube",
@@ -25,4 +26,6 @@ __all__ = [
     "write_index_json",
     "write_style_json",
     "export_geotiff",
+    "export_netcdf",
+    "read_netcdf_cube",
 ]

@@ -201,3 +201,101 @@ class CubeViewer:
         if save:
             fig.savefig(save)
         return fig
+
+    def dates(self) -> list[str]:
+        """Sorted distinct calendar dates — the O(T) navigation axis the
+        GIF/interactive modes iterate (never a pixel collect)."""
+        return [
+            str(r["d"])
+            for r in (
+                self.cube.select(F.to_date("time").alias("d"))
+                .distinct()
+                .orderBy("d")
+                .collect()
+            )
+        ]
+
+    def create_gif(self, out_path: str, duration_ms: int = 500):  # pragma: no cover
+        """Animated GIF of the whole series (reference
+        ``tools/visualize_dataset.py:357-414``): one 2-panel frame per
+        date, stitched with Pillow. Frames are fetched one date at a time
+        through the partition-pruned :meth:`frame` accessor, so driver
+        memory is O(frame) + the rendered PNGs — never the whole cube.
+        Requires matplotlib + Pillow (both optional in this container)."""
+        plt = self._require_matplotlib()
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise ImportError(
+                "Pillow is required for create_gif; export_frames() writes "
+                "per-date rasters without it"
+            ) from e
+        import io
+
+        frames = []
+        for date in self.dates():
+            fig, axes = plt.subplots(1, 2, figsize=(14, 6))
+            for ax, (var, vmax) in zip(axes, (("ndvi", 1.0), ("evi", 2.0))):
+                ax.imshow(
+                    self.frame(date, var), cmap="RdYlGn", vmin=-0.2, vmax=vmax,
+                )
+                ax.set_title(f"{var.upper()} - {date}")
+                ax.axis("off")
+            fig.tight_layout()
+            buf = io.BytesIO()
+            fig.savefig(buf, format="png", dpi=100)
+            buf.seek(0)
+            frames.append(Image.open(buf).copy())
+            buf.close()
+            plt.close(fig)
+        frames[0].save(
+            out_path,
+            save_all=True,
+            append_images=frames[1:],
+            duration=duration_ms,
+            loop=0,
+        )
+        return out_path
+
+    def plot_interactive(self):  # pragma: no cover
+        """Slider-driven timestamp navigator (reference
+        ``tools/visualize_dataset.py:195-269``). Each slider move fetches
+        exactly one date's frame via the partition-pruned accessor — the
+        reference holds the full cube in memory; here navigation cost is
+        per-frame and the cube can be arbitrarily large."""
+        plt = self._require_matplotlib()
+        from matplotlib.widgets import Slider
+
+        dates = self.dates()
+        fig = plt.figure(figsize=(16, 7))
+        ax1 = plt.subplot(1, 2, 1)
+        ax2 = plt.subplot(1, 2, 2)
+        plt.subplots_adjust(bottom=0.15)
+        im1 = ax1.imshow(
+            self.frame(dates[0], "ndvi"), cmap="RdYlGn", vmin=-0.2, vmax=1.0,
+            interpolation="nearest",
+        )
+        ax1.set_title(f"NDVI - {dates[0]}")
+        ax1.axis("off")
+        fig.colorbar(im1, ax=ax1, fraction=0.046, pad=0.04)
+        im2 = ax2.imshow(
+            self.frame(dates[0], "evi"), cmap="RdYlGn", vmin=-0.2, vmax=2.0,
+            interpolation="nearest",
+        )
+        ax2.set_title(f"EVI - {dates[0]}")
+        ax2.axis("off")
+        fig.colorbar(im2, ax=ax2, fraction=0.046, pad=0.04)
+        ax_slider = plt.axes([0.15, 0.05, 0.7, 0.03])
+        slider = Slider(ax_slider, "Timestamp", 0, len(dates) - 1, valinit=0, valstep=1)
+
+        def update(val):
+            date = dates[int(slider.val)]
+            im1.set_data(self.frame(date, "ndvi"))
+            im2.set_data(self.frame(date, "evi"))
+            ax1.set_title(f"NDVI - {date}")
+            ax2.set_title(f"EVI - {date}")
+            fig.canvas.draw_idle()
+
+        slider.on_changed(update)
+        plt.show()
+        return fig

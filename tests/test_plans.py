@@ -55,6 +55,31 @@ def test_join_queries_no_cartesian(spark, name):
     assert_no_cartesian(QUERIES[name](spark, SF_SMOKE))
 
 
+def test_merge_all_single_pixel_exchange(spark):
+    """merge_all's two groupBys must share ONE pixel-table exchange: the
+    explicit repartition(y, x) hash-clusters a subset of both grouping
+    keys, so neither aggregate adds its own shuffle (2 exchanges -> 1,
+    the second hop eliminated at any scale)."""
+    from bloomy_etl_spark.operators.bloomy_queries import synthetic_pixels
+    from bloomy_etl_spark.functions.indices import with_indices, with_masks
+    from bloomy_etl_spark.operators.merge import merge_spatial_tiles, merge_temporal
+    from pyspark.sql import functions as F
+
+    px = (
+        with_indices(with_masks(synthetic_pixels(spark, SF_SMOKE)))
+        .filter(~F.col("mask"))
+        .select("tile_id", "time", "y", "x", "ndvi", "evi")
+    )
+    # per_date stage only (the full merge_temporal adds a window exchange
+    # over the tiny per-date table, which is expected)
+    two_aggs = merge_spatial_tiles(px.repartition("y", "x")).groupBy(
+        F.to_date("time").alias("date"), "y", "x"
+    ).agg(F.avg("ndvi").alias("ndvi"))
+    plan = plan_string(two_aggs)
+    n_exchange = plan.count(") Exchange")
+    assert n_exchange == 1, f"expected 1 exchange, found {n_exchange}:\n{plan}"
+
+
 def test_minhash_verify_never_broadcasts_shingle_rows(spark):
     """The minhash verify stage must broadcast ONLY narrow id lists — the
     (i,j) candidate pairs and candidate-id semi-join probe — never a row

@@ -126,6 +126,37 @@ def test_cache_partition_and_anti_join_probe(spark, tmp_path):
     ]
 
 
+def test_netcdf_export_roundtrip(spark, tmp_path):
+    """NetCDF interop (reference core/pipeline.py:174-177): cube →
+    per-date files → distributed scan back — value-exact round trip for
+    every observed pixel, including the single-variable-NULL convention.
+    (xarray absent in this container → deterministic npz-stub writer; the
+    Spark-side plumbing is identical either way.)"""
+    from bloomy_etl_spark.sinks import export_netcdf, read_netcdf_cube
+
+    out = str(tmp_path / "nc")
+    manifest = export_netcdf(make_cube(spark), out).orderBy("date").collect()
+    assert [m["date"] for m in manifest] == ["2024-06-01", "2024-06-02"]
+    assert all(m["writer"] == "npz-stub" for m in manifest)
+    assert manifest[0]["n_valid"] == 3  # masked pixel excluded
+
+    back = read_netcdf_cube(spark, out)
+    got = sorted(
+        (str(r["time"]), r["y"], r["x"], r["ndvi"], r["evi"])
+        for r in back.collect()
+    )
+    # both-NULL pixel (a grid gap after densify) does not round-trip;
+    # everything else must, with exact float32 values and timestamps
+    want = sorted(
+        (str(r["time"]), r["y"], r["x"],
+         None if r["ndvi"] is None else float(np.float32(r["ndvi"])),
+         None if r["evi"] is None else float(np.float32(r["evi"])))
+        for r in make_cube(spark).collect()
+        if not (r["ndvi"] is None and r["evi"] is None)
+    )
+    assert got == want
+
+
 def test_index_and_style_json(spark, tmp_path):
     idx_path = write_index_json(make_cube(spark), str(tmp_path / "index.json"))
     idx = json.load(open(idx_path))

@@ -71,3 +71,23 @@ def test_print_summary_runs(spark, tiny_cube, capsys):
     CubeViewer(spark, tiny_cube).print_summary()
     out = capsys.readouterr().out
     assert "GLOBAL STATISTICS" in out and "NDVI" in out
+
+
+def test_dates_axis(spark, tiny_cube):
+    assert CubeViewer(spark, tiny_cube).dates() == ["2024-01-01", "2024-01-02"]
+
+
+def test_gif_and_interactive_graceful_without_matplotlib(spark, tiny_cube, tmp_path):
+    """GIF/interactive modes (reference visualize_dataset.py:195-269,
+    357-414) must fail with a CLEAR ImportError when matplotlib is absent
+    (this container), never a confusing AttributeError mid-render."""
+    v = CubeViewer(spark, tiny_cube)
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="matplotlib"):
+            v.create_gif(str(tmp_path / "a.gif"))
+        with pytest.raises(ImportError, match="matplotlib"):
+            v.plot_interactive()
+    else:  # pragma: no cover - matplotlib present
+        v.create_gif(str(tmp_path / "a.gif"))
