@@ -169,7 +169,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     ``None`` (no cap) keeps oracle parity; pass a pyspark ``Observation``
     as ``dropped_obs`` to count dropped shingles without a second job.
     """
-    # bind the shingle array to an attribute BEFORE the explode: selecting
+    # Shingles stay STRINGS here: hashing them to int64 first
+    # (Broder-style) was A/B-measured at sf0.1 and the ~1M md5
+    # evaluations cost as much as the narrower shuffle saves — at a
+    # corpus scale where shuffle bytes dominate compute, flip to
+    # ``array_distinct(transform(word_shingles(...), md5_int))`` and hash
+    # the oracle identically (the q31 oracle's hashed CTE shape is in git
+    # history).
+    # Bind the shingle array to an attribute BEFORE the explode: selecting
     # size(word_shingles(..)) next to explode(word_shingles(..)) would put
     # the size's full shingling into the Project above the Generate and
     # recompute it once per exploded row

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bloomy_etl_spark.functions.vectors import cosine, dot
+from bloomy_etl_spark.functions.vectors import dot, norm
 
 
 def cosine_topk(embs: DataFrame, queries: DataFrame, k: int = 5,
@@ -30,13 +30,25 @@ def cosine_topk(embs: DataFrame, queries: DataFrame, k: int = 5,
     the corpus never shuffles, each task scores its partition slice.
     Ties break on neighbor id for determinism.
     """
+    # Norms are per-VECTOR, so evaluate them once per side before the
+    # pair join — cosine(qv, cv) per pair would re-fold both norms for
+    # every (query, neighbor) combination (3 array folds per pair instead
+    # of 1). A norm is a deterministic function of one vector, so
+    # dot/(nq*nc) accumulates bit-identically to the oracle's
+    # list_dot_product formula.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("_nq"),
     )
-    c = embs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = embs.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("_nc"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc"))
+        )
         .select("query_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -95,17 +107,24 @@ def lsh_topk(embs: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
         return df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(vec_alias),
+            norm(F.col(vec_col)).alias(f"_n_{id_alias}"),
             stacked.alias("tb"),
-        ).select(id_alias, vec_alias, "tb.t", "tb.bucket")
+        ).select(id_alias, vec_alias, f"_n_{id_alias}", "tb.t", "tb.bucket")
 
     # query side is small → broadcast; the corpus never shuffles, each task
-    # scans its slice once and emits only same-bucket collisions
+    # scans its slice once and emits only same-bucket collisions. Norms
+    # are computed once per (vector, table) row, not per candidate pair —
+    # see cosine_topk.
     qb = bucketed(queries, "query_id", "qv")
     cb = bucketed(embs, "neighbor_id", "cv")
     pairs = (
         cb.join(F.broadcast(qb), ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("qv"), F.col("cv"))
+            / (F.col("_n_query_id") * F.col("_n_neighbor_id")),
+        )
     )
     # a pair colliding in several tables appears once per table — collapse
     # by key (scalar agg, not a distinct over the vector arrays)
