@@ -46,6 +46,17 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--geotiff-dir", help="GeoTIFF dir (default: <output>/geotiffs)")
     p.add_argument("--downsample", type=int, default=1,
                    help="Downsample factor for GeoTIFFs (1=original, 2=half)")
+    p.add_argument("--export-netcdf", action="store_true",
+                   help="Export the cube as per-date NetCDF files after processing "
+                        "(reference pipeline.py:174-177 interop)")
+    p.add_argument("--netcdf-dir", help="NetCDF dir (default: <output>/netcdf)")
+    p.add_argument("--cache-dir",
+                   help="Granule cache (reference --cache-dir): pixels are cached "
+                        "per (tile_id, date); a rerun anti-joins the cache index "
+                        "and processes only uncached granules (J5)")
+    p.add_argument("--keep-cache", action="store_true",
+                   help="Keep the cache after processing (reference flag; without "
+                        "it a --cache-dir is scratch space, removed at the end)")
     p.add_argument("--cpus", help="local[N] cores (default: $SPARK_GRAFT_CPUS or *)")
     return p
 
@@ -91,6 +102,38 @@ def main(argv: list[str] | None = None) -> dict:
         # inclusive end-date, as the reference's CMR temporal range is
         px = px.filter(F.to_date("time") <= F.lit(args.end).cast("date"))
 
+    cache_stats = {}
+    if args.cache_dir:
+        # Granule cache (reference processor.py:49-53, 342-367 as S5/S6 +
+        # J5): append only the granules whose (tile_id, date) is not yet
+        # cached, then feed the pipeline from the cache — a rerun over an
+        # extended date range reprocesses nothing it already has.
+        import os
+
+        from bloomy_etl_spark.sinks.writers import write_cache_partition
+
+        if os.path.isdir(args.cache_dir) and any(
+            f.startswith("tile_id=") for f in os.listdir(args.cache_dir)
+        ):
+            idx = spark.read.parquet(args.cache_dir).select("tile_id", "date").distinct()
+            fresh = px.join(
+                idx,
+                (px.tile_id == idx.tile_id) & (F.to_date(px.time) == idx.date),
+                "left_anti",
+            )
+        else:
+            fresh = px
+        n_fresh = fresh.count()
+        if n_fresh:
+            write_cache_partition(fresh, args.cache_dir)
+        cached = spark.read.parquet(args.cache_dir).drop("date")
+        if args.start:
+            cached = cached.filter(F.col("time") >= F.lit(args.start).cast("timestamp"))
+        if args.end:
+            cached = cached.filter(F.to_date("time") <= F.lit(args.end).cast("date"))
+        px = cached
+        cache_stats = {"cache_dir": args.cache_dir, "granule_rows_added": n_fresh}
+
     q = replace(DEFAULT_QUALITY, contamination_reject=args.cloud_cover)
     result = run_pipeline(
         px,
@@ -106,9 +149,22 @@ def main(argv: list[str] | None = None) -> dict:
         "cube_rows": spark.read.parquet(paths["cube"]).count(),
         "n_events": result.events.count() if not args.no_detect else 0,
         "paths": paths,
+        **cache_stats,
     }
     if args.export_geotiff:
         summary.update(_export(spark, paths["cube"], args))
+    if args.export_netcdf:
+        from bloomy_etl_spark.sinks.netcdf import export_netcdf
+
+        nc_dir = args.netcdf_dir or f"{args.output}/netcdf"
+        manifest = export_netcdf(spark.read.parquet(paths["cube"]), nc_dir)
+        summary.update({"netcdf_dir": nc_dir, "n_netcdf": manifest.count()})
+    if args.cache_dir and not args.keep_cache:
+        # reference pipeline.py:178-182: the cache is scratch unless kept
+        import shutil
+
+        shutil.rmtree(args.cache_dir, ignore_errors=True)
+        summary["cache_removed"] = True
     print(json.dumps(summary))
     return summary
 

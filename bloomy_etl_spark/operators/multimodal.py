@@ -52,22 +52,32 @@ MEDIA_SCHEMA = STypes.StructType(
 
 
 def _decode_payload(payload: bytes, kind: str, codec: str = "auto") -> dict:
-    """Decode step. ``codec="auto"``: a real deployment imports the codec
-    here (PIL for images, soundfile/librosa for audio, av for video); none
-    ship in this container, so it falls through to the stub.
-    ``codec="stub"``: ALWAYS the deterministic byte statistics —
-    environment-independent, which is what the oracle-checked q37 pins
-    (its DuckDB oracle replicates exactly these formulas in SQL)."""
-    if codec == "auto":  # pragma: no cover - codec not installed here
-        try:
-            import PIL.Image  # noqa: F401
-
-            raise NotImplementedError(
-                "real image decode path not wired; container lacks test images"
-            )
-        except ImportError:
-            pass
+    """Decode step. ``codec="auto"`` tries the real codec first — PIL for
+    images (decoded-pixel statistics over the luminance plane); audio
+    (soundfile) and video (av) hang off the same seam — and falls back to
+    the deterministic byte-statistics stub when the codec is missing
+    (this container) or the payload does not parse. ``codec="stub"``
+    FORCES the byte statistics — environment-independent, which is what
+    the oracle-checked q37 pins (its DuckDB oracle replicates exactly
+    these formulas in SQL); the stats keys are identical either way, so
+    downstream schemas never change with the environment."""
     digest = hashlib.sha256(payload).digest()
+    if codec == "auto" and kind == "image":  # pragma: no cover - PIL absent here
+        try:
+            import io
+
+            from PIL import Image
+
+            arr = np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
+            return {
+                "byte_mean": float(arr.sum(dtype=np.int64)) / max(arr.size, 1),
+                "byte_entropy_proxy": np.unique(arr).size / 256.0,
+                "content_hash": digest.hex()[:16],
+            }
+        except ImportError:
+            pass  # no codec in this deployment -> byte-domain stats
+        except Exception:
+            pass  # undecodable payload -> byte-domain stats
     arr = np.frombuffer(payload, dtype=np.uint8)
     n = max(arr.size, 1)
     return {

@@ -26,22 +26,6 @@ _DEFAULTS: dict[str, str] = {
     # silent NULL on bad casts); ANSI mode would change division/cast
     # semantics mid-query.
     "spark.sql.ansi.enabled": "false",
-    # --- scale/perf ---
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # Let AQE coalesce post-shuffle partitions to the advisory size rather
-    # than preserving task-count parallelism: on this deployment (local,
-    # single-digit-MB shuffles) 32 near-empty reduce tasks per stage cost
-    # more scheduling than they buy in parallelism. The advisory is a
-    # DEPLOYMENT sizing knob: 1m fits the bench's shuffle volumes while
-    # leaving compute-heavy stages (shingle posting lists, pair
-    # generation — several MB) multiple partitions wide; a cluster run at
-    # real scale should raise it to 64-256m (partitions there exceed any
-    # advisory, so coalescing simply stops firing — plan shapes are
-    # unchanged).
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
-    "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.compression.codec": "zstd",
@@ -49,8 +33,6 @@ _DEFAULTS: dict[str, str] = {
     # The events fixture stores TIMESTAMP(NANOS); Spark rejects it unless
     # read as raw int64 ns — sources/tables.py converts ns → µs timestamp.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # local[N] has no network shuffle; keep partition count near core count.
-    "spark.sql.shuffle.partitions": "32",
     # Small fixture files land in one input split by default (128 MB
     # target), serializing compute-heavy scans (shingling, hashing) onto a
     # single core. Force at least one split per core; at cluster scale
@@ -58,6 +40,37 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.files.minPartitionNum": "32",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "48g",
+}
+
+# Deployment sizing profiles. The plans this engine builds are identical
+# under either profile — only runtime scheduling knobs differ.
+#
+# CLUSTER (any non-local master): AQE on — runtime coalescing, skew-join
+# splitting, and plan re-optimization pay for themselves when a shuffle
+# partition is hundreds of MB and a straggler costs minutes. Shuffle
+# partitions sized generously and AQE shrinks per-stage.
+_CLUSTER_PROFILE: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "2048",
+}
+# LOCAL (local[N] master — tests and the sf0.1 bench): AQE OFF. Its
+# per-stage re-planning round-trips the driver between every shuffle
+# stage; with single-digit-MB shuffles and many short stages that
+# overhead was measured at 30-40% of corpus wall-clock (interleaved
+# min-of-3 A/B at sf0.1: AQE on 28.3s vs off/sp=8 17.0s), while the
+# benefits AQE exists for (coalescing oversized stages, splitting
+# hundred-MB skew) have nothing to act on. Skew that is ALGORITHMIC
+# (hot LSH buckets) is handled explicitly in the operators
+# (dedup.bucket_pairs), not left to AQE, so this profile loses no
+# correctness or robustness. Shuffle partitions sized to the data, not
+# the core count: 16 partitions x ~MB each keeps every stage's task
+# batch in one scheduler wave while leaving the compute-bound
+# post-shuffle stages (posting-list pair expansion) enough width.
+_LOCAL_PROFILE: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.shuffle.partitions": "16",
 }
 
 
@@ -73,6 +86,7 @@ def get_spark(app_name: str = "bloomy_etl_spark", master: str | None = None,
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    conf.update(_LOCAL_PROFILE if master.startswith("local") else _CLUSTER_PROFILE)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -50,3 +50,32 @@ def test_cli_export_only_reuses_existing_cube(spark, tmp_path):
     assert summary["mode"] == "export-only"
     assert summary["n_rasters"] >= 1
     assert os.path.isdir(summary["geotiff_dir"])
+
+
+def test_cli_cache_incremental_and_netcdf(spark, tmp_path):
+    """--cache-dir: run 1 populates the (tile, date) granule cache; run 2
+    over a WIDER date range appends only the uncached granules (the J5
+    anti-join skip — reference processor.py:49-53). --keep-cache retains
+    the dir; --export-netcdf writes the per-date interop files."""
+    cache = str(tmp_path / "cache")
+    r1 = main(["--sf-dir", SF, "--output", str(tmp_path / "o1"),
+               "--end", "2024-01-02", "--disable-quality-filter",
+               "--cache-dir", cache, "--keep-cache", "--no-detect"])
+    assert r1["granule_rows_added"] > 0
+    assert os.path.isdir(cache)
+    # identical rerun: every granule cached -> nothing added
+    r2 = main(["--sf-dir", SF, "--output", str(tmp_path / "o2"),
+               "--end", "2024-01-02", "--disable-quality-filter",
+               "--cache-dir", cache, "--keep-cache", "--no-detect"])
+    assert r2["granule_rows_added"] == 0
+    assert r2["cube_rows"] == r1["cube_rows"]
+    # wider range: only the new days' granules are added
+    r3 = main(["--sf-dir", SF, "--output", str(tmp_path / "o3"),
+               "--end", "2024-01-03", "--disable-quality-filter",
+               "--cache-dir", cache, "--no-detect", "--export-netcdf"])
+    assert 0 < r3["granule_rows_added"] < r1["granule_rows_added"] + r3["granule_rows_added"]
+    assert r3["cube_rows"] > r1["cube_rows"]
+    assert r3["n_netcdf"] >= 1 and os.path.isdir(r3["netcdf_dir"])
+    # no --keep-cache on the last run -> scratch cache removed
+    assert r3.get("cache_removed") is True
+    assert not os.path.isdir(cache)
