@@ -359,8 +359,11 @@ def q15_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # takes min(string) over the tiny intermediate (bounded by
     # groups × brand-type domain, dimension-sized at any fact scale).
     inter = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        # orders-first: both joins broadcast, but feeding the (smaller
+        # build payload) orders join first measured consistently faster
+        # at sf0.1 than part-first
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("name_head", "order_year", "order_month", "brand_type")
         .agg(
             F.count(F.lit(1)).alias("_n"),
