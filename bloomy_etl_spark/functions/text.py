@@ -42,11 +42,10 @@ def md5_int(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles → array<string>. Sequence-sensitive (unlike
-    word sets), the standard unit for near-dup Jaccard/MinHash.
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """ALL n-word grams in order (with repeats) → array<string>.
 
-    Built by zipping n shifted slices of the token array — shingle k is
+    Built by zipping n shifted slices of the token array — gram k is
     ``ws[k] ws[k+1] … ws[k+n-1]`` — so the tokenizing ``split`` runs O(n)
     times per ROW. The obvious alternative (``element_at(ws, i+j)`` inside
     a ``transform`` lambda) embeds the full ``split`` expression in the
@@ -58,9 +57,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     z = F.slice(ws, 1, m)
     for j in range(1, n):
         z = F.zip_with(z, F.slice(ws, j + 1, m), lambda a, b: F.concat_ws(" ", a, b))
-    return F.when(F.size(ws) >= n, F.array_distinct(z)).otherwise(
-        F.array(F.concat_ws(" ", ws))
-    )
+    return F.when(F.size(ws) >= n, z).otherwise(F.array(F.concat_ws(" ", ws)))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles → array<string>. Sequence-sensitive (unlike
+    word sets), the standard unit for near-dup Jaccard/MinHash."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 # ---------------------------------------------------------------------------
@@ -100,6 +103,74 @@ def quality_score(text: Column) -> Column:
     diversity = unique_word_ratio(text)
     punct_ok = F.when(punct_ratio(text) < 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
     return (length_ok + sw + diversity + punct_ok) / 4.0
+
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate signals (Gopher- and C4-style quality rules)
+# ---------------------------------------------------------------------------
+#
+# These operate on an ALREADY-BOUND gram array column (produced by
+# word_ngrams and selected into an attribute first). Passing the raw
+# word_ngrams(...) expression would embed the tokenizer inside the lambda
+# bodies below, where higher-order functions re-evaluate it per ELEMENT —
+# the word_shingles pitfall. Callers do:
+#
+#   df.select(..., word_ngrams(F.col("text"), 2).alias("g2"))
+#     .select(..., dup_gram_fraction(F.col("g2")), ...)
+
+
+def dup_gram_fraction(grams: Column) -> Column:
+    """Fraction of grams that are repeats of an earlier gram:
+    1 − distinct/total. The C4/Gopher "duplicate n-gram fraction" signal —
+    high values mean boilerplate or looping text."""
+    return 1.0 - F.size(F.array_distinct(grams)) / F.size(grams)
+
+
+def top_gram_fraction(grams: Column) -> Column:
+    """Occurrence share of the single most frequent gram — Gopher's
+    "fraction of text in the most common n-gram" rule.
+
+    Computed in-row (count each DISTINCT gram with a filter pass): O(d·t)
+    per row, zero shuffles, fine for web-document lengths. For corpora of
+    very long documents the explode → (doc, gram) count → max-per-doc
+    shape trades that per-row quadratic for one shuffle keyed by
+    (doc, gram); this in-row form keeps the whole quality stack a pure
+    projection pipelined with the scan."""
+    counts = F.transform(
+        F.array_distinct(grams), lambda x: F.size(F.filter(grams, lambda y: y == x))
+    )
+    return F.array_max(counts) / F.size(grams)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing
+# ---------------------------------------------------------------------------
+#
+# Pattern subset chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB oracle): character classes, bounded repetition, \b and \d
+# only — no lookarounds or backreferences.
+
+PII_PATTERNS: dict[str, str] = {
+    "url": r"https?://[A-Za-z0-9./_%-]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,2}-\d{3}-\d{3,4}-\d{4}",
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Number of matches of one PII pattern."""
+    return F.size(F.regexp_extract_all(text, F.lit(f"({PII_PATTERNS[kind]})"), 0))
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace every PII match with a typed mask token (<URL>, <EMAIL>,
+    <IPV4>, <PHONE>). URL first: an email-like substring inside a URL path
+    must not be double-masked."""
+    out = text
+    for kind in ("url", "email", "ipv4", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
 
 
 # ---------------------------------------------------------------------------

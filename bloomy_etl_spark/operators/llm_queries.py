@@ -249,6 +249,115 @@ def q37_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per language: duplicate
+    2/3-gram fractions and most-common-2-gram share, plus a count of docs
+    flagged repetitive (top-2-gram share > 0.1). The gram arrays are bound
+    to attributes BEFORE the metric lambdas touch them (the word_shingles
+    re-evaluation pitfall); the whole stack is a pure projection — zero
+    extra shuffles beyond the final per-lang aggregate."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    bound = docs.select(
+        "lang",
+        T.word_ngrams(F.col("text"), 2).alias("g2"),
+        T.word_ngrams(F.col("text"), 3).alias("g3"),
+    )
+    feats = bound.select(
+        "lang",
+        T.dup_gram_fraction(F.col("g2")).alias("dup2"),
+        T.dup_gram_fraction(F.col("g3")).alias("dup3"),
+        T.top_gram_fraction(F.col("g2")).alias("top2"),
+    )
+    return (
+        feats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup2"), 4).alias("avg_dup_2gram"),
+            F.round(F.avg("dup3"), 4).alias("avg_dup_3gram"),
+            F.round(F.avg("top2"), 4).alias("avg_top_2gram"),
+            F.sum((F.col("top2") > 0.1).cast("long")).alias("n_repetitive"),
+        )
+        .transform(_psort, "lang")
+    )
+
+
+def q40_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + scrub over web-shaped text. The fixture corpus is
+    clean bag-of-words, so PII is synthesized deterministically from
+    doc_id (same precedent as q37's media payloads): emails on id%5,
+    URLs on id%7, IPv4s on id%11, phones on id%13 — then the
+    detect/scrub operators run for real and the per-source counts and
+    masked-length deltas are oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+        )).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(
+            F.lit(" see https://data.example.org/doc/"), did.cast("string")
+        )).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.concat(
+            F.lit(" host 10."), (did % 200).cast("string"),
+            F.lit(".0."), (did % 250).cast("string")
+        )).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.concat(
+            F.lit(" call +1-555-"), F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"), F.lpad((did % 10000).cast("string"), 4, "0")
+        )).otherwise(F.lit("")),
+    )
+    base = docs.select("source", aug.alias("aug"))
+    feats = base.select(
+        "source",
+        T.pii_count(F.col("aug"), "email").alias("c_email"),
+        T.pii_count(F.col("aug"), "url").alias("c_url"),
+        T.pii_count(F.col("aug"), "ipv4").alias("c_ipv4"),
+        T.pii_count(F.col("aug"), "phone").alias("c_phone"),
+        (F.length("aug") - F.length(T.scrub_pii(F.col("aug")))).alias("len_delta"),
+    )
+    any_pii = (F.col("c_email") + F.col("c_url") + F.col("c_ipv4") + F.col("c_phone")) > 0
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(any_pii.cast("long")).alias("n_with_pii"),
+            F.sum("c_email").alias("n_emails"),
+            F.sum("c_url").alias("n_urls"),
+            F.sum("c_ipv4").alias("n_ipv4"),
+            F.sum("c_phone").alias("n_phones"),
+            F.round(F.avg("len_delta"), 4).alias("avg_len_delta"),
+        )
+        .transform(_psort, "source")
+    )
+
+
+def q41_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (deterministic coarse centroids → inverted lists →
+    nprobe probing → exact re-rank). Fully deterministic, so the DuckDB
+    oracle replays the algorithm exactly; recall vs exact top-k is
+    asserted separately in tests."""
+    from bloomy_etl_spark.operators.similarity import ivf_topk
+
+    embs = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    queries = embs.filter(F.col("vec_id") % 100 == 0)
+    out = ivf_topk(embs, queries, k=5, centroid_stride=40, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    ).transform(_psort, "query_id", "rank")
+
+
+def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pipeline COMPLETION: exact-Jaccard pairs → connected
+    components (bounded-round min-label propagation, one lazy plan) →
+    per-cluster summary (representative id, size, max member). This is the
+    step that turns a pair list into a keep/drop decision; the DuckDB
+    oracle computes the same components with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = D.ngram_jaccard_pairs(docs)
+    return D.dedup_clusters(pairs).transform(_psort, "cluster_id")
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -264,6 +373,10 @@ LLM_QUERIES = {
     # hyperplane buckets in SQL, q37's pins the stub codec's arithmetic
     "q36_ann_lsh_topk": q36_ann_lsh_topk,
     "q37_multimodal_decode": q37_multimodal_decode,
+    "q39_repetition_metrics": q39_repetition_metrics,
+    "q40_pii_scrub": q40_pii_scrub,
+    "q41_ivf_ann_topk": q41_ivf_ann_topk,
+    "q42_dedup_clusters": q42_dedup_clusters,
 }
 
 
@@ -583,5 +696,150 @@ LLM_ORACLE_SQL = {
                ROUND(AVG(byte_entropy_proxy), 4) AS avg_entropy,
                COUNT(DISTINCT content_hash) AS n_distinct
         FROM full_stats GROUP BY kind ORDER BY kind
+    """,
+    # q39: the gram arrays mirror word_ngrams (ALL grams in order, short
+    # docs collapse to one whole-text gram); list functions mirror the
+    # in-row Spark lambdas exactly.
+    "q39_repetition_metrics": f"""
+        WITH toks AS (SELECT lang, {_TOKENS} AS ws FROM documents),
+        grams AS (
+            SELECT lang,
+                   CASE WHEN len(ws) >= 2
+                        THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                        ELSE [array_to_string(ws, ' ')] END AS g2,
+                   CASE WHEN len(ws) >= 3
+                        THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              for i in range(1, len(ws) - 1)]
+                        ELSE [array_to_string(ws, ' ')] END AS g3
+            FROM toks
+        ),
+        feats AS (
+            SELECT lang,
+                   1.0 - len(list_distinct(g2)) / len(g2) AS dup2,
+                   1.0 - len(list_distinct(g3)) / len(g3) AS dup3,
+                   list_max(list_transform(list_distinct(g2),
+                       x -> len(list_filter(g2, y -> y = x)))) / len(g2) AS top2
+            FROM grams
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(AVG(dup2), 4) AS avg_dup_2gram,
+               ROUND(AVG(dup3), 4) AS avg_dup_3gram,
+               ROUND(AVG(top2), 4) AS avg_top_2gram,
+               SUM(CASE WHEN top2 > 0.1 THEN 1 ELSE 0 END) AS n_repetitive
+        FROM feats GROUP BY lang ORDER BY lang
+    """,
+    # q40: same deterministic PII synthesis from doc_id, same Java/RE2-safe
+    # patterns, scrub via global regexp_replace in the same order.
+    "q40_pii_scrub": r"""
+        WITH aug AS (
+            SELECT source,
+                   text
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' see https://data.example.org/doc/' || CAST(doc_id AS VARCHAR)
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                                || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                           ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                                || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END AS aug
+            FROM documents
+        ),
+        feats AS (
+            SELECT source,
+                   len(regexp_extract_all(aug, '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})')) AS c_email,
+                   len(regexp_extract_all(aug, '(https?://[A-Za-z0-9./_%-]+)')) AS c_url,
+                   len(regexp_extract_all(aug, '(\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)')) AS c_ipv4,
+                   len(regexp_extract_all(aug, '(\+\d{1,2}-\d{3}-\d{3,4}-\d{4})')) AS c_phone,
+                   LENGTH(aug) - LENGTH(
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
+                           'https?://[A-Za-z0-9./_%-]+', '<URL>', 'g'),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+                           '\+\d{1,2}-\d{3}-\d{3,4}-\d{4}', '<PHONE>', 'g')
+                   ) AS len_delta
+            FROM aug
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(CASE WHEN c_email + c_url + c_ipv4 + c_phone > 0 THEN 1 ELSE 0 END) AS n_with_pii,
+               SUM(c_email) AS n_emails, SUM(c_url) AS n_urls,
+               SUM(c_ipv4) AS n_ipv4, SUM(c_phone) AS n_phones,
+               ROUND(AVG(len_delta), 4) AS avg_len_delta
+        FROM feats GROUP BY source ORDER BY source
+    """,
+    # q41: exact replay of the deterministic IVF algorithm — same centroid
+    # choice, same cosine formula/accumulation order, same tie-breaks
+    # (assignment: cos DESC then cid ASC, matching Spark's
+    # max_by(cid, struct(cos, -cid))).
+    "q41_ivf_ann_topk": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        cents AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id % 40 = 0),
+        corpus AS (SELECT vec_id AS neighbor_id, vec AS nv FROM v),
+        assign_scored AS (
+            SELECT neighbor_id, nv, cid,
+                   {_COS.format(a='nv', b='cvec')} AS cos_c
+            FROM corpus CROSS JOIN cents
+        ),
+        assigned AS (
+            SELECT neighbor_id, nv, cid AS cluster_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                                             ORDER BY cos_c DESC, cid) AS rn
+                FROM assign_scored
+            ) WHERE rn = 1
+        ),
+        qs AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id % 100 = 0),
+        probe_scored AS (
+            SELECT query_id, qv, cid,
+                   {_COS.format(a='qv', b='cvec')} AS cos_c
+            FROM qs CROSS JOIN cents
+        ),
+        probes AS (
+            SELECT query_id, qv, cid AS cluster_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cos_c DESC, cid) AS rn
+                FROM probe_scored
+            ) WHERE rn <= 8
+        ),
+        cands AS (
+            SELECT p.query_id, a.neighbor_id, p.qv, a.nv
+            FROM assigned a JOIN probes p ON a.cluster_id = p.cluster_id
+            WHERE p.query_id <> a.neighbor_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   {_COS.format(a='qv', b='nv')} AS cos_sim
+            FROM cands
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+    # q42: same exact-Jaccard pair graph as q31, components via recursive
+    # transitive closure (min reachable id = the Spark label fixpoint).
+    "q42_dedup_clusters": f"""
+        WITH RECURSIVE {_SHINGLES_CTE.strip()},
+        p AS (SELECT i, j FROM jac WHERE jaccard >= 0.8),
+        e AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+        reach(a, b) AS (
+            SELECT a, b FROM e
+            UNION
+            SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+            WHERE e2.b <> r.a
+        ),
+        lbl AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)
+        SELECT label AS cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc
+        FROM lbl GROUP BY label ORDER BY cluster_id
     """,
 }

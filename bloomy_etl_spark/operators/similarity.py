@@ -78,6 +78,79 @@ def lsh_bucket(vec_col, table: int, bits: int, dim: int):
     return acc
 
 
+def ivf_topk(embs: DataFrame, queries: DataFrame, k: int = 5,
+             centroid_stride: int = 40, nprobe: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into inverted lists, probe
+    only the ``nprobe`` lists nearest each query, exact-cosine re-rank.
+
+    The coarse centroids are deterministic corpus members
+    (``id % centroid_stride == 0``) rather than trained k-means means —
+    the IVF *search* mechanics (assignment, inverted lists, probing,
+    re-rank) are identical, and determinism is what makes the whole
+    operator reproducible across engines (the DuckDB oracle replays it
+    exactly; recall vs exact top-k is measured separately in tests).
+
+    Scale shape: the centroid table is tiny and broadcast; corpus
+    assignment is a broadcast nested-loop score + per-id partial-aggregate
+    ``max_by`` (map-side combine collapses the K candidate rows per vector
+    before any shuffle, so shuffle volume is one row per corpus vector —
+    at ingest time this assignment would be computed once and stored as a
+    cluster column, making search itself partition-prunable on
+    ``cluster_id``). Queries probe nprobe centroids each; candidates =
+    inverted lists of probed centroids only, so re-rank cost is
+    |q| · (nprobe/K) · n instead of |q| · n."""
+    cents = embs.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("_ncent"),
+    )
+    corpus = embs.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("_nn"),
+    )
+    # assignment: argmax cosine over centroids, ties to the smallest cid
+    # (max of (cos, -cid) struct is lexicographic). any_value is
+    # deterministic here: nv/_nn are constant within a neighbor_id group.
+    scored = corpus.join(F.broadcast(cents), F.lit(True)).withColumn(
+        "cos_c", dot(F.col("nv"), F.col("cvec")) / (F.col("_nn") * F.col("_ncent"))
+    )
+    assigned = scored.groupBy("neighbor_id").agg(
+        F.max_by(F.col("cid"), F.struct(F.col("cos_c"), -F.col("cid"))).alias("cluster_id"),
+        F.any_value(F.col("nv")).alias("nv"),
+        F.any_value(F.col("_nn")).alias("_nn"),
+    )
+    # probe lists: top-nprobe centroids per query (query side is tiny)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("_nq"),
+    )
+    qscored = q.join(F.broadcast(cents), F.lit(True)).withColumn(
+        "cos_c", dot(F.col("qv"), F.col("cvec")) / (F.col("_nq") * F.col("_ncent"))
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid")
+    )
+    probes = (
+        qscored.withColumn("probe_rank", F.row_number().over(wprobe))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qv", "_nq", F.col("cid").alias("cluster_id"))
+    )
+    # candidates: inverted lists of probed clusters; a neighbor lives in
+    # exactly ONE list, so no per-pair dedup is needed (unlike LSH)
+    cands = assigned.join(F.broadcast(probes), "cluster_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    rescored = cands.withColumn(
+        "cos_sim", dot(F.col("qv"), F.col("nv")) / (F.col("_nq") * F.col("_nn"))
+    ).select("query_id", "neighbor_id", "cos_sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_topk(embs: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
              bits: int = 8, tables: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

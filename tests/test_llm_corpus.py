@@ -141,3 +141,125 @@ def test_ngram_posting_cap_noop_when_above_max_freq(spark):
     # reported jaccard under a cap is a lower bound of the uncapped value
     for r in lo:
         assert r["jaccard"] <= base[(r["i"], r["j"])] + 1e-9
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with nprobe=8 of ~13 lists at sf0.01 must recover most of the
+    exact top-5 sets; subset property holds because IVF re-ranks with the
+    identical cosine formula."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in LLM_QUERIES["q33_cosine_topk"](spark, SF_ORACLE).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in LLM_QUERIES["q41_ivf_ann_topk"](spark, SF_ORACLE).collect()
+    }
+    assert len(ivf & exact) >= 0.6 * len(exact), (
+        f"IVF recall too low: {len(ivf & exact)}/{len(exact)}"
+    )
+
+
+def test_connected_components_chain_and_convergence(spark):
+    """A 5-node path graph has diameter 4: bounded rounds must be honest
+    about reachability (rounds=1 leaves far nodes unresolved), and
+    converge=True must reach the fixpoint where every node takes label 1."""
+    from bloomy_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["i", "j"]
+    )
+    conv = {
+        r["node"]: r["label"]
+        for r in connected_components(pairs, converge=True).collect()
+    }
+    assert conv == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    fixed4 = {
+        r["node"]: r["label"]
+        for r in connected_components(pairs, rounds=4).collect()
+    }
+    assert fixed4 == conv
+    one = {
+        r["node"]: r["label"]
+        for r in connected_components(pairs, rounds=1).collect()
+    }
+    assert one[5] == 4  # one hop only: 5 sees 4's id, not 1 yet
+
+
+def test_fixture_components_converge_at_q42_rounds(spark):
+    """The q42 bounded-round result equals the true fixpoint on the
+    fixture pair graph — guards the fixed-rounds choice against a fixture
+    regeneration that introduces longer near-dup chains."""
+    from bloomy_etl_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+    from bloomy_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    pairs = ngram_jaccard_pairs(docs)
+    fixed = sorted(
+        (r["node"], r["label"]) for r in connected_components(pairs, rounds=3).collect()
+    )
+    conv = sorted(
+        (r["node"], r["label"])
+        for r in connected_components(pairs, converge=True).collect()
+    )
+    assert fixed == conv
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from bloomy_etl_spark.functions.text import pii_count, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            ("a", "mail me at jane.doe+x@sub.example.co.uk today"),
+            ("b", "fetch https://example.org/path_4/file-2.txt and http://x.io/a"),
+            ("c", "server 192.168.0.1 and 10.0.0.255 up"),
+            ("d", "call +1-555-123-4567 or +44-202-5550-9999"),
+            ("e", "clean text with no pii at all"),
+        ],
+        ["k", "t"],
+    )
+    out = {
+        r["k"]: r
+        for r in df.select(
+            "k",
+            scrub_pii(F.col("t")).alias("scrubbed"),
+            pii_count(F.col("t"), "email").alias("ne"),
+            pii_count(F.col("t"), "url").alias("nu"),
+            pii_count(F.col("t"), "ipv4").alias("ni"),
+            pii_count(F.col("t"), "phone").alias("np"),
+        ).collect()
+    }
+    assert out["a"]["scrubbed"] == "mail me at <EMAIL> today"
+    assert out["a"]["ne"] == 1
+    assert out["b"]["scrubbed"] == "fetch <URL> and <URL>"
+    assert out["b"]["nu"] == 2
+    assert out["c"]["scrubbed"] == "server <IPV4> and <IPV4> up"
+    assert out["c"]["ni"] == 2
+    assert out["d"]["scrubbed"] == "call <PHONE> or <PHONE>"
+    assert out["d"]["np"] == 2
+    assert out["e"]["scrubbed"] == "clean text with no pii at all"
+    assert (out["e"]["ne"], out["e"]["nu"], out["e"]["ni"], out["e"]["np"]) == (0, 0, 0, 0)
+
+
+def test_repetition_metrics_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from bloomy_etl_spark.functions.text import (
+        dup_gram_fraction,
+        top_gram_fraction,
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame([("x", "a b a b a")], ["k", "t"])
+    bound = df.select("k", word_ngrams(F.col("t"), 2).alias("g2"))
+    r = bound.select(
+        F.size("g2").alias("n"),
+        dup_gram_fraction(F.col("g2")).alias("dup"),
+        top_gram_fraction(F.col("g2")).alias("top"),
+    ).collect()[0]
+    # grams: [a b, b a, a b, b a] -> 4 total, 2 distinct
+    assert r["n"] == 4
+    assert abs(r["dup"] - 0.5) < 1e-12
+    assert abs(r["top"] - 0.5) < 1e-12
