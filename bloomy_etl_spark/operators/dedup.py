@@ -652,7 +652,20 @@ def connected_components(pairs: DataFrame, i_col: str = "i", j_col: str = "j",
     # (measured 5.3s → 2.4s on the q42 shape at sf0.1, rounds=3).
     # Symmetric edges mean every pair member appears as a key, so the
     # adjacency table doubles as the node set for label init.
+    #
+    # LAZY checkpoint (eager=False): iterative plans reference the
+    # adjacency 2+rounds times, and ReuseExchange only dedupes the
+    # exchange itself — each nested BroadcastExchange above it re-runs
+    # the post-shuffle tail and pays a sequential broadcast build per
+    # round (measured: rounds=3 lazy plan 4.2s vs 1.7s checkpointed on
+    # the q42 shape at sf0.1). The lazy checkpoint truncates the plan at
+    # the adjacency while deferring ALL compute to the first action, so
+    # the operator still composes with no driver work at build time. On
+    # a multi-executor cluster you would swap this for a reliable
+    # `checkpoint()` (localCheckpoint loses partitions on executor
+    # failure); the iteration structure is identical.
     adj = edges.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    adj = adj.localCheckpoint(eager=False)
     # Self-loop folded into the adjacency: min over (self + neighbors)
     # equals the union-with-own-label formulation but references the
     # labels table ONCE per round. A `lbl.union(nbr(lbl))` step doubles
