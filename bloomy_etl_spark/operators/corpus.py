@@ -1,0 +1,251 @@
+"""Training-corpus assembly operators.
+
+The curation steps a large-scale LLM-data pipeline runs AFTER scoring and
+dedup (functions/text.py, operators/dedup.py): stitching event streams
+into sessions, screening the corpus against evaluation benchmarks,
+assigning deterministic train/val/test splits, packing documents into
+fixed token budgets, and profiling the result (exact length percentiles,
+corpus-level n-gram frequencies).
+
+Everything is expressed as JVM-side DataFrame transforms (window
+functions, hash expressions, explode+agg) — no Python UDFs — and every
+operator is oracle-checked against DuckDB through q43–q48 in
+operators/llm_queries.py.
+
+Scale notes are per-operator; the common theme is that each op is one
+shuffle on a natural key (user, shingle, gram, partition column) with
+map-side partial aggregation, so the plans survive a 1000-executor
+100 TB run unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.functions import text as T
+
+# ---------------------------------------------------------------------------
+# sessionization (event stream -> session table)
+# ---------------------------------------------------------------------------
+
+
+def sessionize(events: DataFrame, gap_s: int = 8 * 3600,
+               user_col: str = "user_id", ts_col: str = "ts",
+               tiebreak_col: str = "event_id") -> DataFrame:
+    """Assign a per-user session sequence number to every event.
+
+    A new session starts at the first event of a user and whenever the
+    gap to the previous event exceeds ``gap_s`` seconds — the standard
+    inactivity-gap sessionization used to stitch raw interaction logs
+    into conversation/visit units for training-data assembly.
+
+    Implementation: one window over (user, ts, tiebreak) — ``lag`` for
+    the gap test, then a running sum of session-break flags. Timestamp
+    arithmetic is integer microseconds (``unix_micros``), never float:
+    epoch-µs exceeds double's 53-bit mantissa.
+
+    Scale: ONE shuffle on ``user_col``; within a partition the window is
+    a linear scan. Per-user event counts bound the task memory (no
+    unbounded frame state). A pathological single hot user serializes
+    onto one task — at that point sessionize in two passes (coarse time
+    bucket + stitch across boundaries), which preserves these semantics.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    brk = F.when(prev.isNull() | (us - prev > gap_s * 1_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # two projections: a window function (lag) cannot appear inside
+    # another window aggregate's argument — bind the break flag first.
+    # Both windows share partitioning+ordering, so the plan has ONE
+    # exchange and one sort feeding two WindowExec passes.
+    return (
+        events.withColumn("_brk", brk)
+        .withColumn("session_seq", F.sum("_brk").over(run))
+        .drop("_brk")
+    )
+
+
+def session_summary(events: DataFrame, gap_s: int = 8 * 3600,
+                    user_col: str = "user_id", ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """Per-session rollup: bounds, event count, value total.
+
+    Composes :func:`sessionize` with a hash aggregate on
+    (user, session_seq) — the aggregate reuses the window's partitioning
+    (both key on ``user_col``), so Catalyst plans a single exchange.
+    """
+    return (
+        sessionize(events, gap_s, user_col, ts_col)
+        .groupBy(user_col, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap screen)
+# ---------------------------------------------------------------------------
+
+
+def contamination_hits(docs: DataFrame, bench_pred: Column, n: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Screen training documents against a benchmark subset: for every
+    NON-benchmark document sharing at least one distinct word ``n``-gram
+    with any benchmark document, emit (doc_id, n_hit_shingles).
+
+    This is the decontamination step run before training so evaluation
+    items do not leak into the corpus. ``bench_pred`` selects the
+    benchmark rows out of ``docs`` (in production the benchmark is its
+    own small table; the shape below is identical).
+
+    Scale: the benchmark side is SMALL by construction (eval suites are
+    thousands of items, the corpus is billions) — its distinct-shingle
+    set broadcasts, so the corpus-side scan never shuffles: shingle
+    explode → broadcast-hash semi-probe → partial count per doc. At the
+    point where even the benchmark shingle set outgrows a broadcast,
+    swap the broadcast join for a Bloom filter built with
+    ``df.stat.bloomFilter`` (same plan shape, approximate membership,
+    false positives only ADD review candidates — safe direction).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        bench_pred.alias("_is_bench"),
+        F.explode(T.word_shingles(F.col(text_col), n)).alias("s"),
+    )
+    bench_shingles = sh.filter(F.col("_is_bench")).select("s").distinct()
+    return (
+        sh.filter(~F.col("_is_bench"))
+        .join(F.broadcast(bench_shingles), "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic split assignment (train/val/test)
+# ---------------------------------------------------------------------------
+
+
+def assign_split(docs: DataFrame, id_col: str = "doc_id",
+                 train_pct: int = 90, val_pct: int = 5,
+                 salt: str = "split") -> DataFrame:
+    """Add a deterministic ``split`` column: hash the document id with a
+    salt into [0,100) and threshold into train/val/test bands.
+
+    Hash-based (not random) so the assignment is stable across runs,
+    engines, and repartitioning — any worker, any day, anywhere computes
+    the same split for the same id, which is what makes held-out sets
+    trustworthy. The hash is the portable md5-derived int (bit-identical
+    in the DuckDB oracle); the salt keeps this split independent of any
+    other hash-of-id the pipeline uses (dedup keeps, shard keys).
+
+    Scale: pure map-side expression — no shuffle, no state.
+    """
+    bucket = F.pmod(
+        T.md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), F.lit(100)
+    )
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return docs.withColumn("split", split)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (fixed token-budget bins)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(docs: DataFrame, budget: int = 2048,
+                   part_col: str = "lang", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Assign each document to a token-budget bin: within ``part_col``,
+    documents are taken in deterministic ``id_col`` order and a document
+    opens in the bin where its cumulative token offset lands
+    (``floor(cumsum_before / budget)``) — streaming first-fit packing
+    with overflow, the standard way training examples are packed into
+    fixed-length batches without truncation bookkeeping.
+
+    Emits one row per (partition, bin): document count, token total, and
+    fill ratio (can exceed 1.0 when a document straddles its bin
+    boundary — the overflow the trainer's splitter absorbs).
+
+    Scale: one shuffle on ``part_col`` + a linear running sum per
+    partition. Low-cardinality ``part_col`` (languages) concentrates big
+    partitions onto few tasks; at corpus scale pack per (lang, shard)
+    where shard = hash(id) % K — bins stay budget-sized, parallelism
+    returns, determinism is preserved per shard.
+    """
+    tok = T.bpe_ish_token_count(F.col(text_col))
+    w = Window.partitionBy(part_col).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_bins = docs.select(
+        F.col(part_col),
+        F.col(id_col),
+        tok.alias("n_tok"),
+    ).withColumn(
+        "bin_id", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(budget))
+    )
+    return with_bins.groupBy(part_col, "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.round(F.sum("n_tok") / F.lit(float(budget)), 4).alias("fill_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus profiling: exact percentiles + top n-grams
+# ---------------------------------------------------------------------------
+
+
+def length_percentiles(docs: DataFrame, group_col: str = "lang",
+                       value_col: str = "n_chars") -> DataFrame:
+    """Exact linear-interpolation percentiles (p25/p50/p90/p99) of a
+    numeric column per group — the length-distribution audit run before
+    choosing packing budgets and truncation limits.
+
+    Uses Spark's exact ``percentile`` aggregate (sort-based within each
+    group), not ``approx_percentile``: the audit is per-group on bounded
+    group counts, so exactness costs one sort of each group's values and
+    the result is reproducible bit-for-bit against the oracle. For a
+    percentile over raw corpus-sized value sets (no group bound), switch
+    to ``approx_percentile`` and drop the oracle to rows-only.
+    """
+    pct = F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in (0.25, 0.5, 0.9, 0.99)]))
+    return docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.element_at(pct, 1), 4).alias("p25"),
+        F.round(F.element_at(pct, 2), 4).alias("p50"),
+        F.round(F.element_at(pct, 3), 4).alias("p90"),
+        F.round(F.element_at(pct, 4), 4).alias("p99"),
+    )
+
+
+def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level most-frequent word n-grams (with repeats — frequency,
+    not document frequency). Ties at the cut broken by gram text so the
+    top-k is deterministic.
+
+    Scale: explode → hash-agg with map-side partial counts (the gram key
+    is high-cardinality, so partials shrink the shuffle by the per-task
+    repeat factor) → global top-k via ``orderBy(...).limit(k)``, which
+    Spark executes as TakeOrdered: each task keeps a k-row heap and the
+    driver merges K·tasks rows — no full sort, no large collect.
+    """
+    grams = docs.select(F.explode(T.word_ngrams(F.col(text_col), n)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(k)
+    )

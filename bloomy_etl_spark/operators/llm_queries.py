@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bloomy_etl_spark.functions import text as T
+from bloomy_etl_spark.operators import corpus as C
 from bloomy_etl_spark.operators import dedup as D
 from bloomy_etl_spark.operators.similarity import cosine_topk
 from bloomy_etl_spark.sources.tables import load_table
@@ -358,6 +359,63 @@ def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(pairs).transform(_psort, "cluster_id")
 
 
+def q43_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (8 h) of the event stream → one row
+    per (user, session) with bounds, event count, and value total. The
+    session-assembly step that turns raw interaction logs into training
+    conversation units."""
+    ev = load_table(spark, sf_dir, "events")
+    return C.session_summary(ev, gap_s=8 * 3600).transform(
+        _psort, "user_id", "session_seq"
+    )
+
+
+def q44_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: flag every non-benchmark doc
+    sharing ≥1 distinct 3-gram with the benchmark subset (doc_id % 97 =
+    0 models the held-out eval suite), with the overlap count."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return C.contamination_hits(docs, F.col("doc_id") % 97 == 0).transform(
+        _psort, "doc_id"
+    )
+
+
+def q45_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles (p25/p50/p90/p99) — the
+    distribution audit behind packing-budget / truncation choices."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.length_percentiles(docs).transform(_psort, "lang")
+
+
+def q46_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word trigrams by occurrence (ties broken by
+    gram text) — boilerplate detection input."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return C.top_ngrams(docs, n=3, k=20)
+
+
+def q47_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-hash train/val/test split (90/5/5) rolled up
+    per (lang, split) with doc and token totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        C.assign_split(docs)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.bpe_ish_token_count(F.col("text"))).alias("sum_bpe_tokens"),
+        )
+        .transform(_psort, "lang", "split")
+    )
+
+
+def q48_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-fit token packing into 2048-token bins per
+    language → per-bin doc count, token total, fill ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.pack_sequences(docs, budget=2048).transform(_psort, "lang", "bin_id")
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -377,6 +435,13 @@ LLM_QUERIES = {
     "q40_pii_scrub": q40_pii_scrub,
     "q41_ivf_ann_topk": q41_ivf_ann_topk,
     "q42_dedup_clusters": q42_dedup_clusters,
+    # corpus-assembly operators (operators/corpus.py)
+    "q43_event_sessions": q43_event_sessions,
+    "q44_benchmark_decontam": q44_benchmark_decontam,
+    "q45_length_percentiles": q45_length_percentiles,
+    "q46_top_ngrams": q46_top_ngrams,
+    "q47_split_assignment": q47_split_assignment,
+    "q48_sequence_packing": q48_sequence_packing,
 }
 
 
@@ -841,5 +906,114 @@ LLM_ORACLE_SQL = {
         lbl AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)
         SELECT label AS cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc
         FROM lbl GROUP BY label ORDER BY cluster_id
+    """,
+    # q43: inactivity-gap sessionization — lag in µs, running sum of
+    # break flags, per-session rollup. ORDER BY (ts, event_id) mirrors
+    # the Spark window's deterministic tiebreak.
+    "q43_event_sessions": """
+        WITH g AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                                > 28800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM g
+        )
+        SELECT user_id, session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq
+    """,
+    # q44: same 3-shingle construction as q31's CTE; benchmark = doc_id
+    # % 97 = 0; count distinct-shingle overlaps per non-benchmark doc.
+    "q44_benchmark_decontam": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+        shingled AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 3
+                        THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                            for i in range(1, len(ws) - 1)])
+                        ELSE [array_to_string(ws, ' ')] END AS shingles
+            FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
+        bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0)
+        SELECT ex.doc_id, COUNT(*) AS n_hit_shingles
+        FROM ex JOIN bench USING (s)
+        WHERE ex.doc_id % 97 <> 0
+        GROUP BY 1 ORDER BY doc_id
+    """,
+    # q45: quantile_cont = sorted linear interpolation, the same exact
+    # semantics as Spark's percentile aggregate.
+    "q45_length_percentiles": """
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+               ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
+               ROUND(quantile_cont(n_chars, 0.90), 4) AS p90,
+               ROUND(quantile_cont(n_chars, 0.99), 4) AS p99
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    # q46: trigrams WITH repeats (frequency, not doc-frequency); the
+    # deterministic (n DESC, gram) cut matches the Spark TakeOrdered.
+    "q46_top_ngrams": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+        grams AS (
+            SELECT unnest(
+                CASE WHEN len(ws) >= 3
+                     THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           for i in range(1, len(ws) - 1)]
+                     ELSE [array_to_string(ws, ' ')] END) AS gram
+            FROM toks
+        )
+        SELECT gram, COUNT(*) AS n
+        FROM grams GROUP BY 1 ORDER BY n DESC, gram LIMIT 20
+    """,
+    # q47: the salted md5 bucket is bit-identical to
+    # functions/text.md5_int(concat('split:', doc_id)).
+    "q47_split_assignment": """
+        WITH s AS (
+            SELECT lang, text,
+                   ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 AS bucket
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(GREATEST(
+                   len(regexp_extract_all(text, '(\\w+|[^\\w\\s])')),
+                   CAST(CEIL(LENGTH(text) / 4) AS INT))) AS BIGINT) AS sum_bpe_tokens
+        FROM s GROUP BY 1, 2 ORDER BY lang, split
+    """,
+    # q48: streaming first-fit packing — bin = floor(cumsum-before /
+    # budget) in deterministic doc_id order per language.
+    "q48_sequence_packing": """
+        WITH t AS (
+            SELECT lang, doc_id,
+                   GREATEST(
+                       len(regexp_extract_all(text, '(\\w+|[^\\w\\s])')),
+                       CAST(CEIL(LENGTH(text) / 4) AS INT)) AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT lang, n_tok,
+                   CAST(FLOOR((SUM(n_tok) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tok) / 2048.0) AS BIGINT)
+                       AS bin_id
+            FROM t
+        )
+        SELECT lang, bin_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+               ROUND(SUM(n_tok) / 2048.0, 4) AS fill_ratio
+        FROM c GROUP BY 1, 2 ORDER BY lang, bin_id
     """,
 }
