@@ -123,3 +123,52 @@ def test_minhash_verify_never_broadcasts_shingle_rows(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_sessionize_single_exchange(spark):
+    """session_summary = window + rollup, both keyed on user_id: the
+    rollup's ClusteredDistribution(user, session_seq) is satisfied by the
+    window's HashPartitioning(user), so the whole operator is ONE
+    exchange — the property that makes sessionization one-shuffle at
+    100 TB."""
+    from bloomy_etl_spark.operators.corpus import session_summary
+    from bloomy_etl_spark.sources.tables import load_table
+
+    df = session_summary(load_table(spark, SF_SMOKE, "events"))
+    plan = plan_string(df)
+    n_exchange = plan.count(") Exchange")
+    assert n_exchange == 1, f"expected 1 exchange, found {n_exchange}:\n{plan}"
+
+
+def test_decontam_broadcasts_benchmark_only(spark):
+    """The corpus-side shingle stream must probe a BROADCAST of the small
+    benchmark shingle set — the corpus never shuffles for the join."""
+    from pyspark.sql import functions as F
+
+    from bloomy_etl_spark.operators.corpus import contamination_hits
+    from bloomy_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = contamination_hits(docs, F.col("doc_id") % 97 == 0)
+    assert_broadcast_join(df, 1)
+    assert_no_cartesian(df)
+
+
+def test_assign_split_is_shuffle_free(spark):
+    """Split assignment is a pure map-side expression: zero exchanges."""
+    from bloomy_etl_spark.operators.corpus import assign_split
+    from bloomy_etl_spark.sources.tables import load_table
+
+    plan = plan_string(assign_split(load_table(spark, SF_SMOKE, "documents")))
+    assert ") Exchange" not in plan, f"unexpected shuffle:\n{plan}"
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Packing = one window (partition by lang) + a rollup on (lang,
+    bin_id) that reuses the window's partitioning: one exchange total."""
+    from bloomy_etl_spark.operators.corpus import pack_sequences
+    from bloomy_etl_spark.sources.tables import load_table
+
+    plan = plan_string(pack_sequences(load_table(spark, SF_SMOKE, "documents")))
+    n_exchange = plan.count(") Exchange")
+    assert n_exchange == 1, f"expected 1 exchange, found {n_exchange}:\n{plan}"
