@@ -342,3 +342,33 @@ class TestStepFunction:
         assert step(st, "d2", None, q) == []  # no drop vs null
         # null then low: prev is null → still no drop
         assert step(st, "d3", 0.1, q) == []
+
+
+class TestBatchStreamSessionEquivalence:
+    def test_session_summary_matches_session_window(self, spark, replay, batch_events):
+        """The batch sessionizer (operators/corpus.py, lag + running sum)
+        and the streaming session_window must carve identical sessions on
+        the fixture: same (user, start) keys, same event counts, same
+        value totals. (Boundary semantics differ only when a gap equals
+        the threshold EXACTLY — measure-zero for microsecond event data;
+        the replay would surface any drift.) sess_end is excluded: the
+        streaming window ends at last_event + gap by definition, the
+        batch summary at the last event itself."""
+        from bloomy_etl_spark.operators.corpus import session_summary
+        from bloomy_etl_spark.streaming.windows import sessionized_user_activity
+        from bloomy_etl_spark.streaming.sources import read_events_stream
+
+        stream = read_events_stream(spark, replay, max_files_per_trigger=3)
+        got = run_to_memory(
+            sessionized_user_activity(stream, gap="6 hours"), "sess_eq", spark
+        ).select(
+            "user_id",
+            F.col("sess_start").alias("session_start"),
+            "n_events",
+            F.round("total_value", 4).alias("sum_value"),
+        )
+        want = session_summary(batch_events, gap_s=6 * 3600).select(
+            "user_id", "session_start", "n_events", "sum_value"
+        )
+        cols = ["user_id", "session_start", "n_events", "sum_value"]
+        pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
