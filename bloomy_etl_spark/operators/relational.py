@@ -494,6 +494,28 @@ def q20_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Q49 — semi-structured extraction (X13): parse the events.props JSON
+# payload in-flight and aggregate over the extracted field. JSON path
+# evaluation (get_json_object) is a JVM-side codegen'd expression — the
+# scan stays one pass, no Python, no second materialization of the
+# payload column.
+# --------------------------------------------------------------------------
+def q49_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.when(k > 75, 1)).alias("n_high"),
+        )
+        .transform(_psort, "event_type")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_revenue_by_region": q2_revenue_by_region,
@@ -515,6 +537,7 @@ QUERIES = {
     "q18_mean_timestamp": q18_mean_timestamp,
     "q19_asof_last_order": q19_asof_last_order,
     "q20_interval_join": q20_interval_join,
+    "q49_json_props": q49_json_props,
 }
 
 
@@ -746,5 +769,13 @@ ORACLE_SQL = {
          AND b.o_orderdate <= a.o_orderdate
         GROUP BY a.o_custkey
         ORDER BY custkey
+    """,
+    "q49_json_props": """
+        SELECT event_type, COUNT(*) AS n_events,
+               ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
+               MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+               COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 75
+                          THEN 1 END) AS n_high
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
