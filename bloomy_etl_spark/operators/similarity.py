@@ -100,10 +100,16 @@ def ivf_topk(embs: DataFrame, queries: DataFrame, k: int = 5,
     ``cluster_id``). Queries probe nprobe centroids each; candidates =
     inverted lists of probed centroids only, so re-rank cost is
     |q| · (nprobe/K) · n instead of |q| · n."""
+    # Lazy checkpoint: the centroid table (|corpus|/stride rows) feeds
+    # TWO broadcast builds (corpus assignment + query probing), and each
+    # un-reused broadcast subtree re-runs the corpus scan underneath it.
+    # Materializing the tiny table once is also the real system shape —
+    # IVF centroids are trained/stored ahead of search, never re-derived
+    # per probe.
     cents = embs.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("_ncent"),
-    )
+    ).localCheckpoint(eager=False)
     corpus = embs.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
         norm(F.col(vec_col)).alias("_nn"),

@@ -81,7 +81,17 @@ def run_pipeline(
     projects each consumer differently and defeats exchange reuse.
     """
     px = with_indices(with_masks(raw_pixels))
-    stats = granule_stats(px)
+    # The per-granule stats table is bounded by granule COUNT (one row
+    # per (tile, timestamp)) — tiny at any raster scale. The gate +
+    # timestamp-filter chain references it in several differently-pruned
+    # subtrees (flag windows, kept list, broadcast build), and each
+    # un-reused reference re-runs the pixel scan + hash-agg underneath
+    # it (measured: 4 source scans on the q38 plan, 0 reused). A LAZY
+    # localCheckpoint truncates every reference to the materialized
+    # stats table while deferring compute to the first action; the
+    # full-size pixel table is deliberately NOT checkpointed — at 100 TB
+    # re-scanning pushed-down parquet is cheaper than caching it.
+    stats = granule_stats(px).localCheckpoint(eager=False)
 
     # Granule gates: the reference's per-granule early return
     # (processor.py:280-292). Then the timestamp filter runs over the
