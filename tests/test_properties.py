@@ -231,3 +231,83 @@ def test_word_shingles_edges(spark):
         ["a b c"],
         ["x y x", "y x y"],
     ]
+
+
+# --------------------------------------------------------------------------
+# corpus-assembly properties: sessionize vs a pure-Python reference,
+# packing conservation under arbitrary token profiles
+# --------------------------------------------------------------------------
+
+event_times = st.lists(
+    st.integers(min_value=0, max_value=3_000_000),  # µs offsets in ~50 min
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(
+    times_by_user=st.dictionaries(
+        st.integers(min_value=1, max_value=4), event_times, min_size=1, max_size=4
+    ),
+    gap_us=st.integers(min_value=1, max_value=2_000_000),
+)
+@settings(**SETTINGS)
+def test_sessionize_matches_python_reference(spark, times_by_user, gap_us):
+    """sessionize == the obvious sequential scan: sort each user's event
+    times, break when the delta exceeds the gap strictly."""
+    import datetime
+
+    from bloomy_etl_spark.operators.corpus import sessionize
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, want = [], {}
+    eid = 0
+    for user, offs in times_by_user.items():
+        seq = 0
+        prev = None
+        for off in sorted(offs):
+            # event ids ordered within (user, ts) so ties are deterministic
+            if prev is None or off - prev > gap_us:
+                seq += 1
+            rows.append((user, base + datetime.timedelta(microseconds=off), eid))
+            want[eid] = seq
+            prev = off
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    gap_s = gap_us / 1_000_000
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, gap_s=gap_s).collect()
+    }
+    assert got == want
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=60),
+    budget=st.integers(min_value=1, max_value=4096),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_matches_python_reference(spark, toks, budget):
+    """pack_sequences == the sequential first-fit-with-overflow packer:
+    doc i opens in bin floor(sum(tokens before i) / budget)."""
+    from collections import defaultdict
+
+    from bloomy_etl_spark.operators.corpus import pack_sequences
+
+    # build texts whose bpe_ish_token_count == the requested token count:
+    # 'a' * (4 * n) has no punctuation and one word -> max(1, ceil(len/4)) = n
+    rows = [("x", i, "a" * (4 * n)) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, text string")
+    got = {
+        (r["bin_id"]): (r["n_docs"], r["bin_tokens"])
+        for r in pack_sequences(df, budget=budget).collect()
+    }
+    bins = defaultdict(lambda: [0, 0])
+    cum = 0
+    for n in toks:
+        b = cum // budget
+        bins[b][0] += 1
+        bins[b][1] += n
+        cum += n
+    want = {b: tuple(v) for b, v in bins.items()}
+    assert got == want
