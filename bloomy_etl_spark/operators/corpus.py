@@ -8,9 +8,10 @@ fixed token budgets, and profiling the result (exact length percentiles,
 corpus-level n-gram frequencies).
 
 Everything is expressed as JVM-side DataFrame transforms (window
-functions, hash expressions, explode+agg) — no Python UDFs — and every
-operator is oracle-checked against DuckDB through q43–q48 in
-operators/llm_queries.py.
+functions, hash expressions, explode+agg); the one exception is the
+optional Bloom-filter decontamination probe, an Arrow-batched pandas UDF
+over int64 hashes. Every operator is oracle-checked against DuckDB
+through q43–q48 in operators/llm_queries.py.
 
 Scale notes are per-operator; the common theme is that each op is one
 shuffle on a natural key (user, shingle, gram, partition column) with
@@ -20,6 +21,8 @@ map-side partial aggregation, so the plans survive a 1000-executor
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -94,8 +97,9 @@ def session_summary(events: DataFrame, gap_s: int = 8 * 3600,
 
 
 def contamination_hits(docs: DataFrame, bench_pred: Column, n: int = 3,
-                       id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       id_col: str = "doc_id", text_col: str = "text",
+                       method: str = "broadcast",
+                       bloom_fpp: float = 1e-4) -> DataFrame:
     """Screen training documents against a benchmark subset: for every
     NON-benchmark document sharing at least one distinct word ``n``-gram
     with any benchmark document, emit (doc_id, n_hit_shingles).
@@ -105,24 +109,85 @@ def contamination_hits(docs: DataFrame, bench_pred: Column, n: int = 3,
     benchmark rows out of ``docs`` (in production the benchmark is its
     own small table; the shape below is identical).
 
-    Scale: the benchmark side is SMALL by construction (eval suites are
-    thousands of items, the corpus is billions) — its distinct-shingle
-    set broadcasts, so the corpus-side scan never shuffles: shingle
-    explode → broadcast-hash semi-probe → partial count per doc. At the
-    point where even the benchmark shingle set outgrows a broadcast,
-    swap the broadcast join for a Bloom filter built with
-    ``df.stat.bloomFilter`` (same plan shape, approximate membership,
-    false positives only ADD review candidates — safe direction).
+    Scale — two methods, same output contract:
+
+    * ``method="broadcast"`` (default, exact): the benchmark side is
+      SMALL by construction (eval suites are thousands of items, the
+      corpus is billions) — its distinct-shingle set broadcasts, so the
+      corpus-side scan never shuffles: shingle explode → broadcast-hash
+      semi-probe → partial count per doc.
+    * ``method="bloom"`` (approximate): when even the benchmark shingle
+      STRINGS outgrow a comfortable broadcast, ship a Bloom filter over
+      their portable md5 hashes instead (~1.2 bytes/shingle at fpp=1e-4
+      vs tens of bytes per shingle string). Built driver-side from the
+      small side — the same data movement as a broadcast hash build —
+      probed by an Arrow-batched pandas UDF on the corpus side; still no
+      corpus shuffle. False positives only ADD review candidates (safe
+      direction); false negatives are impossible, which is the invariant
+      the parity test pins.
     """
     sh = docs.select(
         F.col(id_col),
         bench_pred.alias("_is_bench"),
         F.explode(T.word_shingles(F.col(text_col), n)).alias("s"),
     )
+    if method == "bloom":
+        return _bloom_hits(sh, id_col, bloom_fpp)
     bench_shingles = sh.filter(F.col("_is_bench")).select("s").distinct()
     return (
         sh.filter(~F.col("_is_bench"))
         .join(F.broadcast(bench_shingles), "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+    )
+
+
+def _bloom_hits(sh: DataFrame, id_col: str, fpp: float) -> DataFrame:
+    """Bloom-filter probe path of :func:`contamination_hits`.
+
+    The filter is portable (built on the same md5-derived int64 the SQL
+    oracle can compute) and self-contained: k index positions derived
+    from (h, h*goldenratio) double hashing over an m-bit array — the
+    standard Kirsch-Mitzenmatcher construction. numpy uint64 arithmetic
+    wraps mod 2^64, which is exactly the hash-mixing intent.
+    """
+    import math
+
+    hashed = sh.select(id_col, "_is_bench", T.md5_int(F.col("s")).alias("h"))
+    bench_hashes = np.unique(
+        np.array(
+            [r["h"] for r in hashed.filter(F.col("_is_bench")).select("h").distinct().collect()],
+            dtype=np.int64,
+        ).view(np.uint64)
+    )
+    n_items = max(len(bench_hashes), 1)
+    m = max(64, int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, round(m / n_items * math.log(2)))
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    h1 = bench_hashes
+    h2 = bench_hashes * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    spark = sh.sparkSession
+    bc = spark.sparkContext.broadcast((bits, m, k))
+
+    @F.pandas_udf("boolean")
+    def might_contain(h: pd.Series) -> pd.Series:
+        b, m_, k_ = bc.value
+        a = h.to_numpy(dtype=np.int64).view(np.uint64)
+        a2 = a * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+        res = np.ones(len(a), dtype=bool)
+        for i in range(k_):
+            idx = (a + np.uint64(i) * a2) % np.uint64(m_)
+            res &= (b[(idx >> np.uint64(3)).astype(np.int64)]
+                    >> (idx & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return pd.Series(res)
+
+    return (
+        hashed.filter(~F.col("_is_bench"))
+        .filter(might_contain(F.col("h")))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
     )

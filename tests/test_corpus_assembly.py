@@ -151,3 +151,26 @@ class TestProfiling:
         # grams: 'b b b' x2, 'a a a' x2 — tie broken lexicographically
         out = C.top_ngrams(docs, n=3, k=1).collect()
         assert len(out) == 1 and out[0]["gram"] == "a a a"
+
+
+class TestBloomDecontam:
+    def test_bloom_is_superset_and_tight(self, spark):
+        """The Bloom path may only ADD candidates (false positives), never
+        lose one (no false negatives) — and at fpp=1e-4 on the fixture's
+        ~15k probes it should add at most a couple."""
+        from bloomy_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        pred = F.col("doc_id") % 97 == 0
+        exact = {
+            r["doc_id"]
+            for r in C.contamination_hits(docs, pred).collect()
+        }
+        bloom = {
+            r["doc_id"]
+            for r in C.contamination_hits(docs, pred, method="bloom").collect()
+        }
+        assert exact <= bloom, "bloom must never drop a true hit"
+        assert len(bloom) <= len(exact) + 5, (
+            f"too many false positives: {len(bloom)} vs {len(exact)}"
+        )
