@@ -1,0 +1,123 @@
+"""Storage-layout tests: partition pruning and bucketed co-located joins
+asserted on the PHYSICAL PLAN (the 100 TB posture, not just results)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.plans.explain import plan_string
+from bloomy_etl_spark.sinks.layout import (
+    cocluster_join,
+    read_date_pruned,
+    write_date_partitioned,
+    write_bucketed_table,
+)
+from bloomy_etl_spark.sources.tables import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def part_path(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_part"))
+    write_date_partitioned(load_table(spark, SF_SMOKE, "events"), out)
+    return out
+
+
+class TestDatePartitioning:
+    def test_roundtrip_and_partition_dirs(self, spark, part_path):
+        import os
+
+        dirs = [d for d in os.listdir(part_path) if d.startswith("p_date=")]
+        assert len(dirs) > 1, "expected one directory per date"
+        got = spark.read.parquet(part_path)
+        want = load_table(spark, SF_SMOKE, "events")
+        assert got.count() == want.count()
+
+    def test_range_filter_becomes_partition_filter(self, spark, part_path):
+        df = read_date_pruned(spark, part_path, start="2024-01-10", end="2024-01-12")
+        plan = plan_string(df)
+        assert "PartitionFilters" in plan
+        # the date bounds must appear in PartitionFilters, and the scan's
+        # data-filter list must NOT re-apply them (pruning, not filtering)
+        pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert any("p_date" in ln for ln in pf_lines), pf_lines
+        # row correctness vs the unpartitioned source
+        want = (
+            load_table(spark, SF_SMOKE, "events")
+            .filter(F.to_date("ts").between("2024-01-10", "2024-01-12"))
+            .count()
+        )
+        assert df.count() == want
+
+    def test_pruned_scan_reads_fewer_files(self, spark, part_path):
+        """Check the EXECUTED scan's numFiles metric — inputFiles() lists
+        the unpruned FileIndex and would not show pruning."""
+
+        def files_read(df):
+            df.collect()
+            leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+            return leaf.metrics().apply("numFiles").value()
+
+        allf = files_read(spark.read.parquet(part_path))
+        pruned = files_read(
+            read_date_pruned(spark, part_path, start="2024-01-10", end="2024-01-12")
+        )
+        assert 0 < pruned < allf, f"no pruning: {pruned} vs {allf}"
+
+
+@pytest.fixture()
+def no_autobroadcast(spark):
+    """Force non-broadcast joins so the bucketing is what the plan
+    assertions actually exercise (the fixture tables are byte-sized and
+    would otherwise short-circuit to BroadcastHashJoin)."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+class TestBucketedJoin:
+    def test_cocluster_join_has_no_exchange(self, spark, tmp_path_factory,
+                                            no_autobroadcast):
+        base = tmp_path_factory.mktemp("bucketed")
+        ev = load_table(spark, SF_SMOKE, "events")
+        per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        totals = ev.groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("sum_value"))
+        try:
+            write_bucketed_table(per_user, "t_user_counts", str(base / "c"),
+                                 "user_id", n_buckets=4)
+            write_bucketed_table(totals, "t_user_totals", str(base / "t"),
+                                 "user_id", n_buckets=4)
+            joined = cocluster_join(spark, "t_user_counts", "t_user_totals", "user_id")
+            plan = plan_string(joined)
+            assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan}"
+            assert "SortMergeJoin" in plan
+            # and the result is the plain-join result
+            want = per_user.join(totals, "user_id")
+            assert joined.count() == want.count()
+            assert (
+                joined.exceptAll(want).count() == 0
+                and want.exceptAll(joined).count() == 0
+            )
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_user_counts")
+            spark.sql("DROP TABLE IF EXISTS t_user_totals")
+
+    def test_mismatched_buckets_fall_back_to_shuffle(self, spark, tmp_path_factory,
+                                                     no_autobroadcast):
+        """Sanity check on the assertion above: with DIFFERENT bucket
+        counts Spark must re-shuffle at least one side — proving the
+        no-exchange plan really came from the co-bucketing."""
+        base = tmp_path_factory.mktemp("bucketed_mm")
+        ev = load_table(spark, SF_SMOKE, "events")
+        a = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        try:
+            write_bucketed_table(a, "t_mm_a", str(base / "a"), "user_id", n_buckets=4)
+            write_bucketed_table(a, "t_mm_b", str(base / "b"), "user_id", n_buckets=3)
+            plan = plan_string(cocluster_join(spark, "t_mm_a", "t_mm_b", "user_id"))
+            assert "Exchange" in plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_mm_a")
+            spark.sql("DROP TABLE IF EXISTS t_mm_b")
