@@ -264,6 +264,28 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 16, n: int = 3,
     return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
+def stacked_bands(signatures: DataFrame, bands: int = 4,
+                  rows: int = 4) -> DataFrame:
+    """One row per (doc, band): (doc_id, band_idx, sig) where ``sig``
+    concatenates the band's ``rows`` minhashes — the LSH bucket key."""
+    def band_key(b):
+        return F.concat_ws(
+            "_", *[F.col("sig")[b * rows + r] for r in range(rows)]
+        )
+
+    return signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), band_key(b).alias("sig"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(
+        "doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.sig").alias("sig")
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
     """Band the signature and bucket: docs agreeing on all ``rows``
     minhashes of any band become a candidate pair. Collision probability
@@ -274,20 +296,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4, rows: int = 4) ->
     bucket, no self-join — pair cost is Σ C(|bucket|,2), the LSH invariant
     that holds at any corpus size (bucket width is tuned by bands/rows,
     not data volume)."""
-    def band_key(b):
-        return F.concat_ws(
-            "_", *[F.col("sig")[b * rows + r] for r in range(rows)]
-        )
-
-    stacked = signatures.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_idx"), band_key(b).alias("sig"))
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.sig").alias("sig"))
+    stacked = stacked_bands(signatures, bands, rows)
     buckets = (
         stacked.groupBy("band_idx", "sig")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ms"))
@@ -319,6 +328,23 @@ def minhash_near_dups(docs: DataFrame, num_perm: int = 16, n: int = 3,
     expensive text work is proportional to |candidates|."""
     sigs = minhash_signatures(docs, num_perm, n, text_col, id_col)
     cands = lsh_candidate_pairs(sigs, bands, rows)
+    return verify_jaccard_pairs(docs, cands, n, threshold, text_col, id_col)
+
+
+def verify_jaccard_pairs(docs: DataFrame, cands: DataFrame, n: int = 3,
+                         threshold: float = 0.8, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Exact-Jaccard verification of a narrow (i, j) candidate list
+    against the docs table; returns pairs meeting ``threshold``.
+
+    Shingles are built only for docs appearing in a candidate (broadcast
+    semi-join before the shingling projection). Broadcast ONLY the narrow
+    (i, j) candidate list — never a row set carrying shingle arrays. The
+    first join broadcasts cands into the sh_i table; the second join keys
+    the two shingle-bearing sides on j and is left to the planner/AQE
+    (hash join on j at scale). A dup storm then costs a bounded shuffle,
+    not candidate-count × shingle-array bytes through the driver
+    (VERDICT r02 item 4)."""
     cand_ids = cands.select(
         F.explode(F.array("i", "j")).alias("cand_id")
     ).distinct()
@@ -332,12 +358,6 @@ def minhash_near_dups(docs: DataFrame, num_perm: int = 16, n: int = 3,
     sj = sets.select(F.col("doc_id").alias("j"), F.col("shingles").alias("sh_j"))
     n_inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j")))
     jaccard = n_inter / (F.size("sh_i") + F.size("sh_j") - n_inter)
-    # Broadcast ONLY the narrow (i, j) candidate list — never a row set
-    # carrying shingle arrays. The first join broadcasts cands into the
-    # sh_i table; the second join keys the two shingle-bearing sides on j
-    # and is left to the planner/AQE (hash join on j at scale). A dup
-    # storm then costs a bounded shuffle, not candidate-count ×
-    # shingle-array bytes through the driver (VERDICT r02 item 4).
     enriched = si.join(F.broadcast(cands), "i")
     return (
         enriched.join(sj, "j")
@@ -345,6 +365,55 @@ def minhash_near_dups(docs: DataFrame, num_perm: int = 16, n: int = 3,
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
     )
+
+
+def incremental_near_dups(new_docs: DataFrame, history_docs: DataFrame,
+                          history_sigs: DataFrame, num_perm: int = 16,
+                          n: int = 3, bands: int = 4, rows: int = 4,
+                          threshold: float = 0.8, text_col: str = "text",
+                          id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """Daily-ingest dedup: near-dup pairs of a NEW batch against an
+    already-deduped corpus, using the corpus's STORED MinHash signatures
+    (``history_sigs``: doc_id, sig — the output of
+    :func:`minhash_signatures`, persisted at prior ingests).
+
+    Returns ``(pairs, new_sigs)``: verified pairs where at least one side
+    is a new document, and the new batch's signatures to append to the
+    store. Pairs between two history docs are by definition already
+    resolved and are never recomputed.
+
+    Scale shape — the reason this exists: re-running full-corpus dedup
+    per ingest is O(corpus) every day. Here the corpus pays only
+    (a) a band-key probe — the new batch's band keys are SMALL (batch ×
+    bands rows) and broadcast, so the history signature table is scanned
+    once and never shuffled — and (b) shingling of just the history docs
+    that collide with a new doc (the candidate sliver, via the verify
+    helper's semi-join). Everything else is proportional to the batch.
+    ``history_docs`` supplies text for verification only; at rest it is
+    the same corpus table the signatures index."""
+    new_sigs = minhash_signatures(new_docs, num_perm, n, text_col, id_col)
+    new_bands = stacked_bands(new_sigs, bands, rows)
+    hist_bands = stacked_bands(history_sigs, bands, rows)
+    # history probes the broadcast new-batch band keys; emit (i<j) pairs
+    probe = new_bands.select(
+        "band_idx", "sig", F.col("doc_id").alias("new_id")
+    )
+    cross = (
+        hist_bands.join(F.broadcast(probe), ["band_idx", "sig"])
+        .select(
+            F.least(F.col("doc_id"), F.col("new_id")).alias("i"),
+            F.greatest(F.col("doc_id"), F.col("new_id")).alias("j"),
+        )
+        .filter(F.col("i") != F.col("j"))
+        .distinct()
+    )
+    within = lsh_candidate_pairs(new_sigs, bands, rows)
+    cands = cross.unionByName(within).distinct()
+    all_docs = history_docs.select(id_col, text_col).unionByName(
+        new_docs.select(id_col, text_col)
+    )
+    pairs = verify_jaccard_pairs(all_docs, cands, n, threshold, text_col, id_col)
+    return pairs, new_sigs
 
 
 # ---------------------------------------------------------------------------

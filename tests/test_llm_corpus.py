@@ -263,3 +263,35 @@ def test_repetition_metrics_hand_computed(spark):
     assert r["n"] == 4
     assert abs(r["dup"] - 0.5) < 1e-12
     assert abs(r["top"] - 0.5) < 1e-12
+
+
+def test_incremental_dedup_matches_full_corpus(spark, tmp_path):
+    """The daily-ingest path (new batch vs stored signatures) must find
+    exactly the full-corpus near-dup pairs that touch a new doc — the
+    history-history pairs are already resolved and must not reappear.
+    The signature store round-trips through parquet like a real ingest."""
+    from bloomy_etl_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_near_dups,
+        minhash_signatures,
+    )
+    from bloomy_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    store = str(tmp_path / "sig_store")
+    minhash_signatures(hist).write.parquet(store)
+
+    pairs, new_sigs = incremental_near_dups(new, hist, spark.read.parquet(store))
+    got = {(r["i"], r["j"], round(r["jaccard"], 6)) for r in pairs.collect()}
+
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = {
+        (r["i"], r["j"], round(r["jaccard"], 6))
+        for r in minhash_near_dups(docs).collect()
+        if r["i"] in new_ids or r["j"] in new_ids
+    }
+    assert got == want
+    assert new_sigs.count() == new.count()
