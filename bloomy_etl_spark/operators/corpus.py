@@ -268,6 +268,119 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
 
 
 # ---------------------------------------------------------------------------
+# mixture sampling (temperature-weighted language/domain balance)
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(docs: DataFrame, group_col: str = "lang",
+                   alpha: float = 0.7, id_col: str = "doc_id",
+                   salt: str = "mix") -> DataFrame:
+    """Temperature-weighted downsampling across groups: keep each group's
+    documents with acceptance rate ``(n_g / n_min) ** (alpha - 1)`` — the
+    standard multilingual-mixture rebalance (α<1 flattens the distribution
+    toward the smallest group, α=1 is a no-op). The smallest group keeps
+    everything; a group 10× larger keeps ``10**(alpha-1)`` of its docs.
+
+    The keep decision is a salted hash threshold on the document id (same
+    construction as :func:`assign_split`), so the sample is deterministic
+    across runs, engines, and repartitioning — re-running the pipeline
+    tomorrow selects the same documents. The rate is rounded to 6 decimals
+    BEFORE thresholding so the float ``pow`` is bit-stable across engines.
+
+    Adds ``keep_rate`` (double) and ``sampled`` (boolean) columns.
+
+    Scale: group counts are one hash-agg over ``group_col`` (tiny result —
+    one row per language/domain); the single-partition min-window runs over
+    that tiny table only, and the rate table broadcast-joins back onto the
+    corpus. The corpus itself never shuffles.
+    """
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    w_all = Window.partitionBy()
+    rates = counts.select(
+        group_col,
+        F.round(
+            F.pow(F.col("_n") / F.min("_n").over(w_all), F.lit(alpha - 1.0)), 6
+        ).alias("keep_rate"),
+    )
+    h = F.pmod(
+        T.md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .withColumn("sampled", h < F.col("keep_rate") * 1_000_000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (fixed token windows with overlap)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(docs: DataFrame, window: int = 48, stride: int = 32,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the context-window chunking step that turns variable-length documents
+    into trainer-ready sequences (stride < window ⇒ consecutive chunks
+    overlap by ``window - stride`` tokens).
+
+    One row per (doc, chunk): ``chunk_idx``, token ``chunk_start`` offset,
+    and ``chunk_len`` (= window except for the final ragged chunk). Chunk
+    count is ``1 + ceil(max(0, n_tok - window) / stride)`` — every doc
+    yields at least one chunk; all arithmetic is integer (exact in any
+    engine).
+
+    Scale: pure map-side ``sequence`` + ``explode`` — no shuffle, no
+    state; the row expansion factor is n_tok/stride, the same output the
+    trainer would materialize anyway.
+    """
+    n_tok = T.bpe_ish_token_count(F.col(text_col))
+    extra = F.greatest(n_tok - F.lit(window), F.lit(0))
+    n_chunks = F.lit(1) + (extra + F.lit(stride - 1)).cast("long") / F.lit(stride)
+    n_chunks = F.floor(n_chunks).cast("int")
+    chunked = docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tok"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    return chunked.select(
+        id_col,
+        "n_tok",
+        "chunk_idx",
+        start.alias("chunk_start"),
+        F.least(F.lit(window), F.col("n_tok") - start).alias("chunk_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-group sampling (eval-set carve-outs)
+# ---------------------------------------------------------------------------
+
+
+def sample_per_group(docs: DataFrame, k: int, group_col: str = "source",
+                     id_col: str = "doc_id", salt: str = "pick") -> DataFrame:
+    """Deterministic uniform sample of ``k`` documents per group: rank by
+    a salted hash of the id within each group and keep the first ``k``.
+    The hash order is a uniform random permutation — but a reproducible
+    one, so eval carve-outs and human-review samples are stable across
+    runs and engines. Ties (hash collisions) break on id.
+
+    Scale: ONE shuffle on ``group_col``; the rank window scans each group
+    once. For very hot groups swap the window for the groupBy +
+    ``min_by``-heap shape of :func:`top_ngrams` (TakeOrdered per group);
+    the window form keeps all columns without a self-join, which is the
+    right trade until a single group outgrows a task.
+    """
+    h = T.md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus profiling: exact percentiles + top n-grams
 # ---------------------------------------------------------------------------
 

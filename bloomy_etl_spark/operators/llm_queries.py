@@ -416,6 +416,74 @@ def q48_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.pack_sequences(docs, budget=2048).transform(_psort, "lang", "bin_id")
 
 
+def q50_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (α=0.7) language rebalance: per-language keep
+    rate ``(n/n_min)**(α−1)`` applied via a deterministic salted-hash
+    threshold — rolled up per language with kept doc/token totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = C.mixture_sample(docs, group_col="lang", alpha=0.7)
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+            F.round(F.first("keep_rate"), 6).alias("keep_rate"),
+            F.sum(
+                F.when(F.col("sampled"), T.bpe_ish_token_count(F.col("text")))
+                .otherwise(F.lit(0))
+            ).alias("kept_tokens"),
+        )
+        .transform(_psort, "lang")
+    )
+
+
+def q51_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window (48-token, stride 32) document chunking with overlap —
+    the full chunk table: one row per (doc, chunk) with offset and ragged
+    final-chunk length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.chunk_documents(docs, window=48, stride=32).transform(
+        _psort, "doc_id", "chunk_idx"
+    )
+
+
+def q52_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric-quantization audit over the embedding corpus:
+    per-label vector count, mean quantization scale, and mean/max of each
+    vector's max absolute reconstruction error."""
+    from bloomy_etl_spark.functions import vectors as V
+
+    embs = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    scale = V.quantize_scale(F.col("embedding"))
+    audited = embs.select(
+        "label",
+        scale.alias("scale"),
+        V.quantize_abs_error(F.col("embedding"), scale).alias("max_err"),
+    )
+    return (
+        audited.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+            F.round(F.avg("max_err"), 6).alias("avg_max_err"),
+            F.round(F.max("max_err"), 6).alias("worst_err"),
+        )
+        .transform(_psort, "label")
+    )
+
+
+def q53_eval_carveout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-per-source eval carve-out: salted-hash rank within
+    each source — a reproducible uniform sample for human review /
+    held-out evaluation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        C.sample_per_group(docs, k=3, group_col="source")
+        .select("source", "sample_rank", "doc_id", "lang", "n_chars")
+        .transform(_psort, "source", "sample_rank")
+    )
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -442,6 +510,10 @@ LLM_QUERIES = {
     "q46_top_ngrams": q46_top_ngrams,
     "q47_split_assignment": q47_split_assignment,
     "q48_sequence_packing": q48_sequence_packing,
+    "q50_mixture_sample": q50_mixture_sample,
+    "q51_doc_chunking": q51_doc_chunking,
+    "q52_embedding_quantization": q52_embedding_quantization,
+    "q53_eval_carveout": q53_eval_carveout,
 }
 
 
@@ -1015,5 +1087,91 @@ LLM_ORACLE_SQL = {
                CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
                ROUND(SUM(n_tok) / 2048.0, 4) AS fill_ratio
         FROM c GROUP BY 1, 2 ORDER BY lang, bin_id
+    """,
+    # q50: keep rate rounded to 6dp BEFORE thresholding in both engines so
+    # the pow() float is bit-stable; the salted md5 bucket matches
+    # corpus.mixture_sample exactly.
+    "q50_mixture_sample": """
+        WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        r AS (
+            SELECT lang, n,
+                   ROUND(POWER(n * 1.0 / (SELECT MIN(n) FROM c), 0.7 - 1.0), 6)
+                       AS keep_rate
+            FROM c
+        ), s AS (
+            SELECT d.lang, r.keep_rate, d.text,
+                   (('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000000) < r.keep_rate * 1000000 AS sampled
+            FROM documents d JOIN r USING (lang)
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               ROUND(ANY_VALUE(keep_rate), 6) AS keep_rate,
+               CAST(SUM(CASE WHEN sampled THEN GREATEST(
+                   len(regexp_extract_all(text, '(\\w+|[^\\w\\s])')),
+                   CAST(CEIL(LENGTH(text) / 4) AS INT)) ELSE 0 END) AS BIGINT)
+                   AS kept_tokens
+        FROM s GROUP BY lang ORDER BY lang
+    """,
+    # q51: integer chunk arithmetic — 1 + ceil(max(0, n_tok-48)/32) chunks,
+    # final chunk ragged; generate_series is inclusive, hence n_chunks-1.
+    "q51_doc_chunking": """
+        WITH t AS (
+            SELECT doc_id,
+                   GREATEST(
+                       len(regexp_extract_all(text, '(\\w+|[^\\w\\s])')),
+                       CAST(CEIL(LENGTH(text) / 4) AS INT)) AS n_tok
+            FROM documents
+        ), n AS (
+            SELECT doc_id, n_tok,
+                   1 + (GREATEST(n_tok - 48, 0) + 31) // 32 AS n_chunks
+            FROM t
+        )
+        SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+               CAST(ci AS INT) AS chunk_idx,
+               CAST(ci * 32 AS INT) AS chunk_start,
+               CAST(LEAST(48, n_tok - ci * 32) AS INT) AS chunk_len
+        FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(ci)
+        ORDER BY doc_id, chunk_idx
+    """,
+    # q52: same float32→double promotion order as functions/vectors.py
+    # (abs before max; divide by the double scale); round() ties are
+    # away-from-zero in both engines.
+    "q52_embedding_quantization": """
+        WITH s AS (
+            SELECT label,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+                   embedding
+            FROM embeddings
+        ), e AS (
+            SELECT label, scale,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)
+                                - ROUND(CAST(x AS DOUBLE) / scale) * scale)))
+                       AS max_err
+            FROM s
+        )
+        SELECT label, COUNT(*) AS n_vecs,
+               ROUND(AVG(scale), 6) AS avg_scale,
+               ROUND(AVG(max_err), 6) AS avg_max_err,
+               ROUND(MAX(max_err), 6) AS worst_err
+        FROM e GROUP BY label ORDER BY label
+    """,
+    # q53: salted-hash rank per source, hash ties broken by doc_id —
+    # identical to corpus.sample_per_group's window.
+    "q53_eval_carveout": """
+        WITH r AS (
+            SELECT source, doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5('pick:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                                doc_id) AS sample_rank
+            FROM documents
+        )
+        SELECT source, CAST(sample_rank AS INT) AS sample_rank,
+               doc_id, lang, n_chars
+        FROM r WHERE sample_rank <= 3
+        ORDER BY source, sample_rank
     """,
 }

@@ -14,6 +14,7 @@ import datetime
 
 import numpy as np
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from bloomy_etl_spark.operators import corpus as C
@@ -151,6 +152,135 @@ class TestProfiling:
         # grams: 'b b b' x2, 'a a a' x2 — tie broken lexicographically
         out = C.top_ngrams(docs, n=3, k=1).collect()
         assert len(out) == 1 and out[0]["gram"] == "a a a"
+
+
+class TestMixtureSample:
+    def test_rates_and_determinism(self, spark):
+        from bloomy_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        s = C.mixture_sample(docs, group_col="lang", alpha=0.7).cache()
+        rates = {
+            r["lang"]: r["keep_rate"]
+            for r in s.select("lang", "keep_rate").distinct().collect()
+        }
+        counts = {
+            r["lang"]: r["n"]
+            for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # smallest group keeps everything; rates decrease with group size
+        smallest = min(counts, key=counts.get)
+        assert rates[smallest] == pytest.approx(1.0)
+        for a, b in zip(sorted(counts, key=counts.get), sorted(counts, key=counts.get)[1:]):
+            assert rates[a] >= rates[b] - 1e-12
+        # realized sample fraction tracks the rate (binomial slack)
+        for r in (
+            s.groupBy("lang")
+            .agg(
+                F.avg(F.col("sampled").cast("double")).alias("frac"),
+                F.first("keep_rate").alias("rate"),
+            )
+            .collect()
+        ):
+            assert r["frac"] == pytest.approx(r["rate"], abs=0.12)
+        # determinism under repartitioning
+        again = C.mixture_sample(docs.repartition(7), group_col="lang", alpha=0.7)
+        joined = s.select("doc_id", F.col("sampled").alias("s1")).join(
+            again.select("doc_id", "sampled"), "doc_id"
+        )
+        assert joined.filter(F.col("s1") != F.col("sampled")).count() == 0
+        s.unpersist()
+
+    def test_alpha_one_keeps_everything(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "t", "en" if i % 3 else "fr") for i in range(60)],
+            "doc_id long, text string, lang string",
+        )
+        s = C.mixture_sample(docs, group_col="lang", alpha=1.0)
+        assert s.filter(~F.col("sampled")).count() == 0
+
+
+class TestChunking:
+    def test_coverage_and_overlap(self, spark):
+        from bloomy_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        W, S = 48, 32
+        ch = C.chunk_documents(docs, window=W, stride=S).cache()
+        # every doc yields >=1 chunk; chunk 0 starts at 0
+        assert ch.filter((F.col("chunk_idx") == 0) & (F.col("chunk_start") != 0)).count() == 0
+        assert ch.select("doc_id").distinct().count() == docs.count()
+        # final chunk ends exactly at n_tok; lengths in (0, W]
+        last = ch.withColumn(
+            "is_last",
+            F.col("chunk_idx")
+            == F.max("chunk_idx").over(Window.partitionBy("doc_id")),
+        )
+        bad_end = last.filter(
+            F.col("is_last") & (F.col("chunk_start") + F.col("chunk_len") != F.col("n_tok"))
+        )
+        assert bad_end.count() == 0
+        assert ch.filter((F.col("chunk_len") <= 0) | (F.col("chunk_len") > W)).count() == 0
+        # consecutive chunks overlap by exactly W - S tokens (except ragged last)
+        assert ch.filter(
+            (F.col("chunk_idx") > 0) & (F.col("chunk_start") != F.col("chunk_idx") * S)
+        ).count() == 0
+        ch.unpersist()
+
+    def test_short_doc_single_chunk(self, spark):
+        docs = spark.createDataFrame([(1, "one two three")], "doc_id long, text string")
+        rows = C.chunk_documents(docs, window=48, stride=32).collect()
+        assert len(rows) == 1
+        assert rows[0]["chunk_len"] == rows[0]["n_tok"]
+
+
+class TestSamplePerGroup:
+    def test_k_per_group_and_determinism(self, spark):
+        from bloomy_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        k = 3
+        s = C.sample_per_group(docs, k=k, group_col="source").cache()
+        sizes = s.groupBy("source").count().collect()
+        assert all(r["count"] == k for r in sizes)  # every source has >= k docs
+        # the sample is a subset of the corpus with ranks 1..k
+        assert s.filter((F.col("sample_rank") < 1) | (F.col("sample_rank") > k)).count() == 0
+        again = C.sample_per_group(docs.repartition(11), k=k, group_col="source")
+        a = {r["doc_id"] for r in s.select("doc_id").collect()}
+        b = {r["doc_id"] for r in again.select("doc_id").collect()}
+        assert a == b
+        s.unpersist()
+
+    def test_small_group_keeps_all(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "g"), (2, "g")], "doc_id long, source string"
+        )
+        assert C.sample_per_group(docs, k=5, group_col="source").count() == 2
+
+
+class TestQuantization:
+    def test_error_bound(self, spark):
+        """Round-to-nearest int8 error is <= scale/2 per component."""
+        from bloomy_etl_spark.functions import vectors as V
+        from bloomy_etl_spark.sources.tables import load_table
+
+        embs = load_table(spark, SF_ORACLE, "embeddings")
+        scale = V.quantize_scale(F.col("embedding"))
+        bad = embs.select(
+            (V.quantize_abs_error(F.col("embedding"), scale) <= scale / 2 + 1e-12).alias("ok")
+        ).filter(~F.col("ok"))
+        assert bad.count() == 0
+
+    def test_roundtrip_exact_on_grid(self, spark):
+        """Vectors already on the int8 grid reconstruct exactly."""
+        from bloomy_etl_spark.functions import vectors as V
+
+        df = spark.createDataFrame(
+            [(1, [127.0, -127.0, 0.0, 64.0])], "vec_id long, embedding array<double>"
+        )
+        scale = V.quantize_scale(F.col("embedding"))
+        err = df.select(V.quantize_abs_error(F.col("embedding"), scale).alias("e")).first()["e"]
+        assert err == pytest.approx(0.0, abs=1e-12)
 
 
 class TestBloomDecontam:
