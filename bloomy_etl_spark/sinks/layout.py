@@ -98,3 +98,157 @@ def cocluster_join(spark: SparkSession, left_name: str, right_name: str,
     the recurring fact-fact joins should be written into at scale.
     """
     return spark.table(left_name).join(spark.table(right_name), key, how)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (multi-column data skipping)
+# ---------------------------------------------------------------------------
+
+
+def morton_key(a, b, bits: int = 16):
+    """Interleave the low ``bits`` bits of two non-negative ints into one
+    Morton (Z-order) key: bit ``k`` of each input lands at positions
+    ``2k`` / ``2k+1``. Locality on the key ⇒ locality on BOTH inputs,
+    which is what makes per-file min/max stats tight on both columns at
+    once. Pure shift/or expressions — whole-stage-codegen friendly."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    key = F.lit(0).cast("long")
+    for k in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(a.cast("long"), k).bitwiseAND(1), 2 * k)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b.cast("long"), k).bitwiseAND(1), 2 * k + 1)
+        )
+    return key
+
+
+def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
+                   n_files: int = 16, bits: int = 16) -> None:
+    """Write ``df`` clustered on the Z-order curve of two numeric columns.
+
+    Each column is min-max scaled onto ``[0, 2^bits)`` (one tiny
+    4-number aggregate), Morton-interleaved, then range-partitioned and
+    sorted on the key. The payoff is DATA SKIPPING on both columns
+    without choosing one sort leader: every parquet file (and row group)
+    covers a small rectangle of (a, b) space, so its min/max stats
+    exclude it from most point/range scans on EITHER column — the
+    standard lakehouse answer when two filter columns compete for the
+    sort order. Predicates still reach the scan as ordinary pushed
+    filters; the clustering is what makes the stats selective.
+
+    Scale: the min/max aggregate is one reduction; the write is one
+    range shuffle (same cost as any global sort-write). Re-cluster only
+    when enough new data accumulates — this is a compaction-time layout,
+    not a per-ingest one.
+    """
+    stats = df.agg(
+        F.min(col_a).alias("a0"), F.max(col_a).alias("a1"),
+        F.min(col_b).alias("b0"), F.max(col_b).alias("b1"),
+    ).first()
+    top = (1 << bits) - 1
+    scale = lambda c, lo, hi: (
+        ((F.col(c).cast("double") - lo) / ((hi - lo) or 1) * top).cast("long")
+    )
+    keyed = df.withColumn(
+        "_z",
+        morton_key(scale(col_a, stats["a0"], stats["a1"]),
+                   scale(col_b, stats["b0"], stats["b1"]), bits),
+    )
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# compaction (small-file management)
+# ---------------------------------------------------------------------------
+
+
+def compact(spark: SparkSession, path: str, out_path: str,
+            target_file_bytes: int = 128 << 20) -> int:
+    """Rewrite a parquet directory into ``ceil(total_bytes /
+    target_file_bytes)`` files. Small-file proliferation is the chronic
+    disease of streaming/incremental ingest (every micro-batch leaves a
+    file); unchecked, the NameNode/listing cost and per-file open
+    overhead dominate scans. Returns the output file count.
+
+    Uses ``coalesce`` — a NARROW dependency, so compaction reads and
+    rewrites without a shuffle (tasks concatenate input partitions).
+    Sizes come from the filesystem via Hadoop's FileSystem API, so the
+    same code handles local, HDFS, or object-store paths.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    total = fs.getContentSummary(jpath).getLength()
+    n = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(path).coalesce(int(n)).write.mode("overwrite").parquet(out_path)
+    return int(n)
+
+
+# ---------------------------------------------------------------------------
+# upsert (latest-wins merge into a date-partitioned table)
+# ---------------------------------------------------------------------------
+
+
+def latest_by_key(df: DataFrame, key_cols: list[str], ts_col: str,
+                  tiebreak_col: str | None = None) -> DataFrame:
+    """Keep each key's most recent row (latest ``ts_col``; optional
+    deterministic tiebreak). One window shuffle on the key."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
+                       key_cols: list[str], ts_col: str = "ts") -> list[str]:
+    """Latest-wins upsert of ``updates`` into a date-partitioned table
+    (layout of :func:`write_date_partitioned`) WITHOUT rewriting the
+    whole table — the merge-into primitive for daily corrections and
+    late-arriving data when the table format is plain parquet.
+
+    Steps: (1) the updates' distinct ``p_date`` set (tiny — one value per
+    touched day) is collected; (2) only those partitions are read back,
+    unioned with the updates, and resolved latest-wins per key; (3) the
+    result overwrites ONLY the touched partition directories via dynamic
+    partition overwrite. Untouched partitions are never read or written.
+    Returns the list of rewritten partition values.
+
+    Scale: cost is proportional to the touched days, not the table. The
+    merge itself is one window shuffle on the key within those days.
+    Writer concurrency caveat: dynamic overwrite is atomic per partition
+    directory but not transactional across them — pair with a manifest
+    or table-format layer if concurrent writers touch the same days.
+    """
+    up = updates.withColumn("p_date", F.to_date(F.col(ts_col)))
+    days = [r["p_date"] for r in up.select("p_date").distinct().collect()]
+    existing = spark.read.parquet(path).filter(F.col("p_date").isin(days))
+    merged = latest_by_key(
+        existing.unionByName(up), key_cols, ts_col
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("p_date")
+            .write.mode("overwrite")
+            .partitionBy("p_date")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return [str(d) for d in days]

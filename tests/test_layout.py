@@ -121,3 +121,108 @@ class TestBucketedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_mm_a")
             spark.sql("DROP TABLE IF EXISTS t_mm_b")
+
+
+class TestZOrder:
+    def test_zorder_tightens_file_stats(self, spark, tmp_path_factory):
+        """Z-ordered files cover small rectangles of (a,b) space, so a
+        range predicate on EITHER column overlaps fewer files' min/max
+        envelopes than a layout clustered on neither (hash-shuffled)."""
+        import pyarrow.parquet as pq
+        import glob, os
+
+        from bloomy_etl_spark.sinks.layout import write_zordered
+
+        ev = load_table(spark, SF_SMOKE, "events")
+        base = tmp_path_factory.mktemp("zorder")
+        zpath, rpath = str(base / "z"), str(base / "r")
+        write_zordered(ev, zpath, "user_id", "value", n_files=8)
+        # control: same file count, random (round-robin) placement
+        ev.repartition(8).write.mode("overwrite").parquet(rpath)
+
+        def overlapping(path, col, lo, hi):
+            n = 0
+            for f in glob.glob(os.path.join(path, "*.parquet")):
+                md = pq.read_metadata(f)
+                idx = md.schema.names.index(col)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    mins.append(st.min); maxs.append(st.max)
+                if min(mins) <= hi and max(maxs) >= lo:
+                    n += 1
+            return n
+
+        # point-ish range on each z-ordered column
+        z_hits = overlapping(zpath, "user_id", 3, 4)
+        r_hits = overlapping(rpath, "user_id", 3, 4)
+        assert z_hits < r_hits, (z_hits, r_hits)
+        lo, hi = 10.0, 12.0
+        assert overlapping(zpath, "value", lo, hi) < overlapping(rpath, "value", lo, hi)
+        # and the data survives intact
+        assert spark.read.parquet(zpath).count() == ev.count()
+
+    def test_morton_key_interleaves(self, spark):
+        from bloomy_etl_spark.sinks.layout import morton_key
+
+        df = spark.range(1).select(
+            morton_key(F.lit(0b101), F.lit(0b011), bits=3).alias("z")
+        )
+        # a=101, b=011 -> bits (b2 a2 b1 a1 b0 a0) = 0 1 1 0 1 1
+        assert df.first()["z"] == 0b011011
+
+
+class TestCompaction:
+    def test_compact_reduces_file_count(self, spark, tmp_path_factory):
+        import glob, os
+
+        from bloomy_etl_spark.sinks.layout import compact
+
+        base = tmp_path_factory.mktemp("compact")
+        frag, out = str(base / "frag"), str(base / "out")
+        ev = load_table(spark, SF_SMOKE, "events")
+        ev.repartition(40).write.mode("overwrite").parquet(frag)
+        assert len(glob.glob(os.path.join(frag, "*.parquet"))) == 40
+        n = compact(spark, frag, out, target_file_bytes=1 << 20)
+        got = glob.glob(os.path.join(out, "*.parquet"))
+        assert len(got) == n and n < 40
+        assert spark.read.parquet(out).count() == ev.count()
+
+
+class TestUpsert:
+    def test_latest_wins_and_partition_scope(self, spark, tmp_path_factory):
+        import datetime as dt
+        import glob, os
+
+        from bloomy_etl_spark.sinks.layout import upsert_partitioned
+
+        base = tmp_path_factory.mktemp("upsert")
+        path = str(base / "t")
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 10), 1.0),
+            (2, dt.datetime(2024, 1, 1, 11), 2.0),
+            (3, dt.datetime(2024, 1, 2, 9), 3.0),
+            (4, dt.datetime(2024, 1, 3, 8), 4.0),
+        ]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+        write_date_partitioned(df, path)
+        untouched = sorted(glob.glob(os.path.join(path, "p_date=2024-01-03", "*.parquet")))
+        mtimes = [os.path.getmtime(f) for f in untouched]
+
+        updates = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1, 12), 10.0),   # newer -> wins
+                (2, dt.datetime(2024, 1, 1, 10), 99.0),   # older -> loses
+                (9, dt.datetime(2024, 1, 2, 15), 9.0),    # new key -> insert
+            ],
+            "k long, ts timestamp, v double",
+        )
+        days = upsert_partitioned(spark, path, updates, key_cols=["k"], ts_col="ts")
+        assert sorted(days) == ["2024-01-01", "2024-01-02"]
+
+        got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+        assert got == {1: 10.0, 2: 2.0, 3: 3.0, 4: 4.0, 9: 9.0}
+        # the untouched partition's files were not rewritten
+        after = sorted(glob.glob(os.path.join(path, "p_date=2024-01-03", "*.parquet")))
+        assert after == untouched
+        assert [os.path.getmtime(f) for f in after] == mtimes
