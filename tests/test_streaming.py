@@ -372,3 +372,98 @@ class TestBatchStreamSessionEquivalence:
         )
         cols = ["user_id", "session_start", "n_events", "sum_value"]
         pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+
+
+class TestDedupIngest:
+    """Streaming corpus ingestion with incremental near-dup detection
+    (streaming/ingest.py): the pairs discovered across replayed
+    micro-batches must equal the full-corpus batch run, and drop_dups
+    must admit first arrivals only."""
+
+    def test_stream_matches_full_corpus(self, spark, tmp_path):
+        from bloomy_etl_spark.operators.dedup import minhash_near_dups
+        from bloomy_etl_spark.sources.tables import load_table
+        from bloomy_etl_spark.streaming.ingest import (
+            read_docs_stream,
+            replay_docs_dir,
+            streaming_dedup_ingest,
+        )
+        from tests.conftest import SF_ORACLE
+
+        replay = replay_docs_dir(spark, SF_ORACLE, str(tmp_path / "replay"), n_files=4)
+        q = streaming_dedup_ingest(
+            read_docs_stream(spark, replay),
+            corpus_dir=str(tmp_path / "corpus"),
+            sig_dir=str(tmp_path / "sigs"),
+            pairs_dir=str(tmp_path / "pairs"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r["i"], r["j"], round(r["jaccard"], 6))
+            for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+        }
+        docs = load_table(spark, SF_ORACLE, "documents")
+        want = {
+            (r["i"], r["j"], round(r["jaccard"], 6))
+            for r in minhash_near_dups(docs).collect()
+        }
+        assert got == want
+        # every doc was admitted (no drops) and signed
+        assert spark.read.parquet(str(tmp_path / "corpus")).count() == docs.count()
+        assert spark.read.parquet(str(tmp_path / "sigs")).count() == docs.count()
+
+    def test_drop_dups_first_arrival_wins(self, spark, tmp_path):
+        from bloomy_etl_spark.streaming.ingest import (
+            read_docs_stream,
+            streaming_dedup_ingest,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+               "lam mu nu xi omicron pi rho sigma tau upsilon"
+        variant = base.rsplit(" ", 1)[0] + " OMEGA"      # near-dup of base
+        unique = "one two three four five six seven eight nine ten " \
+                 "eleven twelve thirteen fourteen fifteen sixteen " \
+                 "seventeen eighteen nineteen twenty"
+        batches = [
+            [(1, base)],                 # batch 0: first arrival
+            [(2, variant), (3, unique)], # batch 1: 2 matches corpus, 3 unique
+            [(4, variant)],              # batch 2: matches corpus doc 1
+        ]
+        replay = tmp_path / "replay"
+        replay.mkdir()
+        for bi, rows in enumerate(batches):
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(str(replay / f"b{bi}"))
+        # one dir per batch keeps arrival order deterministic
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay / "b*"))
+        )
+        q = streaming_dedup_ingest(
+            stream,
+            corpus_dir=str(tmp_path / "corpus"),
+            sig_dir=str(tmp_path / "sigs"),
+            pairs_dir=str(tmp_path / "pairs"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            drop_dups=True,
+            threshold=0.7,
+        )
+        q.awaitTermination(120)
+
+        kept = sorted(
+            r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+        )
+        assert kept == [1, 3], kept
+        sigs = sorted(
+            r["doc_id"] for r in spark.read.parquet(str(tmp_path / "sigs")).collect()
+        )
+        assert sigs == [1, 3]
+        pairs = {
+            (r["i"], r["j"])
+            for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+        }
+        assert (1, 2) in pairs and (1, 4) in pairs
