@@ -1,0 +1,123 @@
+"""Distributed k-means (Lloyd) over embedding columns.
+
+The iterative-algorithm pattern on Spark: per round, (1) ASSIGN — each
+vector scores against the k centroids and takes the argmin — is a pure
+map over the corpus with the centroids shipped as expression literals
+(they are k·d doubles, driver-resident between rounds exactly like a
+real k-means driver loop); (2) UPDATE — element-wise means per cluster —
+is one position-explode + hash aggregate. Cost per round: one corpus
+scan + one shuffle of (cluster, pos) partial sums; nothing driver-side
+ever touches corpus rows.
+
+Engine-stable determinism (the property that lets a DuckDB oracle replay
+the algorithm exactly):
+
+* init = the vectors of the ``k`` smallest ids (no RNG);
+* argmin ties break on the lower cluster index (lexicographic struct
+  min);
+* centroid means are ROUNDED (6 dp) after every update, so the
+  accumulated float differences between engines' summation orders
+  (IEEE addition is not associative) are quantized away before they can
+  flip an assignment;
+* distance sums run in index order in both engines (``aggregate`` over
+  ``zip_with`` here, ``list_sum`` over ``list_zip`` there).
+
+Scale: assignment is embarrassingly parallel; the update shuffle carries
+k·d partial means per task after map-side combine — independent of
+corpus size. Empty clusters keep their previous centroid (standard
+Lloyd fallback), so k is stable across rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist2(vec_col, centroid: list[float]):
+    """Squared L2 distance to a literal centroid, summed in index order."""
+    carr = F.array(*[F.lit(float(c)) for c in centroid])
+    diffs = F.zip_with(
+        vec_col, carr,
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def assign_clusters(embs: DataFrame, centroids: list[list[float]],
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Label every vector with its nearest centroid (squared L2, ties to
+    the lower cluster index) and the distance: columns ``cluster``,
+    ``dist2`` appended."""
+    scored = F.array(
+        *[
+            F.struct(_dist2(F.col(vec_col), c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(scored)
+    return embs.select(
+        id_col, vec_col,
+        best["c"].alias("cluster"), best["d"].alias("dist2"),
+    )
+
+
+def kmeans_lloyd(embs: DataFrame, k: int = 8, iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 round_dp: int = 6) -> tuple[list[list[float]], DataFrame]:
+    """Run ``iters`` Lloyd rounds; return ``(centroids, assignments)``
+    where assignments carry each vector's FINAL cluster and squared
+    distance (one extra assign pass against the final centroids)."""
+    init = (
+        embs.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = assign_clusters(embs, centroids, id_col, vec_col)
+        pe = assigned.select("cluster", F.posexplode(F.col(vec_col)))
+        means = (
+            pe.groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("col").cast("double")), round_dp).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cent")
+            )
+            .collect()
+        )
+        new = {r["cluster"]: [float(x) for x in r["cent"]] for r in means}
+        # empty clusters keep their previous centroid
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+        assert all(len(c) == dim for c in centroids)
+    return centroids, assign_clusters(embs, centroids, id_col, vec_col)
+
+
+def kmeans_summary(embs: DataFrame, k: int = 8, iters: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster rollup of the converged assignment: member count,
+    inertia (sum of squared distances), and the centroid's L2 norm."""
+    centroids, assigned = kmeans_lloyd(embs, k, iters, id_col, vec_col)
+    norms = {
+        i: sum(x * x for x in c) ** 0.5 for i, c in enumerate(centroids)
+    }
+    spark = embs.sparkSession
+    norm_df = spark.createDataFrame(
+        [(i, norms[i]) for i in range(k)], "cluster int, centroid_norm double"
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("dist2"), 2).alias("inertia"),
+        )
+        .join(F.broadcast(norm_df), "cluster")
+        .select(
+            "cluster", "n_vecs", "inertia", F.round("centroid_norm", 4).alias("centroid_norm")
+        )
+    )

@@ -472,6 +472,17 @@ def q52_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 2 rounds, deterministic smallest-id
+    init, 6-dp centroid quantization) over the embedding corpus →
+    per-cluster size, inertia, centroid norm. The DuckDB oracle replays
+    the identical algorithm as a CTE chain."""
+    from bloomy_etl_spark.operators.clustering import kmeans_summary
+
+    embs = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    return kmeans_summary(embs, k=8, iters=2).transform(_psort, "cluster")
+
+
 def q53_eval_carveout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 3-per-source eval carve-out: salted-hash rank within
     each source — a reproducible uniform sample for human review /
@@ -514,6 +525,7 @@ LLM_QUERIES = {
     "q51_doc_chunking": q51_doc_chunking,
     "q52_embedding_quantization": q52_embedding_quantization,
     "q53_eval_carveout": q53_eval_carveout,
+    "q54_kmeans_clusters": q54_kmeans_clusters,
 }
 
 
@@ -1175,3 +1187,76 @@ LLM_ORACLE_SQL = {
         ORDER BY source, sample_rank
     """,
 }
+
+
+def _km_dist2(cent_expr: str) -> str:
+    """Squared-L2 SQL fragment matching clustering._dist2's index-order
+    accumulation (float element cast to double, then multiply)."""
+    return (
+        "list_sum(list_transform(list_zip(e.embedding, " + cent_expr + "), "
+        "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))"
+    )
+
+
+def _km_assign(name: str, cent_cte: str, with_dist: bool) -> str:
+    """One Lloyd assignment CTE: argmin squared-L2, ties to lower index."""
+    d2 = _km_dist2("c.cent")
+    dist_col = f", {d2} AS d2" if with_dist else ""
+    keep = ", d2" if with_dist else ", embedding"
+    return f"""{name} AS (
+        SELECT vec_id{keep}, cluster FROM (
+            SELECT e.vec_id, e.embedding, c.cidx AS cluster{dist_col},
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {d2} ASC, c.cidx ASC) AS rn
+            FROM embeddings e CROSS JOIN {cent_cte} c) WHERE rn = 1
+    )"""
+
+
+def _km_update(assign_cte: str, prev_cte: str, mname: str, cname: str,
+               dim: int = 64, dp: int = 6) -> str:
+    """One Lloyd update: per-(cluster, dim) mean rounded to ``dp``,
+    empty clusters inheriting the previous centroid."""
+    return f"""{mname} AS (
+        SELECT cluster AS cidx, list(m ORDER BY pos) AS cent FROM (
+            SELECT a.cluster, i.pos,
+                   ROUND(AVG(CAST(a.embedding[i.pos] AS DOUBLE)), {dp}) AS m
+            FROM {assign_cte} a
+            CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS pos) i
+            GROUP BY a.cluster, i.pos)
+        GROUP BY cluster
+    ), {cname} AS (
+        SELECT p.cidx, COALESCE(m.cent, p.cent) AS cent
+        FROM {prev_cte} p LEFT JOIN {mname} m ON p.cidx = m.cidx
+    )"""
+
+
+def _kmeans_oracle(k: int = 8, dim: int = 64) -> str:
+    """The full q54 replay: init from the k smallest ids, two
+    assign/update rounds, final assignment with distances, summary."""
+    return f"""
+        WITH c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT {k})
+        ),
+        {_km_assign("a0", "c0", with_dist=False)},
+        {_km_update("a0", "c0", "m1", "c1", dim)},
+        {_km_assign("a1", "c1", with_dist=False)},
+        {_km_update("a1", "c1", "m2", "c2", dim)},
+        {_km_assign("af", "c2", with_dist=True)},
+        cn AS (
+            SELECT cidx,
+                   sqrt(list_sum(list_transform(cent, x -> x * x))) AS nrm
+            FROM c2
+        )
+        SELECT CAST(af.cluster AS INT) AS cluster,
+               COUNT(*) AS n_vecs,
+               ROUND(SUM(af.d2), 2) AS inertia,
+               ROUND(ANY_VALUE(cn.nrm), 4) AS centroid_norm
+        FROM af JOIN cn ON af.cluster = cn.cidx
+        GROUP BY af.cluster ORDER BY cluster
+    """
+
+
+LLM_ORACLE_SQL["q54_kmeans_clusters"] = _kmeans_oracle()

@@ -295,3 +295,33 @@ def test_incremental_dedup_matches_full_corpus(spark, tmp_path):
     }
     assert got == want
     assert new_sigs.count() == new.count()
+
+
+def test_kmeans_inertia_monotone(spark):
+    """Lloyd's algorithm never increases inertia round over round."""
+    from bloomy_etl_spark.operators.clustering import kmeans_lloyd
+    from bloomy_etl_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    embs = load_table(spark, SF_ORACLE, "embeddings")
+    inertias = []
+    for iters in (0, 1, 2, 3):
+        _, assigned = kmeans_lloyd(embs, k=8, iters=iters)
+        inertias.append(assigned.agg(F.sum("dist2")).first()[0])
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a + 1e-9, inertias
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Two tight blobs far apart must resolve into two pure clusters."""
+    from bloomy_etl_spark.operators.clustering import kmeans_lloyd
+
+    rows = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(5)] + [
+        (10 + i, [100.0 + 0.01 * i, 100.0]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, assigned = kmeans_lloyd(df, k=2, iters=2)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    low = {got[i] for i in range(5)}
+    high = {got[10 + i] for i in range(5)}
+    assert len(low) == 1 and len(high) == 1 and low != high
