@@ -312,6 +312,52 @@ def mixture_sample(docs: DataFrame, group_col: str = "lang",
     )
 
 
+def blend_to_target(docs: DataFrame, weights: dict[str, float],
+                    group_col: str = "lang", id_col: str = "doc_id",
+                    text_col: str = "text", salt: str = "blend") -> DataFrame:
+    """Downsample groups so the KEPT corpus hits target token shares —
+    the mixing step that turns per-source corpora into a training blend
+    ("40% en, 15% each of the rest").
+
+    Math: with per-group token totals ``T_g`` and target weights
+    ``w_g``, the largest blend that respects every target is
+    ``C = min_g(T_g / w_g)`` weight-units; each group keeps
+    ``rate_g = C·w_g / T_g`` of its documents (the binding group keeps
+    everything). The formula is invariant to weight normalization (the
+    scale cancels between C's denominator and the numerator), so weights
+    are used raw — no float-order-sensitive normalizing sum to replicate
+    in the oracle. Groups absent from ``weights`` are dropped (rate 0).
+    The keep decision is the same salted-hash threshold as
+    :func:`mixture_sample` — deterministic across runs and engines;
+    rates are rounded to 6 dp before thresholding for float stability.
+    Document-level sampling realizes the token target in expectation
+    (exact-token packing is :func:`pack_sequences`' job downstream).
+
+    Adds ``keep_rate`` and ``sampled``. Scale: one hash-agg for the
+    totals (rows = group count, collected — same driver-resident shape
+    as k-means centroids), rates broadcast back; the corpus itself never
+    shuffles.
+    """
+    tok = T.bpe_ish_token_count(F.col(text_col))
+    totals = {
+        r[group_col]: r["t"]
+        for r in docs.groupBy(group_col).agg(F.sum(tok).alias("t")).collect()
+        if r[group_col] in weights
+    }
+    c = min(totals[g] / weights[g] for g in totals)
+    rates = [(g, round(c * weights[g] / totals[g], 6)) for g in totals]
+    spark = docs.sparkSession
+    rate_df = spark.createDataFrame(rates, f"{group_col} string, keep_rate double")
+    h = F.pmod(
+        T.md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    return (
+        docs.join(F.broadcast(rate_df), group_col)
+        .withColumn("sampled", h < F.col("keep_rate") * 1_000_000)
+    )
+
+
 # ---------------------------------------------------------------------------
 # document chunking (fixed token windows with overlap)
 # ---------------------------------------------------------------------------

@@ -472,6 +472,31 @@ def q52_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLEND_WEIGHTS = {"en": 0.4, "zh": 0.15, "de": 0.15, "fr": 0.15, "es": 0.15}
+
+
+def q55_blend_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-share corpus blending: per-language keep rates computed so
+    the kept corpus hits 40/15/15/15/15 token shares (largest feasible
+    blend; the binding language keeps everything), applied by salted-hash
+    threshold — rolled up per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = C.blend_to_target(docs, BLEND_WEIGHTS, group_col="lang")
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+            F.round(F.first("keep_rate"), 6).alias("keep_rate"),
+            F.sum(
+                F.when(F.col("sampled"), T.bpe_ish_token_count(F.col("text")))
+                .otherwise(F.lit(0))
+            ).alias("kept_tokens"),
+        )
+        .transform(_psort, "lang")
+    )
+
+
 def q54_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (k=8, 2 rounds, deterministic smallest-id
     init, 6-dp centroid quantization) over the embedding corpus →
@@ -526,6 +551,7 @@ LLM_QUERIES = {
     "q52_embedding_quantization": q52_embedding_quantization,
     "q53_eval_carveout": q53_eval_carveout,
     "q54_kmeans_clusters": q54_kmeans_clusters,
+    "q55_blend_to_target": q55_blend_to_target,
 }
 
 
@@ -1189,6 +1215,40 @@ LLM_ORACLE_SQL = {
 }
 
 
+_BPE_TOK = ("GREATEST(len(regexp_extract_all(text, '(\\w+|[^\\w\\s])')), "
+            "CAST(CEIL(LENGTH(text) / 4) AS INT))")
+_W_VALUES = ", ".join(f"('{g}', {w})" for g, w in sorted(BLEND_WEIGHTS.items()))
+
+# q55: rate_g = min_h(T_h/w_h) * w_g / T_g with RAW weights (the formula
+# is normalization-invariant, so there is no engine-ordered summation to
+# replicate); rounded to 6dp before thresholding like q50.
+LLM_ORACLE_SQL_Q55 = f"""
+    WITH t AS (
+        SELECT lang, CAST(SUM({_BPE_TOK}) AS BIGINT) AS tt
+        FROM documents GROUP BY lang
+    ),
+    w AS (SELECT * FROM (VALUES {_W_VALUES}) w(lang, wt)),
+    j AS (SELECT t.lang, t.tt, w.wt FROM t JOIN w USING (lang)),
+    r AS (
+        SELECT lang,
+               ROUND((SELECT MIN(tt / wt) FROM j) * wt / tt, 6) AS keep_rate
+        FROM j
+    ),
+    s AS (
+        SELECT d.lang, r.keep_rate, d.text,
+               (('0x' || substr(md5('blend:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000) < r.keep_rate * 1000000 AS sampled
+        FROM documents d JOIN r USING (lang)
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           ROUND(ANY_VALUE(keep_rate), 6) AS keep_rate,
+           CAST(SUM(CASE WHEN sampled THEN {_BPE_TOK} ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM s GROUP BY lang ORDER BY lang
+"""
+
+
 def _km_dist2(cent_expr: str) -> str:
     """Squared-L2 SQL fragment matching clustering._dist2's index-order
     accumulation (float element cast to double, then multiply)."""
@@ -1260,3 +1320,4 @@ def _kmeans_oracle(k: int = 8, dim: int = 64) -> str:
 
 
 LLM_ORACLE_SQL["q54_kmeans_clusters"] = _kmeans_oracle()
+LLM_ORACLE_SQL["q55_blend_to_target"] = LLM_ORACLE_SQL_Q55

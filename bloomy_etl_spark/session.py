@@ -33,11 +33,12 @@ _DEFAULTS: dict[str, str] = {
     # The events fixture stores TIMESTAMP(NANOS); Spark rejects it unless
     # read as raw int64 ns — sources/tables.py converts ns → µs timestamp.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # Small fixture files land in one input split by default (128 MB
-    # target), serializing compute-heavy scans (shingling, hashing) onto a
-    # single core. Force at least one split per core; at cluster scale
-    # files exceed the split target anyway, so this floor is inert there.
-    "spark.sql.files.minPartitionNum": "32",
+    # NOTE deliberately ABSENT: spark.sql.files.minPartitionNum. The
+    # fixtures are single-row-group parquet, which cannot split — a
+    # minPartitionNum floor only adds empty scan tasks (measured A/B at
+    # sf0.1: -33% corpus time on removal, every query faster, none
+    # slower). Compute-heavy scans that need width get it from
+    # load_table(fan_out=True)'s explicit repartition instead.
     "spark.ui.enabled": "false",
     "spark.driver.memory": "48g",
 }

@@ -304,3 +304,40 @@ class TestBloomDecontam:
         assert len(bloom) <= len(exact) + 5, (
             f"too many false positives: {len(bloom)} vs {len(exact)}"
         )
+
+
+class TestBlendToTarget:
+    def test_shares_hit_target_and_binding_group_keeps_all(self, spark):
+        from bloomy_etl_spark.functions.text import bpe_ish_token_count
+        from bloomy_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        weights = {"en": 0.4, "zh": 0.15, "de": 0.15, "fr": 0.15, "es": 0.15}
+        s = C.blend_to_target(docs, weights, group_col="lang").cache()
+        rates = {
+            r["lang"]: r["keep_rate"]
+            for r in s.select("lang", "keep_rate").distinct().collect()
+        }
+        assert max(rates.values()) == pytest.approx(1.0), "binding group keeps all"
+        kept = {
+            r["lang"]: r["t"]
+            for r in s.filter("sampled")
+            .groupBy("lang")
+            .agg(F.sum(bpe_ish_token_count(F.col("text"))).alias("t"))
+            .collect()
+        }
+        total = sum(kept.values())
+        for g, w in weights.items():
+            assert kept[g] / total == pytest.approx(
+                w / sum(weights.values()), abs=0.05
+            ), g
+        s.unpersist()
+
+    def test_unlisted_group_dropped(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "a b c d e", "en" if i % 2 else "xx") for i in range(40)],
+            "doc_id long, text string, lang string",
+        )
+        s = C.blend_to_target(docs, {"en": 1.0}, group_col="lang")
+        assert s.filter(F.col("lang") == "xx").count() == 0
+        assert s.filter("sampled").count() == 20

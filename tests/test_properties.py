@@ -311,3 +311,63 @@ def test_pack_sequences_matches_python_reference(spark, toks, budget):
         cum += n
     want = {b: tuple(v) for b, v in bins.items()}
     assert got == want
+
+
+words = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=1, max_size=120
+)
+
+
+@given(ws=words, window=st.integers(4, 60), stride_frac=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_chunking_covers_every_token_exactly(spark, ws, window, stride_frac):
+    """Chunk windows tile the token range: first starts at 0, last ends at
+    n_tok, consecutive starts advance by exactly the stride, and every
+    chunk's length is in (0, window]."""
+    from bloomy_etl_spark.operators.corpus import chunk_documents
+
+    stride = max(1, window // stride_frac)
+    docs = spark.createDataFrame([(1, " ".join(ws))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(docs, window=window, stride=stride).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    n_tok = rows[0]["n_tok"]
+    assert rows[0]["chunk_start"] == 0
+    assert rows[-1]["chunk_start"] + rows[-1]["chunk_len"] == n_tok
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt["chunk_start"] - prev["chunk_start"] == stride
+    for r in rows:
+        assert 0 < r["chunk_len"] <= window
+    # chunk count formula: 1 + ceil(max(0, n_tok - window) / stride)
+    want = 1 + max(0, -(-(max(n_tok - window, 0)) // stride))
+    assert len(rows) == want
+
+
+@given(
+    sizes=st.lists(st.integers(1, 40), min_size=2, max_size=5),
+    alpha=st.floats(0.1, 1.0, allow_nan=False),
+)
+@settings(**SETTINGS)
+def test_mixture_rates_flatten_monotonically(spark, sizes, alpha):
+    """Larger groups never get a larger keep rate, the smallest group's
+    rate is exactly 1, and alpha=1 would keep everything."""
+    from bloomy_etl_spark.operators.corpus import mixture_sample
+
+    rows = [
+        (g * 1000 + i, "txt", f"g{g}")
+        for g, n in enumerate(sizes)
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    rates = {
+        r["lang"]: r["keep_rate"]
+        for r in mixture_sample(docs, group_col="lang", alpha=alpha)
+        .select("lang", "keep_rate")
+        .distinct()
+        .collect()
+    }
+    by_size = sorted(range(len(sizes)), key=lambda g: sizes[g])
+    assert rates[f"g{by_size[0]}"] == 1.0
+    for a, b in zip(by_size, by_size[1:]):
+        assert rates[f"g{a}"] >= rates[f"g{b}"] - 1e-9
