@@ -74,6 +74,11 @@ def kmeans_lloyd(embs: DataFrame, k: int = 8, iters: int = 2,
         .limit(k)
         .collect()
     )
+    if len(init) < k:
+        raise ValueError(
+            f"k={k} exceeds the corpus size ({len(init)} vectors); "
+            "every centroid needs a distinct seed vector"
+        )
     centroids = [[float(x) for x in r[vec_col]] for r in init]
     dim = len(centroids[0])
     for _ in range(iters):

@@ -198,6 +198,30 @@ def _bloom_hits(sh: DataFrame, id_col: str, fpp: float) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def salted_hash_bucket(id_col: str, salt: str, mod: int) -> Column:
+    """The engine-portable sampling hash used by every deterministic
+    keep/split decision in this module: ``md5_int(salt || ':' || id) mod
+    m``. Defined ONCE so the Spark operators and their DuckDB oracles
+    (``('0x'||substr(md5(...),1,8))::BIGINT % m``) cannot drift apart."""
+    return F.pmod(
+        T.md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(mod),
+    )
+
+
+def _round_half_up(x: float, dp: int = 6) -> float:
+    """Driver-side rounding matching F.round / DuckDB ROUND (half AWAY
+    from zero), not Python round()'s banker's half-to-even — a rate that
+    lands exactly on a rounding tie must threshold identically in both
+    engines."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-dp)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
 def assign_split(docs: DataFrame, id_col: str = "doc_id",
                  train_pct: int = 90, val_pct: int = 5,
                  salt: str = "split") -> DataFrame:
@@ -213,9 +237,7 @@ def assign_split(docs: DataFrame, id_col: str = "doc_id",
 
     Scale: pure map-side expression — no shuffle, no state.
     """
-    bucket = F.pmod(
-        T.md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), F.lit(100)
-    )
+    bucket = salted_hash_bucket(id_col, salt, 100)
     split = (
         F.when(bucket < train_pct, "train")
         .when(bucket < train_pct + val_pct, "val")
@@ -302,10 +324,7 @@ def mixture_sample(docs: DataFrame, group_col: str = "lang",
             F.pow(F.col("_n") / F.min("_n").over(w_all), F.lit(alpha - 1.0)), 6
         ).alias("keep_rate"),
     )
-    h = F.pmod(
-        T.md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
-        F.lit(1_000_000),
-    )
+    h = salted_hash_bucket(id_col, salt, 1_000_000)
     return (
         docs.join(F.broadcast(rates), group_col)
         .withColumn("sampled", h < F.col("keep_rate") * 1_000_000)
@@ -338,20 +357,26 @@ def blend_to_target(docs: DataFrame, weights: dict[str, float],
     as k-means centroids), rates broadcast back; the corpus itself never
     shuffles.
     """
+    bad = [g for g, w in weights.items() if w <= 0]
+    if bad:
+        raise ValueError(f"weights must be positive; got {bad}")
     tok = T.bpe_ish_token_count(F.col(text_col))
     totals = {
         r[group_col]: r["t"]
         for r in docs.groupBy(group_col).agg(F.sum(tok).alias("t")).collect()
         if r[group_col] in weights
     }
+    if not totals:
+        raise ValueError(
+            f"no corpus group matches any weight key {sorted(weights)} "
+            f"(group column {group_col!r})"
+        )
     c = min(totals[g] / weights[g] for g in totals)
-    rates = [(g, round(c * weights[g] / totals[g], 6)) for g in totals]
+    # half-away-from-zero like F.round/DuckDB ROUND, not Python round()
+    rates = [(g, _round_half_up(c * weights[g] / totals[g])) for g in totals]
     spark = docs.sparkSession
     rate_df = spark.createDataFrame(rates, f"{group_col} string, keep_rate double")
-    h = F.pmod(
-        T.md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
-        F.lit(1_000_000),
-    )
+    h = salted_hash_bucket(id_col, salt, 1_000_000)
     return (
         docs.join(F.broadcast(rate_df), group_col)
         .withColumn("sampled", h < F.col("keep_rate") * 1_000_000)
@@ -380,6 +405,12 @@ def chunk_documents(docs: DataFrame, window: int = 48, stride: int = 32,
     state; the row expansion factor is n_tok/stride, the same output the
     trainer would materialize anyway.
     """
+    if stride <= 0 or stride > window:
+        raise ValueError(
+            f"stride must be in (0, window]; got stride={stride}, window={window} "
+            "(stride > window would leave token gaps and emit negative-length "
+            "final chunks)"
+        )
     n_tok = T.bpe_ish_token_count(F.col(text_col))
     extra = F.greatest(n_tok - F.lit(window), F.lit(0))
     n_chunks = F.lit(1) + (extra + F.lit(stride - 1)).cast("long") / F.lit(stride)

@@ -391,7 +391,14 @@ def incremental_near_dups(new_docs: DataFrame, history_docs: DataFrame,
     helper's semi-join). Everything else is proportional to the batch.
     ``history_docs`` supplies text for verification only; at rest it is
     the same corpus table the signatures index."""
-    new_sigs = minhash_signatures(new_docs, num_perm, n, text_col, id_col)
+    # Lazy checkpoint: the batch signatures feed the band probe, the
+    # within-batch candidate pass, AND the caller's append to the
+    # signature store — without it each consumer re-runs the shingle +
+    # num_perm-way MinHash fold over the batch text. Batch-proportional,
+    # so safe to materialize at any corpus size.
+    new_sigs = minhash_signatures(
+        new_docs, num_perm, n, text_col, id_col
+    ).localCheckpoint(eager=False)
     new_bands = stacked_bands(new_sigs, bands, rows)
     hist_bands = stacked_bands(history_sigs, bands, rows)
     # history probes the broadcast new-batch band keys; emit (i<j) pairs

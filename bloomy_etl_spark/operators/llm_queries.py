@@ -416,12 +416,9 @@ def q48_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.pack_sequences(docs, budget=2048).transform(_psort, "lang", "bin_id")
 
 
-def q50_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-weighted (α=0.7) language rebalance: per-language keep
-    rate ``(n/n_min)**(α−1)`` applied via a deterministic salted-hash
-    threshold — rolled up per language with kept doc/token totals."""
-    docs = load_table(spark, sf_dir, "documents")
-    s = C.mixture_sample(docs, group_col="lang", alpha=0.7)
+def _sampling_rollup(s: DataFrame) -> DataFrame:
+    """Shared per-language rollup for the hash-threshold samplers
+    (q50/q55): doc count, sampled count, the group's rate, kept tokens."""
     return (
         s.groupBy("lang")
         .agg(
@@ -435,6 +432,14 @@ def q50_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(_psort, "lang")
     )
+
+
+def q50_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (α=0.7) language rebalance: per-language keep
+    rate ``(n/n_min)**(α−1)`` applied via a deterministic salted-hash
+    threshold — rolled up per language with kept doc/token totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _sampling_rollup(C.mixture_sample(docs, group_col="lang", alpha=0.7))
 
 
 def q51_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,20 +486,7 @@ def q55_blend_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     blend; the binding language keeps everything), applied by salted-hash
     threshold — rolled up per language."""
     docs = load_table(spark, sf_dir, "documents")
-    s = C.blend_to_target(docs, BLEND_WEIGHTS, group_col="lang")
-    return (
-        s.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
-            F.round(F.first("keep_rate"), 6).alias("keep_rate"),
-            F.sum(
-                F.when(F.col("sampled"), T.bpe_ish_token_count(F.col("text")))
-                .otherwise(F.lit(0))
-            ).alias("kept_tokens"),
-        )
-        .transform(_psort, "lang")
-    )
+    return _sampling_rollup(C.blend_to_target(docs, BLEND_WEIGHTS, group_col="lang"))
 
 
 def q54_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -237,9 +237,17 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
     up = updates.withColumn("p_date", F.to_date(F.col(ts_col)))
     days = [r["p_date"] for r in up.select("p_date").distinct().collect()]
     existing = spark.read.parquet(path).filter(F.col("p_date").isin(days))
+    # On an exact ts tie the UPDATE side wins (a re-sent correction with
+    # an unchanged timestamp must apply deterministically, not by shuffle
+    # order): priority 1 beats the stored row's 0 via the tiebreak.
     merged = latest_by_key(
-        existing.unionByName(up), key_cols, ts_col
-    )
+        existing.withColumn("_prio", F.lit(0)).unionByName(
+            up.withColumn("_prio", F.lit(1))
+        ),
+        key_cols,
+        ts_col,
+        tiebreak_col="_prio",
+    ).drop("_prio")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

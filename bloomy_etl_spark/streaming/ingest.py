@@ -23,9 +23,10 @@ append-only parquet table; compact it periodically with
 
 Delivery semantics: foreachBatch is at-least-once on retry — a batch
 that fails mid-append can leave partial files. The ``batch_id`` column
-written with pairs/sigs makes replays detectable (delete-by-batch_id
-before re-append, or dedup on read); a transactional table format slots
-in at the writer without changing the flow.
+written with ALL THREE durable appends (pairs, corpus, signatures) makes
+replays detectable and reversible (delete-by-batch_id before re-append,
+or dedup on read); a transactional table format slots in at the writer
+without changing the flow.
 """
 
 from __future__ import annotations
@@ -38,11 +39,20 @@ from bloomy_etl_spark.operators.dedup import incremental_near_dups, minhash_sign
 
 def _read_or_empty(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
     """Read a parquet state table, or an empty frame with ``like``'s
-    schema before the first batch has created it."""
+    schema before the first batch has created it.
+
+    ONLY the path-missing analysis error is absorbed — a corrupt footer,
+    permission failure, or listing error must fail the batch loudly
+    (silently deduping against an empty history would admit known
+    duplicates and never record it)."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return spark.createDataFrame([], like.schema)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return spark.createDataFrame([], like.schema)
+        raise
 
 
 def streaming_dedup_ingest(
@@ -86,6 +96,7 @@ def streaming_dedup_ingest(
             pairs_dir
         )
         admitted = batch
+        admitted_sigs = new_sigs
         if drop_dups:
             # a batch doc loses only to the EXISTING corpus (not to a
             # same-batch sibling, where both are first arrivals)
@@ -100,8 +111,19 @@ def streaming_dedup_ingest(
                 .distinct()
             )
             admitted = batch.join(dup_side, id_col, "left_anti")
-        admitted.write.mode("append").parquet(corpus_dir)
-        minhash_signatures(admitted).write.mode("append").parquet(sig_dir)
+            admitted_sigs = new_sigs.join(dup_side, id_col, "left_anti")
+        # batch_id rides every durable append so an at-least-once replay
+        # is detectable and reversible (delete-by-batch_id) in ALL three
+        # state tables, not just the pair log.
+        admitted.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(corpus_dir)
+        # reuse the checkpointed batch signatures (incremental_near_dups
+        # computed them once); recomputing minhash here would double the
+        # per-batch shingle+hash cost.
+        admitted_sigs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sig_dir)
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)

@@ -341,3 +341,30 @@ class TestBlendToTarget:
         s = C.blend_to_target(docs, {"en": 1.0}, group_col="lang")
         assert s.filter(F.col("lang") == "xx").count() == 0
         assert s.filter("sampled").count() == 20
+
+
+class TestReviewGuards:
+    def test_chunking_rejects_bad_stride(self, spark):
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="stride"):
+            C.chunk_documents(docs, window=10, stride=32)
+        with pytest.raises(ValueError, match="stride"):
+            C.chunk_documents(docs, window=10, stride=0)
+
+    def test_blend_rejects_bad_weights(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b", "en")], "doc_id long, text string, lang string"
+        )
+        with pytest.raises(ValueError, match="positive"):
+            C.blend_to_target(docs, {"en": 0.0})
+        with pytest.raises(ValueError, match="no corpus group"):
+            C.blend_to_target(docs, {"jp": 1.0})
+
+    def test_kmeans_rejects_k_over_corpus(self, spark):
+        from bloomy_etl_spark.operators.clustering import kmeans_lloyd
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 1.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="exceeds the corpus"):
+            kmeans_lloyd(df, k=8, iters=1)

@@ -226,3 +226,25 @@ class TestUpsert:
         after = sorted(glob.glob(os.path.join(path, "p_date=2024-01-03", "*.parquet")))
         assert after == untouched
         assert [os.path.getmtime(f) for f in after] == mtimes
+
+
+class TestUpsertTies:
+    def test_equal_ts_update_wins(self, spark, tmp_path_factory):
+        """A re-sent correction with an unchanged timestamp must apply
+        deterministically — the update side wins exact-ts ties."""
+        import datetime as dt
+
+        from bloomy_etl_spark.sinks.layout import upsert_partitioned
+
+        base = tmp_path_factory.mktemp("upsert_tie")
+        path = str(base / "t")
+        ts = dt.datetime(2024, 1, 1, 10)
+        df = spark.createDataFrame([(1, ts, 1.0)], "k long, ts timestamp, v double")
+        write_date_partitioned(df, path)
+        updates = spark.createDataFrame(
+            [(1, ts, 10.0)], "k long, ts timestamp, v double"
+        )
+        for _ in range(3):  # repeat: ties must not flip with shuffle order
+            upsert_partitioned(spark, path, updates, key_cols=["k"], ts_col="ts")
+            got = spark.read.parquet(path).collect()
+            assert len(got) == 1 and got[0]["v"] == 10.0
