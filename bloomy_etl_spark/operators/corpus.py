@@ -485,6 +485,46 @@ def length_percentiles(docs: DataFrame, group_col: str = "lang",
     )
 
 
+def vocab_coverage(docs: DataFrame, v: int = 512, text_col: str = "text",
+                   group_col: str = "lang") -> DataFrame:
+    """Induce a corpus-global top-``v`` word vocabulary (by occurrence,
+    ties broken by word) and audit per-group coverage: total tokens,
+    out-of-vocabulary tokens, OOV rate. The sizing study run before
+    committing to a tokenizer vocab — a group with a high OOV rate under
+    the shared vocabulary is the one that will fragment into subwords.
+
+    Scale: vocabulary selection is explode → hash-agg (map-side partials
+    shrink the shuffle by per-task word repetition) → ``limit(v)``
+    (TakeOrdered heap, no full sort); the v-row vocab then broadcast
+    LEFT-joins back onto the token stream, so the corpus-side pass never
+    shuffles — the per-group audit is one final aggregate on
+    ``group_col``.
+    """
+    w = docs.select(
+        group_col, F.explode(T.tokens(F.lower(F.col(text_col)))).alias("w")
+    )
+    vocab = (
+        w.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(v)
+        .select("w", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        w.join(F.broadcast(vocab), "w", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.col("_in_vocab").isNull().cast("long")).alias("oov_tokens"),
+            F.round(
+                F.sum(F.col("_in_vocab").isNull().cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
 def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20,
                text_col: str = "text") -> DataFrame:
     """Corpus-level most-frequent word n-grams (with repeats — frequency,

@@ -477,6 +477,15 @@ def q52_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q56_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global top-16 word vocabulary (occurrence-ranked, ties by
+    word) with a per-language OOV audit — the sizing study before
+    tokenizer training. v=16 of the fixture's 31 distinct words keeps
+    the OOV signal non-trivial."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return C.vocab_coverage(docs, v=16).transform(_psort, "lang")
+
+
 BLEND_WEIGHTS = {"en": 0.4, "zh": 0.15, "de": 0.15, "fr": 0.15, "es": 0.15}
 
 
@@ -544,6 +553,7 @@ LLM_QUERIES = {
     "q53_eval_carveout": q53_eval_carveout,
     "q54_kmeans_clusters": q54_kmeans_clusters,
     "q55_blend_to_target": q55_blend_to_target,
+    "q56_vocab_coverage": q56_vocab_coverage,
 }
 
 
@@ -1313,3 +1323,24 @@ def _kmeans_oracle(k: int = 8, dim: int = 64) -> str:
 
 LLM_ORACLE_SQL["q54_kmeans_clusters"] = _kmeans_oracle()
 LLM_ORACLE_SQL["q55_blend_to_target"] = LLM_ORACLE_SQL_Q55
+# q56: same lowercase whitespace tokenization as q28's lws; the top-16
+# cut is deterministic (n DESC, word) in both engines.
+LLM_ORACLE_SQL["q56_vocab_coverage"] = r"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS wd
+        FROM documents
+    ),
+    vocab AS (
+        SELECT wd FROM (
+            SELECT wd, COUNT(*) AS n FROM toks
+            GROUP BY wd ORDER BY n DESC, wd LIMIT 16)
+    )
+    SELECT t.lang,
+           COUNT(*) AS total_tokens,
+           CAST(SUM(CASE WHEN v.wd IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+           ROUND(SUM(CASE WHEN v.wd IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (wd)
+    GROUP BY t.lang ORDER BY t.lang
+"""

@@ -368,3 +368,25 @@ class TestReviewGuards:
         )
         with pytest.raises(ValueError, match="exceeds the corpus"):
             kmeans_lloyd(df, k=8, iters=1)
+
+
+class TestVocabCoverage:
+    def test_full_vocab_has_zero_oov(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c a", "x"), (2, "b c d", "y")],
+            "doc_id long, text string, lang string",
+        )
+        full = {r["lang"]: r for r in C.vocab_coverage(docs, v=100).collect()}
+        assert full["x"]["oov_tokens"] == 0 and full["y"]["oov_tokens"] == 0
+        assert full["x"]["total_tokens"] == 4
+
+    def test_small_vocab_counts_oov_exactly(self, spark):
+        # occurrences: a=3, b=2, c=1 -> v=1 vocab = {a}
+        docs = spark.createDataFrame(
+            [(1, "a a b", "x"), (2, "a b c", "x")],
+            "doc_id long, text string, lang string",
+        )
+        row = C.vocab_coverage(docs, v=1).first()
+        assert row["total_tokens"] == 6
+        assert row["oov_tokens"] == 3  # b,b,c
+        assert row["oov_rate"] == pytest.approx(0.5)
