@@ -445,8 +445,9 @@ def q50_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q51_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-window (48-token, stride 32) document chunking with overlap —
     the full chunk table: one row per (doc, chunk) with offset and ragged
-    final-chunk length."""
-    docs = load_table(spark, sf_dir, "documents")
+    final-chunk length. fan_out: the per-row regex token count dominates
+    the single-file scan (measured 0.29→0.10 s at sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return C.chunk_documents(docs, window=48, stride=32).transform(
         _psort, "doc_id", "chunk_idx"
     )
