@@ -172,3 +172,54 @@ def test_pack_sequences_single_exchange(spark):
     plan = plan_string(pack_sequences(load_table(spark, SF_SMOKE, "documents")))
     n_exchange = plan.count(") Exchange")
     assert n_exchange == 1, f"expected 1 exchange, found {n_exchange}:\n{plan}"
+
+
+def test_mixture_and_blend_broadcast_rate_table(spark):
+    """The per-group rate tables (a handful of rows) must broadcast back
+    onto the corpus — never a sort-merge shuffle of the doc table."""
+    from bloomy_etl_spark.operators.corpus import blend_to_target, mixture_sample
+    from bloomy_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for df in (
+        mixture_sample(docs, group_col="lang"),
+        blend_to_target(docs, {"en": 0.4, "de": 0.6}, group_col="lang"),
+    ):
+        assert_broadcast_join(df, 1)
+        assert_no_cartesian(df)
+        assert "SortMergeJoin" not in plan_string(df)
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Chunk explosion is a pure map-side sequence+explode."""
+    from bloomy_etl_spark.operators.corpus import chunk_documents
+    from bloomy_etl_spark.sources.tables import load_table
+
+    plan = plan_string(
+        chunk_documents(load_table(spark, SF_SMOKE, "documents"))
+    )
+    assert ") Exchange" not in plan, f"unexpected shuffle:\n{plan}"
+
+
+def test_vocab_join_is_broadcast(spark):
+    """The induced vocabulary broadcast-joins back onto the token stream;
+    the corpus-side pass must not shuffle for the join."""
+    from bloomy_etl_spark.operators.corpus import vocab_coverage
+    from bloomy_etl_spark.sources.tables import load_table
+
+    df = vocab_coverage(load_table(spark, SF_SMOKE, "documents"), v=16)
+    assert_broadcast_join(df, 1)
+    assert_no_cartesian(df)
+
+
+def test_kmeans_assignment_is_map_side(spark):
+    """Cluster assignment ships centroids as literals: the scored plan
+    has no join and no exchange before the summary aggregate."""
+    from bloomy_etl_spark.operators.clustering import assign_clusters
+    from bloomy_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    cents = [[0.0] * 64, [1.0] * 64]
+    plan = plan_string(assign_clusters(embs, cents))
+    assert ") Exchange" not in plan, f"unexpected shuffle:\n{plan}"
+    assert "Join" not in plan
