@@ -30,6 +30,14 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _paired_ratio(spark_t: dict[str, float], duck_t: dict[str, float]):
+    """Spark/DuckDB total ratio over queries BOTH engines completed."""
+    common = [n for n in spark_t if duck_t.get(n)]
+    if not common:
+        return None
+    return round(sum(spark_t[n] for n in common) / sum(duck_t[n] for n in common), 2)
+
+
 def main() -> None:
     from bloomy_etl_spark import get_spark
     from __spark_entry__ import queries, oracle_sql
@@ -92,8 +100,8 @@ def main() -> None:
                     samples.append(time.perf_counter() - t0)
                 duck_timings[name] = round(statistics.median(samples), 3)
                 duck_total += statistics.median(samples)
-            except Exception:
-                continue
+            except Exception as exc:  # noqa: BLE001 — record, keep timing
+                errors[f"duckdb:{name}"] = f"{type(exc).__name__}: {exc}"[:500]
         duck_total = round(duck_total, 3)
     except Exception:
         duck_timings = {}
@@ -110,9 +118,10 @@ def main() -> None:
                 "n_queries": len(timings),
                 "duckdb_sec": duck_total,
                 "duckdb_queries": duck_timings,
-                "ratio": (
-                    round(total / duck_total, 2) if duck_total else None
-                ),
+                # headline ratio over the INTERSECTION of successful
+                # queries only — totals over different query sets would
+                # silently compare apples to oranges when one side errors
+                "ratio": _paired_ratio(timings, duck_timings),
                 # per-query spark/duckdb ratio — makes the 2x budget
                 # attributable per query (VERDICT r02 item 8)
                 "query_ratios": {

@@ -126,13 +126,26 @@ def main(argv: list[str] | None = None) -> dict:
         n_fresh = fresh.count()
         if n_fresh:
             write_cache_partition(fresh, args.cache_dir)
-        cached = spark.read.parquet(args.cache_dir).drop("date")
-        if args.start:
-            cached = cached.filter(F.col("time") >= F.lit(args.start).cast("timestamp"))
-        if args.end:
-            cached = cached.filter(F.to_date("time") <= F.lit(args.end).cast("date"))
-        px = cached
-        cache_stats = {"cache_dir": args.cache_dir, "granule_rows_added": n_fresh}
+        if not os.path.isdir(args.cache_dir):
+            # nothing selected AND nothing previously cached: the cache
+            # dir was never created — reading it back would crash; keep
+            # the (empty) pixel selection and proceed to an empty summary
+            cache_stats = {"cache_dir": args.cache_dir, "granule_rows_added": 0}
+            px = px.limit(0)
+        else:
+            cached = spark.read.parquet(args.cache_dir).drop("date")
+            if args.start:
+                cached = cached.filter(
+                    F.col("time") >= F.lit(args.start).cast("timestamp")
+                )
+            if args.end:
+                cached = cached.filter(
+                    F.to_date("time") <= F.lit(args.end).cast("date")
+                )
+            px = cached
+            cache_stats = {
+                "cache_dir": args.cache_dir, "granule_rows_added": n_fresh
+            }
 
     q = replace(DEFAULT_QUALITY, contamination_reject=args.cloud_cover)
     result = run_pipeline(

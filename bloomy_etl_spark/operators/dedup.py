@@ -632,7 +632,7 @@ def embedding_near_dups(embs: DataFrame, threshold: float = 0.4,
     norm evaluations instead of 2·|pairs|. ``exact_cosine=False`` is the
     cheaper variant: unit-normalize *before* the join so per-pair cost is
     a single dot product."""
-    from bloomy_etl_spark.operators.similarity import lsh_bucket
+    from bloomy_etl_spark.operators.similarity import stacked_lsh_buckets
 
     prepped = F.col(vec_col) if exact_cosine else normalize(F.col(vec_col))
     extra = [norm(F.col(vec_col)).alias("_nm")] if exact_cosine else []
@@ -642,15 +642,8 @@ def embedding_near_dups(embs: DataFrame, threshold: float = 0.4,
             F.col(id_col).alias("_id"), blk.alias("blk"), prepped.alias("_nv"), *extra
         )
     else:
-        stacked = F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    lsh_bucket(F.col(vec_col), t, lsh_bits, dim).alias("bucket"),
-                )
-                for t in range(lsh_tables)
-            ])
-        )
+        # shared bucket derivation with lsh_topk — one definition, no drift
+        stacked = stacked_lsh_buckets(F.col(vec_col), lsh_tables, lsh_bits, dim)
         block_src = embs.select(
             F.col(id_col).alias("_id"), stacked.alias("blk"), prepped.alias("_nv"), *extra
         )
@@ -773,6 +766,10 @@ def connected_components(pairs: DataFrame, i_col: str = "i", j_col: str = "j",
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the old round's checkpoint blocks are dead once `changed` is
+        # computed — release them or max_iter full label copies pile up
+        # in executor storage memory on a long-converging graph
+        labels.unpersist()
         labels = new
         if changed == 0:
             break

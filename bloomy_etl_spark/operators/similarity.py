@@ -157,6 +157,26 @@ def ivf_topk(embs: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def stacked_lsh_buckets(vec_col, tables: int, bits: int, dim: int):
+    """One exploded ``(t, bucket)`` struct per hash table — the shared
+    bucket-derivation expression for ANN search (:func:`lsh_topk`) and
+    near-dup blocking (``dedup.embedding_near_dups``). Defined once so
+    the two can never silently diverge on bits layout or hyperplane
+    seeding. Stacking all tables into one explode keeps candidate
+    generation a single join instead of ``tables`` sequential ones."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket(vec_col, t, bits, dim).alias("bucket"),
+                )
+                for t in range(tables)
+            ]
+        )
+    )
+
+
 def lsh_topk(embs: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
              bits: int = 8, tables: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -172,17 +192,7 @@ def lsh_topk(embs: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
         with a single explode so ALL tables join in one pass — a per-table
         join loop would run ``tables`` sequential shuffle stages over the
         same corpus; stacked, the whole candidate generation is one join."""
-        stacked = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        lsh_bucket(F.col(vec_col), t, bits, dim).alias("bucket"),
-                    )
-                    for t in range(tables)
-                ]
-            )
-        )
+        stacked = stacked_lsh_buckets(F.col(vec_col), tables, bits, dim)
         return df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(vec_alias),

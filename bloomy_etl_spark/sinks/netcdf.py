@@ -83,7 +83,10 @@ def _write_one(date: str, time_iso: str, ndvi: np.ndarray, evi: np.ndarray,
         encoding = {var: {"zlib": True, "complevel": 5} for var in ds.data_vars}
         ds.to_netcdf(path, encoding=encoding)
         return path, "xarray"
-    except ImportError:
+    except (ImportError, ValueError):
+        # ImportError: xarray absent. ValueError: xarray present but no
+        # netCDF engine installed (scipy/netCDF4/h5netcdf) — to_netcdf
+        # raises it at write time; both degrade to the same fallback.
         # Deterministic fallback: same arrays, zlib-deflate .npz container,
         # metadata in a JSON sidecar instead of NetCDF attrs.
         path = os.path.join(out_dir, f"cube_{date}.npz")
@@ -117,6 +120,11 @@ def export_netcdf(cube: DataFrame, out_dir: str,
     px = cube.withColumn("date", F.date_format("time", "yyyy-MM-dd"))
     if grid is None:
         extent = px.agg(F.max("x").alias("mx"), F.max("y").alias("my")).first()
+        if extent["mx"] is None:
+            raise ValueError(
+                "cannot infer the export grid from an empty cube; pass "
+                "grid=(width, height) explicitly or skip the export"
+            )
         grid = (int(extent["mx"]) + 1, int(extent["my"]) + 1)
     width, height = grid
 

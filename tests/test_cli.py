@@ -73,7 +73,9 @@ def test_cli_cache_incremental_and_netcdf(spark, tmp_path):
     r3 = main(["--sf-dir", SF, "--output", str(tmp_path / "o3"),
                "--end", "2024-01-03", "--disable-quality-filter",
                "--cache-dir", cache, "--no-detect", "--export-netcdf"])
-    assert 0 < r3["granule_rows_added"] < r1["granule_rows_added"] + r3["granule_rows_added"]
+    # strictly incremental: the wider range must add fewer rows than the
+    # first run's full population (only the new days' granules)
+    assert 0 < r3["granule_rows_added"] < r1["granule_rows_added"]
     assert r3["cube_rows"] > r1["cube_rows"]
     assert r3["n_netcdf"] >= 1 and os.path.isdir(r3["netcdf_dir"])
     # no --keep-cache on the last run -> scratch cache removed

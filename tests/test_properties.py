@@ -249,16 +249,20 @@ event_times = st.lists(
     times_by_user=st.dictionaries(
         st.integers(min_value=1, max_value=4), event_times, min_size=1, max_size=4
     ),
-    gap_us=st.integers(min_value=1, max_value=2_000_000),
+    gap_s_h=st.integers(min_value=1, max_value=2),
 )
 @settings(**SETTINGS)
-def test_sessionize_matches_python_reference(spark, times_by_user, gap_us):
+def test_sessionize_matches_python_reference(spark, times_by_user, gap_s_h):
     """sessionize == the obvious sequential scan: sort each user's event
-    times, break when the delta exceeds the gap strictly."""
+    times, break when the delta exceeds the gap strictly. The gap is
+    whole SECONDS — sessionize's contract is gap_s: int, and a fractional
+    float gap would round (gap_s*1e6) away from the integer reference at
+    exact-gap boundaries."""
     import datetime
 
     from bloomy_etl_spark.operators.corpus import sessionize
 
+    gap_us = gap_s_h * 1_000_000
     base = datetime.datetime(2024, 1, 1)
     rows, want = [], {}
     eid = 0
@@ -274,7 +278,7 @@ def test_sessionize_matches_python_reference(spark, times_by_user, gap_us):
             prev = off
             eid += 1
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
-    gap_s = gap_us / 1_000_000
+    gap_s = gap_s_h
     got = {
         r["event_id"]: r["session_seq"]
         for r in sessionize(df, gap_s=gap_s).collect()
