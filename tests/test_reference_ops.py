@@ -230,3 +230,35 @@ def test_event_detection_reference_series(spark):
     assert sustained["end_date"] == "2024-06-06"
     assert sustained["ndvi_before"] == pytest.approx(0.7)
     assert sustained["ndvi_sustained"] == pytest.approx((0.2 + 0.25 + 0.28) / 3)
+
+
+def test_loader_normalizes_every_events_ts_generation(spark, tmp_path):
+    """The driver has shipped events.ts in three physical types across
+    fixture regenerations — TIMESTAMP(NANOS) (r1, scanned as int64 under
+    nanosAsLong), timezone-less timestamp[us] (r2, scanned as
+    TIMESTAMP_NTZ — the type that broke q18/bench in BENCH_r02), and
+    tz-aware micros. The loader boundary must normalize ALL of them to
+    the same plain-TIMESTAMP instant so no downstream operator ever sees
+    the physical type again."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bloomy_etl_spark.sources.tables import normalize_events_ts
+
+    t = dt.datetime(2024, 1, 5, 12, 34, 56, 789123)
+    micros = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    cases = {
+        "nanos": pa.table({"ts": pa.array([micros * 1000], pa.timestamp("ns"))}),
+        "ntz": pa.table({"ts": pa.array([micros], pa.timestamp("us"))}),
+        "tz": pa.table({"ts": pa.array([micros], pa.timestamp("us", tz="UTC"))}),
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for name, table in cases.items():
+        path = str(tmp_path / f"{name}.parquet")
+        pq.write_table(table, path)
+        df = normalize_events_ts(spark.read.parquet(path))
+        assert dict(df.dtypes)["ts"] == "timestamp", name
+        assert df.first()["ts"] == t, name
