@@ -93,6 +93,24 @@ def mean_word_length(text: Column) -> Column:
     return F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)) / F.size(ws)
 
 
+def normalize_text(text: Column) -> Column:
+    """C4/RefinedWeb-style text normalization: strip ASCII control
+    characters, collapse whitespace runs to a single space, trim. The
+    cleanup pass that runs BEFORE hashing/shingling so near-dup detection
+    is not defeated by formatting noise.
+
+    Whitespace controls (tab, newline, form feed, carriage return) are
+    NOT stripped — they collapse to a single space like any run of
+    spaces, so line breaks keep words apart. The strip class is the
+    remaining controls ``[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f]`` —
+    deliberately INCLUDING vertical tab (\\x0b): Java regex counts VT as
+    ``\\s`` but RE2 does not, so leaving it to the collapse pass would
+    diverge between Spark and the DuckDB oracle. Order is part of the
+    contract: control-strip, then collapse, then trim."""
+    no_ctl = F.regexp_replace(text, "[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f]", "")
+    return F.trim(F.regexp_replace(no_ctl, "\\s+", " "))
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: rewards stopword presence and
     lexical diversity, penalizes extreme length and punctuation soup.

@@ -478,6 +478,52 @@ def q52_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization audit: formatting noise (leading spaces, tab +
+    trailing whitespace runs, a control byte) is synthesized
+    deterministically from doc_id (q37/q40 precedent — the fixture corpus
+    is already clean), then normalize_text runs for real and per-source
+    change counts, removed-char totals, and the clean-doc round-trip
+    invariant are oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.when(did % 5 == 0, F.lit("  ")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(F.lit("\t trailing"), F.lit("  run")))
+        .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("\x01")).otherwise(F.lit("")),
+    )
+    # the fixture text is pre-normalized (asserted by the oracle match),
+    # so the exact post-normalization string is predictable: the original
+    # text plus the collapsed tail for %3 docs — a full round-trip check,
+    # not just a changed-count
+    expected = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.lit(" trailing run")).otherwise(F.lit("")),
+    )
+    base = docs.select(
+        "source", dirty.alias("dirty"), expected.alias("expected")
+    )
+    norm = T.normalize_text(F.col("dirty"))
+    feats = base.select(
+        "source",
+        (norm != F.col("dirty")).cast("long").alias("changed"),
+        (F.length("dirty") - F.length(norm)).alias("removed"),
+        (norm == F.col("expected")).cast("long").alias("agrees"),
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("changed").alias("n_changed"),
+            F.sum("removed").alias("chars_removed"),
+            F.sum("agrees").alias("n_clean_roundtrip"),
+        )
+        .transform(_psort, "source")
+    )
+
+
 def q56_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-global top-16 word vocabulary (occurrence-ranked, ties by
     word) with a per-language OOV audit — the sizing study before
@@ -555,6 +601,7 @@ LLM_QUERIES = {
     "q54_kmeans_clusters": q54_kmeans_clusters,
     "q55_blend_to_target": q55_blend_to_target,
     "q56_vocab_coverage": q56_vocab_coverage,
+    "q57_text_normalization": q57_text_normalization,
 }
 
 
@@ -1326,6 +1373,35 @@ LLM_ORACLE_SQL["q54_kmeans_clusters"] = _kmeans_oracle()
 LLM_ORACLE_SQL["q55_blend_to_target"] = LLM_ORACLE_SQL_Q55
 # q56: same lowercase whitespace tokenization as q28's lws; the top-16
 # cut is deterministic (n DESC, word) in both engines.
+# q57: same dirt synthesis, normalization, and expected-string algebra;
+# chr() builds the control byte / tab portably in SQL.
+LLM_ORACLE_SQL["q57_text_normalization"] = r"""
+    WITH d AS (
+        SELECT source, text,
+               (CASE WHEN doc_id % 5 = 0 THEN '  ' ELSE '' END)
+               || text
+               || (CASE WHEN doc_id % 3 = 0 THEN chr(9) || ' trailing' || '  run' ELSE '' END)
+               || (CASE WHEN doc_id % 7 = 0 THEN chr(1) ELSE '' END) AS dirty,
+               text || (CASE WHEN doc_id % 3 = 0 THEN ' trailing run' ELSE '' END)
+                   AS expected
+        FROM documents
+    ), n AS (
+        SELECT source, dirty, expected,
+               trim(regexp_replace(regexp_replace(dirty,
+                   '[\x00-\x08\x0b\x0e-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g'))
+                   AS norm
+        FROM d
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN norm != dirty THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           CAST(SUM(LENGTH(dirty) - LENGTH(norm)) AS BIGINT) AS chars_removed,
+           CAST(SUM(CASE WHEN norm = expected THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clean_roundtrip
+    FROM n GROUP BY source ORDER BY source
+"""
+
 LLM_ORACLE_SQL["q56_vocab_coverage"] = r"""
     WITH toks AS (
         SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS wd

@@ -325,3 +325,23 @@ def test_kmeans_separates_obvious_clusters(spark):
     low = {got[i] for i in range(5)}
     high = {got[10 + i] for i in range(5)}
     assert len(low) == 1 and len(high) == 1 and low != high
+
+
+def test_normalize_text_semantics(spark):
+    """Control chars stripped, whitespace runs collapsed, ends trimmed —
+    in that order (a VT is gone before the \\s pass ever sees it)."""
+    from bloomy_etl_spark.functions.text import normalize_text
+    import pyspark.sql.functions as F
+
+    cases = [
+        ("  a  b ", "a b"),
+        ("a\tb", "a b"),           # whitespace controls collapse to space
+        ("line1\nline2", "line1 line2"),
+        ("a\x01b", "ab"),          # other controls stripped
+        ("a\x0bb", "ab"),          # VT is control-stripped (RE2/Java \s differ)
+        ("\x01  ", ""),            # noise-only collapses to empty
+        ("clean text", "clean text"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "t string")
+    got = [r["n"] for r in df.select(normalize_text(F.col("t")).alias("n")).collect()]
+    assert got == [w for _, w in cases]
