@@ -375,3 +375,23 @@ def test_mixture_rates_flatten_monotonically(spark, sizes, alpha):
     assert rates[f"g{by_size[0]}"] == 1.0
     for a, b in zip(by_size, by_size[1:]):
         assert rates[f"g{a}"] >= rates[f"g{b}"] - 1e-9
+
+
+@given(
+    s=st.text(
+        alphabet=st.characters(min_codepoint=0, max_codepoint=0x7F),
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_normalize_text_idempotent(spark, s):
+    """normalize(normalize(x)) == normalize(x) for any ASCII input — the
+    cleanup pass must be a projection onto its own fixed points."""
+    from bloomy_etl_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame([(s,)], "t string")
+    row = df.select(
+        normalize_text(F.col("t")).alias("once"),
+        normalize_text(normalize_text(F.col("t"))).alias("twice"),
+    ).first()
+    assert row["once"] == row["twice"]

@@ -91,3 +91,43 @@ def test_gif_and_interactive_graceful_without_matplotlib(spark, tiny_cube, tmp_p
             v.plot_interactive()
     else:  # pragma: no cover - matplotlib present
         v.create_gif(str(tmp_path / "a.gif"))
+
+
+class TestTableStats:
+    def test_stats_match_duckdb_truth(self, spark, duck):
+        """One-pass profile vs exact DuckDB ground truth on documents."""
+        from bloomy_etl_spark.sources.tables import load_table
+        from bloomy_etl_spark.tools.stats import collect_table_stats
+        from tests.conftest import SF_ORACLE
+        from tests.oracle import register_duck_views
+
+        register_duck_views(duck, SF_ORACLE)
+        got = collect_table_stats(load_table(spark, SF_ORACLE, "documents"))
+        n, ndv_lang, min_id, max_id, avg_len = duck.execute(
+            "SELECT COUNT(*), COUNT(DISTINCT lang), MIN(doc_id), MAX(doc_id),"
+            " ROUND(AVG(LENGTH(text)), 2) FROM documents"
+        ).fetchone()
+        assert got["n_rows"] == n
+        lang = got["columns"]["lang"]
+        assert lang["nulls"] == 0 and lang["null_frac"] == 0.0
+        # HLL at rsd=0.05 on 5 distinct values is exact in practice
+        assert lang["approx_ndv"] == ndv_lang
+        did = got["columns"]["doc_id"]
+        assert (did["min"], did["max"]) == (min_id, max_id)
+        assert abs(got["columns"]["text"]["avg_len"] - float(avg_len)) < 0.01
+        # single job: the whole profile is ONE aggregate over the scan
+        assert set(got["columns"]) == {"doc_id", "text", "lang", "source", "n_chars"}
+
+    def test_stats_handle_nulls_and_complex_types(self, spark):
+        from bloomy_etl_spark.tools.stats import collect_table_stats
+
+        df = spark.createDataFrame(
+            [(1, None, [1.0]), (2, "x", None), (None, "x", [2.0, 3.0])],
+            "a long, s string, v array<double>",
+        )
+        got = collect_table_stats(df)
+        assert got["n_rows"] == 3
+        assert got["columns"]["a"]["nulls"] == 1
+        assert got["columns"]["s"]["approx_ndv"] == 1
+        assert "min" not in got["columns"]["v"], "no min/max for arrays"
+        assert got["columns"]["v"]["nulls"] == 1
