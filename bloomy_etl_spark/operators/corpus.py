@@ -463,19 +463,30 @@ def sample_per_group(docs: DataFrame, k: int, group_col: str = "source",
 
 
 def length_percentiles(docs: DataFrame, group_col: str = "lang",
-                       value_col: str = "n_chars") -> DataFrame:
-    """Exact linear-interpolation percentiles (p25/p50/p90/p99) of a
-    numeric column per group — the length-distribution audit run before
-    choosing packing budgets and truncation limits.
+                       value_col: str = "n_chars",
+                       exact: bool = True, accuracy: int = 10_000) -> DataFrame:
+    """Percentiles (p25/p50/p90/p99) of a numeric column per group — the
+    length-distribution audit run before choosing packing budgets and
+    truncation limits.
 
-    Uses Spark's exact ``percentile`` aggregate (sort-based within each
-    group), not ``approx_percentile``: the audit is per-group on bounded
-    group counts, so exactness costs one sort of each group's values and
-    the result is reproducible bit-for-bit against the oracle. For a
-    percentile over raw corpus-sized value sets (no group bound), switch
-    to ``approx_percentile`` and drop the oracle to rows-only.
+    ``exact=True`` (default) uses Spark's exact ``percentile`` aggregate
+    (sort-based within each group): right when group value counts are
+    bounded, and reproducible bit-for-bit against the oracle (q45).
+    ``exact=False`` is the corpus-scale path: ``approx_percentile``
+    (Greenwald-Khanna sketch, rank error ≤ 1/``accuracy``) — constant
+    memory per group however large the value set, no per-group sort. The
+    two paths share the output schema; the approx one trades the oracle
+    hash for a rank-error bound (asserted in tests).
     """
-    pct = F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in (0.25, 0.5, 0.9, 0.99)]))
+    probs = (0.25, 0.5, 0.9, 0.99)
+    if exact:
+        pct = F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in probs]))
+    else:
+        pct = F.approx_percentile(
+            F.col(value_col),
+            F.array(*[F.lit(p) for p in probs]),
+            F.lit(accuracy),
+        )
     return docs.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.element_at(pct, 1), 4).alias("p25"),

@@ -390,3 +390,36 @@ class TestVocabCoverage:
         assert row["total_tokens"] == 6
         assert row["oov_tokens"] == 3  # b,b,c
         assert row["oov_rate"] == pytest.approx(0.5)
+
+
+class TestApproxPercentiles:
+    def test_approx_within_rank_error(self, spark):
+        """The scale path's Greenwald-Khanna results must sit within the
+        promised rank error of the exact path on the fixture corpus."""
+        import numpy as np
+        from bloomy_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        exact = {r["lang"]: r for r in C.length_percentiles(docs).collect()}
+        approx = {
+            r["lang"]: r
+            for r in C.length_percentiles(docs, exact=False).collect()
+        }
+        by_lang = {}
+        for row in docs.select("lang", "n_chars").collect():
+            by_lang.setdefault(row["lang"], []).append(row["n_chars"])
+        for lang, rows in by_lang.items():
+            rows.sort()
+            n = len(rows)
+            for col, p in (("p25", 0.25), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+                a = approx[lang][col]
+                # rank error 1/accuracy=1e-4 -> on n<=250 rows the sketch
+                # is exact up to returning an actual element instead of
+                # an interpolation: allow one rank of slack either side
+                lo_i = max(0, int(np.floor(p * (n - 1))) - 1)
+                hi_i = min(n - 1, int(np.ceil(p * (n - 1))) + 1)
+                assert rows[lo_i] <= a <= rows[hi_i], (lang, col, a)
+        # schema parity between the two paths
+        assert set(exact[next(iter(exact))].asDict()) == set(
+            approx[next(iter(approx))].asDict()
+        )
