@@ -80,16 +80,20 @@ def lsh_bucket(vec_col, table: int, bits: int, dim: int):
 
 def ivf_topk(embs: DataFrame, queries: DataFrame, k: int = 5,
              centroid_stride: int = 40, nprobe: int = 8,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into inverted lists, probe
     only the ``nprobe`` lists nearest each query, exact-cosine re-rank.
 
-    The coarse centroids are deterministic corpus members
+    Default coarse centroids are deterministic corpus members
     (``id % centroid_stride == 0``) rather than trained k-means means —
     the IVF *search* mechanics (assignment, inverted lists, probing,
     re-rank) are identical, and determinism is what makes the whole
     operator reproducible across engines (the DuckDB oracle replays it
     exactly; recall vs exact top-k is measured separately in tests).
+    Pass ``centroids`` (e.g. ``clustering.kmeans_lloyd(embs)[0]``) to run
+    TRAINED IVF: the list ships as literals exactly like a stored
+    centroid table, and everything downstream is unchanged.
 
     Scale shape: the centroid table is tiny and broadcast; corpus
     assignment is a broadcast nested-loop score + per-id partial-aggregate
@@ -106,10 +110,16 @@ def ivf_topk(embs: DataFrame, queries: DataFrame, k: int = 5,
     # Materializing the tiny table once is also the real system shape —
     # IVF centroids are trained/stored ahead of search, never re-derived
     # per probe.
-    cents = embs.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
-        norm(F.col(vec_col)).alias("_ncent"),
-    ).localCheckpoint(eager=False)
+    if centroids is not None:
+        cents = embs.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cid long, cvec array<double>",
+        ).withColumn("_ncent", norm(F.col("cvec")))
+    else:
+        cents = embs.filter(F.col(id_col) % centroid_stride == 0).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
+            norm(F.col(vec_col)).alias("_ncent"),
+        ).localCheckpoint(eager=False)
     corpus = embs.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
         norm(F.col(vec_col)).alias("_nn"),

@@ -345,3 +345,32 @@ def test_normalize_text_semantics(spark):
     df = spark.createDataFrame([(s,) for s, _ in cases], "t string")
     got = [r["n"] for r in df.select(normalize_text(F.col("t")).alias("n")).collect()]
     assert got == [w for _, w in cases]
+
+
+def test_trained_ivf_recall_at_least_matches_stride(spark):
+    """IVF with k-means-trained centroids (the centroids= seam) must reach
+    at least the recall of the same-K stride-member quantizer — trained
+    cells are tighter, so probing the same number of lists covers at
+    least as much of the true neighborhood on this corpus."""
+    from bloomy_etl_spark.operators.clustering import kmeans_lloyd
+    from bloomy_etl_spark.operators.similarity import ivf_topk
+    from bloomy_etl_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    embs = load_table(spark, SF_ORACLE, "embeddings", fan_out=True)
+    queries = embs.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in LLM_QUERIES["q33_cosine_topk"](spark, SF_ORACLE).collect()
+    }
+    # same number of coarse cells both ways: 500/40 = 13 stride members
+    trained, _ = kmeans_lloyd(embs, k=13, iters=2)
+    def recall(res):
+        got = {(r["query_id"], r["neighbor_id"]) for r in res.collect()}
+        return len(got & exact) / len(exact)
+    r_stride = recall(ivf_topk(embs, queries, k=5, centroid_stride=40, nprobe=8))
+    r_trained = recall(
+        ivf_topk(embs, queries, k=5, nprobe=8, centroids=trained)
+    )
+    assert r_trained >= r_stride - 0.05, (r_trained, r_stride)
+    assert r_trained >= 0.6
