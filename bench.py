@@ -26,17 +26,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
+# A measured duration below the effective timer resolution says "too fast
+# to measure", not "free": floor ratio denominators here so sub-millisecond
+# DuckDB queries don't explode (or, rounded to 0.0, silently vanish from)
+# the per-query ratios.
+TIMER_FLOOR = 1e-3
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
 def _paired_ratio(spark_t: dict[str, float], duck_t: dict[str, float]):
-    """Spark/DuckDB total ratio over queries BOTH engines completed."""
-    common = [n for n in spark_t if duck_t.get(n)]
+    """Spark/DuckDB total ratio over queries BOTH engines completed.
+
+    Membership (``n in duck_t``), NOT truthiness: a DuckDB minimum that
+    is ~0.0 is a *completed* (very fast) query and must stay in the
+    headline ratio — dropping it would bias the ratio downward by
+    excluding exactly the queries Spark is slowest on relatively.
+    """
+    common = [n for n in spark_t if n in duck_t]
     if not common:
         return None
-    return round(sum(spark_t[n] for n in common) / sum(duck_t[n] for n in common), 2)
+    denom = sum(max(duck_t[n], TIMER_FLOOR) for n in common)
+    return round(sum(spark_t[n] for n in common) / denom, 2)
 
 
 def main() -> None:
@@ -52,6 +65,8 @@ def main() -> None:
     except Exception:
         pass  # per-query loop below records the error
 
+    # Unrounded per-query minima — ratios are computed from these; the
+    # JSON output rounds for display only.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(qmap):
@@ -70,7 +85,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 materialize(df)
                 samples.append(time.perf_counter() - t0)
-            timings[name] = round(min(samples), 3)
+            timings[name] = min(samples)
         except Exception as exc:  # noqa: BLE001 — record and keep timing
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     total = round(sum(timings.values()), 3)
@@ -100,7 +115,7 @@ def main() -> None:
                     t0 = time.perf_counter()
                     con.execute(sql).fetchall()
                     samples.append(time.perf_counter() - t0)
-                duck_timings[name] = round(min(samples), 3)
+                duck_timings[name] = min(samples)
                 duck_total += min(samples)
             except Exception as exc:  # noqa: BLE001 — record, keep timing
                 errors[f"duckdb:{name}"] = f"{type(exc).__name__}: {exc}"[:500]
@@ -115,21 +130,22 @@ def main() -> None:
                 "metric": "corpus_wallclock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {n: round(t, 3) for n, t in timings.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "duckdb_sec": duck_total,
-                "duckdb_queries": duck_timings,
+                "duckdb_queries": {n: round(t, 3) for n, t in duck_timings.items()},
                 # headline ratio over the INTERSECTION of successful
                 # queries only — totals over different query sets would
                 # silently compare apples to oranges when one side errors
                 "ratio": _paired_ratio(timings, duck_timings),
                 # per-query spark/duckdb ratio — makes the 2x budget
-                # attributable per query (VERDICT r02 item 8)
+                # attributable per query (VERDICT r02 item 8); floored
+                # denominator so sub-ms DuckDB times don't blow up
                 "query_ratios": {
-                    n: round(timings[n] / duck_timings[n], 2)
+                    n: round(timings[n] / max(duck_timings[n], TIMER_FLOOR), 2)
                     for n in timings
-                    if duck_timings.get(n)
+                    if n in duck_timings
                 },
                 "errors": errors,
             }

@@ -253,7 +253,8 @@ def assign_split(docs: DataFrame, id_col: str = "doc_id",
 
 def pack_sequences(docs: DataFrame, budget: int = 2048,
                    part_col: str = "lang", id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   n_shards: int | None = None) -> DataFrame:
     """Assign each document to a token-budget bin: within ``part_col``,
     documents are taken in deterministic ``id_col`` order and a document
     opens in the bin where its cumulative token offset lands
@@ -265,24 +266,38 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
     fill ratio (can exceed 1.0 when a document straddles its bin
     boundary — the overflow the trainer's splitter absorbs).
 
-    Scale: one shuffle on ``part_col`` + a linear running sum per
+    Scale: one shuffle on the partition key + a linear running sum per
     partition. Low-cardinality ``part_col`` (languages) concentrates big
-    partitions onto few tasks; at corpus scale pack per (lang, shard)
-    where shard = hash(id) % K — bins stay budget-sized, parallelism
-    returns, determinism is preserved per shard.
+    partitions onto few tasks; at corpus scale pass ``n_shards`` to pack
+    per ``(part_col, shard)`` where ``shard = md5_int("pack:"||id) %
+    n_shards`` — bins stay budget-sized, parallelism returns (a
+    single-language corpus now runs on n_shards tasks instead of one),
+    and determinism is preserved per shard (the salted hash is stable
+    across runs, engines, and repartitioning, like
+    :func:`assign_split`). ``None`` (default) keeps the exact
+    single-sequence-per-partition semantics the oracle replays.
     """
     tok = T.bpe_ish_token_count(F.col(text_col))
-    w = Window.partitionBy(part_col).orderBy(id_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    with_bins = docs.select(
+    keyed = docs.select(
         F.col(part_col),
         F.col(id_col),
         tok.alias("n_tok"),
-    ).withColumn(
+    )
+    part_keys = [part_col]
+    if n_shards is not None:
+        if n_shards < 1:
+            raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+        keyed = keyed.withColumn(
+            "shard", salted_hash_bucket(id_col, "pack", n_shards)
+        )
+        part_keys = [part_col, "shard"]
+    w = Window.partitionBy(*part_keys).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_bins = keyed.withColumn(
         "bin_id", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(budget))
     )
-    return with_bins.groupBy(part_col, "bin_id").agg(
+    return with_bins.groupBy(*part_keys, "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("bin_tokens"),
         F.round(F.sum("n_tok") / F.lit(float(budget)), 4).alias("fill_ratio"),

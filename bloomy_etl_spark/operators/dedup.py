@@ -766,10 +766,15 @@ def connected_components(pairs: DataFrame, i_col: str = "i", j_col: str = "j",
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        # the old round's checkpoint blocks are dead once `changed` is
-        # computed — release them or max_iter full label copies pile up
-        # in executor storage memory on a long-converging graph
-        labels.unpersist()
+        # The old round's checkpoint blocks are dead once `changed` is
+        # computed, but there is no safe eager release from PySpark:
+        # localCheckpoint persists at the RDD level (outside the
+        # CacheManager, so Dataset.unpersist() is a no-op on it), and
+        # `df.rdd` wraps a *fresh* deserialization RDD, not the persisted
+        # internal one. The ContextCleaner frees the blocks after the old
+        # Dataset is GC'd — dropping our only reference here (labels =
+        # new) is exactly what makes that happen; with bounded max_iter
+        # the worst-case transient is max_iter small (node,label) frames.
         labels = new
         if changed == 0:
             break

@@ -950,7 +950,7 @@ LLM_ORACLE_SQL = {
                ROUND(AVG(dup2), 4) AS avg_dup_2gram,
                ROUND(AVG(dup3), 4) AS avg_dup_3gram,
                ROUND(AVG(top2), 4) AS avg_top_2gram,
-               SUM(CASE WHEN top2 > 0.1 THEN 1 ELSE 0 END) AS n_repetitive
+               CAST(SUM(CASE WHEN top2 > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
         FROM feats GROUP BY lang ORDER BY lang
     """,
     # q40: same deterministic PII synthesis from doc_id, same Java/RE2-safe
@@ -991,9 +991,9 @@ LLM_ORACLE_SQL = {
             FROM aug
         )
         SELECT source, COUNT(*) AS n_docs,
-               SUM(CASE WHEN c_email + c_url + c_ipv4 + c_phone > 0 THEN 1 ELSE 0 END) AS n_with_pii,
-               SUM(c_email) AS n_emails, SUM(c_url) AS n_urls,
-               SUM(c_ipv4) AS n_ipv4, SUM(c_phone) AS n_phones,
+               CAST(SUM(CASE WHEN c_email + c_url + c_ipv4 + c_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_pii,
+               CAST(SUM(c_email) AS BIGINT) AS n_emails, CAST(SUM(c_url) AS BIGINT) AS n_urls,
+               CAST(SUM(c_ipv4) AS BIGINT) AS n_ipv4, CAST(SUM(c_phone) AS BIGINT) AS n_phones,
                ROUND(AVG(len_delta), 4) AS avg_len_delta
         FROM feats GROUP BY source ORDER BY source
     """,
@@ -1003,7 +1003,8 @@ LLM_ORACLE_SQL = {
     # max_by(cid, struct(cos, -cid))).
     "q41_ivf_ann_topk": f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-        cents AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id % 40 = 0),
+        cents AS (SELECT vec_id AS cid, vec AS cvec FROM v
+                  WHERE vec_id % 40 = 0 AND vec_id < 40 * 256),
         corpus AS (SELECT vec_id AS neighbor_id, vec AS nv FROM v),
         assign_scored AS (
             SELECT neighbor_id, nv, cid,
@@ -1178,12 +1179,17 @@ LLM_ORACLE_SQL = {
     """,
     # q50: keep rate rounded to 6dp BEFORE thresholding in both engines so
     # the pow() float is bit-stable; the salted md5 bucket matches
-    # corpus.mixture_sample exactly.
+    # corpus.mixture_sample exactly. The exponent is the PRE-COMPUTED
+    # Python double alpha-1.0 spelled out to full precision
+    # (repr(0.7-1.0) = -0.30000000000000004): DuckDB would otherwise
+    # evaluate `0.7 - 1.0` as exact DECIMAL -0.3, a different double than
+    # Spark's, making the 6-dp rounding a latent parity flake on ties.
     "q50_mixture_sample": """
         WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
         r AS (
             SELECT lang, n,
-                   ROUND(POWER(n * 1.0 / (SELECT MIN(n) FROM c), 0.7 - 1.0), 6)
+                   ROUND(POWER(n * 1.0 / (SELECT MIN(n) FROM c),
+                               -0.30000000000000004), 6)
                        AS keep_rate
             FROM c
         ), s AS (

@@ -81,19 +81,25 @@ def lsh_bucket(vec_col, table: int, bits: int, dim: int):
 def ivf_topk(embs: DataFrame, queries: DataFrame, k: int = 5,
              centroid_stride: int = 40, nprobe: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             centroids: list[list[float]] | None = None) -> DataFrame:
+             centroids: list[list[float]] | None = None,
+             max_centroids: int = 256) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into inverted lists, probe
     only the ``nprobe`` lists nearest each query, exact-cosine re-rank.
 
     Default coarse centroids are deterministic corpus members
-    (``id % centroid_stride == 0``) rather than trained k-means means —
-    the IVF *search* mechanics (assignment, inverted lists, probing,
-    re-rank) are identical, and determinism is what makes the whole
-    operator reproducible across engines (the DuckDB oracle replays it
-    exactly; recall vs exact top-k is measured separately in tests).
-    Pass ``centroids`` (e.g. ``clustering.kmeans_lloyd(embs)[0]``) to run
-    TRAINED IVF: the list ships as literals exactly like a stored
-    centroid table, and everything downstream is unchanged.
+    (``id % centroid_stride == 0`` AND ``id < stride * max_centroids``)
+    rather than trained k-means means — the IVF *search* mechanics
+    (assignment, inverted lists, probing, re-rank) are identical, and
+    determinism is what makes the whole operator reproducible across
+    engines (the DuckDB oracle replays it exactly; recall vs exact top-k
+    is measured separately in tests). ``max_centroids`` caps the
+    centroid-table size INDEPENDENT of corpus row count: without it the
+    stride selection yields n/stride centroids, which at 100 TB makes
+    the "tiny broadcast" not tiny and the assignment cross-product
+    O(n²/stride). Pass ``centroids`` (e.g.
+    ``clustering.kmeans_lloyd(embs)[0]``) to run TRAINED IVF: the list
+    ships as literals exactly like a stored centroid table, and
+    everything downstream is unchanged.
 
     Scale shape: the centroid table is tiny and broadcast; corpus
     assignment is a broadcast nested-loop score + per-id partial-aggregate
@@ -116,7 +122,10 @@ def ivf_topk(embs: DataFrame, queries: DataFrame, k: int = 5,
             "cid long, cvec array<double>",
         ).withColumn("_ncent", norm(F.col("cvec")))
     else:
-        cents = embs.filter(F.col(id_col) % centroid_stride == 0).select(
+        cents = embs.filter(
+            (F.col(id_col) % centroid_stride == 0)
+            & (F.col(id_col) < centroid_stride * max_centroids)
+        ).select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
             norm(F.col(vec_col)).alias("_ncent"),
         ).localCheckpoint(eager=False)

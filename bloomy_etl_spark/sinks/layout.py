@@ -146,6 +146,14 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
         F.min(col_a).alias("a0"), F.max(col_a).alias("a1"),
         F.min(col_b).alias("b0"), F.max(col_b).alias("b1"),
     ).first()
+    if stats["a0"] is None or stats["b0"] is None:
+        # empty input (or all-NULL cluster columns): there is nothing to
+        # cluster — fail loudly rather than crash opaquely on None-float
+        # arithmetic below
+        raise ValueError(
+            f"write_zordered: no non-NULL values in ({col_a!r}, {col_b!r}) "
+            "— empty input cannot be Z-order clustered"
+        )
     top = (1 << bits) - 1
     scale = lambda c, lo, hi: (
         ((F.col(c).cast("double") - lo) / ((hi - lo) or 1) * top).cast("long")
@@ -187,8 +195,11 @@ def compact(spark: SparkSession, path: str, out_path: str,
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(hconf)
     total = fs.getContentSummary(jpath).getLength()
-    n = max(1, -(-total // target_file_bytes))
-    spark.read.parquet(path).coalesce(int(n)).write.mode("overwrite").parquet(out_path)
+    src = spark.read.parquet(path)
+    # coalesce can only REDUCE partition count — cap at the source's so
+    # the returned figure matches the files actually written
+    n = min(max(1, -(-total // target_file_bytes)), src.rdd.getNumPartitions() or 1)
+    src.coalesce(int(n)).write.mode("overwrite").parquet(out_path)
     return int(n)
 
 
