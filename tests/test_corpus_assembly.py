@@ -132,6 +132,48 @@ class TestPacking:
         assert bad == 0
         bins.unpersist()
 
+    def test_sharded_packing_restores_parallelism(self, spark):
+        """n_shards on a SINGLE-language corpus: the window key becomes
+        (lang, shard) so the running sum runs on n_shards tasks instead
+        of serializing onto one; tokens are conserved, bins stay
+        budget-bounded per shard, and the assignment is deterministic
+        under repartitioning (salted hash, not partition order)."""
+        from bloomy_etl_spark.functions.text import bpe_ish_token_count
+        from bloomy_etl_spark.sources.tables import load_table
+
+        budget, n_shards = 512, 8
+        docs = load_table(spark, SF_ORACLE, "documents").filter(
+            F.col("lang") == "en"
+        )
+        bins = C.pack_sequences(docs, budget=budget, n_shards=n_shards).cache()
+        # every shard id in [0, n_shards); on a few hundred docs the
+        # salted hash must actually spread (>=half the shards non-empty)
+        shard_ids = [r["shard"] for r in bins.select("shard").distinct().collect()]
+        assert all(0 <= s < n_shards for s in shard_ids)
+        assert len(shard_ids) >= n_shards // 2, shard_ids
+        # conservation across the sharded layout
+        total_binned = bins.agg(F.sum("bin_tokens")).first()[0]
+        total_raw = docs.agg(F.sum(bpe_ish_token_count(F.col("text")))).first()[0]
+        assert total_binned == total_raw
+        # per-(lang, shard) bins stay budget-bounded, same invariant as
+        # the unsharded path
+        per_part = bins.groupBy("lang", "shard").agg(
+            F.max("bin_id").alias("max_bin"), F.sum("bin_tokens").alias("tot")
+        )
+        assert per_part.filter(
+            F.col("max_bin") > F.ceil(F.col("tot") / F.lit(budget))
+        ).count() == 0
+        # determinism: repartitioning the input changes nothing
+        again = C.pack_sequences(
+            docs.repartition(13), budget=budget, n_shards=n_shards
+        )
+        assert sorted(map(tuple, bins.collect())) == sorted(
+            map(tuple, again.collect())
+        )
+        bins.unpersist()
+        with pytest.raises(ValueError):
+            C.pack_sequences(docs, budget=budget, n_shards=0)
+
 
 class TestProfiling:
     def test_percentiles_match_numpy(self, spark):

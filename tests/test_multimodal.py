@@ -36,6 +36,57 @@ def test_decode_stats_schema_and_determinism(spark, media):
         assert out1[k]["content_hash"] == out2[k]["content_hash"]
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_decode_auto_equals_stub_without_pil(spark, media):
+    """Seam contract, codec-absent side: when PIL is NOT importable the
+    ``auto`` codec must degrade to exactly the stub byte statistics —
+    same values, same schema — so the deployment environment can never
+    change downstream results silently."""
+    if _pil_available():
+        pytest.skip("PIL importable: the auto path diverges by design")
+    auto = sorted(map(tuple, decode_stats(media, codec="auto").collect()))
+    stub = sorted(map(tuple, decode_stats(media, codec="stub").collect()))
+    assert auto == stub
+
+
+@pytest.mark.skipif(not _pil_available(), reason="PIL not importable here")
+def test_decode_auto_real_codec_and_corrupt_fallback(spark):
+    """Seam contract, codec-present side (runs only where PIL exists):
+    a valid PNG decodes through the real branch (pixel-domain stats !=
+    byte-domain stats), while a corrupt payload falls back to the stub
+    statistics rather than erroring the batch."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=200).save(buf, format="PNG")
+    png = buf.getvalue()
+    rows = [
+        (10, "image", png, (8, 8, 1, None, None, "png")),
+        (11, "image", b"not-a-png", (8, 8, 1, None, None, "png")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    auto = {r["media_id"]: r for r in decode_stats(df, codec="auto").collect()}
+    stub = {r["media_id"]: r for r in decode_stats(df, codec="stub").collect()}
+    # real decode: a uniform gray image has pixel mean 200 and a single
+    # distinct level — values the byte-domain stub cannot produce on a
+    # compressed PNG stream
+    assert auto[10]["byte_mean"] == pytest.approx(200.0)
+    assert auto[10]["byte_entropy_proxy"] == pytest.approx(1 / 256)
+    assert auto[10]["byte_mean"] != pytest.approx(stub[10]["byte_mean"])
+    # corrupt payload: stub fallback, bit-identical to codec="stub"
+    assert tuple(auto[11]) == tuple(stub[11])
+
+
 def test_extract_features_shape(spark, media):
     feats = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
     assert all(len(v) == 16 for v in feats.values())
