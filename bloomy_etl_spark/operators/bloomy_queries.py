@@ -256,6 +256,83 @@ def q38_bloomy_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q58_warp_to_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 reproject+resample under the hash gate: build one dense 8×8
+    raster per tile from the events-derived pixel means (missing cells →
+    −9999 nodata, the reference's nodata value), warp every tile onto a
+    shared destination grid offset by half a pixel (``dst_transform``
+    [1,0,0.5,0,−1,−0.5] vs source [1,0,0,0,−1,0]) with BILINEAR
+    resampling — each output pixel is the nodata-excluding, weight-
+    renormalized mean of its 2×2 source neighborhood, exactly the
+    semantics of ``rasterio.warp.reproject`` with src_nodata
+    (reference ``core/processor.py:205-216``) — then explode back to
+    pixels. The half-pixel offset makes every bilinear weight exactly
+    0.25, so the DuckDB oracle replays the warp as a 4-neighborhood
+    AVG with no float-order ambiguity."""
+    from bloomy_etl_spark.operators.raster import tiles_to_pixels, warp_to_grid
+
+    px = synthetic_pixels(spark, sf_dir)
+    # integer-valued cell sums, NOT 4dp-rounded means: quarters/thirds of
+    # exact-integer doubles round identically in any summation order, so
+    # the blended output is bit-stable across engines (a rounded-mean
+    # input lands the blend on x.xxxx5 ties where the two engines' sum
+    # orders disagree by 1 ulp — measured 9/147 rows at sf0.01)
+    means = px.groupBy("tile_id", "y", "x").agg(F.sum("red").alias("v"))
+    # densify: every (tile, pos 0..63) cell, absent means -> nodata
+    full = (
+        means.select("tile_id").distinct()
+        .select("tile_id", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pos"))
+    )
+    filled = full.join(
+        means.select(
+            "tile_id", (F.col("y") * 8 + F.col("x")).alias("pos"), "v"
+        ),
+        ["tile_id", "pos"],
+        "left",
+    )
+    tiles = (
+        filled.groupBy("tile_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            F.coalesce("v", F.lit(-9999.0)).alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ).alias("data")
+        )
+        .select(
+            "tile_id",
+            F.lit("red").alias("band"),
+            F.lit(8).alias("h"),
+            F.lit(8).alias("w"),
+            F.array(*[F.lit(float(t)) for t in (1, 0, 0, 0, -1, 0)]).alias(
+                "transform"
+            ),
+            F.lit("EPSG:4326").alias("crs"),
+            "data",
+        )
+    )
+    warped = warp_to_grid(
+        tiles,
+        dst_transform=[1.0, 0.0, 0.5, 0.0, -1.0, -0.5],
+        dst_width=7,
+        dst_height=7,
+        engine="numpy",
+        resampling="bilinear",
+        src_nodata=-9999.0,
+    )
+    return (
+        tiles_to_pixels(warped)
+        .select("tile_id", "y", "x", F.round("value", 4).alias("value"))
+        .transform(_psort, "tile_id", "y", "x")
+    )
+
+
 BLOOMY_QUERIES = {
     "q21_bloomy_granule_stats": q21_bloomy_granule_stats,
     "q22_bloomy_granule_gates": q22_bloomy_granule_gates,
@@ -263,6 +340,7 @@ BLOOMY_QUERIES = {
     "q24_bloomy_quality_filter": q24_bloomy_quality_filter,
     "q25_bloomy_event_detection": q25_bloomy_event_detection,
     "q38_bloomy_end_to_end": q38_bloomy_end_to_end,
+    "q58_warp_to_grid": q58_warp_to_grid,
 }
 
 
@@ -499,5 +577,34 @@ BLOOMY_ORACLE_SQL = {
                event_type
         FROM unioned
         ORDER BY event_kind, COALESCE(date, end_date)
+    """,
+    # q58: replay the bilinear warp. With the half-pixel dst offset every
+    # output pixel's four bilinear weights are exactly 0.25, so the
+    # nodata-excluding renormalized blend is a plain AVG over the present
+    # 2x2 neighborhood cells (AVG skips the left-join NULLs = weight
+    # renormalization; an all-missing neighborhood averages to NULL =
+    # dst_nodata).
+    "q58_warp_to_grid": f"""
+        WITH {_PIXELS_CTE.strip()},
+        means AS (
+            SELECT tile_id, y, x, SUM(red) AS v
+            FROM pixels WHERE red IS NOT NULL
+            GROUP BY tile_id, y, x
+        ),
+        tiles AS (SELECT DISTINCT tile_id FROM pixels),
+        dst AS (
+            SELECT g.tile_id, rr.r AS y, cc.c AS x,
+                   ROUND(AVG(m.v), 4) AS value
+            FROM tiles g
+            CROSS JOIN range(7) rr(r)
+            CROSS JOIN range(7) cc(c)
+            LEFT JOIN means m
+              ON m.tile_id = g.tile_id
+             AND m.y BETWEEN rr.r AND rr.r + 1
+             AND m.x BETWEEN cc.c AND cc.c + 1
+            GROUP BY g.tile_id, rr.r, cc.c
+        )
+        SELECT tile_id, CAST(y AS INT) AS y, CAST(x AS INT) AS x, value
+        FROM dst ORDER BY tile_id, y, x
     """,
 }
