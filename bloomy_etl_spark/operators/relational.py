@@ -342,14 +342,16 @@ def q15_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    orders = F.broadcast(
-        _t(spark, sf_dir, "orders").select(
-            "o_orderkey",
-            F.year("o_orderdate").cast("int").alias("order_year"),
-            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
-                "order_month"
-            ),
-        )
+    # orders is a FACT table (1.5M rows/SF): broadcasting it is wrong at
+    # cluster scale and measured no faster than the shuffle join even at
+    # sf0.1 (0.51s vs 0.53s min-of-3) — let the planner shuffle-join on
+    # o_orderkey; only the true dimension (filtered part) broadcasts.
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
+            "order_month"
+        ),
     )
     # MIN over a string: a declarative min(string) forces SortAggregate
     # over the full fact stream (string agg buffers are immutable types,

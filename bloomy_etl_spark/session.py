@@ -66,12 +66,14 @@ _CLUSTER_PROFILE: dict[str, str] = {
 # (hot LSH buckets) is handled explicitly in the operators
 # (dedup.bucket_pairs), not left to AQE, so this profile loses no
 # correctness or robustness. Shuffle partitions sized to the data, not
-# the core count: 16 partitions x ~MB each keeps every stage's task
-# batch in one scheduler wave while leaving the compute-bound
-# post-shuffle stages (posting-list pair expansion) enough width.
+# the core count: ~MB-scale shuffle stages are scheduling-bound, so
+# fewer/fatter partitions win until compute-bound stages (posting-list
+# pair expansion, LSH re-rank) run out of width. Interleaved full-corpus
+# A/B at sf0.1 (58 queries, min-of-2): sp=8 18.4s, sp=16 20.6s,
+# sp=4 21.3s (q36/q42/q31 starve below 8) — 8 is the measured optimum.
 _LOCAL_PROFILE: dict[str, str] = {
     "spark.sql.adaptive.enabled": "false",
-    "spark.sql.shuffle.partitions": "16",
+    "spark.sql.shuffle.partitions": "8",
 }
 
 
