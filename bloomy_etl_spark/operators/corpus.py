@@ -346,6 +346,109 @@ def mixture_sample(docs: DataFrame, group_col: str = "lang",
     )
 
 
+def bigram_lm_score(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    broadcast_counts: bool = False) -> DataFrame:
+    """CCNet-style corpus-LM quality scoring: train bigram statistics on
+    the corpus itself, then score every document against them — the
+    standard "does this document look like the rest of the corpus"
+    filter (gibberish, boilerplate, and wrong-language text score as
+    outliers because their n-grams are rare corpus-wide).
+
+    Per document: ``n_bigrams`` (with repeats, in order), ``sum_freq``
+    (total corpus frequency of its bigram occurrences), ``rare_rate``
+    (fraction that are corpus hapax — bigram type count 1, i.e. occurs
+    nowhere else), ``mean_freq`` = sum_freq/n_bigrams, and
+    ``avg_logprob`` — the add-one-smoothed unigram-conditional bigram
+    log-probability mean, the actual LM perplexity signal (its float
+    accumulation is engine-specific, so oracle-gated queries should gate
+    the integer-derived columns and leave avg_logprob to unit tests).
+
+    Scale: bigram counts are one hash-agg keyed by bigram type; the
+    count join back is keyed identically, so the exchange under the
+    aggregate is REUSED for the join (one corpus shuffle, verified in
+    plan tests) and the per-doc rollup is the second. The count table is
+    corpus-vocabulary-sized — NOT broadcastable at web scale (billions
+    of bigram types), hence the default shuffle join;
+    ``broadcast_counts=True`` is the small-corpus fast path.
+    """
+    txt = F.col(text_col)
+    bi = docs.select(
+        F.col(id_col).alias(id_col),
+        F.explode(T.word_ngrams(txt, 2)).alias("bg"),
+    )
+    counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    uni = docs.select(F.explode(T.tokens(txt)).alias("u")).groupBy("u").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    v = uni.count()  # vocabulary size: one tiny agg, a scalar like k-means' k
+    joined = bi.join(
+        F.broadcast(counts) if broadcast_counts else counts, "bg"
+    ).withColumn("u1", F.split("bg", " ").getItem(0))
+    joined = joined.join(
+        F.broadcast(uni) if broadcast_counts else uni, joined.u1 == uni.u, "left"
+    )
+    lp = F.log((F.col("c") + F.lit(1.0)) / (F.coalesce("cu", F.lit(0)) + F.lit(float(v))))
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("c").alias("sum_freq"),
+        F.count(F.when(F.col("c") == 1, 1)).alias("n_rare"),
+        F.round(F.sum("c") / F.count(F.lit(1)), 4).alias("mean_freq"),
+        F.round(
+            F.count(F.when(F.col("c") == 1, 1)) / F.count(F.lit(1)), 4
+        ).alias("rare_rate"),
+        F.avg(lp).alias("avg_logprob"),
+    )
+
+
+def domain_cap(docs: DataFrame, cap: int, domain_col: str = "source",
+               id_col: str = "doc_id", salt: str = "domcap",
+               prefilter_margin: float | None = None) -> DataFrame:
+    """Cap each domain's contribution at ``cap`` documents — the standard
+    web-corpus defense against a single host flooding the training mix
+    (one domain with 10⁹ boilerplate pages must not become 10% of the
+    corpus).
+
+    Selection is a salted-hash rank within the domain (hash ties broken
+    by id): deterministic across runs, engines, and repartitioning, and
+    unbiased w.r.t. document order — unlike "first cap by crawl order",
+    which over-selects whatever the crawler saw first. Adds
+    ``domain_rank`` and ``kept`` columns.
+
+    Scale: the exact rank is one window shuffle keyed by the domain; a
+    mega-domain serializes its rank scan onto one task. For that regime
+    pass ``prefilter_margin`` (e.g. ``1.2``): a first pass computes per-
+    domain counts (tiny agg, broadcast back) and discards everything
+    whose hash bucket lies above ``margin · cap / n`` of the hash space
+    BEFORE the window — the survivors per domain are ~margin·cap rows,
+    so the exact rank runs over bounded partitions regardless of domain
+    skew. The margin makes under-selection improbable (hash uniformity;
+    a domain losing rows to bad luck would need the top-``cap`` ranks to
+    spill past margin·cap survivors); kept results are identical because
+    rank order (hash, id) is preserved under the prefilter.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    h = salted_hash_bucket(id_col, salt, 1_000_000)
+    work = docs
+    if prefilter_margin is not None:
+        counts = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+        thresh = counts.select(
+            domain_col,
+            F.least(
+                F.lit(1_000_000.0),
+                F.lit(float(prefilter_margin) * cap) / F.col("_n") * 1_000_000,
+            ).alias("_hmax"),
+        )
+        work = docs.join(F.broadcast(thresh), domain_col).filter(
+            h < F.col("_hmax")
+        ).drop("_hmax")
+    w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())
+    return work.withColumn("domain_rank", F.row_number().over(w)).withColumn(
+        "kept", F.col("domain_rank") <= cap
+    )
+
+
 def blend_to_target(docs: DataFrame, weights: dict[str, float],
                     group_col: str = "lang", id_col: str = "doc_id",
                     text_col: str = "text", salt: str = "blend") -> DataFrame:

@@ -224,6 +224,46 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     )
 
 
+def shared_span_pairs(docs: DataFrame, span: int = 8, min_spans: int = 1,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_doc_freq: int | None = None) -> DataFrame:
+    """Exact shared-substring dedup (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" signal): flag document
+    pairs that share at least ``min_spans`` DISTINCT verbatim windows of
+    ``span`` consecutive tokens. Unlike Jaccard similarity, one long
+    copied passage is enough — a news article quoting a boilerplate
+    paragraph inside otherwise-unique text is caught here and invisible
+    to a 0.8-Jaccard gate.
+
+    Same inverted-index discipline as :func:`ngram_jaccard_pairs`
+    (posting lists per span, skew-safe :func:`bucket_pairs` expansion,
+    no posting-list self-join, non-sharing pairs never materialized);
+    ``max_doc_freq`` is the stop-span cap for boilerplate windows that
+    would otherwise dominate pair volume at corpus scale. Output:
+    ``(i, j, n_shared)`` with i < j, n_shared = count of distinct shared
+    span types.
+    """
+    from bloomy_etl_spark.functions.text import word_shingles as _spans
+
+    arr = docs.select(
+        F.col(id_col).alias("doc_id"), _spans(F.col(text_col), span).alias("sp")
+    )
+    idx = arr.select("doc_id", F.explode("sp").alias("span"))
+    postings = (
+        idx.groupBy("span")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    if max_doc_freq is not None:
+        postings = postings.filter(F.size("ms") <= max_doc_freq)
+    return (
+        bucket_pairs(postings)
+        .groupBy(F.col("a").alias("i"), F.col("b").alias("j"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_spans)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

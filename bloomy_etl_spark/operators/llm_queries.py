@@ -568,6 +568,51 @@ def q53_eval_carveout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (20/source) by deterministic
+    salted-hash rank — the anti-flooding control for web corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        C.domain_cap(docs, cap=20)
+        .filter("kept")
+        .select("source", "domain_rank", "doc_id")
+        .transform(_psort, "source", "domain_rank")
+    )
+
+
+def q60_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality scoring (CCNet-style): per-doc
+    bigram frequency mass and hapax rate against corpus statistics. The
+    gated columns are integer-derived (exact cross-engine); the float
+    avg_logprob column is unit-tested instead (corpus.bigram_lm_score)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return (
+        C.bigram_lm_score(docs)
+        .select("doc_id", "n_bigrams", "sum_freq", "n_rare", "mean_freq",
+                "rare_rate")
+        .transform(_psort, "doc_id")
+    )
+
+
+def q61_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring pairs (8-token verbatim windows) — the
+    Lee-et-al. copied-passage signal that Jaccard similarity misses."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return D.shared_span_pairs(docs, span=8).transform(_psort, "i", "j")
+
+
+def q62_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, 3 merge rounds: pair counting
+    as a weighted hash-agg over the vocabulary table, argmax with
+    lexicographic tie-break, greedy merge via delimited-symbol string
+    replace. The DuckDB oracle replays all three rounds as a CTE chain
+    (same iterative-replay pattern as q54's k-means)."""
+    from bloomy_etl_spark.operators.bpe import bpe_merge_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_table(docs, rounds=3).transform(_psort, "round")
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -602,6 +647,12 @@ LLM_QUERIES = {
     "q55_blend_to_target": q55_blend_to_target,
     "q56_vocab_coverage": q56_vocab_coverage,
     "q57_text_normalization": q57_text_normalization,
+    # r4 additions: domain capping, corpus-LM scoring, shared-substring
+    # dedup, BPE tokenizer training
+    "q59_domain_cap": q59_domain_cap,
+    "q60_bigram_lm_score": q60_bigram_lm_score,
+    "q61_shared_spans": q61_shared_spans,
+    "q62_bpe_merges": q62_bpe_merges,
 }
 
 
@@ -1426,4 +1477,123 @@ LLM_ORACLE_SQL["q56_vocab_coverage"] = r"""
                  / COUNT(*), 6) AS oov_rate
     FROM toks t LEFT JOIN vocab v USING (wd)
     GROUP BY t.lang ORDER BY t.lang
+"""
+
+
+# q59: the salted md5 rank is bit-identical to corpus.salted_hash_bucket;
+# hash ties break on doc_id like the Spark window's orderBy.
+LLM_ORACLE_SQL["q59_domain_cap"] = r"""
+    WITH r AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY (('0x' || substr(md5('domcap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 1000000),
+                            doc_id) AS domain_rank
+        FROM documents
+    )
+    SELECT source, CAST(domain_rank AS INT) AS domain_rank, doc_id
+    FROM r WHERE domain_rank <= 20
+    ORDER BY source, domain_rank
+"""
+
+# q60: bigram types with repeats + the word_ngrams short-doc fallback
+# (len<2 -> the whole text as one gram); all gated aggregates are
+# integer-derived (CAST the SUMs — INT128 pitfall), the two ratios are
+# single exact-integer divisions that round identically in both engines.
+LLM_ORACLE_SQL["q60_bigram_lm_score"] = r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+                  FROM documents),
+    bg AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(ws) >= 2
+                 THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                 ELSE [array_to_string(ws, ' ')] END) AS bg
+        FROM toks
+    ),
+    counts AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(c.c) AS BIGINT) AS sum_freq,
+           CAST(SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           ROUND(SUM(c.c) * 1.0 / COUNT(*), 4) AS mean_freq,
+           ROUND(SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+               AS rare_rate
+    FROM bg b JOIN counts c USING (bg)
+    GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+# q61: 8-token windows with the same short-doc fallback as word_shingles;
+# distinct span types per doc, pair count = shared span types.
+LLM_ORACLE_SQL["q61_shared_spans"] = r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+                  FROM documents),
+    spans AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(ws) >= 8
+                 THEN list_distinct([array_to_string(ws[i:i+7], ' ')
+                                     for i in range(1, len(ws) - 6)])
+                 ELSE [array_to_string(ws, ' ')] END) AS sp
+        FROM toks
+    ),
+    p AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_shared
+        FROM spans a JOIN spans b ON a.sp = b.sp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i, j, CAST(n_shared AS BIGINT) AS n_shared
+    FROM p ORDER BY i, j
+"""
+
+# q62: full 3-round BPE replay. Every word's symbol string brackets each
+# symbol individually, so replace('<a><b>' -> '<ab>') is exactly the
+# greedy leftmost non-overlapping merge in BOTH engines; ties on the
+# pair count break lexicographically (ORDER BY c DESC, lhs, rhs) like
+# the Spark trainer's orderBy.
+LLM_ORACLE_SQL["q62_bpe_merges"] = r"""
+    WITH w0 AS (
+        SELECT w, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
+    ),
+    r0 AS (SELECT w, cnt, regexp_replace(w, '(.)', '<\1>', 'g') AS rep FROM w0),
+    p1 AS (
+        SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(cnt) AS c
+        FROM (SELECT cnt, string_split(trim(rep, '<>'), '><') AS s FROM r0) t,
+             unnest(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    t1 AS (SELECT lhs, rhs, c FROM p1 ORDER BY c DESC, lhs, rhs LIMIT 1),
+    r1 AS (
+        SELECT w, cnt,
+               replace(rep, (SELECT '<' || lhs || '><' || rhs || '>' FROM t1),
+                            (SELECT '<' || lhs || rhs || '>' FROM t1)) AS rep
+        FROM r0
+    ),
+    p2 AS (
+        SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(cnt) AS c
+        FROM (SELECT cnt, string_split(trim(rep, '<>'), '><') AS s FROM r1) t,
+             unnest(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    t2 AS (SELECT lhs, rhs, c FROM p2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+    r2 AS (
+        SELECT w, cnt,
+               replace(rep, (SELECT '<' || lhs || '><' || rhs || '>' FROM t2),
+                            (SELECT '<' || lhs || rhs || '>' FROM t2)) AS rep
+        FROM r1
+    ),
+    p3 AS (
+        SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(cnt) AS c
+        FROM (SELECT cnt, string_split(trim(rep, '<>'), '><') AS s FROM r2) t,
+             unnest(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    t3 AS (SELECT lhs, rhs, c FROM p3 ORDER BY c DESC, lhs, rhs LIMIT 1)
+    SELECT 1 AS round, lhs, rhs, lhs || rhs AS merged, CAST(c AS BIGINT) AS pair_count FROM t1
+    UNION ALL
+    SELECT 2, lhs, rhs, lhs || rhs, CAST(c AS BIGINT) FROM t2
+    UNION ALL
+    SELECT 3, lhs, rhs, lhs || rhs, CAST(c AS BIGINT) FROM t3
+    ORDER BY round
 """

@@ -194,6 +194,31 @@ def test_pack_sequences_sharded_partitions_by_lang_and_shard(spark):
     assert "lang" in key and "shard" in key, key
 
 
+def test_domain_cap_single_exchange(spark):
+    """Exact domain capping = one window shuffle keyed by the domain —
+    no join, no second exchange."""
+    from bloomy_etl_spark.operators.corpus import domain_cap
+    from bloomy_etl_spark.sources.tables import load_table
+
+    plan = plan_string(domain_cap(load_table(spark, SF_SMOKE, "documents"), cap=5))
+    assert plan.count(") Exchange") == 1, plan
+
+
+def test_new_pair_operators_no_cartesian(spark):
+    """Shared-span pairs and the bigram-LM join stay keyed (inverted
+    index / count join) — a cartesian anywhere here is fatal at scale."""
+    from bloomy_etl_spark.operators.corpus import bigram_lm_score
+    from bloomy_etl_spark.operators.dedup import shared_span_pairs
+    from bloomy_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert_no_cartesian(shared_span_pairs(docs, span=8))
+    assert_no_cartesian(bigram_lm_score(docs))
+    # span pairing: postings agg + bucket_pairs respread + pair rollup —
+    # bounded exchange count, independent of corpus size
+    assert plan_string(shared_span_pairs(docs, span=8)).count(") Exchange") <= 3
+
+
 def test_mixture_and_blend_broadcast_rate_table(spark):
     """The per-group rate tables (a handful of rows) must broadcast back
     onto the corpus — never a sort-merge shuffle of the doc table."""

@@ -1,0 +1,197 @@
+"""Operator-level semantics for the round-4 additions: domain capping,
+corpus-LM scoring, shared-substring dedup, and BPE training."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.operators import corpus as C
+from bloomy_etl_spark.operators.bpe import (
+    bpe_merge_table,
+    bpe_segment,
+    bpe_train,
+    word_frequencies,
+)
+from bloomy_etl_spark.operators.dedup import shared_span_pairs
+
+from tests.conftest import SF_ORACLE
+
+
+class TestDomainCap:
+    def test_cap_enforced_and_deterministic(self, spark):
+        from bloomy_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        out = C.domain_cap(docs, cap=5).cache()
+        per = out.filter("kept").groupBy("source").count()
+        assert per.filter(F.col("count") > 5).count() == 0
+        # every row is ranked, none dropped
+        assert out.count() == docs.count()
+        # determinism under repartitioning: identical kept set
+        a = {r["doc_id"] for r in out.filter("kept").collect()}
+        b = {
+            r["doc_id"]
+            for r in C.domain_cap(docs.repartition(7), cap=5)
+            .filter("kept")
+            .collect()
+        }
+        assert a == b
+        out.unpersist()
+        with pytest.raises(ValueError):
+            C.domain_cap(docs, cap=0)
+
+    def test_prefilter_keeps_identical_set(self, spark):
+        """The scale prefilter must select the SAME kept documents as the
+        exact path (rank order preserved under the hash cutoff)."""
+        from bloomy_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        exact = {r["doc_id"] for r in C.domain_cap(docs, cap=5).filter("kept").collect()}
+        pre = {
+            r["doc_id"]
+            for r in C.domain_cap(docs, cap=5, prefilter_margin=2.0)
+            .filter("kept")
+            .collect()
+        }
+        assert exact == pre
+
+
+class TestBigramLmScore:
+    def test_matches_python_reference(self, spark):
+        """avg_logprob equals the hand-computed add-one-smoothed
+        unigram-conditional bigram logprob mean on a tiny corpus."""
+        rows = [
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "a dog sat"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in C.bigram_lm_score(df).collect()}
+
+        toks = {i: t.split() for i, t in rows}
+        bigrams = {i: list(zip(ws, ws[1:])) for i, ws in toks.items()}
+        from collections import Counter
+
+        bc = Counter(bg for bgs in bigrams.values() for bg in bgs)
+        uc = Counter(w for ws in toks.values() for w in ws)
+        v = len(uc)
+        for i, bgs in bigrams.items():
+            ref = sum(
+                math.log((bc[bg] + 1.0) / (uc[bg[0]] + float(v))) for bg in bgs
+            ) / len(bgs)
+            assert out[i]["avg_logprob"] == pytest.approx(ref, rel=1e-12)
+            assert out[i]["n_bigrams"] == len(bgs)
+            assert out[i]["sum_freq"] == sum(bc[bg] for bg in bgs)
+            assert out[i]["n_rare"] == sum(1 for bg in bgs if bc[bg] == 1)
+        # 'the cat' appears twice -> doc 1 and 2 score higher (less rare)
+        # than the all-hapax doc 3
+        assert out[1]["avg_logprob"] > out[3]["avg_logprob"]
+
+
+class TestSharedSpans:
+    def test_copied_passage_detected(self, spark):
+        passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        rows = [
+            (1, f"unique one two three {passage} four five"),
+            (2, f"completely different words here {passage} tail tokens"),
+            (3, "no overlap at all in this document body text"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {(r["i"], r["j"]): r["n_shared"]
+                 for r in shared_span_pairs(df, span=8).collect()}
+        assert pairs == {(1, 2): 1}
+
+    def test_jaccard_blind_span_caught(self, spark):
+        """Two long docs sharing ONE 8-token passage have tiny Jaccard —
+        exactly the case this operator exists for."""
+        from bloomy_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+        passage = " ".join(f"p{i}" for i in range(8))
+        a = " ".join(f"a{i}" for i in range(60)) + " " + passage
+        b = " ".join(f"b{i}" for i in range(60)) + " " + passage
+        df = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        jac = ngram_jaccard_pairs(df, threshold=0.8).collect()
+        assert jac == []  # invisible to the 0.8-Jaccard gate
+        spans = shared_span_pairs(df, span=8).collect()
+        assert len(spans) == 1 and spans[0]["n_shared"] == 1
+
+    def test_min_spans_and_stop_span_cap(self, spark):
+        boiler = " ".join(f"x{i}" for i in range(8))
+        # per-doc context fully distinct so ONLY the boilerplate window
+        # is shared (a common context word would add a second span)
+        rows = [(i, f"a{i} b{i} c{i} {boiler} d{i}") for i in range(1, 6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # the boilerplate span links all C(5,2)=10 pairs
+        assert shared_span_pairs(df, span=8).count() == 10
+        # ...and the stop-span cap removes it entirely
+        assert shared_span_pairs(df, span=8, max_doc_freq=3).count() == 0
+        # min_spans=2 filters single-span pairs
+        assert shared_span_pairs(df, span=8, min_spans=2).count() == 0
+
+
+class TestBpe:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (1, "low low low low low lower lower newest newest"),
+            (2, "newest newest newest newest widest widest widest"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_word_frequencies_filters_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "ab ab 123 c-d ab")], "doc_id long, text string"
+        )
+        wf = {r["w"]: r["cnt"] for r in word_frequencies(df).collect()}
+        assert wf == {"ab": 3}  # non-alphabetic tokens excluded
+
+    def test_merges_match_hand_computed(self, spark, corpus):
+        """Sennrich's worked example shape: the most frequent adjacent
+        char pair merges first; weighted by word frequency."""
+        merges, vocab = bpe_train(corpus, rounds=3)
+        # word counts: low:5 lower:2 newest:6 widest:3
+        # round 1 pair counts: (e,s)=9, (s,t)=9, (e,w)=6, (n,e)=6, ...
+        # tie (e,s)/(s,t) at 9 -> lexicographic: (e,s)
+        m1 = merges[0]
+        assert (m1["lhs"], m1["rhs"], m1["pair_count"]) == ("e", "s", 9)
+        # round 2: (es,t)=9 is now the top pair
+        m2 = merges[1]
+        assert (m2["lhs"], m2["rhs"], m2["merged"]) == ("es", "t", "est")
+        assert m2["pair_count"] == 9
+        # round 3: (l,o) and (o,w) both 7 (low:5 + lower:2) beat the
+        # est-family pairs at 6; tie breaks lexicographically -> (l,o)
+        m3 = merges[2]
+        assert (m3["lhs"], m3["rhs"], m3["pair_count"]) == ("l", "o", 7)
+        # final vocab reps still well-formed delimited symbols
+        reps = {r["w"]: r["rep"] for r in vocab.collect()}
+        assert reps["newest"].endswith("<est>")
+
+    def test_greedy_overlap_rule(self, spark):
+        """'aaaa' under merge (a,a): greedy leftmost non-overlap gives
+        [aa, aa] — the replace-based merge must not chain overlaps."""
+        df = spark.createDataFrame(
+            [(1, "aaaa aaaa aa")], "doc_id long, text string"
+        )
+        merges, vocab = bpe_train(df, rounds=1)
+        assert (merges[0]["lhs"], merges[0]["rhs"]) == ("a", "a")
+        # aaaa -> <aa><aa>; aa -> <aa>
+        reps = {r["w"]: r["rep"] for r in vocab.collect()}
+        assert reps["aaaa"] == "<aa><aa>"
+        assert reps["aa"] == "<aa>"
+
+    def test_merge_table_and_segment(self, spark, corpus):
+        mt = bpe_merge_table(corpus, rounds=3)
+        assert [r["round"] for r in mt.collect()] == [1, 2, 3]
+        merges, _ = bpe_train(corpus, rounds=3)
+        seg = {r["doc_id"]: r for r in bpe_segment(corpus, merges).collect()}
+        # merging only ever shrinks: bpe_tokens <= char_tokens
+        for r in seg.values():
+            assert r["bpe_tokens"] <= r["char_tokens"]
+            assert 0 < r["compression"] <= 1.0
+        with pytest.raises(ValueError):
+            bpe_train(corpus, rounds=0)
