@@ -606,7 +606,15 @@ def q62_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a weighted hash-agg over the vocabulary table, argmax with
     lexicographic tie-break, greedy merge via delimited-symbol string
     replace. The DuckDB oracle replays all three rounds as a CTE chain
-    (same iterative-replay pattern as q54's k-means)."""
+    (same iterative-replay pattern as q54's k-means).
+
+    Bench transparency: like q54's Lloyd rounds, the driver-synchronized
+    training jobs run when this callable BUILDS the plan; the timed
+    materialization covers only the merge-table artifact. The DuckDB
+    side replays the full training inside its timed run, so this
+    query's per-query ratio UNDERSTATES Spark's cost — read its bench
+    line accordingly (the corpus-level ratio impact is bounded by the
+    oracle's own sub-100ms runtime)."""
     from bloomy_etl_spark.operators.bpe import bpe_merge_table
 
     docs = load_table(spark, sf_dir, "documents")
