@@ -621,6 +621,31 @@ def q62_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(docs, rounds=3).transform(_psort, "round")
 
 
+def q63_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: train 3 BPE merges, then
+    segment every document with them — per-source compression audit
+    (BPE pieces vs base characters). Pure map once the merge table is
+    learned; the oracle replays training AND segmentation."""
+    from bloomy_etl_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, rounds=3)
+    seg = bpe_segment(docs, merges)
+    return (
+        docs.select("doc_id", "source")
+        .join(seg, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+            F.sum("char_tokens").alias("char_tokens"),
+            F.round(F.sum("bpe_tokens") / F.sum("char_tokens"), 4).alias(
+                "compression"
+            ),
+        )
+        .transform(_psort, "source")
+    )
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -661,6 +686,7 @@ LLM_QUERIES = {
     "q60_bigram_lm_score": q60_bigram_lm_score,
     "q61_shared_spans": q61_shared_spans,
     "q62_bpe_merges": q62_bpe_merges,
+    "q63_bpe_segment": q63_bpe_segment,
 }
 
 
@@ -1604,4 +1630,72 @@ LLM_ORACLE_SQL["q62_bpe_merges"] = r"""
     UNION ALL
     SELECT 3, lhs, rhs, lhs || rhs, CAST(c AS BIGINT) FROM t3
     ORDER BY round
+"""
+
+
+# q63: q62's training chain + one more merge application (r3), then
+# per-word piece counts joined back onto every token occurrence.
+LLM_ORACLE_SQL["q63_bpe_segment"] = r"""
+    WITH w0 AS (
+        SELECT w, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
+    ),
+    r0 AS (SELECT w, cnt, regexp_replace(w, '(.)', '<\1>', 'g') AS rep FROM w0),
+    p1 AS (
+        SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(cnt) AS c
+        FROM (SELECT cnt, string_split(trim(rep, '<>'), '><') AS s FROM r0) t,
+             unnest(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    t1 AS (SELECT lhs, rhs, c FROM p1 ORDER BY c DESC, lhs, rhs LIMIT 1),
+    r1 AS (
+        SELECT w, cnt,
+               replace(rep, (SELECT '<' || lhs || '><' || rhs || '>' FROM t1),
+                            (SELECT '<' || lhs || rhs || '>' FROM t1)) AS rep
+        FROM r0
+    ),
+    p2 AS (
+        SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(cnt) AS c
+        FROM (SELECT cnt, string_split(trim(rep, '<>'), '><') AS s FROM r1) t,
+             unnest(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    t2 AS (SELECT lhs, rhs, c FROM p2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+    r2 AS (
+        SELECT w, cnt,
+               replace(rep, (SELECT '<' || lhs || '><' || rhs || '>' FROM t2),
+                            (SELECT '<' || lhs || rhs || '>' FROM t2)) AS rep
+        FROM r1
+    ),
+    p3 AS (
+        SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(cnt) AS c
+        FROM (SELECT cnt, string_split(trim(rep, '<>'), '><') AS s FROM r2) t,
+             unnest(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    t3 AS (SELECT lhs, rhs, c FROM p3 ORDER BY c DESC, lhs, rhs LIMIT 1),
+    r3 AS (
+        SELECT w,
+               replace(rep, (SELECT '<' || lhs || '><' || rhs || '>' FROM t3),
+                            (SELECT '<' || lhs || rhs || '>' FROM t3)) AS rep
+        FROM r2
+    ),
+    pieces AS (
+        SELECT w, len(string_split(trim(rep, '<>'), '><')) AS n_pieces,
+               LENGTH(w) AS n_chars
+        FROM r3
+    ),
+    occ AS (
+        SELECT source, w FROM (
+            SELECT source, unnest(string_split_regex(text, '\s+')) AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]+$')
+    )
+    SELECT o.source,
+           CAST(SUM(p.n_pieces) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(p.n_chars) AS BIGINT) AS char_tokens,
+           ROUND(SUM(p.n_pieces) * 1.0 / SUM(p.n_chars), 4) AS compression
+    FROM occ o JOIN pieces p USING (w)
+    GROUP BY o.source ORDER BY o.source
 """
