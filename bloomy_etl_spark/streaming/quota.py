@@ -1,0 +1,80 @@
+"""Streaming per-domain ingest quotas — the live-ingest counterpart of
+``operators/corpus.py::domain_cap``.
+
+Batch capping ranks a finished corpus; an INGEST pipeline has to decide
+per arriving document, with only the running count per domain as state.
+The standard contract is first-arrival-wins: each domain admits its
+first ``cap`` documents (in stream order: micro-batch order, then a
+deterministic in-batch order) and rejects the rest — crawl throttling,
+per-tenant quotas, and freshness-window caps all reduce to this.
+
+Implementation: ``applyInPandasWithState`` keyed by the domain. The
+state is ONE int per domain (admitted so far) — constant memory per key
+regardless of stream length, exactly the state-shape
+``applyInPandasWithState`` exists for (contrast with
+``streaming/ingest.py``'s corpus-global parquet state, which uses
+``foreachBatch`` instead; the two modules document the decision rule).
+
+Scale: one shuffle per micro-batch keyed by domain; a hot domain's
+batch slice lands on one task but the per-row work is a counter
+increment, so throughput is bounded by shuffle, not state. Admission is
+deterministic for a deterministic source: batch order, then
+``(id)`` ascending within the batch slice.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ADMIT_SCHEMA = "domain string, doc_id long, admitted boolean, admit_rank int"
+_STATE_SCHEMA = "n long"
+
+
+def _quota_fn(cap: int):
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (domain,) = key
+        n = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            # deterministic in-batch admission order: ascending id
+            for doc_id in sorted(pdf["doc_id"].tolist()):
+                n += 1
+                out.append(
+                    {
+                        "domain": domain,
+                        "doc_id": int(doc_id),
+                        "admitted": n <= cap,
+                        "admit_rank": n,
+                    }
+                )
+        state.update((n,))
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def streaming_domain_quota(docs_stream: DataFrame, cap: int,
+                           domain_col: str = "source",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Admission decisions for a document stream under a per-domain cap.
+    Returns a streaming DataFrame of (domain, doc_id, admitted,
+    admit_rank); downstream typically filters ``admitted`` and joins the
+    payload back (or the caller applies the decision in the same batch).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    cols = docs_stream.select(
+        docs_stream[domain_col].alias("domain"),
+        docs_stream[id_col].alias("doc_id"),
+    )
+    return cols.groupBy("domain").applyInPandasWithState(
+        _quota_fn(cap),
+        outputStructType=ADMIT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

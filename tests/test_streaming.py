@@ -467,3 +467,74 @@ class TestDedupIngest:
             for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
         }
         assert (1, 2) in pairs and (1, 4) in pairs
+
+
+class TestStreamingDomainQuota:
+    """streaming/quota.py: first-arrival-wins per-domain caps with
+    constant per-key state."""
+
+    def test_matches_sequential_reference(self, spark, tmp_path):
+        import os
+
+        from bloomy_etl_spark.streaming.quota import streaming_domain_quota
+
+        rng = np.random.default_rng(11)
+        rows = [(int(i), f"d{int(rng.integers(0, 4))}") for i in range(60)]
+        src = tmp_path / "docs"
+        src.mkdir()
+        t0, n_slices = 1_000_000_000, 3
+        bounds = np.linspace(0, len(rows), n_slices + 1, dtype=int)
+        batches = []
+        for i in range(n_slices):
+            sl = rows[bounds[i]:bounds[i + 1]]
+            batches.append(sl)
+            f = src / f"b{i:05d}.parquet"
+            pd.DataFrame(sl, columns=["doc_id", "source"]).to_parquet(
+                f, index=False
+            )
+            os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+        stream = (
+            spark.readStream.schema("doc_id long, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = streaming_domain_quota(stream, cap=5)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("quota_admit")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            r["doc_id"]: (r["admitted"], r["admit_rank"])
+            for r in spark.table("quota_admit").collect()
+        }
+
+        # sequential reference: batch order, ascending id within a batch
+        counts: dict[str, int] = {}
+        want = {}
+        for sl in batches:
+            for doc_id, dom in sorted(sl):
+                counts[dom] = counts.get(dom, 0) + 1
+                want[doc_id] = (counts[dom] <= 5, counts[dom])
+        assert got == want
+        # every domain admitted exactly min(cap, arrivals)
+        admitted = [k for k, (a, _) in got.items() if a]
+        per_dom: dict[str, int] = {}
+        for doc_id in admitted:
+            dom = dict(rows)[doc_id]
+            per_dom[dom] = per_dom.get(dom, 0) + 1
+        for dom, n in per_dom.items():
+            total = sum(1 for _, d in rows if d == dom)
+            assert n == min(5, total)
+
+    def test_bad_cap(self, spark):
+        from bloomy_etl_spark.streaming.quota import streaming_domain_quota
+
+        with pytest.raises(ValueError):
+            streaming_domain_quota(
+                spark.readStream.format("rate").load(), cap=0
+            )
