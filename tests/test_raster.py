@@ -192,3 +192,58 @@ def test_numpy_engine_matches_rasterio_same_crs(spark):
     ga = np.array(a["data"]).reshape(12, 12)[1:-1, 1:-1]
     gb = np.array(b["data"]).reshape(12, 12)[1:-1, 1:-1]
     np.testing.assert_allclose(ga, gb, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# properties (pure-NumPy warp math — no Spark session needed)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    data=st.lists(
+        st.lists(
+            st.one_of(
+                st.floats(-1e4, 1e4, allow_nan=False), st.just(-9999.0)
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=3, max_size=3,
+    ),
+    resampling=st.sampled_from(["bilinear", "nearest"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_warp_identity_property(data, resampling):
+    """Warping any raster onto ITS OWN grid is the identity on valid
+    pixels and maps nodata to dst_nodata — for both resamplings, any
+    mix of valid/nodata values."""
+    src = np.array(data, dtype=np.float64)
+    out = _numpy_warp(src, SRC_T, SRC_T, src.shape, resampling,
+                      -9999.0, np.nan)
+    valid = src != -9999.0
+    np.testing.assert_allclose(out[valid], src[valid], rtol=1e-12)
+    assert np.isnan(out[~valid]).all()
+
+
+@given(
+    data=st.lists(
+        st.lists(st.floats(0, 1e4, allow_nan=False), min_size=5, max_size=5),
+        min_size=5, max_size=5,
+    ),
+    ox=st.floats(-1.5, 1.5),
+    oy=st.floats(-1.5, 1.5),
+)
+@settings(max_examples=60, deadline=None)
+def test_warp_bilinear_bounds_property(data, ox, oy):
+    """Bilinear output on an all-valid raster is a convex combination of
+    source pixels: every finite output value lies within [src.min(),
+    src.max()] for any destination grid offset."""
+    src = np.array(data, dtype=np.float64)
+    dst_t = [1.0, 0.0, 10.0 + ox, 0.0, -1.0, 20.0 + oy]
+    out = _numpy_warp(src, SRC_T, dst_t, (5, 5), "bilinear", None, np.nan)
+    finite = out[~np.isnan(out)]
+    if finite.size:
+        assert finite.min() >= src.min() - 1e-9
+        assert finite.max() <= src.max() + 1e-9
