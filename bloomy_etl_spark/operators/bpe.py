@@ -129,7 +129,14 @@ def bpe_segment(docs: DataFrame, merges: list[dict],
     """Apply a learned merge table to segment documents: per doc, the
     BPE token count under the merges vs the base character count — the
     compression-ratio audit used to validate a tokenizer on held-out
-    text. Pure map (chained replaces), no shuffle."""
+    text.
+
+    The replace chain runs once per DISTINCT word (vocabulary table),
+    not per token occurrence — occurrences then join to their word's
+    piece count. Zipf makes this the difference between O(vocab) and
+    O(corpus) regex work; the vocab side of the join is the small side
+    (broadcast below the threshold, shuffle join beyond it — the
+    planner's call via AQE/thresholds, not hard-coded)."""
     word = F.explode(tokens(F.col(text_col))).alias("w")
     base = docs.select(F.col(id_col), word).filter(
         F.col("w").rlike("^[a-z]+$")
@@ -139,10 +146,11 @@ def bpe_segment(docs: DataFrame, merges: list[dict],
         rep = F.replace(
             rep, F.lit(f"<{m['lhs']}><{m['rhs']}>"), F.lit(f"<{m['merged']}>")
         )
-    return base.select(
-        id_col, F.size(_symbols(rep)).alias("n_pieces"),
+    pieces = base.select("w").distinct().select(
+        "w", F.size(_symbols(rep)).alias("n_pieces"),
         F.length("w").alias("n_chars"),
-    ).groupBy(id_col).agg(
+    )
+    return base.join(pieces, "w").groupBy(id_col).agg(
         F.sum("n_pieces").alias("bpe_tokens"),
         F.sum("n_chars").alias("char_tokens"),
         F.round(F.sum("n_pieces") / F.sum("n_chars"), 4).alias("compression"),
