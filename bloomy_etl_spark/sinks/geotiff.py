@@ -80,22 +80,18 @@ def _write_one(date: str, ndvi: np.ndarray, evi: np.ndarray, out_dir: str,
             dst.set_band_description(2, "EVI")
         return path, "rasterio"
     except ImportError:
-        # Deterministic fallback: same array content, .npy container.
-        path = os.path.join(out_dir, f"hls_{date}.npy")
-        np.save(path, filled)
-        with open(path + ".json", "w") as f:
-            json.dump(
-                {
-                    "date": date,
-                    "bands": ["ndvi", "evi"],
-                    "nodata": NODATA,
-                    "crs": "EPSG:4326",
-                    "transform": list(transform6) if transform6 else None,
-                    "note": "rasterio unavailable; stub container, real layout",
-                },
-                f,
+        # Pure-Python writer (sinks/tiff.py): a REAL uncompressed float32
+        # GeoTIFF — valid TIFF 6.0 container, GeoTIFF pixel-scale/
+        # tiepoint/geo-key tags, GDAL nodata — readable by rasterio/GDAL/
+        # QGIS elsewhere. Only LZW compression is rasterio-exclusive.
+        from bloomy_etl_spark.sinks.tiff import encode_geotiff_float32
+
+        path = os.path.join(out_dir, f"hls_{date}.tif")
+        with open(path, "wb") as f:
+            f.write(
+                encode_geotiff_float32(filled, transform6, nodata=NODATA)
             )
-        return path, "npy-stub"
+        return path, "pytiff"
 
 
 def export_geotiff(

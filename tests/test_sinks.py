@@ -8,6 +8,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from bloomy_etl_spark.sinks import (
@@ -61,26 +62,33 @@ def test_events_json_roundtrip(spark, tmp_path):
     assert row["event_kind"] == "abrupt_drop" and row["drop_mag"] == 0.41
 
 
-def test_export_geotiff_stub_layout(spark, tmp_path):
+def test_export_geotiff_real_tiff_output(spark, tmp_path):
+    from bloomy_etl_spark.sinks.tiff import read_geotiff
+
     out = str(tmp_path / "tiff")
     manifest = export_geotiff(make_cube(spark), out).orderBy("date").collect()
     assert [m["date"] for m in manifest] == ["2024-06-01", "2024-06-02"]
     m0 = manifest[0]
     assert m0["width"] == 2 and m0["height"] == 2
-    assert m0["writer"] == "npy-stub"  # rasterio absent in this container
-    arr = np.load(m0["path"])
+    # rasterio absent here -> the pure-Python GeoTIFF writer ran and the
+    # output is a real .tif (valid TIFF magic + parseable tags)
+    assert m0["writer"] == "pytiff" and m0["path"].endswith(".tif")
+    tif = read_geotiff(open(m0["path"], "rb").read())
+    arr = tif["bands"]
     assert arr.shape == (2, 2, 2) and arr.dtype == np.float32
     # nodata fill at the masked pixel (P6), value fidelity elsewhere
     assert arr[0, 1, 0] == -9999.0
     assert np.isclose(arr[0, 0, 0], 0.5) and np.isclose(arr[1, 0, 1], 0.5)
+    assert tif["nodata"] == -9999.0
+    assert tif["geo_keys"][4:8] == [1024, 0, 1, 2]  # geographic model
     # day 2 wrote only observed pixels' bounding grid
     m1 = manifest[1]
     assert m1["n_valid"] == 2
-    # sidecar metadata present for the stub
-    assert json.load(open(m0["path"] + ".json"))["nodata"] == -9999.0
 
 
 def test_export_geotiff_downsample(spark, tmp_path):
+    from bloomy_etl_spark.sinks.tiff import read_geotiff
+
     out = str(tmp_path / "tiff_ds")
     manifest = (
         export_geotiff(make_cube(spark), out, downsample=2, transform6=(0.1, 0, 30.0, 0, -0.1, 50.0))
@@ -89,8 +97,11 @@ def test_export_geotiff_downsample(spark, tmp_path):
     )
     # stride 2 keeps only (0,0) per frame -> 1x1 grids
     assert all(m["width"] == 1 and m["height"] == 1 for m in manifest)
-    meta = json.load(open(manifest[0]["path"] + ".json"))
-    assert meta["transform"][0] == 0.2 and meta["transform"][4] == -0.2
+    tif = read_geotiff(open(manifest[0]["path"], "rb").read())
+    # rescaled stride transform landed in the GeoTIFF tags
+    assert tif["pixel_scale"][0] == pytest.approx(0.2)
+    assert tif["pixel_scale"][1] == pytest.approx(0.2)
+    assert tif["tiepoint"][3:5] == [30.0, 50.0]
 
 
 def test_cache_partition_and_anti_join_probe(spark, tmp_path):
