@@ -87,22 +87,23 @@ def _write_one(date: str, time_iso: str, ndvi: np.ndarray, evi: np.ndarray,
         # ImportError: xarray absent. ValueError: xarray present but no
         # netCDF engine installed (scipy/netCDF4/h5netcdf) — to_netcdf
         # raises it at write time; both degrade to the same fallback.
-        # Deterministic fallback: same arrays, zlib-deflate .npz container,
-        # metadata in a JSON sidecar instead of NetCDF attrs.
-        path = os.path.join(out_dir, f"cube_{date}.npz")
-        np.savez_compressed(path, ndvi=ndvi, evi=evi)
-        with open(path + ".json", "w") as f:
-            json.dump(
-                {
-                    "date": date,
-                    "time": time_iso,
-                    "bands": ["ndvi", "evi"],
-                    "crs": "EPSG:4326",
-                    "note": "xarray unavailable; stub container, real layout",
-                },
-                f,
+        # Pure-Python writer (sinks/cdf.py): a REAL NetCDF3 classic file —
+        # same variables/dims/attrs, valid .nc that xarray/ncdump open
+        # anywhere. Classic format cannot carry zlib compression (an
+        # HDF5/netCDF4 feature); that stays on the xarray branch.
+        from bloomy_etl_spark.sinks.cdf import encode_netcdf3
+
+        path = os.path.join(out_dir, f"cube_{date}.nc")
+        with open(path, "wb") as f:
+            f.write(
+                encode_netcdf3(
+                    {"ndvi": (("y", "x"), ndvi), "evi": (("y", "x"), evi)},
+                    global_attrs={
+                        "date": date, "time": time_iso, "crs": "EPSG:4326",
+                    },
+                )
             )
-        return path, "npz-stub"
+        return path, "cdf1"
 
 
 def export_netcdf(cube: DataFrame, out_dir: str,
@@ -159,15 +160,26 @@ def export_netcdf(cube: DataFrame, out_dir: str,
 
 
 def _load_one(path: str) -> pd.DataFrame:
-    """Decode one exported file back to long-format cube rows."""
-    if path.endswith(".nc"):  # pragma: no cover - xarray absent here
-        import xarray as xr
+    """Decode one exported file back to long-format cube rows: xarray if
+    importable (handles netCDF4/HDF5 files), else the pure-Python
+    classic reader (handles cdf1-written files); legacy .npz stubs from
+    older exports still load."""
+    if path.endswith(".nc"):
+        try:  # pragma: no cover - xarray absent here
+            import xarray as xr
 
-        ds = xr.open_dataset(path)
-        ndvi = ds["ndvi"].to_numpy()
-        evi = ds["evi"].to_numpy()
-        time_iso = ds.attrs["time"]
-        ds.close()
+            ds = xr.open_dataset(path)
+            ndvi = ds["ndvi"].to_numpy()
+            evi = ds["evi"].to_numpy()
+            time_iso = ds.attrs["time"]
+            ds.close()
+        except ImportError:
+            from bloomy_etl_spark.sinks.cdf import read_netcdf3
+
+            with open(path, "rb") as fh:
+                nc = read_netcdf3(fh.read())
+            ndvi, evi = nc["vars"]["ndvi"], nc["vars"]["evi"]
+            time_iso = nc["attrs"]["time"]
     else:
         with np.load(path) as z:
             ndvi, evi = z["ndvi"], z["evi"]

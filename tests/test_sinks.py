@@ -141,15 +141,21 @@ def test_netcdf_export_roundtrip(spark, tmp_path):
     """NetCDF interop (reference core/pipeline.py:174-177): cube →
     per-date files → distributed scan back — value-exact round trip for
     every observed pixel, including the single-variable-NULL convention.
-    (xarray absent in this container → deterministic npz-stub writer; the
-    Spark-side plumbing is identical either way.)"""
+    (xarray absent in this container → the pure-Python CDF-1 writer runs
+    and emits REAL .nc files; the Spark-side plumbing is identical
+    either way.)"""
     from bloomy_etl_spark.sinks import export_netcdf, read_netcdf_cube
+    from bloomy_etl_spark.sinks.cdf import read_netcdf3
 
     out = str(tmp_path / "nc")
     manifest = export_netcdf(make_cube(spark), out).orderBy("date").collect()
     assert [m["date"] for m in manifest] == ["2024-06-01", "2024-06-02"]
-    assert all(m["writer"] == "npz-stub" for m in manifest)
+    assert all(m["writer"] == "cdf1" for m in manifest)
+    assert all(m["path"].endswith(".nc") for m in manifest)
     assert manifest[0]["n_valid"] == 3  # masked pixel excluded
+    # the file is a genuine NetCDF classic container with the cube attrs
+    nc = read_netcdf3(open(manifest[0]["path"], "rb").read())
+    assert nc["dims"] == {"y": 2, "x": 2} and nc["attrs"]["crs"] == "EPSG:4326"
 
     back = read_netcdf_cube(spark, out)
     got = sorted(
