@@ -215,21 +215,43 @@ class CubeViewer:
             )
         ]
 
-    def create_gif(self, out_path: str, duration_ms: int = 500):  # pragma: no cover
+    def create_gif(self, out_path: str, duration_ms: int = 500):
         """Animated GIF of the whole series (reference
         ``tools/visualize_dataset.py:357-414``): one 2-panel frame per
-        date, stitched with Pillow. Frames are fetched one date at a time
-        through the partition-pruned :meth:`frame` accessor, so driver
-        memory is O(frame) + the rendered PNGs — never the whole cube.
-        Requires matplotlib + Pillow (both optional in this container)."""
-        plt = self._require_matplotlib()
+        date. Frames are fetched one date at a time through the
+        partition-pruned :meth:`frame` accessor, so driver memory is
+        O(frame) — never the whole cube.
+
+        matplotlib + Pillow render the reference-style annotated panels
+        when importable; otherwise the pure-Python GIF89a encoder
+        (``tools/gif.py``) writes a real animated GIF of the RdYlGn-
+        colormapped NDVI|EVI panels with no optional dependency at all.
+        """
         try:
-            from PIL import Image
-        except ImportError as e:
-            raise ImportError(
-                "Pillow is required for create_gif; export_frames() writes "
-                "per-date rasters without it"
-            ) from e
+            self._require_matplotlib()
+            from PIL import Image  # noqa: F401
+        except ImportError:
+            return self._create_gif_pure(out_path, duration_ms)
+        return self._create_gif_pillow(out_path, duration_ms)
+
+    def _create_gif_pure(self, out_path: str, duration_ms: int) -> str:
+        import numpy as np
+
+        from bloomy_etl_spark.tools.gif import colormap_rdylgn, encode_gif
+
+        frames = []
+        for date in self.dates():
+            ndvi = colormap_rdylgn(self.frame(date, "ndvi"), -0.2, 1.0)
+            evi = colormap_rdylgn(self.frame(date, "evi"), -0.2, 2.0)
+            sep = np.full((ndvi.shape[0], 1), 255, dtype=np.uint8)
+            frames.append(np.hstack([ndvi, sep, evi]))
+        with open(out_path, "wb") as f:
+            f.write(encode_gif(frames, duration_ms=duration_ms))
+        return out_path
+
+    def _create_gif_pillow(self, out_path: str, duration_ms: int):  # pragma: no cover
+        plt = self._require_matplotlib()
+        from PIL import Image
         import io
 
         frames = []
