@@ -245,3 +245,111 @@ def lsh_topk(embs: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index (build once, search many)
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(embs: DataFrame, index_dir: str,
+                    centroids: list[list[float]] | None = None,
+                    centroid_stride: int = 40, max_centroids: int = 256,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Materialize the IVF structure :func:`ivf_topk` derives per call:
+
+      * ``{index_dir}/centroids`` — (cid, cvec, _ncent), the coarse
+        quantizer (tiny);
+      * ``{index_dir}/corpus`` — every vector with its assigned
+        ``cluster_id``, PARTITIONED BY cluster_id.
+
+    The partition layout is the point: a search that probes ``nprobe``
+    of K clusters reads nprobe/K of the corpus FILES — partition pruning
+    at the storage layer, not a runtime filter. This is how IVF behaves
+    in a real vector store (inverted lists = partitions), and what makes
+    search cost independent of corpus growth in unprobed clusters.
+    Assignment math is identical to :func:`ivf_topk` (argmax cosine,
+    ties to the smaller cid), so a stored-index search returns exactly
+    what the per-call operator returns.
+    """
+    spark = embs.sparkSession
+    if centroids is not None:
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cid long, cvec array<double>",
+        ).withColumn("_ncent", norm(F.col("cvec")))
+    else:
+        cents = embs.filter(
+            (F.col(id_col) % centroid_stride == 0)
+            & (F.col(id_col) < centroid_stride * max_centroids)
+        ).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
+            norm(F.col(vec_col)).alias("_ncent"),
+        )
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    corpus = embs.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("_nn"),
+    )
+    scored = corpus.join(F.broadcast(cents), F.lit(True)).withColumn(
+        "cos_c", dot(F.col("nv"), F.col("cvec")) / (F.col("_nn") * F.col("_ncent"))
+    )
+    assigned = scored.groupBy("neighbor_id").agg(
+        F.max_by(F.col("cid"), F.struct(F.col("cos_c"), -F.col("cid"))).alias(
+            "cluster_id"
+        ),
+        F.any_value(F.col("nv")).alias("nv"),
+        F.any_value(F.col("_nn")).alias("_nn"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        f"{index_dir}/corpus"
+    )
+
+
+def search_ivf_index(spark, index_dir: str, queries: DataFrame, k: int = 5,
+                     nprobe: int = 8, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Top-k search against a stored IVF index: probe the ``nprobe``
+    nearest centroids per query, scan ONLY those cluster partitions
+    (pushed partition filter on ``cluster_id`` — assert with
+    ``PartitionFilters`` in the scan node), exact-cosine re-rank.
+    Results are identical to :func:`ivf_topk` with the same parameters.
+    """
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("_nq"),
+    )
+    qscored = q.join(F.broadcast(cents), F.lit(True)).withColumn(
+        "cos_c", dot(F.col("qv"), F.col("cvec")) / (F.col("_nq") * F.col("_ncent"))
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid")
+    )
+    probes = (
+        qscored.withColumn("probe_rank", F.row_number().over(wprobe))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qv", "_nq", F.col("cid").alias("cluster_id"))
+    )
+    # the probed cluster-id set is tiny (<= |Q|*nprobe values): pin it as
+    # an IN-list literal so the parquet scan prunes whole partition
+    # directories instead of reading every inverted list
+    probe_ids = sorted(
+        {r["cluster_id"] for r in probes.select("cluster_id").distinct().collect()}
+    )
+    corpus = spark.read.parquet(f"{index_dir}/corpus").filter(
+        F.col("cluster_id").isin(probe_ids)
+    )
+    cands = corpus.join(F.broadcast(probes), "cluster_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    rescored = cands.withColumn(
+        "cos_sim", dot(F.col("qv"), F.col("nv")) / (F.col("_nq") * F.col("_nn"))
+    ).select("query_id", "neighbor_id", "cos_sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

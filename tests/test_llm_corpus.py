@@ -4,6 +4,7 @@ operator-level semantic checks (LSH recall vs exact ground truth)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from bloomy_etl_spark.operators.llm_queries import LLM_ORACLE_SQL, LLM_QUERIES
 
@@ -374,3 +375,42 @@ def test_trained_ivf_recall_at_least_matches_stride(spark):
     )
     assert r_trained >= r_stride - 0.05, (r_trained, r_stride)
     assert r_trained >= 0.6
+
+
+class TestIvfIndexPersistence:
+    def test_stored_search_equals_per_call_operator(self, spark, tmp_path):
+        """build once / search many: the stored-index search must return
+        EXACTLY what ivf_topk computes per call, and its corpus scan must
+        prune to the probed cluster partitions."""
+        from bloomy_etl_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_topk,
+            search_ivf_index,
+        )
+        from bloomy_etl_spark.sources.tables import load_table
+
+        embs = load_table(spark, SF_ORACLE, "embeddings")
+        queries = embs.filter(F.col("vec_id") % 100 == 0)
+        idx = str(tmp_path / "ivf")
+        build_ivf_index(embs, idx)
+        got = search_ivf_index(spark, idx, queries, k=5, nprobe=8)
+        want = ivf_topk(embs, queries, k=5, nprobe=8)
+        cols = ["query_id", "neighbor_id", "rank"]
+        assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+            map(tuple, want.select(*cols).collect())
+        )
+        # partition pruning actually reached the scan: the probed-cluster
+        # IN-list appears as a PartitionFilters entry, and the files read
+        # are a strict subset of the index's partitions
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [cluster_id" in plan.replace("#", " #").replace(
+            "cluster_id #", "cluster_id#"
+        ) or "cluster_id" in plan.split("PartitionFilters")[1].split("]")[0]
+        n_all = spark.read.parquet(f"{idx}/corpus").select(
+            "cluster_id"
+        ).distinct().count()
+        probed = {r["cluster_id"] for r in got.join(
+            spark.read.parquet(f"{idx}/corpus").select("neighbor_id", "cluster_id"),
+            "neighbor_id",
+        ).select("cluster_id").distinct().collect()}
+        assert len(probed) < n_all
