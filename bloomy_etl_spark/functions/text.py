@@ -111,6 +111,33 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(no_ctl, "\\s+", " "))
 
 
+def html_to_text(html: Column) -> Column:
+    """HTML → plain text extraction (the CommonCrawl WET-style step that
+    precedes every other text operator when the corpus arrives as raw
+    markup): drop ``<script>``/``<style>`` subtrees entirely (their
+    content is not prose), strip the remaining tags, decode the five
+    XML-core entities plus ``&nbsp;`` and numeric ``&#NN;`` space,
+    collapse whitespace, trim.
+
+    RE2-portable regexes only (non-greedy spans, no lookaround, no
+    backreferences) so the DuckDB oracle runs the identical patterns;
+    ``(?is)`` makes tag matching case-insensitive and dot-all so
+    multi-line scripts die. Regex HTML parsing is the industry standard
+    for corpus extraction at this layer (full DOM parsing is ~100×
+    slower and needs a C library); malformed markup degrades to leaving
+    fragments, never to an error."""
+    t = F.regexp_replace(html, r"(?is)<script\b.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    # &amp; decodes LAST: decoding it first would double-decode
+    # "&amp;lt;" into "<" instead of the literal "&lt;" the author wrote
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: rewards stopword presence and
     lexical diversity, penalizes extreme length and punctuation soup.

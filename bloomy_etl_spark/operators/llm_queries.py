@@ -646,6 +646,38 @@ def q63_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q64_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions.text.html_to_text) under the
+    hash gate: wrap every document in deterministic markup (style block,
+    conditional script subtree, headings, entity-encoded fragment),
+    extract, and gate the per-source md5 sum of the extracted strings —
+    exact string equality for every document without shipping strings."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    html = F.concat(
+        F.lit("<html><head><style>p{color:red}</style></head>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("<script>var x = 1 < 2;\nalert('hi');</script>")
+               ).otherwise(F.lit("")),
+        F.lit("<BODY><h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1>\n<p>"), F.col("text"), F.lit("</p>"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("<p>fish &amp; chips &lt;b&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y</p>")
+               ).otherwise(F.lit("")),
+        F.lit("</BODY></html>"),
+    )
+    extracted = T.html_to_text(html)
+    return (
+        docs.select("source", extracted.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("t")).alias("sum_chars"),
+            F.sum(T.md5_int(F.col("t"))).alias("content_hash_sum"),
+        )
+        .transform(_psort, "source")
+    )
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -687,6 +719,7 @@ LLM_QUERIES = {
     "q61_shared_spans": q61_shared_spans,
     "q62_bpe_merges": q62_bpe_merges,
     "q63_bpe_segment": q63_bpe_segment,
+    "q64_html_extract": q64_html_extract,
 }
 
 
@@ -1698,4 +1731,47 @@ LLM_ORACLE_SQL["q63_bpe_segment"] = r"""
            ROUND(SUM(p.n_pieces) * 1.0 / SUM(p.n_chars), 4) AS compression
     FROM occ o JOIN pieces p USING (w)
     GROUP BY o.source ORDER BY o.source
+"""
+
+
+# q64: identical RE2-safe regex chain (non-greedy spans, inline (?is),
+# 'g' global flag), identical entity order (&amp; LAST so "&amp;lt;"
+# decodes once to the literal "&lt;"), md5-sum gate per source.
+LLM_ORACLE_SQL["q64_html_extract"] = r"""
+    WITH h AS (
+        SELECT source,
+               '<html><head><style>p{color:red}</style></head>'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '<script>var x = 1 < 2;' || chr(10) || 'alert(''hi'');</script>'
+                       ELSE '' END
+               || '<BODY><h1>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</h1>' || chr(10) || '<p>' || text || '</p>'
+               || CASE WHEN doc_id % 5 = 0
+                       THEN '<p>fish &amp; chips &lt;b&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y</p>'
+                       ELSE '' END
+               || '</BODY></html>' AS html
+        FROM documents
+    ),
+    x AS (
+        SELECT source,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                       regexp_replace(
+                       regexp_replace(
+                       regexp_replace(
+                       regexp_replace(html,
+                           '(?is)<script\b.*?</script>', ' ', 'g'),
+                           '(?is)<style\b.*?</style>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                           '(?s)<[^>]*>', ' ', 'g'),
+                       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                   '\s+', ' ', 'g')) AS t
+        FROM h
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(t)) AS BIGINT) AS sum_chars,
+           CAST(SUM(('0x' || substr(md5(t), 1, 8))::BIGINT) AS BIGINT)
+               AS content_hash_sum
+    FROM x GROUP BY source ORDER BY source
 """

@@ -195,3 +195,30 @@ class TestBpe:
             assert 0 < r["compression"] <= 1.0
         with pytest.raises(ValueError):
             bpe_train(corpus, rounds=0)
+
+
+class TestHtmlToText:
+    def _one(self, spark, html: str) -> str:
+        from bloomy_etl_spark.functions.text import html_to_text
+
+        df = spark.createDataFrame([(html,)], "h string")
+        return df.select(html_to_text(F.col("h")).alias("t")).first()["t"]
+
+    def test_scripts_styles_and_tags_stripped(self, spark):
+        html = ("<html><head><style>p{x:1}</style>"
+                "<SCRIPT>if (1<2) alert('x');\nmore();</SCRIPT></head>"
+                "<body><h1>Title</h1><p>hello <b>world</b></p>"
+                "<!-- a comment --></body></html>")
+        assert self._one(spark, html) == "Title hello world"
+
+    def test_entity_order_no_double_decode(self, spark):
+        # the author wrote the literal string "&lt;" — it must decode to
+        # "<" exactly once, and "&amp;lt;" to the literal "&lt;"
+        assert self._one(spark, "<p>a &amp; b</p>") == "a & b"
+        assert self._one(spark, "<p>&amp;lt;</p>") == "&lt;"
+        assert self._one(spark, "<p>x&nbsp;y &quot;z&quot;</p>") == 'x y "z"'
+
+    def test_malformed_degrades_not_errors(self, spark):
+        # unclosed tag: stripped to the text that follows; never an error
+        assert self._one(spark, "<p>ok <broken") == "ok <broken"
+        assert self._one(spark, "plain text, no markup") == "plain text, no markup"
