@@ -222,3 +222,93 @@ class TestHtmlToText:
         # unclosed tag: stripped to the text that follows; never an error
         assert self._one(spark, "<p>ok <broken") == "ok <broken"
         assert self._one(spark, "plain text, no markup") == "plain text, no markup"
+
+
+class TestBpeProperty:
+    def test_matches_python_reference_on_random_corpora(self, spark):
+        """bpe_train == the sequential Sennrich reference (pair counting,
+        lexicographic ties, greedy leftmost non-overlapping merge) on a
+        battery of small random corpora. Deterministic seeds, no
+        hypothesis-Spark interop needed."""
+        import random
+
+        from collections import Counter
+
+        def ref_bpe(words: dict[str, int], rounds: int):
+            reps = {w: [*w] for w in words}
+            merges = []
+            for r in range(1, rounds + 1):
+                pc = Counter()
+                for w, syms in reps.items():
+                    for a, b in zip(syms, syms[1:]):
+                        pc[(a, b)] += words[w]
+                if not pc:
+                    break
+                # max count, ties lexicographic on (lhs, rhs)
+                best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+                (a, b), c = best
+                merges.append((r, a, b, a + b, c))
+                for w, syms in reps.items():
+                    out, i = [], 0
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    reps[w] = out
+            return merges
+
+        rng = random.Random(42)
+        alphabet = "abc"
+        for trial in range(6):
+            n_words = rng.randint(2, 8)
+            words = {}
+            for _ in range(n_words):
+                w = "".join(rng.choice(alphabet)
+                            for _ in range(rng.randint(1, 6)))
+                words[w] = words.get(w, 0) + rng.randint(1, 5)
+            text = " ".join(
+                w for w, c in sorted(words.items()) for _ in range(c)
+            )
+            df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+            got, _ = bpe_train(df, rounds=4)
+            want = ref_bpe(words, 4)
+            got_t = [(m["round"], m["lhs"], m["rhs"], m["merged"],
+                      m["pair_count"]) for m in got]
+            assert got_t == want, (trial, words, got_t, want)
+
+
+class TestEmptyInputs:
+    """Operators must degrade to empty results (or a documented raise)
+    on empty corpora — a daily partition CAN be empty at 100 TB."""
+
+    @pytest.fixture(scope="class")
+    def empty_docs(self, spark):
+        return spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    def test_dedup_and_spans_empty(self, spark, empty_docs):
+        from bloomy_etl_spark.operators import dedup as D
+
+        assert D.exact_duplicates(empty_docs).count() == 0
+        assert D.ngram_jaccard_pairs(empty_docs).count() == 0
+        assert shared_span_pairs(empty_docs, span=8).count() == 0
+
+    def test_corpus_ops_empty(self, spark, empty_docs):
+        assert C.domain_cap(empty_docs, cap=5).count() == 0
+        assert C.pack_sequences(empty_docs).count() == 0
+        assert C.pack_sequences(empty_docs, n_shards=4).count() == 0
+        assert C.bigram_lm_score(empty_docs).count() == 0
+        assert C.mixture_sample(empty_docs).count() == 0
+        assert C.assign_split(empty_docs).count() == 0
+        # documented raises on empty: blend has no binding group
+        with pytest.raises(ValueError):
+            C.blend_to_target(empty_docs, {"en": 1.0})
+
+    def test_bpe_empty(self, spark, empty_docs):
+        merges, vocab = bpe_train(empty_docs, rounds=2)
+        assert merges == [] and vocab.count() == 0
+        assert bpe_merge_table(empty_docs, rounds=2).count() == 0
