@@ -678,6 +678,35 @@ def q64_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency oracle (operators/sketches.py) under
+    the hash gate: build a 4×256 sketch over corpus words (bounded-state
+    aggregation), probe it for the exact top-20 words, and gate
+    (exact, estimate, overcount) — integer counters, portable md5
+    buckets, so the oracle replays build AND probe bit-exactly. The
+    one-sided error guarantee (est ≥ exact) is asserted in units."""
+    from bloomy_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    words = docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+    sketch = cms_build(words, "w", depth=4, width=256)
+    exact = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("w"))
+        .limit(20)
+    )
+    est = cms_estimate(sketch, exact.select("w"), "w", depth=4, width=256)
+    return (
+        exact.join(est, "w")
+        .select(
+            "w", "exact_cnt", "est",
+            (F.col("est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .transform(_psort, "w")
+    )
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -720,6 +749,7 @@ LLM_QUERIES = {
     "q62_bpe_merges": q62_bpe_merges,
     "q63_bpe_segment": q63_bpe_segment,
     "q64_html_extract": q64_html_extract,
+    "q65_cms_heavy_hitters": q65_cms_heavy_hitters,
 }
 
 
@@ -1774,4 +1804,38 @@ LLM_ORACLE_SQL["q64_html_extract"] = r"""
            CAST(SUM(('0x' || substr(md5(t), 1, 8))::BIGINT) AS BIGINT)
                AS content_hash_sum
     FROM x GROUP BY source ORDER BY source
+"""
+
+
+# q65: same salted md5 bucket per (row, word), same 4x256 sketch, same
+# min-over-rows probe with missing cells as 0.
+LLM_ORACLE_SQL["q65_cms_heavy_hitters"] = r"""
+    WITH words AS (
+        SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents
+    ),
+    cells AS (
+        SELECT r.i AS row,
+               (('0x' || substr(md5('cms' || r.i || ':' || w), 1, 8))::BIGINT
+                % 256) AS bucket
+        FROM words CROSS JOIN range(4) r(i)
+    ),
+    sketch AS (SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+    exact AS (
+        SELECT w, COUNT(*) AS exact_cnt FROM words
+        GROUP BY w ORDER BY exact_cnt DESC, w LIMIT 20
+    ),
+    probe AS (
+        SELECT e.w, e.exact_cnt, MIN(COALESCE(s.cnt, 0)) AS est
+        FROM exact e
+        CROSS JOIN range(4) r(i)
+        LEFT JOIN sketch s
+          ON s.row = r.i
+         AND s.bucket = (('0x' || substr(md5('cms' || r.i || ':' || e.w), 1, 8))::BIGINT
+                         % 256)
+        GROUP BY e.w, e.exact_cnt
+    )
+    SELECT w, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est AS BIGINT) AS est,
+           CAST(est - exact_cnt AS BIGINT) AS overcount
+    FROM probe ORDER BY w
 """

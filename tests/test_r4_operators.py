@@ -312,3 +312,46 @@ class TestEmptyInputs:
         merges, vocab = bpe_train(empty_docs, rounds=2)
         assert merges == [] and vocab.count() == 0
         assert bpe_merge_table(empty_docs, rounds=2).count() == 0
+
+
+class TestCountMinSketch:
+    def test_one_sided_error_and_collisions(self, spark):
+        """A deliberately narrow sketch (4x8) over a 100-word vocabulary
+        MUST collide: estimates never under-count, and at least one key
+        over-counts (proving the min-over-rows path is real)."""
+        from bloomy_etl_spark.operators.sketches import cms_build, cms_estimate
+        from bloomy_etl_spark.sources.tables import load_table
+        from bloomy_etl_spark.functions.text import tokens
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        words = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        sketch = cms_build(words, "w", depth=4, width=8)
+        exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("exact"))
+        est = cms_estimate(sketch, exact.select("w"), "w", depth=4, width=8)
+        joined = exact.join(est, "w").collect()
+        assert all(r["est"] >= r["exact"] for r in joined)
+        assert any(r["est"] > r["exact"] for r in joined)
+        # sketch state is bounded by d*w regardless of corpus size
+        assert sketch.count() <= 4 * 8
+
+    def test_disjoint_slice_merge_equals_full_build(self, spark):
+        from bloomy_etl_spark.operators.sketches import cms_build, cms_merge
+        from bloomy_etl_spark.sources.tables import load_table
+        from bloomy_etl_spark.functions.text import tokens
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        words = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        full = cms_build(words, "w", width=64)
+        a = cms_build(words.filter(F.col("doc_id") % 2 == 0), "w", width=64)
+        b = cms_build(words.filter(F.col("doc_id") % 2 == 1), "w", width=64)
+        merged = cms_merge(a, b)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    def test_bad_args(self, spark):
+        from bloomy_etl_spark.operators.sketches import cms_build
+
+        df = spark.createDataFrame([("x",)], "w string")
+        with pytest.raises(ValueError):
+            cms_build(df, "w", depth=0)
