@@ -5,8 +5,11 @@ replaces it with a REAL uncompressed float32 GeoTIFF writer built on
 stdlib ``struct`` — the TIFF 6.0 container plus the three GeoTIFF tags
 (pixel scale / tiepoint / geo-key directory, per the OGC GeoTIFF spec)
 and GDAL's nodata tag. Output files are valid multi-sample TIFFs that
-rasterio/GDAL/QGIS open directly; only LZW compression (patent-simple
-but stateful) is left to the rasterio branch.
+rasterio/GDAL/QGIS open directly. ``compression="lzw"`` writes TIFF-LZW
+strips (MSB-first bit packing with the spec's early-change convention —
+the same choice the reference's ``compress="lzw"`` GeoTIFFs use); the
+default stays uncompressed because float32 reflectance data barely
+compresses without a predictor.
 
 Layout written (little-endian, single strip):
 
@@ -46,6 +49,110 @@ _GEO_KEYS_4326 = (
 )
 
 
+def lzw_encode_tiff(data: bytes) -> bytes:
+    """TIFF-LZW (spec §13): like GIF LZW but MSB-first bit packing and
+    the EARLY-CHANGE convention — code width bumps one code sooner than
+    the table size strictly requires (when ``next_code == 2^width - 1``),
+    matching every mainstream TIFF codec."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    bitbuf, bitcnt = 0, 0
+
+    def emit(code: int, width: int):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = 9
+    emit(clear, width)
+    prefix = b""
+    for byte in data:
+        trial = prefix + bytes([byte])
+        if trial in table:
+            prefix = trial
+            continue
+        emit(table[prefix], width)
+        table[trial] = next_code
+        next_code += 1
+        # early change: the encoder's next_code runs ONE AHEAD of the
+        # decoder's table (the decoder learns each entry one code later),
+        # so the encoder bumps at 2^w - 1 while the decoder bumps at
+        # 2^w - 2 — both land on the same emitted code
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = 9
+        prefix = bytes([byte])
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode_tiff(data: bytes) -> bytes:
+    """Inverse of :func:`lzw_encode_tiff` (test aid + fallback reader)."""
+    clear, eoi = 256, 257
+    bitpos = 0
+    width = 9
+
+    def read():
+        nonlocal bitpos
+        v = 0
+        for _ in range(width):
+            byte = data[bitpos >> 3]
+            v = (v << 1) | ((byte >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        return v
+
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    reset()
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = read()
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt TIFF-LZW stream")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        # early change, decoder side: one lower threshold than the
+        # encoder (see lzw_encode_tiff) because this table lags one
+        # entry behind the encoder's at each read
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
 def _entry(tag: int, typ: int, values) -> tuple[int, int, list, bytes | None]:
     """Normalize one IFD entry; returns (tag, type, values, packed-or-None).
     Values that fit in the 4-byte inline slot stay inline."""
@@ -62,7 +169,8 @@ def _entry(tag: int, typ: int, values) -> tuple[int, int, list, bytes | None]:
 
 def encode_geotiff_float32(bands: np.ndarray,
                            transform6: tuple | None = None,
-                           nodata: float = -9999.0) -> bytes:
+                           nodata: float = -9999.0,
+                           compression: str = "none") -> bytes:
     """Encode a (n_bands, H, W) float32 array as an uncompressed GeoTIFF.
 
     ``transform6`` follows the repo affine convention [a, b, c, d, e, f]
@@ -70,18 +178,22 @@ def encode_geotiff_float32(bands: np.ndarray,
     ModelPixelScale + ModelTiepoint; rotated grids fall back to the full
     ModelTransformation matrix. ``None`` writes identity scale.
     """
+    if compression not in ("none", "lzw"):
+        raise ValueError(f"unknown compression {compression!r}")
     arr = np.asarray(bands, dtype="<f4")
     if arr.ndim != 3:
         raise ValueError(f"expected (bands, H, W), got shape {arr.shape}")
     n, h, w = arr.shape
     pixel_data = np.transpose(arr, (1, 2, 0)).tobytes()  # chunky interleave
+    if compression == "lzw":
+        pixel_data = lzw_encode_tiff(pixel_data)
 
     a, b, c, d, e, f0 = transform6 if transform6 else (1, 0, 0, 0, -1, 0)
     entries = [
         _entry(256, _LONG, [w]),
         _entry(257, _LONG, [h]),
         _entry(258, _SHORT, [32] * n),
-        _entry(259, _SHORT, [1]),            # no compression
+        _entry(259, _SHORT, [5 if compression == "lzw" else 1]),
         _entry(262, _SHORT, [1]),            # BlackIsZero
         ("STRIP_OFFSETS",),                  # placeholder, patched below
         _entry(277, _SHORT, [n]),
@@ -174,9 +286,13 @@ def read_geotiff(data: bytes) -> dict:
     w, h = tags[256][0], tags[257][0]
     n = tags[277][0]
     (strip_off,), (strip_len,) = tags[273], tags[279]
-    if tags[259][0] != 1 or tags[339][0] != 3:
-        raise ValueError("only uncompressed float32 supported")
-    flat = np.frombuffer(data, dtype="<f4", count=h * w * n, offset=strip_off)
+    if tags[259][0] not in (1, 5) or tags[339][0] != 3:
+        raise ValueError("only uncompressed/LZW float32 supported")
+    if tags[259][0] == 5:
+        raw = lzw_decode_tiff(data[strip_off: strip_off + strip_len])
+        flat = np.frombuffer(raw, dtype="<f4", count=h * w * n)
+    else:
+        flat = np.frombuffer(data, dtype="<f4", count=h * w * n, offset=strip_off)
     bands = np.transpose(flat.reshape(h, w, n), (2, 0, 1))
     return {
         "bands": bands,

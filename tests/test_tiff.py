@@ -97,3 +97,33 @@ def test_independent_decoder_reads_it():  # pragma: no cover - PIL absent here
     img = Image.open(io.BytesIO(encode_geotiff_float32(arr)))
     got = np.asarray(img)
     np.testing.assert_allclose(got, arr[0], rtol=1e-7)
+
+
+class TestLzwCompression:
+    def test_lzw_roundtrip_random_and_repetitive(self):
+        from bloomy_etl_spark.sinks.tiff import lzw_decode_tiff, lzw_encode_tiff
+
+        rng = np.random.default_rng(9)
+        for payload in (
+            b"",
+            b"A" * 5000,                      # repetitive: must shrink
+            rng.integers(0, 256, 40000, dtype=np.uint8).tobytes(),  # width growth + reset
+            bytes(range(256)) * 3,
+        ):
+            enc = lzw_encode_tiff(payload)
+            assert lzw_decode_tiff(enc) == payload
+        assert len(lzw_encode_tiff(b"A" * 5000)) < 500
+
+    def test_lzw_geotiff_roundtrip(self):
+        arr = _rand(2, 16, 16, seed=11)
+        data = encode_geotiff_float32(arr, compression="lzw")
+        plain = encode_geotiff_float32(arr)
+        tif = read_geotiff(data)
+        np.testing.assert_array_equal(tif["bands"], arr)
+        # constant rasters: LZW beats the uncompressed encoding
+        const = np.zeros((2, 64, 64), dtype=np.float32)
+        assert len(encode_geotiff_float32(const, compression="lzw")) < len(
+            encode_geotiff_float32(const)
+        ) / 4
+        with pytest.raises(ValueError):
+            encode_geotiff_float32(arr, compression="deflate")
