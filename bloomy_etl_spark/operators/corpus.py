@@ -346,6 +346,37 @@ def mixture_sample(docs: DataFrame, group_col: str = "lang",
     )
 
 
+def weighted_sample(docs: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id", salt: str = "wsample") -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): each item gets key ``u^(1/w)`` for a uniform ``u``;
+    the ``k`` largest keys ARE a weight-proportional sample. Used to
+    draw eval/inspection sets where long documents should appear in
+    proportion to their token mass, not one-doc-one-vote.
+
+    ``u`` comes from the salted portable hash (``(bucket + 0.5)/10^6``),
+    so the sample is reproducible across runs, engines, and
+    repartitioning — same discipline as :func:`assign_split`. Weights
+    must be positive; rows with NULL or non-positive weight are
+    excluded (they cannot carry sampling mass).
+
+    Scale: pure map to compute keys + a global top-k, which Spark runs
+    as TakeOrdered (per-task k-row heaps, driver merges k·tasks rows) —
+    no full sort, no corpus shuffle. Adds ``sample_key`` (double).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (salted_hash_bucket(id_col, salt, 1_000_000) + F.lit(0.5)) / 1_000_000.0
+    w = F.col(weight_col).cast("double")
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        docs.filter(w.isNotNull() & (w > 0))
+        .withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def bigram_lm_score(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     broadcast_counts: bool = False) -> DataFrame:

@@ -355,3 +355,44 @@ class TestCountMinSketch:
         df = spark.createDataFrame([("x",)], "w string")
         with pytest.raises(ValueError):
             cms_build(df, "w", depth=0)
+
+
+class TestWeightedSample:
+    def test_matches_python_reference_and_determinism(self, spark):
+        """Same A-ES keys as a sequential Python reference using the
+        identical salted-hash uniform; stable under repartitioning."""
+        import hashlib
+
+        from bloomy_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        got = [r["doc_id"] for r in
+               C.weighted_sample(docs, k=10, weight_col="n_chars").collect()]
+
+        rows = docs.select("doc_id", "n_chars").collect()
+
+        def key(doc_id, w):
+            h = int(hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()[:8], 16)
+            u = ((h % 1_000_000) + 0.5) / 1_000_000.0
+            return u ** (1.0 / w)
+
+        want = [d for d, _ in sorted(
+            ((r["doc_id"], key(r["doc_id"], r["n_chars"])) for r in rows),
+            key=lambda t: (-t[1], t[0]),
+        )[:10]]
+        assert got == want
+        again = [r["doc_id"] for r in
+                 C.weighted_sample(docs.repartition(9), k=10,
+                                   weight_col="n_chars").collect()]
+        assert got == again
+
+    def test_weight_proportionality(self, spark):
+        """A doc with overwhelming weight must make the sample; zero /
+        NULL weights are excluded."""
+        rows = [(i, 1.0) for i in range(100)] + [(1000, 1e9), (2000, 0.0),
+                                                 (3000, None)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = {r["doc_id"] for r in C.weighted_sample(df, k=5, weight_col="w").collect()}
+        assert 1000 in got and 2000 not in got and 3000 not in got
+        with pytest.raises(ValueError):
+            C.weighted_sample(df, k=0, weight_col="w")
