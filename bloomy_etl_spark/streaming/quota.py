@@ -78,3 +78,49 @@ def streaming_domain_quota(docs_stream: DataFrame, cap: int,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cms_ingest(items_stream: DataFrame, sketch_dir: str,
+                         checkpoint_dir: str, item_col: str,
+                         depth: int = 4, width: int = 256):
+    """Maintain a durable count-min sketch over a stream — the live
+    frequency oracle for arriving tokens/domains/URLs. Each micro-batch
+    builds its own (bounded, d×w) sketch and appends it with a
+    ``batch_id``; readers merge on read (cell-wise SUM — the CMS merge
+    property makes appends commutative, so at-least-once batch replays
+    are detectable by batch_id and reversible by delete-by-batch_id,
+    same durability contract as ``streaming/ingest.py``).
+
+    ``foreachBatch`` rather than a stateful operator for the same reason
+    as the signature store: the sketch must outlive the query, be
+    readable by batch jobs, and merge with offline-built sketches — a
+    parquet table IS that state. Per-batch cost: one bounded
+    aggregation; the store grows by ≤ d·w rows per batch and compacts
+    with ``sinks.layout.compact``."""
+    from pyspark.sql import functions as F
+
+    from bloomy_etl_spark.operators.sketches import cms_build
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        sk = cms_build(batch, item_col, depth=depth, width=width)
+        sk.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            sketch_dir
+        )
+
+    return (
+        items_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_cms_store(spark, sketch_dir: str):
+    """Current merged sketch: cell-wise sum over every appended batch
+    sketch (partial aggregation collapses batches map-side)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -538,3 +538,57 @@ class TestStreamingDomainQuota:
             streaming_domain_quota(
                 spark.readStream.format("rate").load(), cap=0
             )
+
+
+class TestStreamingCms:
+    def test_streamed_sketch_equals_batch_sketch(self, spark, tmp_path):
+        """The merged durable store after a 3-batch replay equals the
+        one-shot batch sketch over the same rows — the CMS merge
+        property, live."""
+        import os
+
+        from bloomy_etl_spark.operators.sketches import cms_build, cms_estimate
+        from bloomy_etl_spark.streaming.quota import (
+            read_cms_store,
+            streaming_cms_ingest,
+        )
+
+        rng = np.random.default_rng(13)
+        words = [f"w{int(rng.integers(0, 30))}" for _ in range(300)]
+        src = tmp_path / "toks"
+        src.mkdir()
+        t0 = 1_000_000_000
+        for i in range(3):
+            f = src / f"b{i:05d}.parquet"
+            pd.DataFrame({"w": words[i * 100:(i + 1) * 100]}).to_parquet(
+                f, index=False
+            )
+            os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+        stream = (
+            spark.readStream.schema("w string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = streaming_cms_ingest(
+            stream, str(tmp_path / "sketch"), str(tmp_path / "ckpt"), "w"
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        merged = read_cms_store(spark, str(tmp_path / "sketch"))
+        full = cms_build(
+            spark.createDataFrame([(w,) for w in words], "w string"), "w"
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+        # and the merged store answers point queries with the one-sided
+        # guarantee against exact stream counts
+        from collections import Counter
+
+        exact = Counter(words)
+        keys = spark.createDataFrame([(w,) for w in exact], "w string")
+        est = {r["w"]: r["est"]
+               for r in cms_estimate(merged, keys, "w").collect()}
+        assert all(est[w] >= c for w, c in exact.items())
