@@ -707,6 +707,21 @@ def q65_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A-ES weighted sampling (corpus.weighted_sample):
+    top-15 documents by character-mass-weighted priority. Gated columns
+    are the SELECTED ROWS (doc_id, lang, n_chars) — membership is the
+    contract; the float priority key itself stays out of the hash
+    (pow ULP differences cannot change membership unless two keys tie
+    within ~1e-16, far below the fixture's key gaps)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        C.weighted_sample(docs, k=15, weight_col="n_chars")
+        .select("doc_id", "lang", "n_chars")
+        .transform(_psort, "doc_id")
+    )
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -750,6 +765,7 @@ LLM_QUERIES = {
     "q63_bpe_segment": q63_bpe_segment,
     "q64_html_extract": q64_html_extract,
     "q65_cms_heavy_hitters": q65_cms_heavy_hitters,
+    "q66_weighted_sample": q66_weighted_sample,
 }
 
 
@@ -1838,4 +1854,23 @@ LLM_ORACLE_SQL["q65_cms_heavy_hitters"] = r"""
            CAST(est AS BIGINT) AS est,
            CAST(est - exact_cnt AS BIGINT) AS overcount
     FROM probe ORDER BY w
+"""
+
+
+# q66: identical A-ES priority (same salted-hash uniform, same pow),
+# same (key DESC, doc_id) cut; only the selected rows are gated.
+LLM_ORACLE_SQL["q66_weighted_sample"] = r"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               POWER(
+                   (((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 1000000) + 0.5) / 1000000.0),
+                   1.0 / n_chars) AS k
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars FROM keyed
+        ORDER BY k DESC, doc_id LIMIT 15
+    ) ORDER BY doc_id
 """
