@@ -219,6 +219,24 @@ def test_new_pair_operators_no_cartesian(spark):
     assert plan_string(shared_span_pairs(docs, span=8)).count(") Exchange") <= 3
 
 
+def test_cms_build_single_bounded_exchange(spark):
+    """Sketch building is ONE aggregation whose shuffle volume is the
+    sketch size (d·w cells), not the key cardinality — the property that
+    makes it a 100 TB frequency oracle."""
+    from bloomy_etl_spark.functions.text import tokens as _toks
+    from bloomy_etl_spark.operators.sketches import cms_build
+    from bloomy_etl_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as _F
+
+    words = load_table(spark, SF_SMOKE, "documents").select(
+        _F.explode(_toks(_F.col("text"))).alias("w")
+    )
+    plan = plan_string(cms_build(words, "w"))
+    assert plan.count(") Exchange") == 1, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
 def test_mixture_and_blend_broadcast_rate_table(spark):
     """The per-group rate tables (a handful of rows) must broadcast back
     onto the corpus — never a sort-merge shuffle of the doc table."""
