@@ -242,6 +242,13 @@ def shared_span_pairs(docs: DataFrame, span: int = 8, min_spans: int = 1,
     would otherwise dominate pair volume at corpus scale. Output:
     ``(i, j, n_shared)`` with i < j, n_shared = count of distinct shared
     span types.
+
+    Shape note: a two-phase variant (count spans first, broadcast-semi-
+    join the duplicated ones, collect postings only for survivors) was
+    A/B-measured at sf0.1 and LOST ~1.7× — the second shingling pass
+    costs more than the narrower shuffle saves while shingle compute
+    dominates. It becomes the right trade only when shuffle bytes
+    dominate compute (very wide corpora with cheap shingles); flip there.
     """
     from bloomy_etl_spark.functions.text import word_shingles as _spans
 

@@ -722,6 +722,31 @@ def q66_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q67_dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual DELIVERABLE: the corpus AFTER
+    removal. Near-dup pairs → connected components → drop every
+    non-representative member (keep the min-id representative per
+    cluster) → per-language audit of what survived. Completes the
+    q31→q42 chain with the anti-join step a real pipeline ships."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = D.ngram_jaccard_pairs(docs)
+    labels = D.connected_components(pairs)
+    drop = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = docs.join(drop, "doc_id", "left_anti")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .transform(_psort, "lang")
+    )
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -766,6 +791,7 @@ LLM_QUERIES = {
     "q64_html_extract": q64_html_extract,
     "q65_cms_heavy_hitters": q65_cms_heavy_hitters,
     "q66_weighted_sample": q66_weighted_sample,
+    "q67_dedup_kept_corpus": q67_dedup_kept_corpus,
 }
 
 
@@ -1873,4 +1899,29 @@ LLM_ORACLE_SQL["q66_weighted_sample"] = r"""
         SELECT doc_id, lang, n_chars FROM keyed
         ORDER BY k DESC, doc_id LIMIT 15
     ) ORDER BY doc_id
+"""
+
+
+# q67: q42's recursive-CTE components, then the anti-join removal and
+# per-language audit of the kept corpus.
+LLM_ORACLE_SQL["q67_dedup_kept_corpus"] = f"""
+    WITH RECURSIVE {_SHINGLES_CTE.strip()},
+    p AS (SELECT i, j FROM jac WHERE jaccard >= 0.8),
+    e AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+    reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+        WHERE e2.b <> r.a
+    ),
+    lbl AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+    dropped AS (SELECT node AS doc_id FROM lbl WHERE node <> label),
+    kept AS (
+        SELECT d.* FROM documents d
+        LEFT JOIN dropped x USING (doc_id) WHERE x.doc_id IS NULL
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM kept GROUP BY lang ORDER BY lang
 """
