@@ -346,6 +346,119 @@ def mixture_sample(docs: DataFrame, group_col: str = "lang",
     )
 
 
+def tfidf_score(docs: DataFrame, terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """TF-IDF relevance of every document to a seed-term set — the
+    retrieval-scoring primitive behind "keep documents similar to these
+    exemplars" curation (domain up-sampling, educational-value proxies).
+
+    score = Σ_t tf(t, doc) · idf(t), idf = ln((N+1)/(df_t+1)) + 1
+    (smoothed, sklearn-style). For engine-exact gating the idf ships as
+    ``idf_scaled = round(idf · 10⁶)`` — an INTEGER — so the document
+    score ``Σ tf · idf_scaled`` is integer arithmetic and hashes
+    identically across engines (the only float op is the per-term ln,
+    quantized once at 6 dp; a cross-engine ULP flip would need ln to
+    land within 1e-12 of a rounding tie).
+
+    Scale: df counts are one filtered aggregate over the term list
+    (|terms| rows — broadcast back); per-doc tf of listed terms is a
+    map-side explode+filter; one shuffle keyed by doc. Adds
+    ``score_scaled`` (bigint) and ``n_hits``.
+    """
+    import math
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    tset = sorted(set(terms))
+    n_docs = docs.count()  # scalar, like k-means' k / blend's totals
+    tok = docs.select(
+        F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("w")
+    ).filter(F.col("w").isin(tset))
+    df_counts = {
+        r["w"]: r["df"]
+        for r in tok.groupBy("w")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .collect()
+    }
+    # int(round(.)) not int(.): the 6-dp-quantized idf times 1e6 sits
+    # within 1 ulp of an integer on either side — truncation would
+    # randomly lose 1 against the oracle's round-to-nearest cast
+    idf_scaled = {
+        t: int(round(
+            _round_half_up(
+                math.log((n_docs + 1.0) / (df_counts.get(t, 0) + 1.0)) + 1.0, 6
+            ) * 1_000_000
+        ))
+        for t in tset
+    }
+    spark = docs.sparkSession
+    idf_df = spark.createDataFrame(
+        [(t, idf_scaled[t]) for t in tset], "w string, idf_scaled long"
+    )
+    return (
+        tok.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(idf_df), "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("tf") * F.col("idf_scaled")).alias("score_scaled"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+
+
+def bm25_score(docs: DataFrame, terms: list[str], k1: float = 1.2,
+               b: float = 0.75, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 over the same seed-term model as :func:`tfidf_score`
+    (float scores — unit-tested against a Python reference rather than
+    hash-gated; the length normalization makes exact cross-engine
+    integerization impractical). Adds ``bm25`` (double)."""
+    import math
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    tset = sorted(set(terms))
+    n_docs = docs.count()
+    lens = docs.select(
+        F.col(id_col), T.token_count(F.col(text_col)).alias("dl")
+    )
+    avgdl = lens.agg(F.avg("dl")).first()[0]
+    tok = docs.select(
+        F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("w")
+    ).filter(F.col("w").isin(tset))
+    df_counts = {
+        r["w"]: r["df"]
+        for r in tok.groupBy("w")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .collect()
+    }
+    idf = {
+        t: math.log(
+            (n_docs - df_counts.get(t, 0) + 0.5)
+            / (df_counts.get(t, 0) + 0.5)
+            + 1.0
+        )
+        for t in tset
+    }
+    spark = docs.sparkSession
+    idf_df = spark.createDataFrame(
+        [(t, idf[t]) for t in tset], "w string, idf double"
+    )
+    tf = tok.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(F.broadcast(idf_df), "w")
+        .join(F.broadcast(lens), id_col)
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / float(avgdl))),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.sum("part").alias("bm25"))
+
+
 def weighted_sample(docs: DataFrame, k: int, weight_col: str,
                     id_col: str = "doc_id", salt: str = "wsample") -> DataFrame:
     """Deterministic weighted sampling without replacement (Efraimidis–

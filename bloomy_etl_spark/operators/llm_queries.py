@@ -747,6 +747,21 @@ def q67_dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_TERMS = ["fast", "query", "spark", "table"]
+
+
+def q68_tfidf_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-term TF-IDF relevance scoring (corpus.tfidf_score) — the
+    "keep documents like these" curation primitive. Scores are integer
+    (tf × 6-dp-scaled idf), so every document's exact score is gated."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return (
+        C.tfidf_score(docs, _TFIDF_TERMS)
+        .select("doc_id", "score_scaled", "n_hits")
+        .transform(_psort, "doc_id")
+    )
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -792,6 +807,7 @@ LLM_QUERIES = {
     "q65_cms_heavy_hitters": q65_cms_heavy_hitters,
     "q66_weighted_sample": q66_weighted_sample,
     "q67_dedup_kept_corpus": q67_dedup_kept_corpus,
+    "q68_tfidf_relevance": q68_tfidf_relevance,
 }
 
 
@@ -1924,4 +1940,32 @@ LLM_ORACLE_SQL["q67_dedup_kept_corpus"] = f"""
            CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
     FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+# q68: same smoothed idf quantized at 6 dp then scaled to an integer
+# (round-to-nearest on both sides), integer tf x idf sums per doc.
+LLM_ORACLE_SQL["q68_tfidf_relevance"] = r"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+        FROM documents
+    ),
+    hits AS (SELECT doc_id, w FROM tok
+             WHERE w IN ('fast', 'query', 'spark', 'table')),
+    dfc AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY w),
+    idf AS (
+        SELECT t.w,
+               CAST(ROUND(LN((n.n_docs + 1.0) / (COALESCE(d.df, 0) + 1.0)) + 1.0,
+                          6) * 1000000 AS BIGINT) AS idf_scaled
+        FROM (VALUES ('fast'), ('query'), ('spark'), ('table')) t(w)
+        CROSS JOIN n
+        LEFT JOIN dfc d USING (w)
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM hits GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(SUM(tf.tf * idf.idf_scaled) AS BIGINT) AS score_scaled,
+           COUNT(*) AS n_hits
+    FROM tf JOIN idf USING (w)
+    GROUP BY doc_id ORDER BY doc_id
 """

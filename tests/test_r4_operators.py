@@ -396,3 +396,45 @@ class TestWeightedSample:
         assert 1000 in got and 2000 not in got and 3000 not in got
         with pytest.raises(ValueError):
             C.weighted_sample(df, k=0, weight_col="w")
+
+
+class TestRetrievalScoring:
+    def test_bm25_matches_python_reference(self, spark):
+        import math
+
+        rows = [
+            (1, "spark query fast fast table"),
+            (2, "slow table table table scan"),
+            (3, "unrelated words entirely here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        terms = ["fast", "table", "query"]
+        got = {r["doc_id"]: r["bm25"]
+               for r in C.bm25_score(df, terms).collect()}
+
+        toks = {i: t.split() for i, t in rows}
+        n = len(rows)
+        avgdl = sum(len(ws) for ws in toks.values()) / n
+        dfc = {t: sum(1 for ws in toks.values() if t in ws) for t in terms}
+        k1, b = 1.2, 0.75
+
+        def score(i):
+            s = 0.0
+            for t in terms:
+                tf = toks[i].count(t)
+                if tf == 0:
+                    continue
+                idf = math.log((n - dfc[t] + 0.5) / (dfc[t] + 0.5) + 1.0)
+                dl = len(toks[i])
+                s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+            return s
+
+        for i in (1, 2):
+            assert got[i] == pytest.approx(score(i), rel=1e-12)
+        assert 3 not in got  # no query-term hits -> no row
+        # doc 1 hits more distinct rare terms than the table-stuffed doc 2
+        assert got[1] > got[2]
+        with pytest.raises(ValueError):
+            C.bm25_score(df, [])
+        with pytest.raises(ValueError):
+            C.tfidf_score(df, [])
