@@ -346,6 +346,50 @@ def mixture_sample(docs: DataFrame, group_col: str = "lang",
     )
 
 
+def distribution_drift(ref: DataFrame, new: DataFrame,
+                       group_col: str = "lang") -> DataFrame:
+    """Ingest QA: did today's batch change the corpus composition?
+    Per-group chi-square contributions of ``new`` against the ``ref``
+    distribution — the alarm that a crawler started returning one
+    language, or a source went dark, BEFORE the batch pollutes the mix.
+
+    Per group: observed ``new_n``, expected ``new_total · ref_n /
+    ref_total``, and the χ² contribution ``(obs − exp)² / exp``; the
+    query-level sum compares against the χ²(k−1) critical value
+    downstream. Groups absent from ``ref`` get expected 0 — their
+    contribution is reported as NULL (χ² undefined; presence of a NEW
+    group is itself the signal, flagged via ``is_new``).
+
+    All quantities derive from exact integer counts with one division
+    each, so results are engine-exact (hash-gateable). Scale: two
+    hash-aggs (tiny results) + a full-outer join of group tables —
+    nothing corpus-sized moves.
+    """
+    r = ref.groupBy(group_col).agg(F.count(F.lit(1)).alias("ref_n"))
+    n = new.groupBy(group_col).agg(F.count(F.lit(1)).alias("new_n"))
+    rt = ref.count()
+    nt = new.count()
+    if rt == 0:
+        raise ValueError("reference corpus is empty — no baseline to drift from")
+    joined = r.join(n, group_col, "full_outer").select(
+        group_col,
+        F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+        F.coalesce("new_n", F.lit(0)).alias("new_n"),
+    )
+    expected = F.lit(float(nt)) * F.col("ref_n") / F.lit(float(rt))
+    chi2 = F.when(
+        F.col("ref_n") > 0,
+        F.round((F.col("new_n") - expected) * (F.col("new_n") - expected)
+                / expected, 4),
+    )
+    return joined.select(
+        group_col, "ref_n", "new_n",
+        F.round(expected, 4).alias("expected"),
+        chi2.alias("chi2_contrib"),
+        (F.col("ref_n") == 0).alias("is_new"),
+    )
+
+
 def tfidf_score(docs: DataFrame, terms: list[str], text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """TF-IDF relevance of every document to a seed-term set — the

@@ -762,6 +762,16 @@ def q68_tfidf_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q69_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-QA drift detection (corpus.distribution_drift): per-(lang)
+    chi-square of the odd-doc_id half against the even-doc_id baseline —
+    deterministic snapshot split, exact-integer-derived statistics."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return C.distribution_drift(ref, new, "lang").transform(_psort, "lang")
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -808,6 +818,7 @@ LLM_QUERIES = {
     "q66_weighted_sample": q66_weighted_sample,
     "q67_dedup_kept_corpus": q67_dedup_kept_corpus,
     "q68_tfidf_relevance": q68_tfidf_relevance,
+    "q69_corpus_drift": q69_corpus_drift,
 }
 
 
@@ -1968,4 +1979,32 @@ LLM_ORACLE_SQL["q68_tfidf_relevance"] = r"""
            COUNT(*) AS n_hits
     FROM tf JOIN idf USING (w)
     GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# q69: same split, same integer-count-derived expected/chi2 (one float
+# division each, rounded at 4dp).
+LLM_ORACLE_SQL["q69_corpus_drift"] = r"""
+    WITH ref AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),
+    new_ AS (SELECT lang FROM documents WHERE doc_id % 2 = 1),
+    r AS (SELECT lang, COUNT(*) AS ref_n FROM ref GROUP BY lang),
+    n AS (SELECT lang, COUNT(*) AS new_n FROM new_ GROUP BY lang),
+    t AS (SELECT (SELECT COUNT(*) FROM ref) AS rt,
+                 (SELECT COUNT(*) FROM new_) AS nt),
+    j AS (
+        SELECT COALESCE(r.lang, n.lang) AS lang,
+               COALESCE(r.ref_n, 0) AS ref_n,
+               COALESCE(n.new_n, 0) AS new_n
+        FROM r FULL OUTER JOIN n USING (lang)
+    )
+    SELECT lang, CAST(ref_n AS BIGINT) AS ref_n,
+           CAST(new_n AS BIGINT) AS new_n,
+           ROUND(t.nt * 1.0 * ref_n / t.rt, 4) AS expected,
+           CASE WHEN ref_n > 0
+                THEN ROUND((new_n - t.nt * 1.0 * ref_n / t.rt)
+                           * (new_n - t.nt * 1.0 * ref_n / t.rt)
+                           / (t.nt * 1.0 * ref_n / t.rt), 4)
+           END AS chi2_contrib,
+           ref_n = 0 AS is_new
+    FROM j CROSS JOIN t ORDER BY lang
 """

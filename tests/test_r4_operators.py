@@ -438,3 +438,21 @@ class TestRetrievalScoring:
             C.bm25_score(df, [])
         with pytest.raises(ValueError):
             C.tfidf_score(df, [])
+
+
+class TestDistributionDrift:
+    def test_new_group_and_empty_ref(self, spark):
+        ref = spark.createDataFrame([(i, "en") for i in range(8)]
+                                    + [(9, "de")], "doc_id long, lang string")
+        new = spark.createDataFrame([(i, "en") for i in range(4)]
+                                    + [(5, "fr")], "doc_id long, lang string")
+        out = {r["lang"]: r for r in C.distribution_drift(ref, new).collect()}
+        # fr exists only in new: flagged, chi2 undefined
+        assert out["fr"]["is_new"] and out["fr"]["chi2_contrib"] is None
+        # de vanished: observed 0 against a positive expectation
+        assert out["de"]["new_n"] == 0 and out["de"]["chi2_contrib"] > 0
+        # en expected = 5 * 8/9
+        assert out["en"]["expected"] == pytest.approx(5 * 8 / 9, abs=1e-4)
+        empty = spark.createDataFrame([], "doc_id long, lang string")
+        with pytest.raises(ValueError):
+            C.distribution_drift(empty, new)
