@@ -490,9 +490,12 @@ def bm25_score(docs: DataFrame, terms: list[str], k1: float = 1.2,
         [(t, idf[t]) for t in tset], "w string, idf double"
     )
     tf = tok.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    # lens is CORPUS-sized — never broadcast it; the tf side is already
+    # hash-partitioned by doc after its aggregate, so this is a keyed
+    # join (only the tiny idf table broadcasts)
     scored = (
         tf.join(F.broadcast(idf_df), "w")
-        .join(F.broadcast(lens), id_col)
+        .join(lens, id_col)
         .withColumn(
             "part",
             F.col("idf")

@@ -338,6 +338,10 @@ def search_ivf_index(spark, index_dir: str, queries: DataFrame, k: int = 5,
     probe_ids = sorted(
         {r["cluster_id"] for r in probes.select("cluster_id").distinct().collect()}
     )
+    if not probe_ids:  # no queries -> empty result, and isin([]) is invalid
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
     corpus = spark.read.parquet(f"{index_dir}/corpus").filter(
         F.col("cluster_id").isin(probe_ids)
     )

@@ -52,7 +52,9 @@ def _quota_fn(cap: int):
                     }
                 )
         state.update((n,))
-        yield pd.DataFrame(out)
+        yield pd.DataFrame(
+            out, columns=["domain", "doc_id", "admitted", "admit_rank"]
+        )
 
     return fn
 
