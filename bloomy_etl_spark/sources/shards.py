@@ -44,7 +44,8 @@ MEMBER_SCHEMA = (
 
 
 def read_webdataset(spark: SparkSession, path: str,
-                    suffix_filter: tuple[str, ...] | None = None) -> DataFrame:
+                    suffix_filter: tuple[str, ...] | None = None,
+                    on_error: str = "fail") -> DataFrame:
     """One row per tar member across all shards matching ``path``
     (glob OK): (shard, sample_key, ext, n_bytes, payload).
 
@@ -53,13 +54,37 @@ def read_webdataset(spark: SparkSession, path: str,
     → key ``a/b/0001``, ext ``seg.png``). ``suffix_filter`` prunes
     members by ext before they leave the task (e.g. ``("txt", "json")``
     to skip image payloads in a text-only pass).
+
+    ``on_error``: ``"fail"`` (default) propagates a corrupt shard as a
+    task failure; ``"skip"`` drops the shard and emits a sentinel row
+    ``(shard, sample_key="", ext="__corrupt__", n_bytes, payload=b"")``
+    instead — at 100k-shard scale one truncated tar must not kill the
+    job, and the sentinel keeps the loss countable (same quarantine
+    posture as ``read_jsonl_corpus``).
     """
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for shard_path, content in zip(pdf["path"], pdf["content"]):
-                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                try:
+                    tf_ctx = tarfile.open(fileobj=io.BytesIO(bytes(content)))
+                except tarfile.TarError:
+                    if on_error == "fail":
+                        raise
+                    out.append(
+                        {
+                            "shard": shard_path,
+                            "sample_key": "",
+                            "ext": "__corrupt__",
+                            "n_bytes": len(bytes(content)),
+                            "payload": b"",
+                        }
+                    )
+                    continue
+                with tf_ctx as tf:
                     for m in tf:
                         if not m.isfile():
                             continue
