@@ -232,9 +232,14 @@ def encode_geotiff_float32(bands: np.ndarray,
         tag, typ, vals, packed = ent
         size = len(packed) if packed else 0
         if size > 4:
-            overflow.append(packed)
+            # TIFF 6.0: out-of-line value offsets must be EVEN. An
+            # odd-length blob (e.g. GDAL_NODATA '-999.5\0' = 7 bytes)
+            # would shift every later offset — and the pixel strip — to
+            # an odd address, so pad each overflow blob to even length.
+            padded = packed + b"\0" * (len(packed) % 2)
+            overflow.append(padded)
             resolved.append((tag, typ, vals, cursor))
-            cursor += size
+            cursor += len(padded)
         else:
             resolved.append((tag, typ, vals, packed))
     data_offset = cursor

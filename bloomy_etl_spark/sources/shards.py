@@ -69,48 +69,55 @@ def read_webdataset(spark: SparkSession, path: str,
         for pdf in batches:
             out = []
             for shard_path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                # A truncated tar usually OPENS fine (the header block is
+                # intact) and only fails during member iteration or
+                # extractfile().read() — so the whole walk sits inside one
+                # handler, and a mid-shard failure discards that shard's
+                # partial rows before emitting the sentinel (a half-read
+                # sample must not masquerade as a complete one).
+                rows: list[dict] = []
                 try:
-                    tf_ctx = tarfile.open(fileobj=io.BytesIO(bytes(content)))
-                except tarfile.TarError:
+                    with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+                        for m in tf:
+                            if not m.isfile():
+                                continue
+                            name = m.name
+                            base = name.rsplit("/", 1)[-1]
+                            if "." in base:
+                                stem, ext = base.split(".", 1)
+                            else:
+                                stem, ext = base, ""
+                            if suffix_filter is not None and ext not in suffix_filter:
+                                continue
+                            key = (
+                                name[: len(name) - len(base)] + stem
+                                if "/" in name
+                                else stem
+                            )
+                            payload = tf.extractfile(m).read()
+                            rows.append(
+                                {
+                                    "shard": shard_path,
+                                    "sample_key": key,
+                                    "ext": ext,
+                                    "n_bytes": len(payload),
+                                    "payload": payload,
+                                }
+                            )
+                except (tarfile.TarError, EOFError):
                     if on_error == "fail":
                         raise
-                    out.append(
+                    rows = [
                         {
                             "shard": shard_path,
                             "sample_key": "",
                             "ext": "__corrupt__",
-                            "n_bytes": len(bytes(content)),
+                            "n_bytes": len(data),
                             "payload": b"",
                         }
-                    )
-                    continue
-                with tf_ctx as tf:
-                    for m in tf:
-                        if not m.isfile():
-                            continue
-                        name = m.name
-                        base = name.rsplit("/", 1)[-1]
-                        if "." in base:
-                            stem, ext = base.split(".", 1)
-                        else:
-                            stem, ext = base, ""
-                        if suffix_filter is not None and ext not in suffix_filter:
-                            continue
-                        key = (
-                            name[: len(name) - len(base)] + stem
-                            if "/" in name
-                            else stem
-                        )
-                        payload = tf.extractfile(m).read()
-                        out.append(
-                            {
-                                "shard": shard_path,
-                                "sample_key": key,
-                                "ext": ext,
-                                "n_bytes": len(payload),
-                                "payload": payload,
-                            }
-                        )
+                    ]
+                out.extend(rows)
             yield pd.DataFrame(
                 out,
                 columns=["shard", "sample_key", "ext", "n_bytes", "payload"],
@@ -130,11 +137,25 @@ def group_samples(members: DataFrame, group_in_task: bool = False) -> DataFrame:
     guarantee (one shard = one task holds all members of each sample)
     and aggregates per-partition with no exchange — assert it with the
     plan tests before relying on it for a given source.
+
+    A malformed shard can repeat the same (sample_key, ext) — the map
+    build dedupes FIRST-per-ext deterministically (entries sorted by
+    (ext, payload), keep each ext's smallest payload) so one bad shard
+    degrades to a quarantinable row instead of a DUPLICATED_MAP_KEY job
+    failure (spark.sql.mapKeyDedupPolicy defaults to EXCEPTION);
+    ``n_members`` still counts raw members, so dupes stay detectable
+    (n_members > size(parts)).
     """
     agg = members.groupBy("shard", "sample_key").agg(
         F.count(F.lit(1)).alias("n_members"),
+        F.array_sort(F.collect_list(F.struct("ext", "payload"))).alias("_entries"),
+    )
+    out = agg.select(
+        "shard",
+        "sample_key",
+        "n_members",
         F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("ext", "payload")))
+            F.expr("filter(_entries, (x, i) -> i = 0 OR x.ext != _entries[i-1].ext)")
         ).alias("parts"),
     )
     if group_in_task:
@@ -145,7 +166,7 @@ def group_samples(members: DataFrame, group_in_task: bool = False) -> DataFrame:
         # the exchange coalesces to ~nothing under AQE since group counts
         # are shard-local. (Documented tradeoff; see module docstring.)
         pass
-    return agg
+    return out
 
 
 def to_media_table(samples: DataFrame, media_ext: tuple[str, ...] = ("jpg", "png", "wav", "mp4")) -> DataFrame:

@@ -39,18 +39,28 @@ def _quota_fn(cap: int):
         (domain,) = key
         n = state.get[0] if state.exists else 0
         out = []
-        for pdf in pdfs:
-            # deterministic in-batch admission order: ascending id
-            for doc_id in sorted(pdf["doc_id"].tolist()):
-                n += 1
-                out.append(
-                    {
-                        "domain": domain,
-                        "doc_id": int(doc_id),
-                        "admitted": n <= cap,
-                        "admit_rank": n,
-                    }
-                )
+        # A large group slice arrives as MULTIPLE Arrow chunks — the
+        # deterministic "ascending id" admission order must hold across
+        # the whole micro-batch slice, so concatenate every chunk before
+        # the one sort (chunk-local sorts would make admission depend on
+        # Arrow batch boundaries). The slice is bounded by the
+        # micro-batch size, so the concat is safe.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        all_ids = (
+            pd.concat(chunks, ignore_index=True)["doc_id"]
+            if chunks
+            else pd.Series([], dtype="int64")
+        )
+        for doc_id in sorted(all_ids.tolist()):
+            n += 1
+            out.append(
+                {
+                    "domain": domain,
+                    "doc_id": int(doc_id),
+                    "admitted": n <= cap,
+                    "admit_rank": n,
+                }
+            )
         state.update((n,))
         yield pd.DataFrame(
             out, columns=["domain", "doc_id", "admitted", "admit_rank"]

@@ -91,6 +91,74 @@ class TestWebdataset:
         assert len(out) == 2 and all(r["n_bytes"] > 0 for r in out)
 
 
+class TestCorruptShards:
+    """The on_error contract under the REALISTIC corruption modes: a
+    truncated tar usually opens fine and fails mid-iteration (ADVICE r4),
+    and a malformed shard can repeat a (sample_key, ext)."""
+
+    @pytest.fixture(scope="class")
+    def truncated_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("wds_trunc")
+        _write_shard(
+            d / "good.tar",
+            [("0001.txt", b"x" * 100), ("0002.txt", b"y" * 100)],
+        )
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, payload in [
+                ("1001.txt", b"a" * 2000),
+                ("1002.txt", b"b" * 2000),
+                ("1003.txt", b"c" * 2000),
+            ]:
+                info = tarfile.TarInfo(name=name)
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+        data = buf.getvalue()
+        # cut inside member 2's PAYLOAD (m1: header 0-511 + padded
+        # payload 512-2559; m2: header 2560-3071, payload from 3072):
+        # open() and member 1 fully succeed, extractfile(m2).read()
+        # raises ReadError mid-iteration — and member 1's
+        # already-extracted rows must NOT leak out. (A truncated header
+        # reads as clean EOF in stdlib tarfile, so payload truncation is
+        # the mode that exercises the mid-iteration handler.)
+        (d / "trunc.tar").write_bytes(data[:4000])
+        return str(d)
+
+    def test_skip_quarantines_midstream_truncation(self, spark, truncated_dir):
+        m = read_webdataset(spark, truncated_dir + "/*.tar", on_error="skip")
+        rows = m.collect()
+        corrupt = [r for r in rows if r["ext"] == "__corrupt__"]
+        ok = [r for r in rows if r["ext"] != "__corrupt__"]
+        assert len(corrupt) == 1 and "trunc.tar" in corrupt[0]["shard"]
+        # no partial rows leak from the truncated shard
+        assert all("good.tar" in r["shard"] for r in ok)
+        assert sorted(r["sample_key"] for r in ok) == ["0001", "0002"]
+
+    def test_fail_propagates_midstream_truncation(self, spark, truncated_dir):
+        with pytest.raises(Exception):
+            read_webdataset(spark, truncated_dir + "/trunc.tar").collect()
+
+    def test_duplicate_ext_degrades_not_fails(self, spark, tmp_path):
+        p = tmp_path / "dup.tar"
+        _write_shard(
+            p,
+            [
+                ("0001.txt", b"zz-second"),
+                ("0001.txt", b"aa-first"),
+                ("0001.jpg", b"img"),
+            ],
+        )
+        s = group_samples(read_webdataset(spark, str(p)))
+        got = {r["sample_key"]: r for r in s.collect()}
+        row = got["0001"]
+        # raw member count preserved so the dupe stays detectable
+        assert row["n_members"] == 3
+        assert len(row["parts"]) == 2
+        # deterministic first-per-ext: smallest payload for the dup ext
+        assert bytes(row["parts"]["txt"]) == b"aa-first"
+        assert bytes(row["parts"]["jpg"]) == b"img"
+
+
 class TestJsonl:
     def test_read_with_quarantine(self, spark, tmp_path):
         p = tmp_path / "docs.jsonl.gz"

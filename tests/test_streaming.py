@@ -539,6 +539,36 @@ class TestStreamingDomainQuota:
                 spark.readStream.format("rate").load(), cap=0
             )
 
+    def test_admission_order_spans_arrow_chunks(self):
+        """applyInPandasWithState delivers a big group slice as MULTIPLE
+        Arrow chunks; 'ascending id' admission must hold across the whole
+        slice, not per chunk (ADVICE r4). Drive the group function
+        directly with a chunked iterator where chunk-local sorting would
+        admit the wrong ids."""
+        from bloomy_etl_spark.streaming.quota import _quota_fn
+
+        class FakeState:
+            exists = False
+
+            def update(self, v):
+                self.exists, self.get = True, v
+
+        # ids 10..14 arrive in a LATER chunk than 20..24: chunk-local
+        # order would admit 20..24 first; slice-wide order admits 10..14
+        chunks = iter(
+            [
+                pd.DataFrame({"doc_id": [24, 22, 20, 23, 21]}),
+                pd.DataFrame({"doc_id": [14, 10, 12, 13, 11]}),
+            ]
+        )
+        st = FakeState()
+        (out,) = list(_quota_fn(cap=5)(("d0",), chunks, st))
+        admitted = sorted(out.loc[out["admitted"], "doc_id"].tolist())
+        assert admitted == [10, 11, 12, 13, 14]
+        assert st.get == (10,)
+        ranks = dict(zip(out["doc_id"], out["admit_rank"]))
+        assert ranks[10] == 1 and ranks[24] == 10
+
 
 class TestStreamingCms:
     def test_streamed_sketch_equals_batch_sketch(self, spark, tmp_path):

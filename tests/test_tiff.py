@@ -61,6 +61,29 @@ class TestEncoder:
         assert tags == sorted(tags)
         assert TAG_GEO_KEYS in tags
 
+    def test_odd_length_nodata_keeps_offsets_even(self):
+        """TIFF 6.0: out-of-line value offsets must be even. nodata=-999.5
+        stringifies to 7 bytes ('-999.5\\0') — without pad bytes every
+        later offset and the pixel strip would land at odd addresses
+        (ADVICE r4; the default -9999.0 is even-length, masking this)."""
+        arr = _rand(2, 5, 7)
+        data = encode_geotiff_float32(
+            arr, (0.25, 0.0, 30.5, 0.0, -0.25, 50.5), nodata=-999.5
+        )
+        (ifd_off,) = struct.unpack_from("<I", data, 4)
+        (n,) = struct.unpack_from("<H", data, ifd_off)
+        from bloomy_etl_spark.sinks.tiff import _TYPE_SIZE
+
+        for i in range(n):
+            off = ifd_off + 2 + i * 12
+            tag, typ, count = struct.unpack_from("<HHI", data, off)
+            if _TYPE_SIZE[typ] * count > 4:
+                (voff,) = struct.unpack_from("<I", data, off + 8)
+                assert voff % 2 == 0, f"tag {tag} value at odd offset {voff}"
+        tif = read_geotiff(data)
+        np.testing.assert_array_equal(tif["bands"], arr)
+        assert tif["nodata"] == -999.5
+
     def test_bad_shape_raises(self):
         with pytest.raises(ValueError):
             encode_geotiff_float32(np.zeros((4, 4), dtype=np.float32))
