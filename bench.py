@@ -124,33 +124,59 @@ def main() -> None:
         duck_timings = {}
 
     sf = SF_DIR.rstrip("/").split("/")[-1].replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "corpus_wallclock",
-                "value": total,
-                "unit": "sec",
-                "queries": {n: round(t, 3) for n, t in timings.items()},
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(timings),
-                "duckdb_sec": duck_total,
-                "duckdb_queries": {n: round(t, 3) for n, t in duck_timings.items()},
-                # headline ratio over the INTERSECTION of successful
-                # queries only — totals over different query sets would
-                # silently compare apples to oranges when one side errors
-                "ratio": _paired_ratio(timings, duck_timings),
-                # per-query spark/duckdb ratio — makes the 2x budget
-                # attributable per query (VERDICT r02 item 8); floored
-                # denominator so sub-ms DuckDB times don't blow up
-                "query_ratios": {
-                    n: round(timings[n] / max(duck_timings[n], TIMER_FLOOR), 2)
-                    for n in timings
-                    if n in duck_timings
-                },
-                "errors": errors,
-            }
-        )
+    detail = {
+        "metric": "corpus_wallclock",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(t, 3) for n, t in timings.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "duckdb_sec": duck_total,
+        "duckdb_queries": {n: round(t, 3) for n, t in duck_timings.items()},
+        # headline ratio over the INTERSECTION of successful
+        # queries only — totals over different query sets would
+        # silently compare apples to oranges when one side errors
+        "ratio": _paired_ratio(timings, duck_timings),
+        # per-query spark/duckdb ratio — makes the 2x budget
+        # attributable per query (VERDICT r02 item 8); floored
+        # denominator so sub-ms DuckDB times don't blow up
+        "query_ratios": {
+            n: round(timings[n] / max(duck_timings[n], TIMER_FLOOR), 2)
+            for n in timings
+            if n in duck_timings
+        },
+        "errors": errors,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # The driver keeps only the LAST ~2000 chars of stdout and JSON-parses
+    # them: BENCH_r02–r04 all recorded "parsed": null because the full
+    # detail line outgrew that window once the corpus passed ~40 queries.
+    # So the final printed line is a COMPACT summary guaranteed to fit —
+    # query names shortened to their leading qNN token (unique by
+    # construction), per-engine per-query detail in BENCH_DETAIL.json.
+    compact = {
+        "metric": "corpus_wallclock",
+        "value": total,
+        "unit": "sec",
+        "queries": {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "duckdb_sec": duck_total,
+        "ratio": _paired_ratio(timings, duck_timings),
+        "n_errors": len(errors),
+        "errors": dict(list(errors.items())[:2]),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # belt-and-braces: never outgrow the window again
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
