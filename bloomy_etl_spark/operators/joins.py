@@ -1,0 +1,151 @@
+"""Scale-oriented join strategies Spark lacks natively: binned range
+joins and salted skew joins.
+
+**Binned range join.** Spark plans a pure range predicate (``p.v BETWEEN
+i.lo AND i.hi`` with no equi-key) as BroadcastNestedLoopJoin — O(|P|·|I|)
+comparisons, the classic 100 TB cliff (commercial engines special-case
+this; open-source Spark does not). ``binned_range_join`` rewrites it as
+an EQUI join: each interval is exploded to the integer bins it overlaps,
+each point maps to exactly one bin, the join key is the bin, and the
+original predicate survives as a residual filter. Work drops to
+O(|P| + |I|·b + |candidate pairs|) where b = avg bins per interval —
+choose ``bin_width`` near the typical interval length so b ≈ 2. The
+shape matches the bucketed candidate generation used across the dedup
+stack (``operators/dedup.py``): explode to buckets, equi-join, verify.
+
+**Salted skew join.** A shuffle join on a key where one value holds a
+large share of rows serializes that key's partition onto one task (AQE's
+skew-join split helps the SORT side but both sides of one hot key still
+meet in one stream). ``salted_join`` spreads the hot side by a
+deterministic salt ``pmod(xxhash64(entire row), n_salts)`` and replicates
+the other side once per salt — turning 1 straggler task into ``n_salts``
+even tasks at the cost of ``n_salts×`` duplication of the (small) other
+side. This is the standard manual remedy when the small side is still
+too big to broadcast.
+
+Both preserve exact join semantics (verified against plain-join oracles,
+t2:q70/q71) and both are plan-tested: no BroadcastNestedLoopJoin /
+CartesianProduct for the range join, no broadcast for the salted join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def binned_range_join(points: DataFrame, intervals: DataFrame,
+                      point_col: str, lo_col: str, hi_col: str,
+                      bin_width: int, how: str = "inner") -> DataFrame:
+    """Join each point row to every interval row with
+    ``lo <= point <= hi``, as a bin-keyed EQUI join.
+
+    ``point_col``/``lo_col``/``hi_col`` must be integer-valued (cast
+    dates to day numbers first). Returns all columns of both inputs
+    (the helper bin column is dropped). ``bin_width`` trades explosion
+    factor (intervals produce ``(hi-lo)/bin_width + 1`` rows) against
+    candidate precision; pick it near the typical interval span.
+
+    Scale shape: intervals explode map-side (no shuffle to build),
+    then ONE hash-partitioned equi join on the bin key; the range
+    predicate filters candidates inside the join. Bins inherit the
+    data's distribution — a pathologically popular bin is exactly the
+    skew case ``salted_join`` handles, and AQE's skew split applies
+    since this IS a plain equi join after the rewrite.
+    """
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"how must be 'inner' or 'left_semi', got {how!r}")
+    p_bin = F.floor(F.col(point_col) / bin_width)
+    binned_intervals = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_width),
+                F.floor(F.col(hi_col) / bin_width),
+            )
+        ),
+    )
+    joined = points.withColumn("__bin", p_bin).join(
+        binned_intervals,
+        on=["__bin"],
+        how="inner" if how == "left_semi" else how,
+    )
+    out = joined.filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    ).drop("__bin")
+    if how == "left_semi":
+        # a point can fall in several intervals — semi means distinct points
+        return out.select(*points.columns).dropDuplicates(points.columns)
+    return out
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: str | list[str],
+                n_salts: int, how: str = "inner") -> DataFrame:
+    """Equi-join robust to heavy key skew on ``big``.
+
+    ``big`` rows get a deterministic salt in ``[0, n_salts)`` derived
+    from the WHOLE row (``xxhash64`` over all columns — rows of the hot
+    key spread evenly without needing a distinguishing id column);
+    ``small`` is replicated once per salt value map-side. The join key
+    becomes ``(on…, salt)``, so one hot key's rows land on ``n_salts``
+    tasks instead of one.
+
+    Exact-duplicate rows in ``big`` share a salt — harmless for
+    correctness (they are interchangeable) and they only concentrate if
+    one exact row dominates, which no salt scheme can spread.
+
+    Cost: ``n_salts×`` duplication of ``small`` through the shuffle —
+    use when ``small`` exceeds the broadcast threshold but a hot key
+    would otherwise straggle. Supported ``how``: inner / left (left
+    keeps every ``big`` row exactly once when unmatched).
+    """
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    )
+    replicated_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    out = salted_big.join(replicated_small, on=[*keys, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          l_lo: str, l_hi: str, r_lo: str, r_hi: str,
+                          bin_width: int) -> Column | DataFrame:
+    """Interval×interval overlap join (``l_lo <= r_hi AND r_lo <= l_hi``)
+    via the same binning rewrite: both sides explode to bins, overlap
+    implies sharing at least one bin, and in-row dedup keeps each
+    overlapping pair exactly once (the pair is attributed to the FIRST
+    shared bin — ``greatest(floor(l_lo/w), floor(r_lo/w))`` — so no
+    ``distinct()`` over the pair stream is needed, same trick as the
+    SimHash block dedup in ``operators/dedup.py``)."""
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    lb = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(F.floor(F.col(l_lo) / bin_width),
+                       F.floor(F.col(l_hi) / bin_width))
+        ),
+    )
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(F.floor(F.col(r_lo) / bin_width),
+                       F.floor(F.col(r_hi) / bin_width))
+        ),
+    )
+    joined = lb.join(rb, on=["__bin"]).filter(
+        (F.col(l_lo) <= F.col(r_hi)) & (F.col(r_lo) <= F.col(l_hi))
+    )
+    first_shared = F.greatest(
+        F.floor(F.col(l_lo) / bin_width), F.floor(F.col(r_lo) / bin_width)
+    )
+    return joined.filter(F.col("__bin") == first_shared).drop("__bin")

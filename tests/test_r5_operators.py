@@ -1,0 +1,390 @@
+"""Round-5 surface: join strategies (operators/joins.py), one-pass
+quality suite (operators/checks.py), incremental aggregate maintenance
+(operators/incremental.py), HLL sketch store (operators/sketches.py),
+and the q70–q73 declared queries vs their DuckDB oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.operators import checks
+from bloomy_etl_spark.operators.engine_queries import (
+    ENGINE_ORACLE_SQL,
+    ENGINE_QUERIES,
+)
+from bloomy_etl_spark.operators.incremental import (
+    finalize,
+    incremental_store,
+    merge_states,
+    partial_states,
+)
+from bloomy_etl_spark.operators.joins import (
+    binned_range_join,
+    interval_overlap_join,
+    salted_join,
+)
+from bloomy_etl_spark.operators.sketches import (
+    hll_build,
+    hll_estimate,
+    hll_merge,
+)
+
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare, register_duck_views
+
+
+# ---------------------------------------------------------------------------
+# declared queries vs DuckDB (same harness as the driver's t2 gate)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("name", sorted(ENGINE_QUERIES))
+def test_engine_query_matches_oracle(spark, duck, name):
+    register_duck_views(duck, SF_ORACLE)
+    compare(ENGINE_QUERIES[name](spark, SF_ORACLE), duck, ENGINE_ORACLE_SQL[name])
+
+
+@pytest.mark.parametrize("name", sorted(ENGINE_QUERIES))
+def test_engine_query_nonempty(spark, name):
+    assert ENGINE_QUERIES[name](spark, SF_ORACLE).limit(1).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# binned_range_join
+# ---------------------------------------------------------------------------
+class TestBinnedRangeJoin:
+    @pytest.fixture(scope="class")
+    def data(self, spark):
+        import random
+
+        rng = random.Random(7)
+        pts = [(i, rng.randrange(0, 1000)) for i in range(200)]
+        ivs = [
+            (j, lo, lo + rng.randrange(0, 80))
+            for j, lo in ((j, rng.randrange(0, 1000)) for j in range(60))
+        ]
+        points = spark.createDataFrame(pts, "pid long, v long")
+        intervals = spark.createDataFrame(ivs, "iid long, lo long, hi long")
+        return points, intervals
+
+    def _exact(self, points, intervals):
+        return {
+            (r["pid"], r["iid"])
+            for r in points.crossJoin(intervals)
+            .filter((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+            .collect()
+        }
+
+    @pytest.mark.parametrize("bin_width", [1, 7, 64, 4096])
+    def test_matches_theta_join_any_bin_width(self, spark, data, bin_width):
+        points, intervals = data
+        got = {
+            (r["pid"], r["iid"])
+            for r in binned_range_join(
+                points, intervals, "v", "lo", "hi", bin_width
+            ).collect()
+        }
+        assert got == self._exact(points, intervals)
+
+    def test_left_semi_distinct_points(self, spark, data):
+        points, intervals = data
+        semi = binned_range_join(
+            points, intervals, "v", "lo", "hi", 32, how="left_semi"
+        )
+        rows = semi.collect()
+        want = {p for p, _ in self._exact(points, intervals)}
+        assert {r["pid"] for r in rows} == want
+        assert len(rows) == len(want)  # each point exactly once
+        assert set(semi.columns) == {"pid", "v"}
+
+    def test_no_nested_loop_in_plan(self, spark, data):
+        points, intervals = data
+        plan = binned_range_join(
+            points, intervals, "v", "lo", "hi", 32
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bad_args(self, spark, data):
+        points, intervals = data
+        with pytest.raises(ValueError):
+            binned_range_join(points, intervals, "v", "lo", "hi", 0)
+        with pytest.raises(ValueError):
+            binned_range_join(points, intervals, "v", "lo", "hi", 8, how="full")
+
+
+class TestIntervalOverlapJoin:
+    def test_matches_naive_overlap(self, spark):
+        import random
+
+        rng = random.Random(11)
+        mk = lambda n, tag: [  # noqa: E731
+            (tag * 1000 + i, lo, lo + rng.randrange(0, 50))
+            for i, lo in ((i, rng.randrange(0, 400)) for i in range(n))
+        ]
+        left = spark.createDataFrame(mk(80, 1), "lid long, a long, b long")
+        right = spark.createDataFrame(mk(70, 2), "rid long, c long, d long")
+        naive = {
+            (r["lid"], r["rid"])
+            for r in left.crossJoin(right)
+            .filter((F.col("a") <= F.col("d")) & (F.col("c") <= F.col("b")))
+            .collect()
+        }
+        rows = interval_overlap_join(left, right, "a", "b", "c", "d", 16).collect()
+        got = [(r["lid"], r["rid"]) for r in rows]
+        assert set(got) == naive
+        assert len(got) == len(naive), "overlapping pair emitted more than once"
+
+
+# ---------------------------------------------------------------------------
+# salted_join
+# ---------------------------------------------------------------------------
+class TestSaltedJoin:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # 90% of big-side rows share key 0 (the straggler scenario)
+        big = spark.createDataFrame(
+            [(i, 0 if i % 10 else i % 7, f"p{i}") for i in range(500)],
+            "rid long, k long, payload string",
+        )
+        small = spark.createDataFrame(
+            [(k, f"dim{k}") for k in range(7)], "k long, attr string"
+        )
+        return big, small
+
+    @pytest.mark.parametrize("how", ["inner", "left"])
+    def test_matches_plain_join(self, spark, skewed, how):
+        big, small = skewed
+        want = sorted(
+            (tuple(r) for r in big.join(small, "k", how).collect()),
+            key=str,
+        )
+        got = sorted(
+            (tuple(r) for r in salted_join(big, small, "k", 8, how=how).collect()),
+            key=str,
+        )
+        assert got == want
+
+    def test_salt_spreads_hot_key(self, spark, skewed):
+        big, _ = skewed
+        salts = (
+            big.withColumn(
+                "salt",
+                F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8)),
+            )
+            .filter(F.col("k") == 0)
+            .groupBy("salt")
+            .count()
+            .collect()
+        )
+        assert len(salts) == 8, "hot key must hit every salt partition"
+        counts = [r["count"] for r in salts]
+        assert max(counts) < 3 * min(counts), f"salt skewed: {counts}"
+
+    def test_no_broadcast_in_plan(self, spark, skewed):
+        big, small = skewed
+        plan = (
+            salted_join(big, small, "k", 4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan
+
+    def test_bad_args(self, spark, skewed):
+        big, small = skewed
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", 0)
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", 4, how="full")
+
+
+# ---------------------------------------------------------------------------
+# checks: one-pass quality suite
+# ---------------------------------------------------------------------------
+class TestChecks:
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a@x.com", 5.0, "ok"),
+                (2, None, 50.0, "ok"),
+                (2, "c@x.com", -1.0, "bad"),
+                (4, "not-an-email", 200.0, "ok"),
+            ],
+            "id long, email string, score double, status string",
+        )
+
+    def test_constraint_metrics(self, spark, df):
+        rep = checks.check_constraints(
+            df,
+            [
+                checks.not_null("email"),
+                checks.unique("id"),
+                checks.in_range("score", 0.0, 100.0),
+                checks.matches("email", "^[^@]+@[^@]+$"),
+                checks.accepted_values("status", ["ok"]),
+                checks.non_negative("score"),
+            ],
+        )
+        got = {r["constraint"]: (r["metric"], r["passed"]) for r in rep.collect()}
+        assert got["not_null(email)"] == (0.25, False)
+        assert got["unique(id)"] == (1.0, False)  # id=2 twice
+        assert got["in_range(score,0.0,100.0)"] == (2.0, False)  # -1, 200
+        assert got["matches(email)"] == (1.0, False)  # not-an-email
+        assert got["accepted_values(status)"] == (1.0, False)
+        assert got["non_negative(score)"] == (1.0, False)
+
+    def test_all_pass(self, spark, df):
+        rep = checks.check_constraints(
+            df, [checks.unique("id", "email"), checks.in_range("score", -10, 1000)]
+        ).collect()
+        assert all(r["passed"] for r in rep)
+
+    def test_single_scan(self, spark, df):
+        """N constraints must compile to ONE pass: exactly one scan of
+        the input in the optimized plan."""
+        rep = checks.check_constraints(
+            df,
+            [checks.not_null("email"), checks.unique("id"),
+             checks.non_negative("score")],
+        )
+        plan = rep._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("LogicalRDD") == 1
+
+    def test_subset_of(self, spark, df):
+        ref = spark.createDataFrame([(1,), (2,)], "k long")
+        row = checks.subset_of(df, "id", ref, "k").collect()[0]
+        assert row["metric"] == 1.0 and not row["passed"]  # id=4 orphaned
+        ref_all = spark.createDataFrame([(1,), (2,), (4,)], "k long")
+        row = checks.subset_of(df, "id", ref_all, "k").collect()[0]
+        assert row["metric"] == 0.0 and row["passed"]
+
+    def test_bad_args(self, spark, df):
+        with pytest.raises(ValueError):
+            checks.check_constraints(df, [])
+        with pytest.raises(ValueError):
+            checks.check_constraints(
+                df, [checks.unique("id"), checks.unique("id")]
+            )
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+class TestIncremental:
+    @pytest.fixture(scope="class")
+    def rows(self, spark):
+        import random
+
+        rng = random.Random(3)
+        data = [
+            (f"g{i % 5}", rng.uniform(-100, 100) if i % 11 else None)
+            for i in range(400)
+        ]
+        return spark.createDataFrame(data, "g string, v double")
+
+    def _direct(self, df):
+        return {
+            tuple(r)
+            for r in df.groupBy("g")
+            .agg(
+                F.count("v").alias("count"),
+                F.round(F.sum("v"), 4).alias("sum"),
+                F.round(F.min("v"), 4).alias("min"),
+                F.round(F.max("v"), 4).alias("max"),
+                F.round(F.avg("v"), 4).alias("avg"),
+                F.round(F.stddev_pop("v"), 4).alias("stddev_pop"),
+            )
+            .collect()
+        }
+
+    @pytest.mark.parametrize("n_batches", [1, 3, 7])
+    def test_any_batching_equals_direct(self, spark, rows, n_batches):
+        parts = [
+            rows.filter(F.pmod(F.xxhash64("g", "v"), F.lit(n_batches)) == i)
+            for i in range(n_batches)
+        ]
+        states = [partial_states(p, ["g"], "v") for p in parts]
+        got = {tuple(r) for r in finalize(merge_states(*states)).collect()}
+        assert got == self._direct(rows)
+
+    def test_all_null_group(self, spark):
+        df = spark.createDataFrame(
+            [("a", None), ("a", None), ("b", 2.0)], "g string, v double"
+        )
+        out = {r["g"]: r for r in finalize(partial_states(df, ["g"], "v")).collect()}
+        assert out["a"]["count"] == 0 and out["a"]["avg"] is None
+        assert out["b"]["count"] == 1 and out["b"]["avg"] == 2.0
+
+    def test_durable_store(self, spark, rows, tmp_path):
+        store = incremental_store(str(tmp_path / "rollup"))
+        b0 = rows.filter(F.col("v") < 0)
+        b1 = rows.filter((F.col("v") >= 0) | F.col("v").isNull())
+        store.append(partial_states(b0, ["g"], "v"), batch_id=0)
+        store.append(partial_states(b1, ["g"], "v"), batch_id=1)
+        got = {tuple(r) for r in finalize(store.current(spark)).collect()}
+        assert got == self._direct(rows)
+
+    def test_bad_args(self):
+        with pytest.raises(ValueError):
+            merge_states()
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch store
+# ---------------------------------------------------------------------------
+class TestHll:
+    @pytest.fixture(scope="class")
+    def items(self, spark):
+        return spark.range(0, 20000).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            # ~5k distinct values per group, with collisions
+            F.concat(F.lit("u"), (F.col("id") * 7919 % 5000).cast("string")).alias("u"),
+        )
+
+    def test_estimate_within_hll_error(self, spark, items):
+        est = {
+            r["g"]: r["n_distinct"]
+            for r in hll_estimate(hll_build(items, ["g"], "u")).collect()
+        }
+        exact = {
+            r["g"]: r["n"]
+            for r in items.groupBy("g")
+            .agg(F.count_distinct("u").alias("n"))
+            .collect()
+        }
+        for g, n in exact.items():
+            assert abs(est[g] - n) <= 0.05 * n, (g, est[g], n)
+
+    def test_slice_merge_tracks_oneshot(self, spark, items):
+        """Union of disjoint-slice sketches estimates the same set as the
+        one-shot build. Not bit-identical (DataSketches unions promote
+        the internal representation, measured ~0.8% apart here), so the
+        invariant is: within 2% of one-shot AND within 5% of exact."""
+        a = items.filter(F.xxhash64("u") % 2 == 0)
+        b = items.filter(F.xxhash64("u") % 2 != 0)
+        merged = {
+            r["g"]: r["n_distinct"]
+            for r in hll_estimate(
+                hll_merge(hll_build(a, ["g"], "u"), hll_build(b, ["g"], "u"))
+            ).collect()
+        }
+        oneshot = {
+            r["g"]: r["n_distinct"]
+            for r in hll_estimate(hll_build(items, ["g"], "u")).collect()
+        }
+        exact = {
+            r["g"]: r["n"]
+            for r in items.groupBy("g")
+            .agg(F.count_distinct("u").alias("n"))
+            .collect()
+        }
+        for g in exact:
+            assert abs(merged[g] - oneshot[g]) <= 0.02 * oneshot[g]
+            assert abs(merged[g] - exact[g]) <= 0.05 * exact[g]
+
+    def test_global_sketch_no_keys(self, spark, items):
+        (row,) = hll_estimate(hll_build(items, [], "u")).collect()
+        assert abs(row["n_distinct"] - 5000) <= 250
+
+    def test_bad_args(self):
+        with pytest.raises(ValueError):
+            hll_merge()
