@@ -570,6 +570,121 @@ class TestStreamingDomainQuota:
         assert ranks[10] == 1 and ranks[24] == 10
 
 
+class TestStreamStreamJoin:
+    """streaming/joins.py: watermarked stream-stream join ≡ the same
+    spec as a batch join over the full corpus."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark, tmp_path_factory):
+        import datetime as dt
+        import os
+
+        rng = np.random.default_rng(17)
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        lefts, rights = [], []
+        for i in range(60):
+            k = int(rng.integers(0, 12))
+            ts = t0 + dt.timedelta(minutes=int(rng.integers(0, 120)))
+            lefts.append((i, k, ts))
+            if i % 3:  # 1/3 of left events never get a match
+                lag = int(rng.integers(-5, 20))  # some out of the lag window
+                rights.append((1000 + i, k, ts + dt.timedelta(minutes=lag)))
+        # far-future flush rows push the watermark past every real row so
+        # availableNow outer results fully drain; excluded from asserts
+        flush_ts = t0 + dt.timedelta(days=30)
+        lefts.append((9999, 999, flush_ts))
+        rights.append((9999, 999, flush_ts))
+
+        d = tmp_path_factory.mktemp("ssj")
+        tstamp = 1_000_000_000
+        for side, rows, cols in (
+            ("l", lefts, ["lid", "k", "ts"]),
+            ("r", rights, ["rid", "k", "ts"]),
+        ):
+            (d / side).mkdir()
+            # batches are CONTIGUOUS time chunks: arrival order tracks
+            # event time, so nothing is late beyond the 10-min watermark
+            # and stream results must equal the batch join exactly (rows
+            # arriving out of order past the watermark would be dropped —
+            # correct streaming semantics, but not what this test pins)
+            rows = sorted(rows, key=lambda r: r[2])
+            step = (len(rows) + 2) // 3
+            for b in range(3):
+                f = d / side / f"b{b:03d}.parquet"
+                pdf = pd.DataFrame(
+                    rows[b * step:(b + 1) * step], columns=cols
+                )
+                # micros, not pandas' nano default — the stream schema
+                # declares plain `timestamp`
+                pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+                pdf.to_parquet(f, index=False)
+                os.utime(f, (tstamp + b * 10, tstamp + b * 10))
+        return d, lefts, rights
+
+    def _run_stream(self, spark, corpus, how):
+        from bloomy_etl_spark.streaming.joins import stream_stream_join
+
+        d, _, _ = corpus
+        left = (
+            spark.readStream.schema("lid long, k long, ts timestamp")
+            .option("maxFilesPerTrigger", 1).parquet(str(d / "l"))
+        )
+        right = (
+            spark.readStream.schema("rid long, k long, ts timestamp")
+            .option("maxFilesPerTrigger", 1).parquet(str(d / "r"))
+        )
+        out = stream_stream_join(
+            left, right, on="k", watermark="10 minutes",
+            max_lag="15 minutes", how=how,
+        )
+        name = f"ssj_{how}"
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        return [r for r in spark.table(name).collect() if r["k"] != 999]
+
+    def _batch(self, spark, corpus, how):
+        from bloomy_etl_spark.streaming.joins import stream_stream_join
+
+        _, lefts, rights = corpus
+        left = spark.createDataFrame(lefts, "lid long, k long, ts timestamp")
+        right = spark.createDataFrame(rights, "rid long, k long, ts timestamp")
+        return [
+            r
+            for r in stream_stream_join(
+                left, right, on="k", max_lag="15 minutes", how=how
+            ).collect()
+            if r["k"] != 999
+        ]
+
+    def test_inner_matches_batch(self, spark, corpus):
+        got = {(r["l_lid"], r["r_rid"]) for r in self._run_stream(spark, corpus, "inner")}
+        want = {(r["l_lid"], r["r_rid"]) for r in self._batch(spark, corpus, "inner")}
+        assert got == want and len(want) > 0
+
+    def test_left_outer_matches_batch(self, spark, corpus):
+        got = {
+            (r["l_lid"], r["r_rid"])
+            for r in self._run_stream(spark, corpus, "left_outer")
+        }
+        want = {
+            (r["l_lid"], r["r_rid"])
+            for r in self._batch(spark, corpus, "left_outer")
+        }
+        assert got == want
+        # the monitor rows: some lefts really are unmatched
+        assert any(rid is None for _, rid in want)
+
+    def test_bad_how(self, spark):
+        from bloomy_etl_spark.streaming.joins import stream_stream_join
+
+        df = spark.createDataFrame([(1, 1)], "k long, ts long")
+        with pytest.raises(ValueError):
+            stream_stream_join(df, df, on="k", how="full")
+
+
 class TestStreamingCms:
     def test_streamed_sketch_equals_batch_sketch(self, spark, tmp_path):
         """The merged durable store after a 3-batch replay equals the
