@@ -125,11 +125,57 @@ def q73_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize(state).transform(_psort, "event_type")
 
 
+# --------------------------------------------------------------------------
+# Q74 — fuzzy matching via the SymSpell bound: all distinct part-name
+# pairs within edit distance 2. The oracle is the quadratic
+# levenshtein theta join (fine over a 64-name vocabulary); the engine
+# path is the deletion-neighborhood equi join that replaces it at scale
+# (the quadratic form measured 100 s at just 20k rows).
+# --------------------------------------------------------------------------
+def q74_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.operators.joins import fuzzy_value_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return (
+        fuzzy_value_pairs(part, "p_name", k=2)
+        .select("a", "b", F.col("dist").cast("long").alias("dist"))
+        .transform(_psort, "a", "b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q75 — SCD2 dimension maintenance: the full version history of each
+# customer's order status, change-detected and re-chained into
+# [eff_ts, end_ts) validity intervals with exactly one open version per
+# key. Built INCREMENTALLY (pre-1996 history + later updates through
+# scd2_apply); the oracle derives the same chains in one window replay —
+# equality is the incremental-maintenance invariant, same contract as
+# q73.
+# --------------------------------------------------------------------------
+def q75_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.sinks.layout import scd2_apply
+
+    obs = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("eff_ts"),
+    )
+    cut = F.lit("1996-01-01").cast("timestamp")
+    empty = obs.filter(F.lit(False))
+    dim = scd2_apply(empty, obs.filter(F.col("eff_ts") < cut),
+                     ["custkey"], ["status"]).drop("end_ts", "is_current")
+    out = scd2_apply(dim, obs.filter(F.col("eff_ts") >= cut),
+                     ["custkey"], ["status"])
+    return out.transform(_psort, "custkey", "eff_ts", "status")
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
     "q72_quality_suite": q72_quality_suite,
     "q73_incremental_agg": q73_incremental_agg,
+    "q74_fuzzy_name_pairs": q74_fuzzy_name_pairs,
+    "q75_scd2_history": q75_scd2_history,
 }
 
 
@@ -198,6 +244,41 @@ ENGINE_ORACLE_SQL = {
                    CAST(bad_ship AS DOUBLE), bad_ship = 0 FROM a
         )
         ORDER BY "constraint"
+    """,
+    "q74_fuzzy_name_pairs": """
+        WITH names AS (
+            SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL
+        )
+        SELECT a.v AS a, b.v AS b,
+               CAST(levenshtein(a.v, b.v) AS BIGINT) AS dist
+        FROM names a JOIN names b
+          ON a.v < b.v AND levenshtein(a.v, b.v) <= 2
+        ORDER BY a, b
+    """,
+    "q75_scd2_history": """
+        WITH obs AS (
+            SELECT DISTINCT o_custkey AS custkey,
+                            o_orderstatus AS status,
+                            o_orderdate AS eff_ts
+            FROM orders
+        ),
+        ord AS (
+            SELECT custkey, status, eff_ts,
+                   ROW_NUMBER() OVER w AS rn,
+                   LAG(status) OVER w AS prev
+            FROM obs
+            WINDOW w AS (PARTITION BY custkey ORDER BY eff_ts, status)
+        ),
+        kept AS (
+            SELECT custkey, status, eff_ts FROM ord
+            WHERE rn = 1 OR status IS DISTINCT FROM prev
+        )
+        SELECT custkey, status, eff_ts,
+               LEAD(eff_ts) OVER w2 AS end_ts,
+               LEAD(eff_ts) OVER w2 IS NULL AS is_current
+        FROM kept
+        WINDOW w2 AS (PARTITION BY custkey ORDER BY eff_ts, status)
+        ORDER BY custkey, eff_ts, status
     """,
     "q73_incremental_agg": """
         SELECT event_type,

@@ -116,6 +116,69 @@ def salted_join(big: DataFrame, small: DataFrame, on: str | list[str],
     return out.drop("__salt")
 
 
+def _deletion_variants(col: Column, k: int) -> Column:
+    """All strings reachable from ``col`` by deleting up to ``k``
+    characters (the SymSpell neighborhood), built as in-row array
+    expressions — no UDF, no explosion until the caller explodes.
+    Variant count is O(len^k); intended for SHORT strings (names,
+    titles, codes), which is exactly the fuzzy-matching domain."""
+    def one_del(v: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.length(v)),
+            lambda i: F.concat(
+                v.substr(F.lit(1), i - F.lit(1)),
+                v.substr(i + F.lit(1), F.length(v)),
+            ),
+        )
+
+    vs = F.array(col)
+    for _ in range(k):
+        vs = F.array_distinct(
+            F.array_union(vs, F.flatten(F.transform(vs, one_del)))
+        )
+    return vs
+
+
+def fuzzy_value_pairs(df: DataFrame, col: str, k: int = 2) -> DataFrame:
+    """All pairs of DISTINCT ``col`` values within Levenshtein distance
+    ``k``: ``(a, b, dist)`` with a < b.
+
+    The naive form is a quadratic theta join with a levenshtein
+    predicate — O(|V|²) edit-distance evaluations (measured: 100 s in a
+    vectorized engine at just 20k rows). This uses the symmetric-delete
+    (SymSpell) bound instead: ``lev(a,b) <= k`` implies the up-to-k
+    deletion neighborhoods intersect (each alignment edit costs at most
+    one deletion on each side), so candidates = distinct values sharing
+    a deletion variant — an EQUI join on the variant string — and
+    levenshtein runs only on candidates.
+
+    Scale shape: the distinct-value vocabulary is extracted first (at
+    corpus scale |V| ≪ rows — 64 vs 20k on the part fixture), variants
+    are generated in-row, and the only shuffles are the distinct and the
+    variant-keyed join. Verified value-exact against the quadratic
+    DuckDB oracle (t2:q74).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    vocab = df.select(F.col(col).cast("string").alias("val")).filter(
+        F.col("val").isNotNull()
+    ).distinct()
+    variants = vocab.select(
+        "val", F.explode(_deletion_variants(F.col("val"), k)).alias("var")
+    )
+    a = variants.select(F.col("val").alias("a"), "var")
+    b = variants.select(F.col("val").alias("b"), "var")
+    cand = (
+        a.join(b, on="var")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    return cand.withColumn("dist", F.levenshtein("a", "b")).filter(
+        F.col("dist") <= k
+    )
+
+
 def interval_overlap_join(left: DataFrame, right: DataFrame,
                           l_lo: str, l_hi: str, r_lo: str, r_hi: str,
                           bin_width: int) -> Column | DataFrame:

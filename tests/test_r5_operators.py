@@ -197,6 +197,132 @@ class TestSaltedJoin:
 
 
 # ---------------------------------------------------------------------------
+# fuzzy matching (SymSpell deletion neighborhoods)
+# ---------------------------------------------------------------------------
+class TestFuzzyPairs:
+    def test_matches_quadratic_reference(self, spark):
+        vals = [
+            "red widget", "old widget", "cold widget", "red widgets",
+            "blue bolt", "blu bolt", "bolt", "anvil", "anvi1", "anvil ",
+            "x", "", "x", None,
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        got = {
+            (r["a"], r["b"], r["dist"])
+            for r in __import__(
+                "bloomy_etl_spark.operators.joins", fromlist=["fuzzy_value_pairs"]
+            ).fuzzy_value_pairs(df, "s", k=2).collect()
+        }
+        import itertools
+
+        def lev(a, b):
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1,
+                            prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        uniq = sorted({v for v in vals if v is not None})
+        want = {
+            (a, b, lev(a, b))
+            for a, b in itertools.combinations(uniq, 2)
+            if lev(a, b) <= 2
+        }
+        assert got == want and len(want) >= 4
+
+    def test_k1_subset_of_k2(self, spark):
+        from bloomy_etl_spark.operators.joins import fuzzy_value_pairs
+
+        df = spark.createDataFrame(
+            [("abcd",), ("abc",), ("ab",), ("xbcd",), ("wxyz",)], "s string"
+        )
+        p1 = {(r["a"], r["b"]) for r in fuzzy_value_pairs(df, "s", 1).collect()}
+        p2 = {(r["a"], r["b"]) for r in fuzzy_value_pairs(df, "s", 2).collect()}
+        assert p1 <= p2
+        assert ("abc", "abcd") in p1 and ("ab", "abcd") in p2 - p1
+
+    def test_bad_k(self, spark):
+        from bloomy_etl_spark.operators.joins import fuzzy_value_pairs
+
+        df = spark.createDataFrame([("a",)], "s string")
+        with pytest.raises(ValueError):
+            fuzzy_value_pairs(df, "s", 0)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension maintenance
+# ---------------------------------------------------------------------------
+class TestScd2:
+    @pytest.fixture(scope="class")
+    def obs(self, spark):
+        import datetime as dt
+
+        t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+        rows = [
+            # k1: A → A (dup, no version) → B → B → A
+            (1, "A", t(1)), (1, "A", t(3)), (1, "B", t(5)),
+            (1, "B", t(7)), (1, "A", t(9)),
+            # k2: single observation
+            (2, "X", t(2)),
+            # k3: change every time
+            (3, "P", t(1)), (3, "Q", t(2)), (3, "R", t(3)),
+        ]
+        return spark.createDataFrame(rows, "k long, attr string, eff_ts timestamp")
+
+    def test_chains_and_current(self, spark, obs):
+        from bloomy_etl_spark.sinks.layout import scd2_apply
+
+        out = scd2_apply(obs.filter(F.lit(False)), obs, ["k"], ["attr"])
+        rows = sorted(
+            ((r["k"], r["attr"], r["eff_ts"].day,
+              r["end_ts"].day if r["end_ts"] else None, r["is_current"])
+             for r in out.collect())
+        )
+        assert rows == [
+            (1, "A", 1, 5, False), (1, "A", 9, None, True),
+            (1, "B", 5, 9, False),
+            (2, "X", 2, None, True),
+            (3, "P", 1, 2, False), (3, "Q", 2, 3, False),
+            (3, "R", 3, None, True),
+        ]
+        # exactly one open version per key
+        cur = [r for r in rows if r[4]]
+        assert len(cur) == 3
+
+    def test_incremental_equals_oneshot(self, spark, obs):
+        from bloomy_etl_spark.sinks.layout import scd2_apply
+
+        empty = obs.filter(F.lit(False))
+        oneshot = scd2_apply(empty, obs, ["k"], ["attr"])
+        cut = F.lit("2024-01-05").cast("timestamp")
+        dim = scd2_apply(empty, obs.filter(F.col("eff_ts") < cut),
+                         ["k"], ["attr"]).drop("end_ts", "is_current")
+        incr = scd2_apply(dim, obs.filter(F.col("eff_ts") >= cut),
+                          ["k"], ["attr"])
+        assert {tuple(r) for r in incr.collect()} == {
+            tuple(r) for r in oneshot.collect()
+        }
+
+    def test_noop_update_is_idempotent(self, spark, obs):
+        from bloomy_etl_spark.sinks.layout import scd2_apply
+
+        empty = obs.filter(F.lit(False))
+        first = scd2_apply(empty, obs, ["k"], ["attr"])
+        dim = first.drop("end_ts", "is_current")
+        again = scd2_apply(dim, obs, ["k"], ["attr"])
+        assert {tuple(r) for r in again.collect()} == {
+            tuple(r) for r in first.collect()
+        }
+
+
+# ---------------------------------------------------------------------------
 # checks: one-pass quality suite
 # ---------------------------------------------------------------------------
 class TestChecks:
