@@ -126,6 +126,51 @@ def streaming_cms_ingest(items_stream: DataFrame, sketch_dir: str,
     )
 
 
+def streaming_rollup_ingest(stream: DataFrame, store_dir: str,
+                            checkpoint_dir: str, keys: list[str],
+                            measure_col: str):
+    """Maintain a durable incremental-aggregate rollup over a stream —
+    the live counterpart of ``operators/incremental.py``: each
+    micro-batch folds to per-group partial states (count/sum/min/max/
+    sumsq) and appends them with its ``batch_id``; readers merge +
+    finalize on read, so current per-group count/sum/min/max/avg/stddev
+    are always one bounded aggregation away, never a recompute of the
+    stream's history.
+
+    ``foreachBatch`` for the same reason as the CMS/signature stores:
+    the rollup must outlive the query, merge with batch-built states,
+    and stay queryable mid-stream; the state monoid makes at-least-once
+    replays detectable (batch_id) and reversible (delete-by-batch_id).
+    Per-batch cost: one partial aggregation over the batch — state rows
+    per batch ≤ |groups touched|."""
+    from bloomy_etl_spark.operators.incremental import (
+        incremental_store,
+        partial_states,
+    )
+
+    store = incremental_store(store_dir)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        store.append(partial_states(batch, keys, measure_col), batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_rollup_store(spark, store_dir: str):
+    """Current finalized rollup from the durable state table (merge is
+    one partial-agg pass; compact with ``sinks.layout.compact``)."""
+    from bloomy_etl_spark.operators.incremental import (
+        finalize,
+        incremental_store,
+    )
+
+    return finalize(incremental_store(store_dir).current(spark))
+
+
 def read_cms_store(spark, sketch_dir: str):
     """Current merged sketch: cell-wise sum over every appended batch
     sketch (partial aggregation collapses batches map-side)."""

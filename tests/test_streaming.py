@@ -685,6 +685,63 @@ class TestStreamStreamJoin:
             stream_stream_join(df, df, on="k", how="full")
 
 
+class TestStreamingRollup:
+    def test_streamed_rollup_equals_direct_agg(self, spark, tmp_path):
+        """The durable rollup after a 3-batch replay finalizes to exactly
+        the direct aggregation over all rows — incremental maintenance,
+        live."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from bloomy_etl_spark.streaming.quota import (
+            read_rollup_store,
+            streaming_rollup_ingest,
+        )
+
+        rng = np.random.default_rng(23)
+        rows = [
+            (f"g{int(rng.integers(0, 4))}",
+             float(rng.uniform(-50, 50)) if i % 9 else None)
+            for i in range(300)
+        ]
+        src = tmp_path / "vals"
+        src.mkdir()
+        t0 = 1_000_000_000
+        for i in range(3):
+            f = src / f"b{i:05d}.parquet"
+            pd.DataFrame(rows[i * 100:(i + 1) * 100],
+                         columns=["g", "v"]).to_parquet(f, index=False)
+            os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+        stream = (
+            spark.readStream.schema("g string, v double")
+            .option("maxFilesPerTrigger", 1).parquet(str(src))
+        )
+        q = streaming_rollup_ingest(
+            stream, str(tmp_path / "rollup"), str(tmp_path / "ckpt"),
+            ["g"], "v",
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {tuple(r) for r in read_rollup_store(spark, str(tmp_path / "rollup")).collect()}
+        want = {
+            tuple(r)
+            for r in spark.createDataFrame(rows, "g string, v double")
+            .groupBy("g")
+            .agg(
+                F.count("v").alias("count"),
+                F.round(F.sum("v"), 4).alias("sum"),
+                F.round(F.min("v"), 4).alias("min"),
+                F.round(F.max("v"), 4).alias("max"),
+                F.round(F.avg("v"), 4).alias("avg"),
+                F.round(F.stddev_pop("v"), 4).alias("stddev_pop"),
+            )
+            .collect()
+        }
+        assert got == want
+
+
 class TestStreamingCms:
     def test_streamed_sketch_equals_batch_sketch(self, spark, tmp_path):
         """The merged durable store after a 3-batch replay equals the
