@@ -1,7 +1,9 @@
-"""Declared queries for the round-5 engine surface (q70–q73):
-join-strategy operators (``operators/joins.py``), the one-pass quality
-suite (``operators/checks.py``), and incremental aggregate maintenance
-(``operators/incremental.py``).
+"""Declared queries for the round-5 engine surface (q70–q75):
+join-strategy operators (``operators/joins.py``: binned range, salted
+skew, SymSpell fuzzy), the one-pass quality suite
+(``operators/checks.py``), incremental aggregate maintenance
+(``operators/incremental.py``), and SCD2 dimension history
+(``sinks/layout.py::scd2_apply``).
 
 Contract as everywhere (§2.10): total order, floats rounded, identical
 column aliases in the Spark builder and the DuckDB oracle.
@@ -60,10 +62,10 @@ def q70_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q71 — salted skew join: lineitem ⋈ orders on orderkey with an 8-way
+# Q71 — salted skew join: lineitem ⋈ orders on orderkey with a 4-way
 # salt, aggregated to revenue per order priority. Semantics identical to
 # the plain join (the oracle IS the plain join); the salt spreads any
-# hot key across 8 tasks and the plan is a shuffle join, never a
+# hot key across 4 tasks and the plan is a shuffle join, never a
 # broadcast (plan-tested) — the manual remedy when the "small" side
 # outgrows the broadcast threshold and one key dominates.
 # --------------------------------------------------------------------------
@@ -74,7 +76,7 @@ def q71_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
     )
-    joined = salted_join(li, orders, on="orderkey", n_salts=8)
+    joined = salted_join(li, orders, on="orderkey", n_salts=4)
     return (
         joined.groupBy("o_orderpriority")
         .agg(
