@@ -395,3 +395,48 @@ def test_normalize_text_idempotent(spark, s):
         normalize_text(normalize_text(F.col("t"))).alias("twice"),
     ).first()
     assert row["once"] == row["twice"]
+
+
+# ---------------------------------------------------------------------------
+# SymSpell completeness (operators/joins.py::fuzzy_value_pairs, q74):
+# the deletion-neighborhood equi join must find EXACTLY the pairs the
+# quadratic levenshtein join finds — completeness is the mathematical
+# claim (lev(a,b) <= k ⇒ the up-to-k deletion neighborhoods intersect),
+# soundness comes from the explicit verify step.
+# ---------------------------------------------------------------------------
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    vals=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=7),
+        min_size=2,
+        max_size=12,
+    ),
+    k=st.integers(min_value=1, max_value=2),
+)
+@settings(**SETTINGS)
+def test_fuzzy_pairs_match_quadratic_reference(spark, vals, k):
+    from bloomy_etl_spark.operators.joins import fuzzy_value_pairs
+
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        (r["a"], r["b"], r["dist"])
+        for r in fuzzy_value_pairs(df, "s", k=k).collect()
+    }
+    uniq = sorted(set(vals))
+    want = {
+        (a, b, _lev(a, b))
+        for a, b in itertools.combinations(uniq, 2)
+        if _lev(a, b) <= k
+    }
+    assert got == want
