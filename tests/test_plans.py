@@ -286,3 +286,42 @@ def test_kmeans_assignment_is_map_side(spark):
     plan = plan_string(assign_clusters(embs, cents))
     assert ") Exchange" not in plan, f"unexpected shuffle:\n{plan}"
     assert "Join" not in plan
+
+
+def test_binned_range_join_query_is_equi_not_nested_loop(spark):
+    """q70's declared form: the pure range predicate must plan as a
+    bin-keyed equi join — BroadcastNestedLoopJoin/CartesianProduct in
+    this plan is exactly the 100 TB cliff the operator exists to avoid."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = plan_string(ENGINE_QUERIES["q70_binned_range_join"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_salted_join_query_shuffles_on_composite_key(spark):
+    """q71's declared form under the operator's own contract (small side
+    too big to broadcast, forced via threshold=-1): a shuffle join whose
+    keys include the salt — that composite key IS the skew spread. (At
+    fixture scale with default confs Catalyst broadcasts the tiny side,
+    which is also correct — the contract case is what's pinned.)"""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_string(ENGINE_QUERIES["q71_salted_join"](spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    assert "__salt" in p, "join keys must include the salt"
+
+
+def test_quality_suite_query_single_scan(spark):
+    """q72: six constraints, ONE scan of orders in the optimized plan."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    df = ENGINE_QUERIES["q72_quality_suite"](spark, SF_SMOKE)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Relation") == 1
