@@ -100,8 +100,17 @@ def incremental_store(store_dir: str):
                 "append"
             ).parquet(store_dir)
 
-        def current(self, spark) -> DataFrame:
-            raw = spark.read.parquet(store_dir).drop("batch_id")
-            return merge_states(raw)
+        def current(self, spark, exclude_batch_ids: tuple[int, ...] = ()) -> DataFrame:
+            """Merged state over the store. ``exclude_batch_ids`` is the
+            replay-rollback lever: a batch appended twice (at-least-once
+            delivery) or appended in error is reversed by excluding its
+            id — the monoid has no subtraction, so reversal is
+            exclusion, applied as a parquet-pushed filter."""
+            raw = spark.read.parquet(store_dir)
+            if exclude_batch_ids:
+                raw = raw.filter(
+                    ~F.col("batch_id").isin([int(b) for b in exclude_batch_ids])
+                )
+            return merge_states(raw.drop("batch_id"))
 
     return _Store()

@@ -449,6 +449,31 @@ class TestIncremental:
         got = {tuple(r) for r in finalize(store.current(spark)).collect()}
         assert got == self._direct(rows)
 
+    def test_replay_rollback_by_batch_id(self, spark, rows, tmp_path):
+        """At-least-once delivery: the same batch appended twice is
+        reversed by excluding its duplicate batch_id at read — the
+        docstring's delete-by-batch_id contract, exercised."""
+        store = incremental_store(str(tmp_path / "r2"))
+        b0 = rows.filter(F.col("v") < 0)
+        b1 = rows.filter((F.col("v") >= 0) | F.col("v").isNull())
+        store.append(partial_states(b0, ["g"], "v"), batch_id=0)
+        store.append(partial_states(b1, ["g"], "v"), batch_id=1)
+        store.append(partial_states(b1, ["g"], "v"), batch_id=2)  # replay
+        dup = {
+            r["g"]: r["count"]
+            for r in finalize(store.current(spark)).collect()
+        }
+        fixed = {
+            tuple(r)
+            for r in finalize(
+                store.current(spark, exclude_batch_ids=(2,))
+            ).collect()
+        }
+        direct = self._direct(rows)
+        assert fixed == direct
+        # and the un-rolled-back store really was wrong (double-counted)
+        assert dup != {t[0]: t[1] for t in direct}
+
     def test_bad_args(self):
         with pytest.raises(ValueError):
             merge_states()
