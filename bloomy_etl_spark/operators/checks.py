@@ -121,6 +121,42 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
     )
 
 
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int) -> DataFrame:
+    """Equivalence-class audit for k-anonymity: one row per distinct
+    quasi-identifier combination with its class size ``n`` and
+    ``anonymous = n >= k``.
+
+    The release-gate question for any dataset carrying quasi-identifiers
+    (location × segment × banded numeric is the classic trio): a record
+    in a class smaller than k is re-identifiable by joining public
+    attributes. One hash aggregate on the quasi-identifier key — the
+    same shape and cost as any groupBy count, so it runs as a cheap
+    pre-release gate at full corpus scale. Band continuous columns
+    FIRST (``floor(x / width)``) — raw continuous values make every
+    class a singleton and the audit vacuous.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not quasi_cols:
+        raise ValueError("no quasi-identifier columns given")
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("anonymous", F.col("n") >= k)
+
+
+def k_anonymity_summary(classes: DataFrame, by: str) -> DataFrame:
+    """Roll the per-class audit up to a release report per ``by``:
+    class count, violating classes, records at risk, smallest class."""
+    return classes.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.count(F.when(~F.col("anonymous"), 1)).alias("n_violating"),
+        F.coalesce(
+            F.sum(F.when(~F.col("anonymous"), F.col("n"))), F.lit(0)
+        ).cast("bigint").alias("n_at_risk"),
+        F.min("n").alias("min_class_size"),
+    )
+
+
 def subset_of(df: DataFrame, col: str, ref: DataFrame, ref_col: str,
               name: str | None = None) -> DataFrame:
     """Referential-integrity report row: every non-null ``df.col`` value

@@ -171,6 +171,24 @@ def q75_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.transform(_psort, "custkey", "eff_ts", "status")
 
 
+# --------------------------------------------------------------------------
+# Q76 — k-anonymity release audit: quasi-identifiers (segment, nation,
+# banded balance) → equivalence-class sizes → per-segment report of
+# re-identifiable records. One hash aggregate + one tiny rollup; the
+# pre-release privacy gate at any corpus scale.
+# --------------------------------------------------------------------------
+def q76_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    classes = checks.k_anonymity(
+        cust, ["c_mktsegment", "c_nationkey", "bal_band"], k=5
+    )
+    return checks.k_anonymity_summary(classes, "c_mktsegment").transform(
+        _psort, "c_mktsegment"
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -178,6 +196,7 @@ ENGINE_QUERIES = {
     "q73_incremental_agg": q73_incremental_agg,
     "q74_fuzzy_name_pairs": q74_fuzzy_name_pairs,
     "q75_scd2_history": q75_scd2_history,
+    "q76_k_anonymity": q76_k_anonymity,
 }
 
 
@@ -281,6 +300,24 @@ ENGINE_ORACLE_SQL = {
         FROM kept
         WINDOW w2 AS (PARTITION BY custkey ORDER BY eff_ts, status)
         ORDER BY custkey, eff_ts, status
+    """,
+    "q76_k_anonymity": """
+        WITH classes AS (
+            SELECT c_mktsegment, c_nationkey,
+                   CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                   COUNT(*) AS n
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_classes,
+               COUNT(CASE WHEN n < 5 THEN 1 END) AS n_violating,
+               CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+                   AS n_at_risk,
+               MIN(n) AS min_class_size
+        FROM classes
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
     """,
     "q73_incremental_agg": """
         SELECT event_type,

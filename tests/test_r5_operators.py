@@ -391,6 +391,31 @@ class TestChecks:
                 df, [checks.unique("id"), checks.unique("id")]
             )
 
+    def test_k_anonymity(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)],
+            "seg string, zone long",
+        )
+        classes = {
+            (r["seg"], r["zone"]): (r["n"], r["anonymous"])
+            for r in checks.k_anonymity(df, ["seg", "zone"], k=3).collect()
+        }
+        assert classes == {
+            ("a", 1): (5, True), ("a", 2): (2, False), ("b", 1): (1, False)
+        }
+        summary = {
+            r["seg"]: (r["n_classes"], r["n_violating"], r["n_at_risk"],
+                       r["min_class_size"])
+            for r in checks.k_anonymity_summary(
+                checks.k_anonymity(df, ["seg", "zone"], k=3), "seg"
+            ).collect()
+        }
+        assert summary == {"a": (2, 1, 2, 2), "b": (1, 1, 1, 1)}
+        with pytest.raises(ValueError):
+            checks.k_anonymity(df, [], 3)
+        with pytest.raises(ValueError):
+            checks.k_anonymity(df, ["seg"], 0)
+
 
 # ---------------------------------------------------------------------------
 # incremental aggregate maintenance
