@@ -109,9 +109,15 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
         aggs.append(c["metric"].cast("double").alias(f"__m{i}"))
         aggs.append(c["ok"].alias(f"__p{i}"))
     wide = df.agg(*aggs)
-    # in-row unpivot: stack(n, name0, m0, p0, name1, m1, p1, ...)
+    # in-row unpivot: stack(n, name0, m0, p0, name1, m1, p1, ...).
+    # Names are embedded as SQL string literals — escape quotes so a
+    # custom constraint named e.g. accepted_values(col=['a'])
+    # cannot break the stack expression.
+    def _q(name: str) -> str:
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     parts = ", ".join(
-        f"'{c['name']}', __m{i}, __p{i}" for i, c in enumerate(constraints)
+        f"{_q(c['name'])}, __m{i}, __p{i}" for i, c in enumerate(constraints)
     )
     return (
         wide.selectExpr(

@@ -57,6 +57,12 @@ def binned_range_join(points: DataFrame, intervals: DataFrame,
         raise ValueError(f"bin_width must be >= 1, got {bin_width}")
     if how not in ("inner", "left_semi"):
         raise ValueError(f"how must be 'inner' or 'left_semi', got {how!r}")
+    shared = set(points.columns) & set(intervals.columns)
+    if shared:
+        raise ValueError(
+            f"points and intervals share column names {sorted(shared)}; "
+            "rename one side — the joined output keeps both sides' columns"
+        )
     p_bin = F.floor(F.col(point_col) / bin_width)
     binned_intervals = intervals.withColumn(
         "__bin",
@@ -139,7 +145,8 @@ def _deletion_variants(col: Column, k: int) -> Column:
     return vs
 
 
-def fuzzy_value_pairs(df: DataFrame, col: str, k: int = 2) -> DataFrame:
+def fuzzy_value_pairs(df: DataFrame, col: str, k: int = 2,
+                      max_len: int = 64) -> DataFrame:
     """All pairs of DISTINCT ``col`` values within Levenshtein distance
     ``k``: ``(a, b, dist)`` with a < b.
 
@@ -163,6 +170,19 @@ def fuzzy_value_pairs(df: DataFrame, col: str, k: int = 2) -> DataFrame:
     vocab = df.select(F.col(col).cast("string").alias("val")).filter(
         F.col("val").isNotNull()
     ).distinct()
+    # Variant count is O(len^k): a single document-length value slipped
+    # into a name/title column would explode one task. The vocabulary is
+    # tiny by contract, so the guard is a cheap driver-side check that
+    # FAILS LOUDLY instead of silently excluding (an excluded value could
+    # never match, which would be a wrong answer, not a guard).
+    n_long = vocab.filter(F.length("val") > max_len).count()
+    if n_long:
+        raise ValueError(
+            f"{n_long} value(s) longer than max_len={max_len}; fuzzy "
+            "matching by deletion neighborhoods targets short strings — "
+            "raise max_len deliberately if the O(len^k) variant cost is "
+            "acceptable"
+        )
     variants = vocab.select(
         "val", F.explode(_deletion_variants(F.col("val"), k)).alias("var")
     )
@@ -191,6 +211,12 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     SimHash block dedup in ``operators/dedup.py``)."""
     if bin_width < 1:
         raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        raise ValueError(
+            f"left and right share column names {sorted(shared)}; "
+            "rename one side — the joined output keeps both sides' columns"
+        )
     lb = left.withColumn(
         "__bin",
         F.explode(

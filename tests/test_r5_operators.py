@@ -110,6 +110,10 @@ class TestBinnedRangeJoin:
             binned_range_join(points, intervals, "v", "lo", "hi", 0)
         with pytest.raises(ValueError):
             binned_range_join(points, intervals, "v", "lo", "hi", 8, how="full")
+        # shared column names would silently produce ambiguous output
+        clash = intervals.withColumnRenamed("iid", "pid")
+        with pytest.raises(ValueError, match="share column names"):
+            binned_range_join(points, clash, "v", "lo", "hi", 8)
 
 
 class TestIntervalOverlapJoin:
@@ -254,6 +258,18 @@ class TestFuzzyPairs:
         df = spark.createDataFrame([("a",)], "s string")
         with pytest.raises(ValueError):
             fuzzy_value_pairs(df, "s", 0)
+
+    def test_long_value_fails_loudly(self, spark):
+        """A document-length value in the column must raise, not silently
+        explode O(len^k) variants or silently skip the value."""
+        from bloomy_etl_spark.operators.joins import fuzzy_value_pairs
+
+        df = spark.createDataFrame([("short",), ("x" * 200,)], "s string")
+        with pytest.raises(ValueError, match="max_len"):
+            fuzzy_value_pairs(df, "s", k=1)
+        # raising the cap deliberately works
+        out = fuzzy_value_pairs(df, "s", k=1, max_len=256)
+        assert out.count() == 0
 
 
 # ---------------------------------------------------------------------------
