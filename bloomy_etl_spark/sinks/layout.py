@@ -341,3 +341,24 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key_cols: list[str],
         F.lead(eff_col).over(w2).alias(end_col),
         F.lead(eff_col).over(w2).isNull().alias(current_col),
     )
+
+
+def write_range_sorted(df: DataFrame, path: str, sort_col: str,
+                       n_files: int = 16) -> None:
+    """Write ``df`` globally range-clustered on one column: a range
+    shuffle (sampled split points) + in-partition sort, so every parquet
+    file and row group covers a disjoint ``sort_col`` interval.
+
+    This is the single-leader counterpart of :func:`write_zordered`:
+    when ONE column dominates the filter workload (event time, doc_id),
+    plain range clustering beats the Z-curve — min/max stats exclude all
+    but the touched interval, and merge-joins/as-of scans read the table
+    in key order. One shuffle, same cost class as any global sort-write;
+    a compaction-time layout like Z-order, not per-ingest.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -162,6 +162,45 @@ class TestZOrder:
         # and the data survives intact
         assert spark.read.parquet(zpath).count() == ev.count()
 
+    def test_range_sorted_files_are_disjoint_intervals(self, spark, tmp_path_factory):
+        """write_range_sorted: every file covers a disjoint sort_col
+        interval, so a point/range predicate overlaps ~1 file's min/max
+        envelope (vs most files under round-robin placement)."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        from bloomy_etl_spark.sinks.layout import write_range_sorted
+
+        ev = load_table(spark, SF_SMOKE, "events")
+        base = tmp_path_factory.mktemp("rangesort")
+        spath, rpath = str(base / "s"), str(base / "r")
+        write_range_sorted(ev, spath, "event_id", n_files=8)
+        ev.repartition(8).write.mode("overwrite").parquet(rpath)
+
+        def envelopes(path):
+            envs = []
+            for f in glob.glob(os.path.join(path, "*.parquet")):
+                md = pq.read_metadata(f)
+                idx = md.schema.names.index("event_id")
+                sts = [
+                    md.row_group(rg).column(idx).statistics
+                    for rg in range(md.num_row_groups)
+                ]
+                envs.append((min(s.min for s in sts), max(s.max for s in sts)))
+            return sorted(envs)
+
+        s_envs = envelopes(spath)
+        # disjoint: each file's min exceeds the previous file's max
+        assert all(b[0] > a[1] for a, b in zip(s_envs, s_envs[1:]))
+        # a point lookup touches exactly one sorted file but most random ones
+        point = s_envs[3][0]
+        r_hits = sum(1 for lo, hi in envelopes(rpath) if lo <= point <= hi)
+        s_hits = sum(1 for lo, hi in s_envs if lo <= point <= hi)
+        assert s_hits == 1 and r_hits > 1
+        assert spark.read.parquet(spath).count() == ev.count()
+
     def test_morton_key_interleaves(self, spark):
         from bloomy_etl_spark.sinks.layout import morton_key
 
