@@ -73,7 +73,14 @@ def binned_range_join(points: DataFrame, intervals: DataFrame,
             )
         ),
     )
-    joined = points.withColumn("__bin", p_bin).join(
+    pts = points.withColumn("__bin", p_bin)
+    if how == "left_semi":
+        # True leftsemi semantics: every MATCHING left row survives
+        # exactly once, INCLUDING duplicate rows (deduping on column
+        # values would silently collapse them). A per-row id scopes the
+        # dedup to row identity; it exists only inside this plan.
+        pts = pts.withColumn("__rid", F.monotonically_increasing_id())
+    joined = pts.join(
         binned_intervals,
         on=["__bin"],
         how="inner" if how == "left_semi" else how,
@@ -82,8 +89,11 @@ def binned_range_join(points: DataFrame, intervals: DataFrame,
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
     ).drop("__bin")
     if how == "left_semi":
-        # a point can fall in several intervals — semi means distinct points
-        return out.select(*points.columns).dropDuplicates(points.columns)
+        return (
+            out.select("__rid", *points.columns)
+            .dropDuplicates(["__rid"])
+            .drop("__rid")
+        )
     return out
 
 

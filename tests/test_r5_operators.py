@@ -96,6 +96,23 @@ class TestBinnedRangeJoin:
         assert len(rows) == len(want)  # each point exactly once
         assert set(semi.columns) == {"pid", "v"}
 
+    def test_left_semi_keeps_duplicate_rows(self, spark):
+        """Spark's leftsemi keeps every matching left row, duplicates
+        included — the bin rewrite must not collapse them."""
+        points = spark.createDataFrame(
+            [(1, 10), (1, 10), (2, 99)], "pid long, v long"
+        )
+        intervals = spark.createDataFrame([(7, 5, 20)], "iid long, lo long, hi long")
+        got = binned_range_join(
+            points, intervals, "v", "lo", "hi", 8, how="left_semi"
+        ).collect()
+        assert sorted((r["pid"], r["v"]) for r in got) == [(1, 10), (1, 10)]
+        want = points.join(
+            intervals, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
+            "left_semi",
+        ).collect()
+        assert sorted((r["pid"], r["v"]) for r in want) == [(1, 10), (1, 10)]
+
     def test_no_nested_loop_in_plan(self, spark, data):
         points, intervals = data
         plan = binned_range_join(
