@@ -1,9 +1,10 @@
-"""Declared queries for the round-5 engine surface (q70–q75):
+"""Declared queries for the round-5 engine surface (q70–q77):
 join-strategy operators (``operators/joins.py``: binned range, salted
 skew, SymSpell fuzzy), the one-pass quality suite
 (``operators/checks.py``), incremental aggregate maintenance
 (``operators/incremental.py``), and SCD2 dimension history
-(``sinks/layout.py::scd2_apply``).
+(``sinks/layout.py::scd2_apply``), k-anonymity release audit, and
+hard-negative mining (``operators/similarity.py``).
 
 Contract as everywhere (§2.10): total order, floats rounded, identical
 column aliases in the Spark builder and the DuckDB oracle.
@@ -25,8 +26,8 @@ from bloomy_etl_spark.output import presentation_sort as _psort
 from bloomy_etl_spark.sources.tables import load_table as _load
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return _load(spark, sf_dir, name)
+def _t(spark: SparkSession, sf_dir: str, name: str, **kw) -> DataFrame:
+    return _load(spark, sf_dir, name, **kw)
 
 
 _EPOCH = "1992-01-01"
@@ -189,6 +190,23 @@ def q76_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Q77 — hard-negative mining for contrastive training: per query vector,
+# the top-3 most-similar neighbors whose LABEL differs. Broadcast query
+# side, corpus never shuffles, label predicate inside the scoring join.
+# --------------------------------------------------------------------------
+def q77_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.operators.similarity import hard_negative_mining
+
+    embs = _t(spark, sf_dir, "embeddings", fan_out=True)
+    queries = embs.filter(F.col("vec_id") % 100 == 0)
+    out = hard_negative_mining(embs, queries, k=3)
+    return out.select(
+        "query_id", "neighbor_id", "neighbor_label",
+        F.round("cos_sim", 4).alias("cos_sim"), "rank",
+    ).transform(_psort, "query_id", "rank")
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -197,6 +215,7 @@ ENGINE_QUERIES = {
     "q74_fuzzy_name_pairs": q74_fuzzy_name_pairs,
     "q75_scd2_history": q75_scd2_history,
     "q76_k_anonymity": q76_k_anonymity,
+    "q77_hard_negatives": q77_hard_negatives,
 }
 
 
@@ -300,6 +319,35 @@ ENGINE_ORACLE_SQL = {
         FROM kept
         WINDOW w2 AS (PARTITION BY custkey ORDER BY eff_ts, status)
         ORDER BY custkey, eff_ts, status
+    """,
+    "q77_hard_negatives": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+            FROM embeddings WHERE vec_id % 100 = 0
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   e.label AS neighbor_label,
+                   list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+                    sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))) AS cos_sim
+            FROM q JOIN embeddings e
+              ON e.vec_id <> q.query_id
+             AND e.label IS DISTINCT FROM q.qlabel
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, neighbor_label, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, neighbor_label,
+               ROUND(cos_sim, 4) AS cos_sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank
     """,
     "q76_k_anonymity": """
         WITH classes AS (

@@ -59,6 +59,55 @@ def cosine_topk(embs: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def hard_negative_mining(embs: DataFrame, queries: DataFrame, k: int = 1,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         label_col: str = "label") -> DataFrame:
+    """Top-k most-similar OTHER-LABEL neighbors per query — the hard
+    negatives contrastive training mines: examples the embedding thinks
+    are near but supervision says differ (the gradient-rich pairs;
+    random negatives are mostly easy and carry little signal).
+
+    Same scale shape as :func:`cosine_topk` (query side broadcast, the
+    corpus never shuffles, one window top-k) with the label-difference
+    predicate applied during the scoring join — candidates with the
+    query's own label are never scored, not filtered after. At corpus
+    scale, swap the brute-force scorer for :func:`ivf_topk` probing and
+    keep the predicate; the mining contract is unchanged.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("_nq"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    c = embs.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("_nc"),
+        F.col(label_col).alias("_nlabel"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & ~F.col("_nlabel").eqNullSafe(F.col("_qlabel")),
+        )
+        .withColumn(
+            "cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("_nlabel").alias("neighbor_label"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def _hyperplane(table: int, bit: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: small-integer weights from a
     multiplicative sequence, centered on zero. Seeded by (table, bit)."""
