@@ -1,0 +1,157 @@
+"""Distributed dense linear algebra for embedding columns: mean,
+covariance, PCA projection, whitening.
+
+The training-data uses: PCA-reduce embeddings before ANN indexing
+(cheaper probes at equal recall), whiten features before clustering
+(k-means assumes isotropy), and audit representation collapse
+(top-eigenvalue share ≈ anisotropy).
+
+Shape: the only corpus-scale pass computes PARTIAL moments per Arrow
+batch with NumPy (`mapInPandas`: count, sum vector, X^T X as a flat
+d*(d+1)/2 upper triangle) — a few thousand doubles per partition
+regardless of row count — then one tiny aggregation sums the partials
+element-wise. The d×d eigen-decomposition runs on the DRIVER (d is the
+embedding dim, 64–4096; the corpus length never appears in that cost),
+exactly like k-means centroids (`operators/clustering.py`): small
+model state driver-side, bulk data distributed. Projection is a
+map-side Arrow batch matmul with the component matrix shipped as a
+broadcast literal — the corpus never shuffles at any step.
+
+Verified against NumPy (`np.cov` / `eigh`) on the collected fixture to
+float tolerance; sign-ambiguity of eigenvectors is resolved by fixing
+each component's largest-|weight| coordinate positive (deterministic
+across runs and BLAS builds).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _moment_partials(dim: int, vec_col: str):
+    tri = dim * (dim + 1) // 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(dim)
+        xtx = np.zeros((dim, dim))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            xtx += x.T @ x
+        iu = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "s": [s.tolist()],
+                "xtx_tri": [xtx[iu].tolist()],
+                "_tri": [tri],
+            }
+        )
+
+    return run
+
+
+def moments(embs: DataFrame, vec_col: str = "embedding", dim: int | None = None):
+    """Corpus moments (n, mean, covariance) in ONE distributed pass.
+
+    Returns ``(n, mean ndarray [d], cov ndarray [d,d])`` — population
+    covariance (divide by n, matching ``stddev_pop`` conventions
+    elsewhere). Driver memory: O(partitions · d²/2) partial rows, each a
+    few KB at d=64.
+    """
+    if dim is None:
+        dim = len(embs.select(vec_col).first()[0])
+    partials = embs.select(vec_col).mapInPandas(
+        _moment_partials(dim, vec_col),
+        schema="n long, s array<double>, xtx_tri array<double>, _tri int",
+    )
+    rows = partials.collect()
+    n = sum(r["n"] for r in rows)
+    if n == 0:
+        raise ValueError("moments: empty input")
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    tri = np.sum([np.asarray(r["xtx_tri"]) for r in rows], axis=0)
+    xtx = np.zeros((dim, dim))
+    iu = np.triu_indices(dim)
+    xtx[iu] = tri
+    xtx = xtx + xtx.T - np.diag(np.diag(xtx))
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_fit(embs: DataFrame, k: int, vec_col: str = "embedding"):
+    """Top-k principal components of the embedding corpus.
+
+    Returns ``(mean [d], components [k,d], explained_var [k])``, eigen-
+    pairs of the population covariance sorted by descending eigenvalue.
+    Deterministic: each component's largest-|weight| coordinate is made
+    positive (eigh's sign choice varies by BLAS build).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    _, mean, cov = moments(embs, vec_col)
+    if k > cov.shape[0]:
+        raise ValueError(f"k={k} exceeds embedding dim {cov.shape[0]}")
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # [k, d]
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, vals[order]
+
+
+def pca_project(embs: DataFrame, mean, components,
+                vec_col: str = "embedding",
+                out_col: str = "pca") -> DataFrame:
+    """Map-side projection ``(x - mean) @ components.T`` → adds
+    ``out_col`` (array<double>, length k). The model (mean + k×d
+    components) ships inside the Arrow-batch closure like a broadcast
+    literal; no shuffle, no driver round-trips, whole rows stream
+    through untouched."""
+    mean = np.asarray(mean, dtype=np.float64)
+    comps = np.asarray(components, dtype=np.float64)
+    cols = embs.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                x = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                proj = (x - mean) @ comps.T
+                pdf = pdf.assign(**{out_col: [row.tolist() for row in proj]})
+            else:
+                pdf = pdf.assign(**{out_col: []})
+            yield pdf
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(embs.schema.fields)
+        + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+    return embs.mapInPandas(run, schema=schema)
+
+
+def whiten(embs: DataFrame, k: int, vec_col: str = "embedding",
+           out_col: str = "white", eps: float = 1e-9) -> DataFrame:
+    """PCA-whitening: project onto the top-k components and scale each
+    coordinate to unit variance (``/ sqrt(eigenvalue)``). The isotropic
+    input k-means and cosine-ANN implicitly assume."""
+    mean, comps, vals = pca_fit(embs, k, vec_col)
+    scaled = comps / np.sqrt(vals + eps)[:, None]
+    return pca_project(embs, mean, scaled, vec_col, out_col)

@@ -1,0 +1,89 @@
+"""Distributed linear algebra (operators/linalg.py) vs NumPy on the
+collected fixture — moments, PCA, projection, whitening."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.operators.linalg import (
+    moments,
+    pca_fit,
+    pca_project,
+    whiten,
+)
+from bloomy_etl_spark.sources.tables import load_table
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_table(spark, SF_ORACLE, "embeddings", fan_out=True)
+
+
+@pytest.fixture(scope="module")
+def x(embs):
+    rows = embs.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    return np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+
+
+class TestMoments:
+    def test_matches_numpy(self, embs, x):
+        n, mean, cov = moments(embs)
+        assert n == x.shape[0]
+        np.testing.assert_allclose(mean, x.mean(axis=0), rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(
+            cov, np.cov(x, rowvar=False, bias=True), rtol=1e-8, atol=1e-10
+        )
+
+    def test_partition_invariant(self, spark, embs, x):
+        _, m1, c1 = moments(embs.repartition(13))
+        _, m2, c2 = moments(embs.coalesce(1))
+        np.testing.assert_allclose(m1, m2, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(c1, c2, rtol=1e-9, atol=1e-11)
+
+    def test_empty_raises(self, spark, embs):
+        with pytest.raises(ValueError):
+            moments(embs.filter(F.lit(False)), dim=64)
+
+
+class TestPca:
+    def test_matches_numpy_eigh(self, embs, x):
+        mean, comps, vals = pca_fit(embs, k=5)
+        cov = np.cov(x, rowvar=False, bias=True)
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1][:5]
+        np.testing.assert_allclose(vals, w[order], rtol=1e-8)
+        for i, col in enumerate(order):
+            ref = v[:, col]
+            j = int(np.argmax(np.abs(comps[i])))
+            if ref[j] < 0:
+                ref = -ref
+            np.testing.assert_allclose(comps[i], ref, rtol=1e-6, atol=1e-8)
+
+    def test_projection_variance_equals_eigenvalues(self, embs):
+        mean, comps, vals = pca_fit(embs, k=3)
+        proj = pca_project(embs, mean, comps)
+        p = np.asarray(
+            [np.asarray(r["pca"]) for r in proj.select("pca").collect()]
+        )
+        np.testing.assert_allclose(p.var(axis=0), vals, rtol=1e-8)
+        # projection preserves every original column
+        assert set(proj.columns) == {"vec_id", "embedding", "label", "pca"}
+
+    def test_whiten_unit_variance(self, embs):
+        out = whiten(embs, k=4)
+        w = np.asarray(
+            [np.asarray(r["white"]) for r in out.select("white").collect()]
+        )
+        np.testing.assert_allclose(w.var(axis=0), np.ones(4), rtol=1e-6)
+        np.testing.assert_allclose(w.mean(axis=0), np.zeros(4), atol=1e-10)
+
+    def test_bad_k(self, embs):
+        with pytest.raises(ValueError):
+            pca_fit(embs, 0)
+        with pytest.raises(ValueError):
+            pca_fit(embs, 65)
