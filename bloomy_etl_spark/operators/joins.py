@@ -211,7 +211,7 @@ def fuzzy_value_pairs(df: DataFrame, col: str, k: int = 2,
 
 def interval_overlap_join(left: DataFrame, right: DataFrame,
                           l_lo: str, l_hi: str, r_lo: str, r_hi: str,
-                          bin_width: int) -> Column | DataFrame:
+                          bin_width: int) -> DataFrame:
     """Interval×interval overlap join (``l_lo <= r_hi AND r_lo <= l_hi``)
     via the same binning rewrite: both sides explode to bins, overlap
     implies sharing at least one bin, and in-row dedup keeps each
