@@ -1,10 +1,11 @@
-"""Declared queries for the round-5 engine surface (q70–q77):
+"""Declared queries for the round-5 engine surface (q70–q79):
 join-strategy operators (``operators/joins.py``: binned range, salted
-skew, SymSpell fuzzy), the one-pass quality suite
+skew, SymSpell fuzzy, Bloom-reduced semi), the one-pass quality suite
 (``operators/checks.py``), incremental aggregate maintenance
-(``operators/incremental.py``), and SCD2 dimension history
-(``sinks/layout.py::scd2_apply``), k-anonymity release audit, and
-hard-negative mining (``operators/similarity.py``).
+(``operators/incremental.py``), SCD2 dimension history
+(``sinks/layout.py::scd2_apply``), k-anonymity release audit,
+hard-negative mining (``operators/similarity.py``), and KMV sketch set
+operations (``operators/sketches.py``).
 
 Contract as everywhere (§2.10): total order, floats rounded, identical
 column aliases in the Spark builder and the DuckDB oracle.
@@ -207,6 +208,68 @@ def q77_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_psort, "query_id", "rank")
 
 
+# --------------------------------------------------------------------------
+# Q78 — Bloom-reduced semi join: orders kept only for high-balance
+# AUTOMOBILE customers. The Bloom bitmap prunes non-matching orders
+# MAP-SIDE before any exchange (the explicit form of runtime/dynamic
+# filtering); the exact left_semi behind it makes the result identical
+# to the plain IN-subquery oracle regardless of false positives.
+# --------------------------------------------------------------------------
+def q78_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.operators.joins import bloom_semi_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") == "AUTOMOBILE")
+            & (F.col("c_acctbal") > 1000)
+        )
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    kept = bloom_semi_join(orders, cust, on="o_custkey")
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .transform(_psort, "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q79 — KMV sketch set operations: day-over-day audience overlap
+# (returning users, union reach, Jaccard) from per-day bottom-k
+# sketches of user_id. k=4096 exceeds every day's distinct count at
+# test SFs, so the sketch is in its exact regime and the COUNT(DISTINCT)
+# oracle matches bit-for-bit (the k < n estimator regime is
+# error-bounded in tests/test_sketches.py) — the q45-percentile split:
+# exact path for the oracle, sketch path for scale.
+# --------------------------------------------------------------------------
+def q79_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.operators import sketches as SK
+
+    k = 4096
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    sk = SK.kmv_build(ev, ["day"], "user_id", k=k)
+    a = sk.select(F.col("day").alias("day_a"), F.col("kmv").alias("ka"))
+    b = sk.select(F.col("day").alias("day_b"), F.col("kmv").alias("kb"))
+    pairs = a.join(b, F.col("day_b") == F.date_add(F.col("day_a"), 1))
+    est = SK.kmv_overlap_cols(F.col("ka"), F.col("kb"), k)
+    return pairs.select(
+        "day_a",
+        "day_b",
+        F.round(est["est_a"]).cast("long").alias("est_a"),
+        F.round(est["est_b"]).cast("long").alias("est_b"),
+        F.round(est["est_union"]).cast("long").alias("est_union"),
+        F.round(est["est_inter"]).cast("long").alias("est_inter"),
+        F.round(est["jaccard"], 4).alias("jaccard"),
+    ).transform(_psort, "day_a")
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -216,6 +279,8 @@ ENGINE_QUERIES = {
     "q75_scd2_history": q75_scd2_history,
     "q76_k_anonymity": q76_k_anonymity,
     "q77_hard_negatives": q77_hard_negatives,
+    "q78_bloom_semi_join": q78_bloom_semi_join,
+    "q79_kmv_overlap": q79_kmv_overlap,
 }
 
 
@@ -366,6 +431,47 @@ ENGINE_ORACLE_SQL = {
         FROM classes
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+    """,
+    "q78_bloom_semi_join": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer
+            WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 1000
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q79_kmv_overlap": """
+        WITH d AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                            user_id
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        c AS (SELECT day, COUNT(*) AS n FROM d GROUP BY day),
+        pairs AS (
+            SELECT a.day AS day_a, b.day AS day_b,
+                   a.n AS n_a, b.n AS n_b
+            FROM c a JOIN c b ON b.day = a.day + 1
+        ),
+        inter AS (
+            SELECT a.day AS day_a, COUNT(*) AS n_i
+            FROM d a JOIN d b
+              ON b.user_id = a.user_id AND b.day = a.day + 1
+            GROUP BY a.day
+        )
+        SELECT p.day_a, p.day_b,
+               CAST(p.n_a AS BIGINT) AS est_a,
+               CAST(p.n_b AS BIGINT) AS est_b,
+               CAST(p.n_a + p.n_b - COALESCE(i.n_i, 0) AS BIGINT) AS est_union,
+               CAST(COALESCE(i.n_i, 0) AS BIGINT) AS est_inter,
+               ROUND(COALESCE(i.n_i, 0) /
+                     CAST(p.n_a + p.n_b - COALESCE(i.n_i, 0) AS DOUBLE),
+                     4) AS jaccard
+        FROM pairs p LEFT JOIN inter i ON i.day_a = p.day_a
+        ORDER BY p.day_a
     """,
     "q73_incremental_agg": """
         SELECT event_type,

@@ -1,5 +1,6 @@
 """Scale-oriented join strategies Spark lacks natively: binned range
-joins and salted skew joins.
+joins, salted skew joins, Bloom-reduced semi joins, and SymSpell fuzzy
+joins.
 
 **Binned range join.** Spark plans a pure range predicate (``p.v BETWEEN
 i.lo AND i.hi`` with no equi-key) as BroadcastNestedLoopJoin — O(|P|·|I|)
@@ -30,6 +31,8 @@ CartesianProduct for the range join, no broadcast for the salted join.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -130,6 +133,111 @@ def salted_join(big: DataFrame, small: DataFrame, on: str | list[str],
     ).withColumn("__salt", F.col("__salt").cast("long"))
     out = salted_big.join(replicated_small, on=[*keys, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def bloom_semi_join(big: DataFrame, small: DataFrame, on: str | list[str],
+                    m_bits: int = 1 << 20, n_hashes: int = 5,
+                    prefilter_only: bool = False) -> DataFrame:
+    """Semi join with a Bloom-filter pre-filter on the big side — the
+    runtime-filter pattern (Trino/Snowflake "dynamic filtering"; Spark's
+    own InjectRuntimeFilter, whose ``bloom_filter_agg`` is not in the
+    public function registry) as an explicit operator.
+
+    Why: a plain ``left_semi`` between two above-broadcast-threshold
+    tables shuffles ALL of ``big``. Here the small side's key set is
+    first folded into an ``m_bits`` Bloom filter and every non-matching
+    ``big`` row (minus false positives) is dropped MAP-SIDE, before the
+    exchange — shuffle volume becomes O(matches + FP) instead of O(big).
+
+    Scale discipline — how the filter is built matters as much as using
+    one: key positions are computed JVM-side (double hashing
+    ``pos_j = pmod(h1 + j·h2, m)`` over two ``xxhash64`` streams), then
+    folded with ``bit_or`` into ``m/64`` bitmap words, so the driver
+    receives O(m/64) rows NO MATTER how many keys the small side has
+    (collecting the key set itself — the shortcut
+    ``corpus._bloom_hits`` takes for benchmark sets — is exactly what
+    does not survive a 10⁹-key dimension). The probe is one
+    Arrow-batched pandas UDF over the precomputed mod-m-reduced
+    (h1, h2) columns: both hashes live in [0, m), every intermediate
+    stays far below 2⁶³ (ANSI-overflow-safe), and numpy's
+    positive-divisor ``%`` equals the JVM's ``pmod`` — build and probe
+    agree on every position.
+
+    Correctness never depends on the filter: survivors still pass
+    through a real ``left_semi`` (oracle t2:q78 is the plain semi
+    join). ``prefilter_only=True`` skips that and returns the
+    may-contain superset — the mode used to prune a fact table before a
+    subsequent full join computes its own equality anyway.
+
+    Bench transparency: folding the bitmap runs a small Spark job when
+    the plan is BUILT (same eager-artifact pattern as q54's centroids /
+    q62's merge table).
+    """
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def hashes() -> tuple[Column, Column]:
+        # Pre-reduced mod m: (h1 + j·h2) mod m ≡ ((h1 mod m) + j·(h2 mod m))
+        # mod m, and the reduced form never leaves [0, n_hashes·m) — safe
+        # under ANSI overflow checking (Spark 4 default) with no behavior
+        # fork between JVM build and numpy probe.
+        cols = [F.col(c) for c in keys]
+        return (
+            F.pmod(F.xxhash64(*cols), F.lit(m_bits)),
+            F.pmod(F.xxhash64(F.lit("bloom2"), *cols), F.lit(m_bits)),
+        )
+
+    h1, h2 = hashes()
+    positions = small.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(h1 + F.lit(j).cast("long") * h2, F.lit(m_bits))
+                    for j in range(n_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        positions.groupBy(
+            F.shiftrightunsigned(F.col("pos"), 6).alias("word")
+        )
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").alias("bits"))
+        .collect()
+    )
+    bitmap = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[int(r["word"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    bc = big.sparkSession.sparkContext.broadcast(bitmap)
+    m = m_bits
+    nh = n_hashes
+
+    @F.pandas_udf("boolean")
+    def might_contain(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        bm = bc.value
+        a = s1.to_numpy(dtype=np.int64, na_value=0)  # already in [0, m)
+        b = s2.to_numpy(dtype=np.int64, na_value=0)
+        ok = np.ones(len(a), dtype=bool)
+        for j in range(nh):
+            pos = (a + np.int64(j) * b) % np.int64(m)
+            w = (pos >> 6).astype(np.int64)
+            bit = (pos & 63).astype(np.uint64)
+            ok &= ((bm[w] >> bit) & np.uint64(1)).astype(bool)
+        return pd.Series(ok)
+
+    bh1, bh2 = hashes()
+    pruned = (
+        big.withColumn("__bh1", bh1)
+        .withColumn("__bh2", bh2)
+        .filter(might_contain(F.col("__bh1"), F.col("__bh2")))
+        .drop("__bh1", "__bh2")
+    )
+    if prefilter_only:
+        return pruned
+    return pruned.join(small.select(*keys), on=keys, how="left_semi")
 
 
 def _deletion_variants(col: Column, k: int) -> Column:

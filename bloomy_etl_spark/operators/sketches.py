@@ -1,5 +1,6 @@
-"""Count-min sketch: sub-linear frequency estimation for streams and
-shuffles too wide to count exactly.
+"""Bounded-state sketches: count-min (frequency), HLL (distinct
+count), KMV/theta (distinct count WITH set operations) — for streams
+and shuffles too wide to count exactly.
 
 At 100 TB, ``groupBy(token).count()`` over raw n-grams shuffles a row
 per distinct key — fine for the top-k heap (``corpus.top_ngrams``), but
@@ -152,3 +153,147 @@ def hll_estimate(sketch: DataFrame) -> DataFrame:
     return sketch.select(
         *keys, F.hll_sketch_estimate(F.col("hll")).alias("n_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k, the theta-sketch family).
+#
+# HLL unions but cannot INTERSECT: registers carry no membership, so
+# |A∩B| via inclusion-exclusion inherits the error of three estimates
+# and collapses for small overlaps. The KMV sketch (Bar-Yossef et al.
+# 2002; Beyer et al. "On Synopses for Distinct-Value Estimation under
+# Multiset Operations", SIGMOD'07) keeps the k smallest hash values of
+# the distinct items — a uniform sample of the hash space that supports
+# union (k-min of the merged arrays), INTERSECTION and Jaccard (the
+# fraction of the union sketch's values present in both inputs), and is
+# EXACT whenever a group's distinct count is below k (the sketch then
+# IS the distinct hash set). That exact-below-k regime is what the
+# declared query (t2:q79) pins against a COUNT(DISTINCT) oracle — the
+# same exact-path-for-oracle / sketch-path-for-scale split as q45's
+# percentiles; the k < n estimator regime is unit-bounded
+# (err ≲ 2/√k, tests/test_sketches.py).
+#
+# Spark shape: one distinct on (keys, hash) — dedup is unavoidable for
+# distinct-value semantics and spills safely — then a bounded row_number
+# window keeps ≤ k rows per group before the collect_list, so no
+# unbounded array ever materializes (the naive
+# slice(sort(collect_set(h))) holds a group's WHOLE distinct set in one
+# aggregation buffer; this never holds more than k). Merges are in-row
+# array ops on ≤ k-element arrays; estimates are pure projections.
+# ---------------------------------------------------------------------------
+
+_TWO63 = 9.223372036854775808e18  # 2^63 as double
+_TWO64 = 1.8446744073709552e19   # 2^64 as double
+
+
+def _item_hash(item_col: str):
+    """Signed-int64 item hash; ascending signed order == ascending
+    unsigned order after the +2^63 shift used by the estimator, so
+    sorted arrays and `u = (h + 2^63)/2^64` agree about "smallest"."""
+    return F.xxhash64(F.col(item_col))
+
+
+def kmv_build(df: DataFrame, keys: list[str], item_col: str,
+              k: int = 1024) -> DataFrame:
+    """Per-group KMV sketch: ``kmv`` = sorted array of the ``k``
+    smallest distinct item hashes (all of them when the group has fewer
+    than ``k`` distinct items — the exact regime). NULL items are
+    skipped, matching ``COUNT(DISTINCT)``.
+
+    ``keys = []`` builds one global sketch; to avoid ranking every
+    distinct hash through a single task it partials over 64 salted
+    subgroups and merges them in-row (union of KMVs IS a KMV).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql.window import Window
+
+    d = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*keys, _item_hash(item_col).alias("__h"))
+        .distinct()
+    )
+    part_keys = keys if keys else ["__sub"]
+    if not keys:
+        d = d.withColumn("__sub", F.pmod(F.col("__h"), F.lit(64)))
+    w = Window.partitionBy(*part_keys).orderBy("__h")
+    ranked = d.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    if keys:
+        return ranked.groupBy(*keys).agg(
+            F.array_sort(F.collect_list("__h")).alias("kmv")
+        )
+    return ranked.groupBy().agg(
+        F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("kmv")
+    )
+
+
+def kmv_merge_col(a, b, k: int):
+    """Column-level union of two KMV arrays (either may be NULL):
+    distinct-merge then keep the k smallest — again a valid KMV of the
+    underlying set union."""
+    empty = F.array().cast("array<bigint>")
+    return F.slice(
+        F.array_sort(
+            F.array_distinct(
+                F.concat(F.coalesce(a, empty), F.coalesce(b, empty))
+            )
+        ),
+        1,
+        k,
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
+    """Union any number of per-group sketch tables (monoid reduce, same
+    contract as :func:`hll_merge`): one union + one bounded groupBy;
+    every array involved is ≤ k elements."""
+    if not sketches:
+        raise ValueError("no sketches given")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    keys = [c for c in u.columns if c != "kmv"]
+    grouped = u.groupBy(*keys) if keys else u.groupBy()
+    return grouped.agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))),
+            1,
+            k,
+        ).alias("kmv")
+    )
+
+
+def kmv_estimate_col(kmv, k: int):
+    """Distinct-count estimate (double) from a KMV array column.
+
+    Below k the sketch is the full distinct hash set → exact count.
+    At capacity the kth smallest normalized hash ``u_k`` estimates the
+    sampling fraction: ``(k-1)/u_k`` (the classical unbiased bottom-k
+    estimator)."""
+    sz = F.size(kmv)
+    u_k = (F.element_at(kmv, k).cast("double") + F.lit(_TWO63)) / F.lit(_TWO64)
+    return F.when(sz < k, sz.cast("double")).otherwise(F.lit(k - 1) / u_k)
+
+
+def kmv_overlap_cols(a, b, k: int) -> dict:
+    """Set-operation estimates for two KMV array columns, as a dict of
+    named Columns: ``est_a``, ``est_b``, ``est_union``, ``est_inter``,
+    ``jaccard``.
+
+    Intersection follows Beyer et al.: build the union sketch U (k-min
+    of the merge), count ρ = |{h ∈ U : h ∈ A ∧ h ∈ B}|, and scale
+    ``ρ/|U| · est(U)``; ``jaccard = ρ/|U|``. When both groups are below
+    k every quantity is exact."""
+    u = kmv_merge_col(a, b, k)
+    ku = F.size(u)
+    rho = F.size(F.array_intersect(F.array_intersect(u, a), b))
+    est_u = kmv_estimate_col(u, k)
+    return {
+        "est_a": kmv_estimate_col(a, k),
+        "est_b": kmv_estimate_col(b, k),
+        "est_union": est_u,
+        "est_inter": F.when(ku > 0, rho / ku * est_u).otherwise(F.lit(0.0)),
+        "jaccard": F.when(ku > 0, rho / ku).otherwise(F.lit(0.0)),
+    }

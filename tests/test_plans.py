@@ -325,3 +325,40 @@ def test_quality_suite_query_single_scan(spark):
     df = ENGINE_QUERIES["q72_quality_suite"](spark, SF_SMOKE)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("Relation") == 1
+
+
+def test_bloom_prefilter_is_map_side(spark):
+    """The Bloom probe must run in the scan stage — the prefiltered big
+    side contains a python-UDF filter and ZERO exchanges, so composed
+    with a downstream join the pruning happens before any shuffle."""
+    from pyspark.sql import functions as F
+
+    from bloomy_etl_spark.operators.joins import bloom_semi_join
+
+    big = spark.range(0, 10000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.range(0, 100, 10).select(F.col("id").alias("k"))
+    plan = plan_string(bloom_semi_join(big, small, "k", prefilter_only=True))
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan, plan
+    assert "Exchange" not in plan, f"bloom prefilter must not shuffle:\n{plan}"
+
+
+def test_kmv_build_bounded_collect_list(spark):
+    """kmv_build must rank-limit BEFORE collect_list: the aggregate that
+    builds the array consumes at most k rows per group (the window
+    filter), never the group's whole distinct set."""
+    from pyspark.sql import functions as F
+
+    from bloomy_etl_spark.operators.sketches import kmv_build
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("item")
+    )
+    plan = plan_string(kmv_build(df, ["g"], "item", k=32))
+    # Window (rank+filter) must appear below the final aggregate
+    assert "Window" in plan, plan
+    i_agg = plan.find("ObjectHashAggregate")
+    if i_agg == -1:
+        i_agg = plan.find("SortAggregate")
+    assert i_agg != -1, plan

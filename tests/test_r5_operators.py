@@ -597,3 +597,198 @@ class TestHll:
     def test_bad_args(self):
         with pytest.raises(ValueError):
             hll_merge()
+
+
+# ---------------------------------------------------------------------------
+# bloom_semi_join (runtime-filter pattern as an explicit operator)
+# ---------------------------------------------------------------------------
+class TestBloomSemiJoin:
+    @pytest.fixture(scope="class")
+    def data(self, spark):
+        from bloomy_etl_spark.operators.joins import bloom_semi_join  # noqa: F401
+
+        big = spark.range(0, 5000).select(
+            (F.col("id") % 997).alias("k"), F.col("id").alias("v")
+        )
+        small = spark.createDataFrame(
+            [(i,) for i in range(0, 997, 7)], "k long"
+        )
+        return big, small
+
+    def test_matches_plain_semi_join(self, spark, data):
+        from bloomy_etl_spark.operators.joins import bloom_semi_join
+
+        big, small = data
+        got = sorted(tuple(r) for r in bloom_semi_join(big, small, "k").collect())
+        want = sorted(tuple(r) for r in big.join(small, "k", "left_semi").collect())
+        assert got == want
+
+    def test_tiny_bitmap_still_exact(self, spark, data):
+        """m small enough to guarantee false positives — the exact
+        left_semi behind the filter keeps the result identical."""
+        from bloomy_etl_spark.operators.joins import bloom_semi_join
+
+        big, small = data
+        got = sorted(
+            tuple(r)
+            for r in bloom_semi_join(big, small, "k", m_bits=256, n_hashes=2).collect()
+        )
+        want = sorted(tuple(r) for r in big.join(small, "k", "left_semi").collect())
+        assert got == want
+
+    def test_prefilter_is_match_superset_and_prunes(self, spark, data):
+        from bloomy_etl_spark.operators.joins import bloom_semi_join
+
+        big, small = data
+        pruned = bloom_semi_join(big, small, "k", prefilter_only=True)
+        want = big.join(small, "k", "left_semi")
+        # every true match survives the filter...
+        assert want.exceptAll(pruned.select(*want.columns)).count() == 0
+        # ...and the filter actually prunes (non-matching keys dominate here)
+        assert want.count() <= pruned.count() < big.count()
+
+    def test_multi_column_key(self, spark):
+        from bloomy_etl_spark.operators.joins import bloom_semi_join
+
+        big = spark.range(0, 2000).select(
+            (F.col("id") % 50).alias("a"),
+            (F.col("id") % 7).cast("string").alias("b"),
+            F.col("id").alias("v"),
+        )
+        small = spark.createDataFrame(
+            [(i, str(i % 7)) for i in range(0, 50, 5)], "a long, b string"
+        )
+        got = sorted(
+            tuple(r) for r in bloom_semi_join(big, small, ["a", "b"]).collect()
+        )
+        want = sorted(
+            tuple(r) for r in big.join(small, ["a", "b"], "left_semi").collect()
+        )
+        assert got == want
+
+    def test_empty_small_side(self, spark, data):
+        from bloomy_etl_spark.operators.joins import bloom_semi_join
+
+        big, small = data
+        assert bloom_semi_join(big, small.filter(F.lit(False)), "k").count() == 0
+
+    def test_bad_args(self, spark, data):
+        from bloomy_etl_spark.operators.joins import bloom_semi_join
+
+        big, small = data
+        with pytest.raises(ValueError):
+            bloom_semi_join(big, small, "k", m_bits=100)
+        with pytest.raises(ValueError):
+            bloom_semi_join(big, small, "k", n_hashes=0)
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketches (distinct count with set operations)
+# ---------------------------------------------------------------------------
+class TestKmv:
+    def test_exact_regime_matches_count_distinct(self, spark):
+        from bloomy_etl_spark.operators.sketches import kmv_build, kmv_estimate_col
+
+        df = spark.range(0, 3000).select(
+            (F.col("id") % 7).alias("g"), (F.col("id") % 500).alias("item")
+        )
+        est = {
+            r["g"]: r["est"]
+            for r in kmv_build(df, ["g"], "item", k=1024)
+            .select("g", kmv_estimate_col(F.col("kmv"), 1024).alias("est"))
+            .collect()
+        }
+        exact = {
+            r["g"]: r["n"]
+            for r in df.groupBy("g").agg(F.count_distinct("item").alias("n")).collect()
+        }
+        assert est == {g: float(n) for g, n in exact.items()}
+
+    def test_estimator_error_bound(self, spark):
+        """k << n regime: classical bottom-k estimator, err ≲ 2/√k.
+        Deterministic (fixed xxhash64), so the bound is a regression
+        pin, not a flaky statistical test."""
+        from bloomy_etl_spark.operators.sketches import kmv_build, kmv_estimate_col
+
+        n, k = 60000, 256
+        df = spark.range(n).select(F.lit(1).alias("g"), F.col("id").alias("item"))
+        (row,) = (
+            kmv_build(df, ["g"], "item", k=k)
+            .select(kmv_estimate_col(F.col("kmv"), k).alias("est"))
+            .collect()
+        )
+        assert abs(row["est"] - n) / n < 2 / (k ** 0.5)
+
+    def test_merge_equals_build_on_union(self, spark):
+        """k-min of a union == k-min of the merged per-slice k-mins —
+        exactly, not approximately (same hash set)."""
+        from bloomy_etl_spark.operators.sketches import kmv_build, kmv_merge
+
+        k = 64
+        full = spark.range(0, 2000).select(
+            (F.col("id") % 3).alias("g"), F.col("id").alias("item")
+        )
+        a = full.filter(F.col("item") < 1200)          # overlapping slices
+        b = full.filter(F.col("item") >= 800)
+        merged = {
+            r["g"]: r["kmv"]
+            for r in kmv_merge(
+                kmv_build(a, ["g"], "item", k=k),
+                kmv_build(b, ["g"], "item", k=k),
+                k=k,
+            ).collect()
+        }
+        oneshot = {
+            r["g"]: r["kmv"] for r in kmv_build(full, ["g"], "item", k=k).collect()
+        }
+        assert merged == oneshot
+
+    def test_global_sketch_no_keys(self, spark):
+        from bloomy_etl_spark.operators.sketches import kmv_build, kmv_estimate_col
+
+        df = spark.range(0, 700).select(F.col("id").alias("item"))
+        (row,) = (
+            kmv_build(df, [], "item", k=1024)
+            .select(kmv_estimate_col(F.col("kmv"), 1024).alias("est"))
+            .collect()
+        )
+        assert row["est"] == 700.0
+
+    def test_overlap_exact_regime(self, spark):
+        from bloomy_etl_spark.operators.sketches import kmv_build, kmv_overlap_cols
+
+        k = 512
+        df = spark.createDataFrame(
+            [("a", i) for i in range(100)] + [("b", i) for i in range(50, 150)],
+            "g string, item long",
+        )
+        sk = kmv_build(df, ["g"], "item", k=k)
+        pair = (
+            sk.filter(F.col("g") == "a")
+            .select(F.col("kmv").alias("ka"))
+            .crossJoin(sk.filter(F.col("g") == "b").select(F.col("kmv").alias("kb")))
+        )
+        est = kmv_overlap_cols(F.col("ka"), F.col("kb"), k)
+        (row,) = pair.select(
+            est["est_a"].alias("a"), est["est_b"].alias("b"),
+            est["est_union"].alias("u"), est["est_inter"].alias("i"),
+            est["jaccard"].alias("j"),
+        ).collect()
+        assert (row["a"], row["b"], row["u"], row["i"]) == (100.0, 100.0, 150.0, 50.0)
+        assert abs(row["j"] - 50 / 150) < 1e-12
+
+    def test_null_items_skipped(self, spark):
+        from bloomy_etl_spark.operators.sketches import kmv_build
+
+        df = spark.createDataFrame(
+            [("g", 1), ("g", None), ("g", 2)], "g string, item long"
+        )
+        (row,) = kmv_build(df, ["g"], "item", k=16).collect()
+        assert len(row["kmv"]) == 2
+
+    def test_bad_k(self, spark):
+        from bloomy_etl_spark.operators.sketches import kmv_build
+
+        df = spark.range(5).select(F.col("id").alias("item"))
+        with pytest.raises(ValueError):
+            kmv_build(df, [], "item", k=1)
