@@ -65,3 +65,62 @@ def collect_table_stats(df: DataFrame, rsd: float = 0.05) -> dict:
             stats["avg_len"] = round(row[f"__len__{c}"], 2)
         cols[c] = stats
     return {"n_rows": n, "columns": cols}
+
+
+def estimate_join_cardinality(a: DataFrame, b: DataFrame,
+                              a_key: str, b_key: str,
+                              k: int = 4096) -> dict:
+    """Pre-join size estimate from KMV sketches — answer "how big is
+    this join going to be" WITHOUT running it, the number that decides
+    broadcast vs shuffle vs salt before a 100 TB join is launched.
+
+    Model: per side, one aggregation yields row count, distinct key
+    count (KMV), and the global KMV sketch of the key; the two sketches
+    intersect (Beyer et al., same machinery as
+    ``operators/sketches.py::kmv_overlap_cols``) to estimate how many
+    key VALUES match; assuming per-key multiplicities independent of
+    membership (the textbook System-R uniformity assumption — exact
+    for keys with uniform fan-out, an estimate otherwise), expected
+    output rows ≈ matching_keys · (rows_a/ndv_a) · (rows_b/ndv_b).
+
+    Cost: two aggregation jobs (one per side) with bounded shuffle
+    (≤ 64·k hashes each), two driver-side ≤k arrays. Every estimate is
+    EXACT when both key sets stay below k (the same exact-below-k
+    regime q79 pins against its oracle).
+
+    Returns ``{rows_a, rows_b, ndv_a, ndv_b, matching_keys, est_rows}``
+    (counts as floats — they are estimates outside the exact regime).
+    """
+    from bloomy_etl_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate_col,
+        kmv_overlap_cols,
+    )
+
+    def side(df: DataFrame, key: str) -> tuple[int, DataFrame]:
+        n = df.count()
+        return n, kmv_build(df, [], key, k=k)
+
+    n_a, sk_a = side(a, a_key)
+    n_b, sk_b = side(b, b_key)
+    pair = sk_a.select(F.col("kmv").alias("ka")).crossJoin(
+        sk_b.select(F.col("kmv").alias("kb"))
+    )
+    est = kmv_overlap_cols(F.col("ka"), F.col("kb"), k)
+    row = pair.select(
+        kmv_estimate_col(F.col("ka"), k).alias("ndv_a"),
+        kmv_estimate_col(F.col("kb"), k).alias("ndv_b"),
+        est["est_inter"].alias("matching"),
+    ).first()
+    ndv_a, ndv_b, matching = row["ndv_a"], row["ndv_b"], row["matching"]
+    est_rows = (
+        matching * (n_a / ndv_a) * (n_b / ndv_b) if ndv_a and ndv_b else 0.0
+    )
+    return {
+        "rows_a": n_a,
+        "rows_b": n_b,
+        "ndv_a": ndv_a,
+        "ndv_b": ndv_b,
+        "matching_keys": matching,
+        "est_rows": est_rows,
+    }
