@@ -270,6 +270,100 @@ def q79_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_psort, "day_a")
 
 
+# --------------------------------------------------------------------------
+# Q80 — hypertable-style gap fill: sparse per-user daily purchase series
+# densified onto the full daily grid with linear interpolation. The
+# engine path is the one-shuffle lead+explode design (timeseries.py —
+# the dense grid never exists outside the final map stage); the oracle
+# replays it with window + generate_series. Inner AVG is rounded to 6dp
+# in BOTH engines before interpolating so the float math starts from
+# identical inputs.
+# --------------------------------------------------------------------------
+def q80_gapfill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.operators.timeseries import gapfill
+
+    day = (
+        F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date"))
+        .cast("long")
+        .alias("day")
+    )
+    obs = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("user_id") % 5 == 0) & (F.col("event_type") == "purchase"))
+        .groupBy("user_id", day)
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    # FLOOR(v * 1e4), not ROUND(v, 4): linear midpoints of 6dp-rounded
+    # inputs land exactly on .xxxx5, where Spark (half-up) and DuckDB
+    # (half-even) disagree; floor of bit-identical doubles cannot.
+    return (
+        gapfill(obs, ["user_id"], "day", "v", method="linear")
+        .select(
+            "user_id",
+            "day",
+            F.floor(F.col("v") * 10000).cast("long").alias("value_e4"),
+            "observed",
+        )
+        .transform(_psort, "user_id", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q81 — grid-bucketed spatial radius self-join: all point pairs within
+# Euclidean distance 25 on a derived integer point set (spatial.py:
+# cell equi join, 3×3 probe replication, exactly-once by construction —
+# no distinct, no nested-loop join). Integer coordinates make the
+# distance predicate exact, so the O(n²) theta join IS the oracle.
+# --------------------------------------------------------------------------
+def q81_spatial_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.operators.spatial import radius_self_join
+
+    eid = F.col("event_id")
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(eid % 13 == 0)
+        .select(
+            eid.alias("pid"),
+            ((eid * 37) % 1000).cast("double").alias("px"),
+            ((eid * 53) % 1000).cast("double").alias("py"),
+        )
+    )
+    return (
+        radius_self_join(pts, "pid", "px", "py", 25.0)
+        .select("id_a", "id_b", F.col("dist2").cast("long").alias("dist2"))
+        .transform(_psort, "id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q82 — weighted PageRank over the supplier co-purchase graph (edges =
+# supplier pairs sharing an order, weight = shared-order count), 3
+# rounds, damping 0.85. Per-round 9dp quantization (the k-means trick)
+# makes the power iteration exactly replayable — the oracle is the
+# 3-round CTE chain. Edge weights are integer-valued doubles, so the
+# out-weight normalization is exact in both engines.
+# --------------------------------------------------------------------------
+def q82_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.operators.graph import pagerank
+
+    os_ = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        os_.select("o", F.col("s").alias("src"))
+        .join(os_.select("o", F.col("s").alias("dst")), "o")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, weight="w", damping=0.85, rounds=3, quantize_dp=9)
+    return ranks.select(
+        F.col("node").alias("suppkey"), F.round("rank", 6).alias("rank")
+    ).transform(_psort, "suppkey")
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -281,6 +375,9 @@ ENGINE_QUERIES = {
     "q77_hard_negatives": q77_hard_negatives,
     "q78_bloom_semi_join": q78_bloom_semi_join,
     "q79_kmv_overlap": q79_kmv_overlap,
+    "q80_gapfill_series": q80_gapfill_series,
+    "q81_spatial_neighbors": q81_spatial_neighbors,
+    "q82_supplier_pagerank": q82_supplier_pagerank,
 }
 
 
@@ -472,6 +569,109 @@ ENGINE_ORACLE_SQL = {
                      4) AS jaccard
         FROM pairs p LEFT JOIN inter i ON i.day_a = p.day_a
         ORDER BY p.day_a
+    """,
+    "q80_gapfill_series": f"""
+        WITH obs AS (
+            SELECT user_id,
+                   CAST(DATEDIFF('day', DATE '{_EPOCH}',
+                                 CAST(ts AS DATE)) AS BIGINT) AS day,
+                   ROUND(AVG(value), 6) AS v
+            FROM events
+            WHERE user_id % 5 = 0 AND event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        nx AS (
+            SELECT *, LEAD(day) OVER w AS nday, LEAD(v) OVER w AS nv
+            FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        ),
+        grid AS (
+            SELECT user_id, day, v, nday, nv,
+                   UNNEST(generate_series(day, COALESCE(nday - 1, day))) AS d
+            FROM nx
+        )
+        SELECT user_id, d AS day,
+               CAST(FLOOR((CASE WHEN d = day THEN v
+                           ELSE v + (nv - v) * (d - day) / (nday - day)
+                           END) * 10000) AS BIGINT) AS value_e4,
+               d = day AS observed
+        FROM grid
+        ORDER BY user_id, day
+    """,
+    "q81_spatial_neighbors": """
+        WITH p AS (
+            SELECT event_id AS pid,
+                   CAST((event_id * 37) % 1000 AS DOUBLE) AS px,
+                   CAST((event_id * 53) % 1000 AS DOUBLE) AS py
+            FROM events WHERE event_id % 13 = 0
+        )
+        SELECT a.pid AS id_a, b.pid AS id_b,
+               CAST((a.px - b.px) * (a.px - b.px)
+                    + (a.py - b.py) * (a.py - b.py) AS BIGINT) AS dist2
+        FROM p a JOIN p b
+          ON a.pid < b.pid
+         AND (a.px - b.px) * (a.px - b.px)
+             + (a.py - b.py) * (a.py - b.py) <= 625.0
+        ORDER BY id_a, id_b
+    """,
+    # 3-round replay of graph.py::pagerank. The fixture co-purchase
+    # graph is symmetric, so the dangling-mass term the engine computes
+    # is exactly 0.0 and the replay may omit it (adding 0.0 is an IEEE
+    # no-op). Damping literals are cast to DOUBLE — DuckDB would
+    # otherwise fold (1 - 0.85) in DECIMAL and diverge from the
+    # engine's float math.
+    "q82_supplier_pagerank": """
+        WITH os AS (
+            SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+        ),
+        e0 AS (
+            SELECT a.s AS src, b.s AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+            FROM os a JOIN os b ON a.o = b.o AND a.s <> b.s
+            GROUP BY 1, 2
+        ),
+        e AS (
+            SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS frac
+            FROM e0
+        ),
+        v AS (
+            SELECT src AS node FROM e0
+            UNION
+            SELECT dst FROM e0
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM v, nn),
+        c1 AS (
+            SELECT e.dst, SUM(r.rank * e.frac) AS c
+            FROM r0 r JOIN e ON r.node = e.src GROUP BY e.dst
+        ),
+        r1 AS (
+            SELECT v.node,
+                   ROUND((1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                         + CAST(0.85 AS DOUBLE) * COALESCE(c1.c, 0), 9) AS rank
+            FROM v LEFT JOIN c1 ON v.node = c1.dst
+        ),
+        c2 AS (
+            SELECT e.dst, SUM(r.rank * e.frac) AS c
+            FROM r1 r JOIN e ON r.node = e.src GROUP BY e.dst
+        ),
+        r2 AS (
+            SELECT v.node,
+                   ROUND((1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                         + CAST(0.85 AS DOUBLE) * COALESCE(c2.c, 0), 9) AS rank
+            FROM v LEFT JOIN c2 ON v.node = c2.dst
+        ),
+        c3 AS (
+            SELECT e.dst, SUM(r.rank * e.frac) AS c
+            FROM r2 r JOIN e ON r.node = e.src GROUP BY e.dst
+        ),
+        r3 AS (
+            SELECT v.node,
+                   ROUND((1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                         + CAST(0.85 AS DOUBLE) * COALESCE(c3.c, 0), 9) AS rank
+            FROM v LEFT JOIN c3 ON v.node = c3.dst
+        )
+        SELECT CAST(node AS BIGINT) AS suppkey, ROUND(rank, 6) AS rank
+        FROM r3
+        ORDER BY suppkey
     """,
     "q73_incremental_agg": """
         SELECT event_type,

@@ -1,0 +1,99 @@
+"""Iterative graph analytics over edge tables: PageRank.
+
+Complements the connected-components resolver (``dedup.py:682`` — the
+*equivalence* view of a similarity graph) with the *centrality* view:
+PageRank over a weighted directed edge table, the standard authority
+signal for corpus curation (domain weighting à la Common Crawl) and
+entity importance.
+
+Scale design
+------------
+The canonical distributed shape: edges are normalized once (out-weight
+fractions), then each round is one shuffle — ``ranks ⋈ edges`` grouped
+by destination.  Ranks and edges stay DataFrames end-to-end; the only
+driver-resident value is the vertex count (a scalar).  Dangling-mass
+redistribution (vertices with no out-edges) is folded in as a 1-row
+aggregate cross-joined back — no per-round ``collect()``.  Lineage is
+cut with a per-round ``localCheckpoint`` exactly like the
+connected-components loop, so plans stay O(1) per round.
+
+Determinism: per-round ranks are quantized to ``quantize_dp`` decimals
+(the k-means trick, ``clustering.py``) so a fixed-round run is exactly
+replayable by a sequential engine — that replay is the DuckDB oracle
+for q82.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    *,
+    damping: float = 0.85,
+    rounds: int = 10,
+    quantize_dp: int = 9,
+) -> DataFrame:
+    """Weighted PageRank, fixed ``rounds`` of power iteration.
+
+    Returns ``(node, rank)`` for every vertex appearing as a source or
+    destination.  Multi-edges are combined by weight sum; a missing
+    ``weight`` counts each edge as 1.  Vertices with no out-edges
+    (dangling) redistribute their mass uniformly each round, so total
+    rank stays 1 up to quantization.
+    """
+    w = F.lit(1.0) if weight is None else F.col(weight).cast("double")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     w.alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = e.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("outw")).alias("frac")
+    )
+    e = e.persist()
+    verts = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()  # the one driver-resident scalar
+    base, d = (1.0 - damping) / n, damping
+    has_out = e.select("src").distinct()
+    ranks = verts.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(rounds):
+        dangling = (
+            ranks.join(has_out, ranks["node"] == has_out["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("c"))
+        )
+        ranks = (
+            verts.join(contrib, verts["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))  # 1-row scalar, broadcast
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("c"), F.lit(0.0))
+                       + F.col("dm") / F.lit(float(n))),
+                    quantize_dp,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -1,0 +1,251 @@
+"""Round-5 surface, part 2: time-series gap filling (operators/
+timeseries.py), grid-bucketed spatial radius join (operators/spatial.py)
+and PageRank (operators/graph.py). The declared q80–q82 forms are
+oracle-gated by the parametrized sweep in test_r5_operators; here we pin
+operator semantics on hand-built inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.operators.graph import pagerank
+from bloomy_etl_spark.operators.spatial import radius_self_join
+from bloomy_etl_spark.operators.timeseries import gapfill, time_bucket
+from bloomy_etl_spark.plans.explain import assert_no_cartesian, plan_string
+
+
+# ---------------------------------------------------------------------------
+# gapfill
+# ---------------------------------------------------------------------------
+def _series(spark):
+    # key A: observations at 1, 4, 6 — gaps [2,3] and [5]
+    # key B: single observation (no gaps, no lead)
+    rows = [("A", 1, 10.0), ("A", 4, 40.0), ("A", 6, 30.0), ("B", 7, 5.0)]
+    return spark.createDataFrame(rows, "k string, day long, v double")
+
+
+def _as_dict(df):
+    return {(r["k"], r["day"]): (r["v"], r["observed"]) for r in df.collect()}
+
+
+def test_gapfill_linear_hand_computed(spark):
+    out = _as_dict(gapfill(_series(spark), ["k"], "day", "v", method="linear"))
+    assert out[("A", 1)] == (10.0, True)
+    assert out[("A", 2)] == (20.0, False)   # 10 + (40-10)*1/3
+    assert out[("A", 3)] == (30.0, False)
+    assert out[("A", 4)] == (40.0, True)
+    assert out[("A", 5)] == (35.0, False)   # midpoint of 40 and 30
+    assert out[("A", 6)] == (30.0, True)
+    assert out[("B", 7)] == (5.0, True)
+    assert len(out) == 7  # grid is exactly [min, max] per key
+
+
+def test_gapfill_locf_and_null(spark):
+    locf = _as_dict(gapfill(_series(spark), ["k"], "day", "v", method="locf"))
+    assert locf[("A", 2)] == (10.0, False)
+    assert locf[("A", 5)] == (40.0, False)
+    nul = _as_dict(gapfill(_series(spark), ["k"], "day", "v", method="null"))
+    assert nul[("A", 2)] == (None, False)
+    assert nul[("A", 4)] == (40.0, True)
+
+
+def test_gapfill_observed_rows_keep_exact_values(spark):
+    for method in ("linear", "locf", "null"):
+        out = gapfill(_series(spark), ["k"], "day", "v", method=method)
+        obs = {(r["k"], r["day"]): r["v"]
+               for r in out.filter("observed").collect()}
+        assert obs == {("A", 1): 10.0, ("A", 4): 40.0, ("A", 6): 30.0,
+                       ("B", 7): 5.0}
+
+
+def test_gapfill_null_observation_propagates(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 3, None), ("A", 5, 50.0)],
+        "k string, day long, v double",
+    )
+    out = _as_dict(gapfill(df, ["k"], "day", "v", method="linear"))
+    # the [3,5) span interpolates from a NULL observation → stays NULL
+    assert out[("A", 2)][0] is None  # interp toward NULL
+    assert out[("A", 3)] == (None, True)
+    assert out[("A", 4)][0] is None
+    assert out[("A", 5)] == (50.0, True)
+
+
+def test_gapfill_step_and_bucket(spark):
+    df = spark.createDataFrame(
+        [("A", 0, 1.0), ("A", 21, 8.0)], "k string, day long, v double"
+    )
+    out = _as_dict(gapfill(df, ["k"], "day", "v", step=7, method="linear"))
+    assert set(d for _, d in out) == {0, 7, 14, 21}
+    assert out[("A", 7)] == (pytest.approx(1.0 + 7 * 7 / 21), False)
+    # time_bucket aligns to stride starts, including negatives
+    b = spark.range(1).select(
+        time_bucket(7, F.lit(13).cast("long")).alias("a"),
+        time_bucket(7, F.lit(-1).cast("long")).alias("b"),
+    ).first()
+    assert (b["a"], b["b"]) == (7, -7)
+
+
+def test_gapfill_rejects_unknown_method(spark):
+    with pytest.raises(ValueError, match="unknown method"):
+        gapfill(_series(spark), ["k"], "day", "v", method="spline")
+
+
+def test_gapfill_single_shuffle_plan(spark):
+    plan = plan_string(gapfill(_series(spark), ["k"], "day", "v"))
+    # one exchange for the per-key window; the dense grid is generated
+    # map-side after it (no join, no second shuffle). "Exchange (" counts
+    # tree nodes only (formatted explain repeats names in the detail
+    # section).
+    assert plan.count("Exchange (") == 1
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# radius_self_join
+# ---------------------------------------------------------------------------
+def _points(spark):
+    # deterministic scatter incl. a cross-cell close pair (9,9)-(11,11)
+    # and an identical-location pair (50,50) twice
+    rows = [
+        (1, 0.0, 0.0), (2, 3.0, 4.0), (3, 9.0, 9.0), (4, 11.0, 11.0),
+        (5, 50.0, 50.0), (6, 50.0, 50.0), (7, 300.0, 300.0),
+    ]
+    return spark.createDataFrame(rows, "pid long, x double, y double")
+
+
+def _naive_pairs(rows, radius):
+    out = set()
+    for i, (ia, xa, ya) in enumerate(rows):
+        for ib, xb, yb in rows[i + 1:]:
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= radius**2:
+                out.add((min(ia, ib), max(ia, ib), d2))
+    return out
+
+
+def test_radius_join_matches_naive(spark):
+    pts = _points(spark)
+    rows = [(r["pid"], r["x"], r["y"]) for r in pts.collect()]
+    got = {(r["id_a"], r["id_b"], r["dist2"])
+           for r in radius_self_join(pts, "pid", "x", "y", 6.0).collect()}
+    assert got == _naive_pairs(rows, 6.0)
+    # boundary inclusive: (1)-(2) at exactly distance 5
+    got5 = {(r["id_a"], r["id_b"])
+            for r in radius_self_join(pts, "pid", "x", "y", 5.0).collect()}
+    assert (1, 2) in got5
+
+
+def test_radius_join_exactly_once_and_larger_cell(spark):
+    pts = _points(spark)
+    out = radius_self_join(pts, "pid", "x", "y", 6.0, cell=40.0)
+    rows = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert len(rows) == len(set(rows))  # no duplicate pairs, no distinct()
+    naive = {(a, b) for a, b, _ in
+             _naive_pairs([(r["pid"], r["x"], r["y"])
+                           for r in pts.collect()], 6.0)}
+    assert set(rows) == naive  # any cell >= radius is exhaustive
+
+
+def test_radius_join_cell_below_radius_rejected(spark):
+    with pytest.raises(ValueError, match="cell width"):
+        radius_self_join(_points(spark), "pid", "x", "y", 10.0, cell=5.0)
+
+
+def test_radius_join_plan_is_equi_join(spark):
+    df = radius_self_join(_points(spark), "pid", "x", "y", 6.0)
+    assert_no_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan_string(df)
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+def _round_half_up(x: float, dp: int) -> float:
+    """Spark's ROUND on doubles: HALF_UP over the shortest decimal repr
+    (Java BigDecimal.valueOf semantics) — NOT Python round()'s half-even
+    over the exact binary value."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-dp)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _pagerank_reference(edges, damping, rounds, dp):
+    """Sequential replay with the same quantization (dict-based)."""
+    from collections import defaultdict
+
+    w = defaultdict(float)
+    for s, d_, wt in edges:
+        w[(s, d_)] += wt
+    outw = defaultdict(float)
+    for (s, _), wt in w.items():
+        outw[s] += wt
+    nodes = sorted({s for s, _ in w} | {d_ for _, d_ in w})
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(rounds):
+        dm = sum(rank[v] for v in nodes if v not in outw)
+        contrib = defaultdict(float)
+        for (s, d_), wt in sorted(w.items()):
+            contrib[d_] += rank[s] * (wt / outw[s])
+        rank = {
+            v: _round_half_up(
+                (1 - damping) / n
+                + damping * (contrib.get(v, 0.0) + dm / n),
+                dp,
+            )
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_uniform_on_symmetric_complete_graph(spark):
+    nodes = list(range(4))
+    edges = [(a, b, 1.0) for a in nodes for b in nodes if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, weight="w", rounds=5).collect()}
+    assert all(v == pytest.approx(0.25) for v in got.values())
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_pagerank_matches_sequential_reference(spark):
+    # asymmetric weighted graph with a hub
+    edges = [(1, 2, 1.0), (1, 3, 3.0), (2, 3, 1.0), (3, 1, 1.0),
+             (4, 3, 2.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, weight="w", rounds=4).collect()}
+    ref = _pagerank_reference(edges, 0.85, 4, 9)
+    assert got == ref
+    # 3 funnels its whole mass to 1, so 1 tops; 4 receives nothing
+    assert got[1] > got[3] > got[2] > got[4]
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # 1 -> 2 and 2 dangles: without redistribution total rank decays
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, rounds=6).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    ref = _pagerank_reference([(1, 2, 1.0)], 0.85, 6, 9)
+    assert got == ref
+
+
+def test_pagerank_multi_edges_combine(spark):
+    # duplicate (1,2) edges must weigh like a single doubled edge
+    dup = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 2, 1.0), (1, 3, 2.0), (2, 1, 1.0), (3, 1, 1.0)],
+        "src long, dst long, w double",
+    )
+    single = spark.createDataFrame(
+        [(1, 2, 2.0), (1, 3, 2.0), (2, 1, 1.0), (3, 1, 1.0)],
+        "src long, dst long, w double",
+    )
+    a = {r["node"]: r["rank"] for r in pagerank(dup, weight="w").collect()}
+    b = {r["node"]: r["rank"] for r in pagerank(single, weight="w").collect()}
+    assert a == b
+    assert a[2] == a[3]  # equal in-weight ⇒ equal rank by symmetry
