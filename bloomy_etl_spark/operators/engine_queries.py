@@ -13,7 +13,7 @@ column aliases in the Spark builder and the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bloomy_etl_spark.operators import checks
@@ -364,6 +364,137 @@ def q82_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_psort, "suppkey")
 
 
+# --------------------------------------------------------------------------
+# Q83 — CUBE grouping sets: revenue/count over every combination of
+# (returnflag, linestatus) incl. both marginals and the grand total in
+# ONE pass (completes the grouping-set family next to q13's ROLLUP).
+# NULL group labels are coalesced to '__ALL__' with explicit GROUPING()
+# flags so sort order is engine-independent.
+# --------------------------------------------------------------------------
+def q83_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("__ALL__")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("__ALL__")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n_items",
+            "revenue",
+        )
+        .transform(_psort, "g_flag", "g_status", "returnflag", "linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q84 — retention cohorts: users grouped by first-active day, distinct
+# actives per (cohort, days-since) cell, retention in integer basis
+# points (exact integer division — no float share math to diverge).
+# The cohort assignment is one agg over the distinct (user, day) set;
+# cohort sizes are a tiny broadcast back.
+# --------------------------------------------------------------------------
+def q84_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = (
+        F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date"))
+        .cast("long")
+        .alias("day")
+    )
+    uw = _t(spark, sf_dir, "events").select("user_id", day).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("days_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "days_since",
+            "n_active",
+            "cohort_size",
+            F.expr("(n_active * 10000) DIV cohort_size").alias("retention_bp"),
+        )
+        .transform(_psort, "cohort_day", "days_since")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q85 — event-transition matrix (path analysis): per-user event streams
+# ordered by (ts, event_id), LAG gives the previous step, one agg counts
+# each (prev → next) edge and its distinct walkers. The per-user window
+# is the only shuffle.
+# --------------------------------------------------------------------------
+def q85_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .transform(_psort, "prev_type", "next_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q86 — rolling z-score anomaly flags over the daily per-type series,
+# in EXACT integer arithmetic: values enter as floor'd 1e-4 units, and
+# |z| > 2 is evaluated as (n·x − S)² > 4·(n·Q − S²) over rolling integer
+# sums — algebraically identical to the float z-score but with zero
+# cross-engine float divergence (and no σ=0 division hazard).
+# --------------------------------------------------------------------------
+def q86_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = (
+        F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date"))
+        .cast("long")
+        .alias("day")
+    )
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", day)
+        .agg(F.floor(F.avg("value") * 10000).cast("long").alias("v_e4"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    n = F.count("v_e4").over(w)
+    s = F.sum("v_e4").over(w)
+    q = F.sum(F.col("v_e4") * F.col("v_e4")).over(w)
+    num = n * F.col("v_e4") - s
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "v_e4",
+            ((num * num > F.lit(4) * (n * q - s * s)) & (n >= 7)).alias(
+                "is_anomaly"
+            ),
+            n.alias("n_win"),
+        )
+        .transform(_psort, "event_type", "day")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -378,6 +509,10 @@ ENGINE_QUERIES = {
     "q80_gapfill_series": q80_gapfill_series,
     "q81_spatial_neighbors": q81_spatial_neighbors,
     "q82_supplier_pagerank": q82_supplier_pagerank,
+    "q83_cube_revenue": q83_cube_revenue,
+    "q84_retention_cohorts": q84_retention_cohorts,
+    "q85_event_transitions": q85_event_transitions,
+    "q86_rolling_anomaly": q86_rolling_anomaly,
 }
 
 
@@ -672,6 +807,82 @@ ENGINE_ORACLE_SQL = {
         SELECT CAST(node AS BIGINT) AS suppkey, ROUND(rank, 6) AS rank
         FROM r3
         ORDER BY suppkey
+    """,
+    "q83_cube_revenue": """
+        SELECT COALESCE(l_returnflag, '__ALL__') AS returnflag,
+               COALESCE(l_linestatus, '__ALL__') AS linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY g_flag, g_status, returnflag, linestatus
+    """,
+    "q84_retention_cohorts": f"""
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   CAST(DATEDIFF('day', DATE '{_EPOCH}',
+                                 CAST(ts AS DATE)) AS BIGINT) AS day
+            FROM events
+        ),
+        cohort AS (
+            SELECT user_id, MIN(day) AS cohort_day FROM uw GROUP BY user_id
+        ),
+        sizes AS (
+            SELECT cohort_day, COUNT(*) AS cohort_size
+            FROM cohort GROUP BY cohort_day
+        ),
+        ret AS (
+            SELECT c.cohort_day, u.day - c.cohort_day AS days_since,
+                   COUNT(DISTINCT u.user_id) AS n_active
+            FROM uw u JOIN cohort c ON u.user_id = c.user_id
+            GROUP BY 1, 2
+        )
+        SELECT r.cohort_day, r.days_since, r.n_active, s.cohort_size,
+               (r.n_active * 10000) // s.cohort_size AS retention_bp
+        FROM ret r JOIN sizes s ON r.cohort_day = s.cohort_day
+        ORDER BY r.cohort_day, r.days_since
+    """,
+    "q85_event_transitions": """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM seq
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+        ORDER BY prev_type, next_type
+    """,
+    "q86_rolling_anomaly": f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(DATEDIFF('day', DATE '{_EPOCH}',
+                                 CAST(ts AS DATE)) AS BIGINT) AS day,
+                   CAST(FLOOR(AVG(value) * 10000) AS BIGINT) AS v_e4
+            FROM events GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT *,
+                   COUNT(v_e4) OVER w AS n_win,
+                   SUM(v_e4) OVER w AS s,
+                   SUM(v_e4 * v_e4) OVER w AS q
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day, v_e4,
+               ((n_win * v_e4 - s) * (n_win * v_e4 - s)
+                > 4 * (n_win * q - s * s)) AND n_win >= 7 AS is_anomaly,
+               n_win
+        FROM win
+        ORDER BY event_type, day
     """,
     "q73_incremental_agg": """
         SELECT event_type,

@@ -235,6 +235,30 @@ def test_pagerank_dangling_mass_redistributed(spark):
     assert got == ref
 
 
+# ---------------------------------------------------------------------------
+# q86's integer z-score identity
+# ---------------------------------------------------------------------------
+def test_integer_zscore_identity_matches_float_zscore():
+    """(n·x − S)² > 4·(n·Q − S²)  ⇔  |x−μ|/σ > 2 (population σ), checked
+    over exhaustive small integer windows incl. the σ=0 edge the float
+    form cannot evaluate."""
+    import itertools
+
+    for win in itertools.product(range(-3, 4), repeat=4):
+        n = len(win)
+        s, q = sum(win), sum(v * v for v in win)
+        for x in win:
+            int_flag = (n * x - s) ** 2 > 4 * (n * q - s * s)
+            mu = s / n
+            var = q / n - mu * mu
+            if var <= 1e-12:
+                assert not int_flag  # σ=0 ⇒ x==μ ⇒ z=0, never anomalous
+            else:
+                z = abs(x - mu) / math.sqrt(var)
+                if abs(z - 2.0) > 1e-9:  # off the boundary float can blur
+                    assert int_flag == (z > 2.0)
+
+
 def test_pagerank_multi_edges_combine(spark):
     # duplicate (1,2) edges must weigh like a single doubled edge
     dup = spark.createDataFrame(
