@@ -495,6 +495,47 @@ def q86_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Q87 — materialized-view rewrite algebra: per-(type, day) partial
+# states (plans/matview.py mergeable monoid), filtered to a day window
+# IN STATE SPACE, re-aggregated to per-type grain, finalized. The
+# oracle aggregates base rows directly — equality IS the rewrite-
+# correctness invariant (a view of finalized averages could never pass
+# this; partial states must).
+# --------------------------------------------------------------------------
+def q87_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.plans.matview import (
+        AggQuery,
+        answer_from_state,
+        build_state,
+    )
+
+    day = (
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day")
+    )
+    state = build_state(
+        _t(spark, sf_dir, "events").select("event_type", day, "value"),
+        ["event_type", "day"],
+        ["value"],
+    )
+    q = AggQuery(
+        keys=("event_type",),
+        measures={
+            "n_rows": ("count_rows", None),
+            "n_val": ("count", "value"),
+            "total": ("sum", "value"),
+            "mn": ("min", "value"),
+            "mx": ("max", "value"),
+            "mean": ("avg", "value"),
+            "sd": ("stddev_pop", "value"),
+        },
+        filters=(("day", ">=", 7), ("day", "<=", 21)),
+    )
+    return answer_from_state(state, q).transform(_psort, "event_type")
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -513,6 +554,7 @@ ENGINE_QUERIES = {
     "q84_retention_cohorts": q84_retention_cohorts,
     "q85_event_transitions": q85_event_transitions,
     "q86_rolling_anomaly": q86_rolling_anomaly,
+    "q87_matview_rollup": q87_matview_rollup,
 }
 
 
@@ -883,6 +925,21 @@ ENGINE_ORACLE_SQL = {
                n_win
         FROM win
         ORDER BY event_type, day
+    """,
+    "q87_matview_rollup": """
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               COUNT(value) AS n_val,
+               ROUND(SUM(value), 4) AS total,
+               ROUND(MIN(value), 4) AS mn,
+               ROUND(MAX(value), 4) AS mx,
+               ROUND(AVG(value), 4) AS mean,
+               ROUND(STDDEV_POP(value), 4) AS sd
+        FROM events
+        WHERE DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+              BETWEEN 7 AND 21
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "q73_incremental_agg": """
         SELECT event_type,

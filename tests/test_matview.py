@@ -1,0 +1,171 @@
+"""Materialized aggregate views (plans/matview.py): state algebra,
+incremental refresh idempotency, rewrite legality + routing, and
+partition pruning through the rewritten plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.plans.matview import (
+    AggQuery,
+    answer,
+    answer_direct,
+    answer_from_matview,
+    can_answer,
+    create_matview,
+    matview_meta,
+    matview_state,
+    refresh_matview,
+)
+
+
+def _sales(spark, lo=0, hi=200):
+    rows = [
+        (
+            i,
+            ["east", "west", "north"][i % 3],
+            f"d{i % 5}",
+            float(i % 17) if i % 11 else None,  # NULLs exercise count(col)
+            float(i % 7),
+        )
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(
+        rows, "id long, region string, day string, amount double, qty double"
+    )
+
+
+_Q_FULL = AggQuery(
+    keys=("region",),
+    measures={
+        "n_rows": ("count_rows", None),
+        "n_amount": ("count", "amount"),
+        "total": ("sum", "amount"),
+        "lo": ("min", "amount"),
+        "hi": ("max", "amount"),
+        "mean": ("avg", "amount"),
+        "sd": ("stddev_pop", "amount"),
+    },
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_rewrite_equals_direct_and_plain_sql(spark, tmp_path):
+    base = _sales(spark)
+    mv = str(tmp_path / "mv")
+    create_matview(base, ["region", "day"], ["amount", "qty"], mv)
+    got = answer_from_matview(spark, mv, _Q_FULL)
+    assert _rows(got) == _rows(answer_direct(base, _Q_FULL))
+    plain = base.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("amount").alias("n_amount"),
+        F.round(F.sum("amount"), 4).alias("total"),
+        F.round(F.min("amount"), 4).alias("lo"),
+        F.round(F.max("amount"), 4).alias("hi"),
+        F.round(F.avg("amount"), 4).alias("mean"),
+        F.round(F.stddev_pop("amount"), 4).alias("sd"),
+    )
+    for a, b in zip(_rows(got), _rows(plain)):
+        assert a[:5] == b[:5]
+        assert a[5] == pytest.approx(b[5], abs=1e-3)
+        assert a[6] == pytest.approx(b[6], abs=1e-3)
+
+
+def test_filters_on_view_keys(spark, tmp_path):
+    base = _sales(spark)
+    mv = str(tmp_path / "mv")
+    create_matview(base, ["region", "day"], ["amount"], mv)
+    q = AggQuery(
+        keys=("day",),
+        measures={"total": ("sum", "amount"), "n": ("count_rows", None)},
+        filters=(("region", "in", ("east", "west")), ("day", "!=", "d0")),
+    )
+    assert _rows(answer_from_matview(spark, mv, q)) == _rows(
+        answer_direct(base, q)
+    )
+
+
+def test_global_agg_no_keys(spark, tmp_path):
+    base = _sales(spark)
+    mv = str(tmp_path / "mv")
+    create_matview(base, ["region"], ["amount"], mv)
+    q = AggQuery(keys=(), measures={"mean": ("avg", "amount")})
+    got = answer_from_matview(spark, mv, q).collect()
+    want = answer_direct(base, q).collect()
+    assert len(got) == 1 and got[0]["mean"] == want[0]["mean"]
+
+
+def test_routing_and_legality(spark, tmp_path):
+    base = _sales(spark)
+    mv = str(tmp_path / "mv")
+    create_matview(base, ["region", "day"], ["amount"], mv)
+    meta = matview_meta(mv)
+    # answerable: keys subset, filter on view key, stored measure
+    ok = AggQuery(keys=("region",), measures={"t": ("sum", "amount")},
+                  filters=(("day", "=", "d1"),))
+    assert can_answer(meta, ok)
+    _, chosen = answer(spark, ok, base, [mv])
+    assert chosen == mv
+    # three illegal shapes → base fallback
+    for bad in (
+        AggQuery(keys=("id",), measures={"t": ("sum", "amount")}),
+        AggQuery(keys=("region",), measures={"t": ("sum", "qty")}),
+        AggQuery(keys=("region",), measures={"t": ("sum", "amount")},
+                 filters=(("qty", ">", 3.0),)),
+    ):
+        assert not can_answer(meta, bad)
+        res, chosen = answer(spark, bad, base, [mv])
+        assert chosen is None
+        assert _rows(res) == _rows(answer_direct(base, bad))
+    with pytest.raises(ValueError, match="cannot answer"):
+        answer_from_matview(spark, mv, bad)
+
+
+def test_incremental_refresh_and_idempotency(spark, tmp_path):
+    mv = str(tmp_path / "mv")
+    first, second = _sales(spark, 0, 120), _sales(spark, 120, 200)
+    create_matview(first, ["region", "day"], ["amount"], mv)
+    refresh_matview(second, mv, batch_id=1)
+    got = _rows(answer_from_matview(spark, mv, _Q_FULL))
+    assert got == _rows(answer_direct(_sales(spark), _Q_FULL))
+    # at-least-once redelivery of batch 1 must not double anything
+    refresh_matview(second, mv, batch_id=1)
+    assert _rows(answer_from_matview(spark, mv, _Q_FULL)) == got
+    # state row count at view grain stays |groups|, not |groups × batches|
+    assert matview_state(spark, mv).count() == 15  # 3 regions × 5 days
+    with pytest.raises(ValueError, match="batch_id"):
+        refresh_matview(second, mv, batch_id=0)
+
+
+def test_partition_pruning_through_rewrite(spark, tmp_path):
+    base = _sales(spark)
+    mv = str(tmp_path / "mv")
+    create_matview(base, ["region", "day"], ["amount"], mv,
+                   partition_by=["region"])
+    q = AggQuery(keys=("day",), measures={"t": ("sum", "amount")},
+                 filters=(("region", "=", "east"),))
+    got = answer_from_matview(spark, mv, q)
+    assert _rows(got) == _rows(answer_direct(base, q))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    frag = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "region" in frag  # the key filter prunes at the storage layer
+
+
+def test_validate_rejects_bad_specs():
+    with pytest.raises(ValueError, match="unknown fn"):
+        AggQuery(keys=(), measures={"x": ("median", "a")}).validate()
+    with pytest.raises(ValueError, match="col must be set"):
+        AggQuery(keys=(), measures={"x": ("sum", None)}).validate()
+    with pytest.raises(ValueError, match="unknown op"):
+        AggQuery(keys=(), measures={"x": ("count_rows", None)},
+                 filters=(("a", "like", "b"),)).validate()
+
+
+def test_create_rejects_bad_partition_by(spark, tmp_path):
+    with pytest.raises(ValueError, match="subset of keys"):
+        create_matview(_sales(spark), ["region"], ["amount"],
+                       str(tmp_path / "mv"), partition_by=["day"])
