@@ -536,6 +536,41 @@ def q87_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return answer_from_state(state, q).transform(_psort, "event_type")
 
 
+# --------------------------------------------------------------------------
+# Q88 — temporal (as-of) enrichment against the SCD2 dimension: every
+# order picks up the status version in force at its order date
+# (joins.py::scd2_asof_enrich — equi join + residual validity range;
+# disjoint windows ⇒ at most one match, no post-join dedup), then a
+# tiny rollup by in-force status. Composes q75's dimension build with
+# the fact-side lookup a warehouse runs constantly.
+# --------------------------------------------------------------------------
+def q88_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.operators.joins import scd2_asof_enrich
+    from bloomy_etl_spark.sinks.layout import scd2_apply
+
+    orders = _t(spark, sf_dir, "orders")
+    obs = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("eff_ts"),
+    )
+    dim = scd2_apply(obs.filter(F.lit(False)), obs, ["custkey"], ["status"])
+    facts = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        "o_totalprice",
+    )
+    return (
+        scd2_asof_enrich(facts, dim, "custkey", "ts")
+        .groupBy(F.col("status").alias("status_at_order"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .transform(_psort, "status_at_order")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -555,6 +590,7 @@ ENGINE_QUERIES = {
     "q85_event_transitions": q85_event_transitions,
     "q86_rolling_anomaly": q86_rolling_anomaly,
     "q87_matview_rollup": q87_matview_rollup,
+    "q88_scd2_asof_enrich": q88_scd2_asof_enrich,
 }
 
 
@@ -940,6 +976,40 @@ ENGINE_ORACLE_SQL = {
               BETWEEN 7 AND 21
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "q88_scd2_asof_enrich": """
+        WITH obs AS (
+            SELECT DISTINCT o_custkey AS custkey,
+                            o_orderstatus AS status,
+                            o_orderdate AS eff_ts
+            FROM orders
+        ),
+        ord AS (
+            SELECT custkey, status, eff_ts,
+                   ROW_NUMBER() OVER w AS rn,
+                   LAG(status) OVER w AS prev
+            FROM obs
+            WINDOW w AS (PARTITION BY custkey ORDER BY eff_ts, status)
+        ),
+        kept AS (
+            SELECT custkey, status, eff_ts FROM ord
+            WHERE rn = 1 OR status IS DISTINCT FROM prev
+        ),
+        dim AS (
+            SELECT custkey, status, eff_ts,
+                   LEAD(eff_ts) OVER w2 AS end_ts
+            FROM kept
+            WINDOW w2 AS (PARTITION BY custkey ORDER BY eff_ts, status)
+        )
+        SELECT d.status AS status_at_order,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 4) AS total_price
+        FROM orders o JOIN dim d
+          ON d.custkey = o.o_custkey
+         AND d.eff_ts <= o.o_orderdate
+         AND (d.end_ts IS NULL OR o.o_orderdate < d.end_ts)
+        GROUP BY 1
+        ORDER BY 1
     """,
     "q73_incremental_agg": """
         SELECT event_type,

@@ -135,6 +135,45 @@ def salted_join(big: DataFrame, small: DataFrame, on: str | list[str],
     return out.drop("__salt")
 
 
+def scd2_asof_enrich(facts: DataFrame, dim: DataFrame, on: str | list[str],
+                     ts_col: str, *, eff_col: str = "eff_ts",
+                     end_col: str = "end_ts", how: str = "left") -> DataFrame:
+    """Temporal (as-of) enrichment against an SCD2 dimension: each fact
+    row picks up the dimension version whose validity window
+    ``[eff_col, end_col)`` contains the fact's ``ts_col`` (open version:
+    NULL ``end_col``).
+
+    Because ``sinks.layout.scd2_apply`` guarantees per-key validity
+    windows that PARTITION time (disjoint, chained; zero-width windows
+    self-exclude), the validity predicate matches AT MOST one version
+    per fact — so this is a plain equi join on the key with a residual
+    range condition: one shuffle per side, per-key fanout bounded by
+    the (short) version-chain length, and no post-join window/dedup
+    pass. ``how='left'`` keeps facts predating the first version with
+    NULL attributes; ``'inner'`` drops them.
+
+    Output: all fact columns + dimension columns minus the join keys
+    (attribute-name collisions are the caller's to rename).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    cond = None
+    for k in keys:
+        c = facts[k] == dim[k]
+        cond = c if cond is None else cond & c
+    ts = facts[ts_col]
+    cond = (
+        cond
+        & (dim[eff_col] <= ts)
+        & (dim[end_col].isNull() | (ts < dim[end_col]))
+    )
+    out = facts.join(dim, cond, how)
+    for k in keys:
+        out = out.drop(dim[k])
+    return out
+
+
 def bloom_semi_join(big: DataFrame, small: DataFrame, on: str | list[str],
                     m_bits: int = 1 << 20, n_hashes: int = 5,
                     prefilter_only: bool = False) -> DataFrame:

@@ -236,6 +236,64 @@ def test_pagerank_dangling_mass_redistributed(spark):
 
 
 # ---------------------------------------------------------------------------
+# scd2_asof_enrich
+# ---------------------------------------------------------------------------
+def _dim(spark):
+    # key 1: three chained versions; key 2: single open version.
+    rows = [
+        (1, "bronze", 10, 20), (1, "silver", 20, 30), (1, "gold", 30, None),
+        (2, "bronze", 5, None),
+    ]
+    return spark.createDataFrame(
+        rows, "k long, tier string, eff_ts long, end_ts long"
+    )
+
+
+def test_scd2_asof_picks_version_in_force(spark):
+    from bloomy_etl_spark.operators.joins import scd2_asof_enrich
+
+    facts = spark.createDataFrame(
+        [(1, 10), (1, 19), (1, 20), (1, 35), (2, 5), (2, 999)],
+        "k long, ts long",
+    )
+    out = {(r["k"], r["ts"]): r["tier"]
+           for r in scd2_asof_enrich(facts, _dim(spark), "k", "ts").collect()}
+    assert out == {
+        (1, 10): "bronze", (1, 19): "bronze",   # boundary: eff inclusive
+        (1, 20): "silver",                       # end exclusive
+        (1, 35): "gold",                         # open version
+        (2, 5): "bronze", (2, 999): "bronze",
+    }
+
+
+def test_scd2_asof_left_keeps_prehistory_inner_drops(spark):
+    from bloomy_etl_spark.operators.joins import scd2_asof_enrich
+
+    facts = spark.createDataFrame([(1, 3), (1, 15)], "k long, ts long")
+    left = scd2_asof_enrich(facts, _dim(spark), "k", "ts", how="left")
+    rows = {r["ts"]: r["tier"] for r in left.collect()}
+    assert rows == {3: None, 15: "bronze"}  # fact kept, NULL attributes
+    inner = scd2_asof_enrich(facts, _dim(spark), "k", "ts", how="inner")
+    assert [r["ts"] for r in inner.collect()] == [15]
+    with pytest.raises(ValueError, match="how must be"):
+        scd2_asof_enrich(facts, _dim(spark), "k", "ts", how="full")
+
+
+def test_scd2_asof_zero_width_window_self_excludes(spark):
+    from bloomy_etl_spark.operators.joins import scd2_asof_enrich
+
+    # same-instant conflicting versions: [10,10) is empty, second wins
+    dim = spark.createDataFrame(
+        [(1, "a", 10, 10), (1, "b", 10, None)],
+        "k long, tier string, eff_ts long, end_ts long",
+    )
+    facts = spark.createDataFrame([(1, 10), (1, 11)], "k long, ts long")
+    out = scd2_asof_enrich(facts, dim, "k", "ts")
+    assert out.count() == 2  # exactly one version each, no fan-out
+    assert {r["tier"] for r in out.collect()} == {"b"}
+
+
+# ---------------------------------------------------------------------------
 # q86's integer z-score identity
 # ---------------------------------------------------------------------------
 def test_integer_zscore_identity_matches_float_zscore():
