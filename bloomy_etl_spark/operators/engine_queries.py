@@ -403,24 +403,39 @@ def q83_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cohort sizes are a tiny broadcast back.
 # --------------------------------------------------------------------------
 def q84_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One user-keyed shuffle carries the whole analysis: per user,
+    # collect the distinct active-day SET in-row (bounded by the
+    # calendar span, not by event count), read the cohort day off it
+    # with array_min, and explode back. After the explode every
+    # (user, day) is unique by construction, so the cell count is a
+    # plain COUNT(*) — no count_distinct, no uw⋈cohort self-join (the
+    # naive form costs 9 exchanges; this costs 4, two of them tiny).
     day = (
         F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date"))
         .cast("long")
         .alias("day")
     )
-    uw = _t(spark, sf_dir, "events").select("user_id", day).distinct()
-    cohort = uw.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    sizes = cohort.groupBy("cohort_day").agg(
-        F.count(F.lit(1)).alias("cohort_size")
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", day)
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
+        .withColumn("cohort_day", F.array_min("days"))
     )
-    return (
-        uw.join(cohort, "user_id")
+    cells = (
+        per_user.select("cohort_day", F.explode("days").alias("day"))
         .groupBy(
             "cohort_day",
             (F.col("day") - F.col("cohort_day")).alias("days_since"),
         )
-        .agg(F.count_distinct("user_id").alias("n_active"))
-        .join(F.broadcast(sizes), "cohort_day")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    # cohort size IS the days_since=0 cell (every user is active on
+    # their own cohort day) — a per-cohort window reads it off the
+    # aggregate itself instead of a second aggregation + join
+    w = Window.partitionBy("cohort_day").orderBy("days_since")
+    return (
+        cells.withColumn("cohort_size", F.first("n_active").over(w))
         .select(
             "cohort_day",
             "days_since",
