@@ -586,6 +586,31 @@ def q88_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Q89 — semantic benchmark decontamination: corpus vectors whose max
+# cosine against the benchmark set reaches τ are contaminated
+# (similarity.py::semantic_decontam — benchmark folded in-row from one
+# broadcast array row; corpus never shuffles). Per-label audit report;
+# top_sim uses MAX (order-independent ⇒ exact cross-engine).
+# --------------------------------------------------------------------------
+def q89_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.operators.similarity import semantic_decontam
+
+    embs = _t(spark, sf_dir, "embeddings")
+    bench = embs.filter(F.col("vec_id") % 100 == 0)
+    corpus = embs.filter(F.col("vec_id") % 100 != 0)
+    flagged = semantic_decontam(corpus, bench, 0.25, keep_cols=("label",))
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("contaminated").cast("long")).alias("n_contam"),
+            F.round(F.max("max_sim"), 6).alias("top_sim"),
+        )
+        .transform(_psort, "label")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -606,6 +631,7 @@ ENGINE_QUERIES = {
     "q86_rolling_anomaly": q86_rolling_anomaly,
     "q87_matview_rollup": q87_matview_rollup,
     "q88_scd2_asof_enrich": q88_scd2_asof_enrich,
+    "q89_semantic_decontam": q89_semantic_decontam,
 }
 
 
@@ -1025,6 +1051,32 @@ ENGINE_ORACLE_SQL = {
          AND (d.end_ts IS NULL OR o.o_orderdate < d.end_ts)
         GROUP BY 1
         ORDER BY 1
+    """,
+    "q89_semantic_decontam": """
+        WITH bench AS (
+            SELECT embedding AS bv FROM embeddings WHERE vec_id % 100 = 0
+        ),
+        scored AS (
+            SELECT c.vec_id, c.label,
+                   MAX(
+                       list_dot_product(c.embedding::DOUBLE[], b.bv::DOUBLE[])
+                       / (sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(b.bv::DOUBLE[],
+                                                  b.bv::DOUBLE[])))
+                   ) AS max_sim
+            FROM embeddings c CROSS JOIN bench b
+            WHERE c.vec_id % 100 <> 0
+            GROUP BY 1, 2
+        )
+        SELECT label,
+               COUNT(*) AS n_vecs,
+               CAST(SUM(CASE WHEN max_sim >= 0.25 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contam,
+               ROUND(MAX(max_sim), 6) AS top_sim
+        FROM scored
+        GROUP BY label
+        ORDER BY label
     """,
     "q73_incremental_agg": """
         SELECT event_type,

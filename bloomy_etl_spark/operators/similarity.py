@@ -59,6 +59,52 @@ def cosine_topk(embs: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def semantic_decontam(corpus: DataFrame, bench: DataFrame,
+                      threshold: float, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    vector whose max cosine against ANY benchmark vector reaches
+    ``threshold`` (the semantic companion to the n-gram decontam of
+    ``corpus.py::decontaminate`` — catches paraphrased leakage n-grams
+    miss).
+
+    Scale shape: the benchmark side collapses to ONE row holding an
+    array of (vector, norm) structs, broadcast to every task; each
+    corpus row folds its max similarity IN-ROW (``array_max`` over a
+    ``transform``).  The corpus therefore never shuffles and nothing
+    benchmark-sized reaches the driver — the k-means-centroid posture.
+    Benchmark cardinality bounds the per-row fold (fine for the
+    10²–10⁴ eval-set sizes this is for; for benchmark sets beyond
+    broadcast size, block with LSH buckets like ``embedding_neardups``).
+
+    Adds ``max_sim`` (double) and ``contaminated`` (bool)."""
+    b = bench.select(F.col(vec_col).alias("bv")).withColumn(
+        "bn", norm(F.col("bv"))
+    )
+    brow = b.agg(F.collect_list(F.struct("bv", "bn")).alias("__bench"))
+    c = corpus.select(F.col(id_col), *keep_cols,
+                      F.col(vec_col).alias("__cv")).withColumn(
+        "__cn", norm(F.col("__cv"))
+    )
+    sim = F.array_max(
+        F.transform(
+            F.col("__bench"),
+            lambda s: dot(F.col("__cv"), s["bv"]) / (F.col("__cn") * s["bn"]),
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(brow))
+        .withColumn("max_sim", sim)
+        .select(
+            id_col,
+            *keep_cols,
+            "max_sim",
+            (F.col("max_sim") >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
 def hard_negative_mining(embs: DataFrame, queries: DataFrame, k: int = 1,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          label_col: str = "label") -> DataFrame:

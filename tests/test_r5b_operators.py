@@ -294,6 +294,31 @@ def test_scd2_asof_zero_width_window_self_excludes(spark):
 
 
 # ---------------------------------------------------------------------------
+# semantic_decontam
+# ---------------------------------------------------------------------------
+def test_semantic_decontam_flags_and_plan(spark):
+    from bloomy_etl_spark.operators.similarity import semantic_decontam
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.0, 1.0], "b"), (3, [0.9, 0.1], "a")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = semantic_decontam(corpus, bench, 0.9, keep_cols=("label",))
+    got = {r["vec_id"]: (r["contaminated"], r["max_sim"]) for r in out.collect()}
+    assert got[1][0] and got[1][1] == pytest.approx(1.0)
+    assert not got[2][0] and got[2][1] == pytest.approx(0.0)
+    assert got[3][0]  # cos(0.9,0.1 vs 1,0) ≈ 0.9939 ≥ 0.9
+    # the corpus side never shuffles: the only exchanges are the
+    # benchmark's 1-row aggregate and its broadcast
+    plan = plan_string(out)
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
 # q86's integer z-score identity
 # ---------------------------------------------------------------------------
 def test_integer_zscore_identity_matches_float_zscore():
