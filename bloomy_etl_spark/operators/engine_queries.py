@@ -611,6 +611,41 @@ def q89_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Q90 — golden-record survivorship: each user's event observations
+# collapse to one canonical profile under field-level rules — recency
+# (max_by over a (ts, event_id) struct — deterministic tiebreak),
+# frequency (mode with larger-value ties), extremum and counts. All
+# non-mode rules ride ONE hash aggregate (survivorship.py); the mode
+# adds a two-level count + max_by, no windows, no sorts.
+# --------------------------------------------------------------------------
+def q90_user_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.operators.survivorship import golden_record
+
+    ev = _t(spark, sf_dir, "events")
+    out = golden_record(
+        ev,
+        ["user_id"],
+        {
+            "last_value": ("latest", "value", ("ts", "event_id")),
+            "first_type": ("earliest", "event_type", ("ts", "event_id")),
+            "top_type": ("mode", "event_type"),
+            "peak_value": ("max", "value"),
+            "n_obs": ("count", "event_id"),
+            "n_types": ("count_distinct", "event_type"),
+        },
+    )
+    return out.select(
+        "user_id",
+        F.round("last_value", 4).alias("last_value"),
+        "first_type",
+        "top_type",
+        F.round("peak_value", 4).alias("peak_value"),
+        "n_obs",
+        "n_types",
+    ).transform(_psort, "user_id")
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -632,6 +667,7 @@ ENGINE_QUERIES = {
     "q87_matview_rollup": q87_matview_rollup,
     "q88_scd2_asof_enrich": q88_scd2_asof_enrich,
     "q89_semantic_decontam": q89_semantic_decontam,
+    "q90_user_golden_record": q90_user_golden_record,
 }
 
 
@@ -1077,6 +1113,51 @@ ENGINE_ORACLE_SQL = {
         FROM scored
         GROUP BY label
         ORDER BY label
+    """,
+    "q90_user_golden_record": """
+        WITH ranked AS (
+            SELECT user_id, value, event_type, ts, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn_last,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn_first
+            FROM events
+        ),
+        lastv AS (
+            SELECT user_id, value AS last_value FROM ranked WHERE rn_last = 1
+        ),
+        firstt AS (
+            SELECT user_id, event_type AS first_type
+            FROM ranked WHERE rn_first = 1
+        ),
+        modes AS (
+            SELECT user_id, event_type AS top_type FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY COUNT(*) DESC,
+                                                   event_type DESC) AS rn
+                FROM events
+                WHERE event_type IS NOT NULL
+                GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        ),
+        aggs AS (
+            SELECT user_id,
+                   ROUND(MAX(value), 4) AS peak_value,
+                   COUNT(event_id) AS n_obs,
+                   COUNT(DISTINCT event_type) AS n_types
+            FROM events GROUP BY user_id
+        )
+        SELECT a.user_id,
+               ROUND(l.last_value, 4) AS last_value,
+               f.first_type, m.top_type,
+               a.peak_value, a.n_obs, a.n_types
+        FROM aggs a
+        JOIN lastv l USING (user_id)
+        JOIN firstt f USING (user_id)
+        JOIN modes m USING (user_id)
+        ORDER BY a.user_id
     """,
     "q73_incremental_agg": """
         SELECT event_type,

@@ -319,6 +319,60 @@ def test_semantic_decontam_flags_and_plan(spark):
 
 
 # ---------------------------------------------------------------------------
+# golden_record survivorship
+# ---------------------------------------------------------------------------
+def test_golden_record_rules(spark):
+    from bloomy_etl_spark.operators.survivorship import golden_record
+
+    rows = [
+        # entity 1: b appears twice (mode), latest obs at t=30
+        (1, 10, "a", 5.0), (1, 20, "b", None), (1, 30, "b", 7.0),
+        # entity 2: tie a/b 1-1 → mode breaks to larger value "b"
+        (2, 10, "a", 1.0), (2, 20, "b", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, c string, v double")
+    out = {
+        r["k"]: r
+        for r in golden_record(
+            df,
+            ["k"],
+            {
+                "last_v": ("latest", "v", "t"),
+                "first_c": ("earliest", "c", "t"),
+                "top_c": ("mode", "c"),
+                "peak": ("max", "v"),
+                "n": ("count", "t"),
+            },
+        ).collect()
+    }
+    assert (out[1]["last_v"], out[1]["first_c"], out[1]["top_c"]) == (
+        7.0, "a", "b",
+    )
+    assert out[1]["peak"] == 7.0 and out[1]["n"] == 3
+    assert out[2]["top_c"] == "b"  # deterministic tie-break
+    with pytest.raises(ValueError, match="no rules"):
+        golden_record(df, ["k"], {})
+    with pytest.raises(ValueError, match="unknown rule"):
+        golden_record(df, ["k"], {"x": ("median", "v")})
+
+
+def test_golden_record_single_aggregate_plan(spark):
+    from bloomy_etl_spark.operators.survivorship import golden_record
+
+    df = spark.createDataFrame([(1, 1, 2.0)], "k long, t long, v double")
+    out = golden_record(
+        df, ["k"],
+        {"last_v": ("latest", "v", "t"), "peak": ("max", "v"),
+         "n": ("count", "t")},
+    )
+    plan = plan_string(out)
+    # every non-mode rule rides one hash aggregate: a single exchange,
+    # no window, no join
+    assert plan.count("Exchange (") == 1
+    assert "Window" not in plan and "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
 # q86's integer z-score identity
 # ---------------------------------------------------------------------------
 def test_integer_zscore_identity_matches_float_zscore():
