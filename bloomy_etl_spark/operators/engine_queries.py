@@ -646,6 +646,59 @@ def q90_user_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_psort, "user_id")
 
 
+# --------------------------------------------------------------------------
+# Q91 — nearest-centroid label audit: per-label centroids (posexplode →
+# per-dim mean, 6dp-quantized like k-means), then every vector
+# classified to its max-cosine centroid IN-ROW from one broadcast
+# centroid-array row (the q89 posture — corpus never shuffles before
+# the confusion-matrix rollup). Ties break to the smaller label via a
+# (sim, −label) struct max. Measures embedding/label coherence — the
+# audit behind "are these labels worth training on".
+# --------------------------------------------------------------------------
+def q91_centroid_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.functions.vectors import dot, norm
+
+    embs = _t(spark, sf_dir, "embeddings")
+    cent = (
+        embs.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("clabel"), "cv")
+        .withColumn("cn", norm(F.col("cv")))
+    )
+    crow = cent.agg(
+        F.collect_list(F.struct("clabel", "cv", "cn")).alias("__cents")
+    )
+    vecs = embs.select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    ).withColumn("vn", norm(F.col("v")))
+    best = F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(
+                (dot(F.col("v"), s["cv"]) / (F.col("vn") * s["cn"])).alias(
+                    "sim"
+                ),
+                (-s["clabel"]).alias("nl"),
+            ),
+        )
+    )
+    return (
+        vecs.crossJoin(F.broadcast(crow))
+        .select("label", (-best["nl"]).cast("int").alias("pred_label"))
+        .groupBy(F.col("label").alias("true_label"), "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(_psort, "true_label", "pred_label")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -668,6 +721,7 @@ ENGINE_QUERIES = {
     "q88_scd2_asof_enrich": q88_scd2_asof_enrich,
     "q89_semantic_decontam": q89_semantic_decontam,
     "q90_user_golden_record": q90_user_golden_record,
+    "q91_centroid_label_audit": q91_centroid_label_audit,
 }
 
 
@@ -1158,6 +1212,38 @@ ENGINE_ORACLE_SQL = {
         JOIN firstt f USING (user_id)
         JOIN modes m USING (user_id)
         ORDER BY a.user_id
+    """,
+    "q91_centroid_label_audit": """
+        WITH dims AS (
+            SELECT label, i.pos,
+                   ROUND(AVG(CAST(embedding[i.pos] AS DOUBLE)), 6) AS m
+            FROM embeddings
+            CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) i
+            GROUP BY label, i.pos
+        ),
+        cent AS (
+            SELECT label AS clabel, list(m ORDER BY pos) AS cv
+            FROM dims GROUP BY label
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label, c.clabel,
+                   list_dot_product(e.embedding::DOUBLE[], c.cv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        best AS (
+            SELECT vec_id, label, clabel,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, clabel) AS rn
+            FROM scored
+        )
+        SELECT label AS true_label, CAST(clabel AS INT) AS pred_label,
+               COUNT(*) AS n
+        FROM best WHERE rn = 1
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """,
     "q73_incremental_agg": """
         SELECT event_type,
