@@ -51,7 +51,8 @@ __all__ = [
 
 _STATE_PREFIXES = ("n", "s", "mn", "mx", "ssq")
 _FNS = frozenset(
-    {"count_rows", "count", "sum", "min", "max", "avg", "stddev_pop"}
+    {"count_rows", "count", "sum", "min", "max", "avg", "stddev_pop",
+     "approx_count_distinct"}
 )
 _OPS = {
     "=": lambda c, v: c == v,
@@ -67,7 +68,9 @@ _OPS = {
 @dataclass(frozen=True)
 class AggQuery:
     """Declarative aggregate query: GROUP BY ``keys``, computing
-    ``measures`` (out_name → (fn, col); col None for ``count_rows``),
+    ``measures`` (out_name → (fn, col); col None for ``count_rows``;
+    fn ``approx_count_distinct`` needs the col in the view's
+    ``approx_distinct_cols`` — served from the mergeable HLL sketch),
     under conjunctive ``filters`` ((col, op, value), op ∈ = != < <= >
     >= in).  The spec form is what makes rewrite legality checkable."""
 
@@ -92,7 +95,8 @@ def _sc(prefix: str, col: str) -> str:
 
 
 def build_state(df: DataFrame, keys: Sequence[str],
-                 measure_cols: Sequence[str]) -> DataFrame:
+                 measure_cols: Sequence[str],
+                 approx_distinct_cols: Sequence[str] = ()) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("nr")]
     for c in measure_cols:
         cc = F.col(c)
@@ -103,11 +107,18 @@ def build_state(df: DataFrame, keys: Sequence[str],
             F.max(cc).cast("double").alias(_sc("mx", c)),
             F.sum(cc * cc).cast("double").alias(_sc("ssq", c)),
         ]
+    # distinct counts are the one measure plain sums cannot re-aggregate
+    # (distinct-of-parts ≠ sum of parts): store a mergeable DataSketches
+    # HLL per group instead — union-at-read gives coarser grains and
+    # batch merges the right answer to ~1%
+    for c in approx_distinct_cols:
+        aggs.append(F.hll_sketch_agg(F.col(c)).alias(_sc("hll", c)))
     return df.groupBy(*keys).agg(*aggs)
 
 
 def _merge_state(state: DataFrame, keys: Sequence[str],
-                 measure_cols: Sequence[str]) -> DataFrame:
+                 measure_cols: Sequence[str],
+                 approx_distinct_cols: Sequence[str] = ()) -> DataFrame:
     aggs = [F.sum("nr").alias("nr")]
     for c in measure_cols:
         aggs += [
@@ -117,6 +128,8 @@ def _merge_state(state: DataFrame, keys: Sequence[str],
             F.max(_sc("mx", c)).alias(_sc("mx", c)),
             F.sum(_sc("ssq", c)).alias(_sc("ssq", c)),
         ]
+    for c in approx_distinct_cols:
+        aggs.append(F.hll_union_agg(_sc("hll", c)).alias(_sc("hll", c)))
     return state.groupBy(*keys).agg(*aggs)
 
 
@@ -130,6 +143,7 @@ def create_matview(
     measure_cols: Sequence[str],
     path: str,
     *,
+    approx_distinct_cols: Sequence[str] = (),
     partition_by: Sequence[str] = (),
 ) -> None:
     """Materialize partial states of ``df`` at grain ``keys`` for every
@@ -138,9 +152,9 @@ def create_matview(
     0 of the refresh log."""
     if not set(partition_by) <= set(keys):
         raise ValueError("partition_by must be a subset of keys")
-    state = build_state(df, keys, measure_cols).withColumn(
-        "batch_id", F.lit(0)
-    )
+    state = build_state(
+        df, keys, measure_cols, approx_distinct_cols
+    ).withColumn("batch_id", F.lit(0))
     (
         state.write.mode("overwrite")
         .partitionBy("batch_id", *partition_by)
@@ -149,6 +163,7 @@ def create_matview(
     meta = {
         "keys": list(keys),
         "measure_cols": list(measure_cols),
+        "approx_distinct_cols": list(approx_distinct_cols),
         "partition_by": list(partition_by),
     }
     with open(_meta_path(path), "w") as f:
@@ -164,7 +179,8 @@ def refresh_matview(df_batch: DataFrame, path: str, batch_id: int) -> None:
     if int(batch_id) <= 0:
         raise ValueError("batch_id must be positive (0 is the initial load)")
     meta = matview_meta(path)
-    state = build_state(df_batch, meta["keys"], meta["measure_cols"])
+    state = build_state(df_batch, meta["keys"], meta["measure_cols"],
+                        meta.get("approx_distinct_cols", ()))
     spark = df_batch.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -188,7 +204,8 @@ def matview_state(spark: SparkSession, path: str) -> DataFrame:
     """Current state at the view's own grain (all batches merged)."""
     meta = matview_meta(path)
     raw = spark.read.parquet(path).drop("batch_id")
-    return _merge_state(raw, meta["keys"], meta["measure_cols"])
+    return _merge_state(raw, meta["keys"], meta["measure_cols"],
+                        meta.get("approx_distinct_cols", ()))
 
 
 def can_answer(meta: dict, q: AggQuery) -> bool:
@@ -199,8 +216,11 @@ def can_answer(meta: dict, q: AggQuery) -> bool:
     if not {c for c, _, _ in q.filters} <= keys:
         return False
     stored = set(meta["measure_cols"])
+    stored_hll = set(meta.get("approx_distinct_cols", ()))
     return all(
-        fn == "count_rows" or col in stored
+        fn == "count_rows"
+        or (col in stored_hll if fn == "approx_count_distinct"
+            else col in stored)
         for fn, col in q.measures.values()
     )
 
@@ -216,6 +236,8 @@ def _finalize_measures(q: AggQuery, round_dp: int) -> list[Column]:
     for name, (fn, col) in q.measures.items():
         if fn == "count_rows":
             e: Column = F.col("nr")
+        elif fn == "approx_count_distinct":
+            e = F.round(F.hll_sketch_estimate(_sc("hll", col))).cast("long")
         else:
             n, s = F.col(_sc("n", col)), F.col(_sc("s", col))
             if fn == "count":
@@ -261,8 +283,11 @@ def answer_from_state(state: DataFrame, q: AggQuery, *,
     caller uses when the fine-grain state arrives from somewhere else
     (a streaming rollup store, a shuffle-stage byproduct)."""
     q.validate()
-    mcols = sorted({c for _, c in q.measures.values() if c is not None})
-    merged = _merge_state(_apply_filters(state, q), q.keys, mcols)
+    plain = sorted({c for fn, c in q.measures.values()
+                    if c is not None and fn != "approx_count_distinct"})
+    approx = sorted({c for fn, c in q.measures.values()
+                     if fn == "approx_count_distinct"})
+    merged = _merge_state(_apply_filters(state, q), q.keys, plain, approx)
     return merged.select(*q.keys, *_finalize_measures(q, round_dp))
 
 
@@ -274,7 +299,10 @@ def answer_direct(base: DataFrame, q: AggQuery, *,
     state = build_state(
         _apply_filters(base, q),
         q.keys,
-        sorted({c for _, c in q.measures.values() if c is not None}),
+        sorted({c for fn, c in q.measures.values()
+                if c is not None and fn != "approx_count_distinct"}),
+        sorted({c for fn, c in q.measures.values()
+                if fn == "approx_count_distinct"}),
     )
     return state.select(*q.keys, *_finalize_measures(q, round_dp))
 

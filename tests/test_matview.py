@@ -169,3 +169,41 @@ def test_create_rejects_bad_partition_by(spark, tmp_path):
     with pytest.raises(ValueError, match="subset of keys"):
         create_matview(_sales(spark), ["region"], ["amount"],
                        str(tmp_path / "mv"), partition_by=["day"])
+
+
+def test_approx_distinct_reaggregates_through_view(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    base = _sales(spark)
+    mv = str(tmp_path / "mv")
+    create_matview(base, ["region", "day"], ["amount"], mv,
+                   approx_distinct_cols=["id"])
+    q = AggQuery(
+        keys=("region",),
+        measures={"n_ids": ("approx_count_distinct", "id"),
+                  "total": ("sum", "amount")},
+    )
+    assert can_answer(matview_meta(mv), q)
+    got = {r["region"]: r["n_ids"]
+           for r in answer_from_matview(spark, mv, q).collect()}
+    true = {r["region"]: r["n"]
+            for r in base.groupBy("region")
+            .agg(SF.count_distinct("id").alias("n")).collect()}
+    # distinct-of-parts ≠ sum-of-parts: the HLL union must land within
+    # sketch error (exact at these cardinalities)
+    for reg, n in true.items():
+        assert abs(got[reg] - n) <= max(1, int(0.02 * n))
+    # plain states cannot answer approx_count_distinct
+    mv2 = str(tmp_path / "mv2")
+    create_matview(base, ["region"], ["amount"], mv2)
+    assert not can_answer(matview_meta(mv2), q)
+
+
+def test_approx_distinct_survives_incremental_refresh(spark, tmp_path):
+    mv = str(tmp_path / "mv")
+    create_matview(_sales(spark, 0, 120), ["region"], [], mv,
+                   approx_distinct_cols=["id"])
+    refresh_matview(_sales(spark, 120, 200), mv, batch_id=1)
+    q = AggQuery(keys=(), measures={"n_ids": ("approx_count_distinct", "id")})
+    got = answer_from_matview(spark, mv, q).first()["n_ids"]
+    assert abs(got - 200) <= 4  # union across batches tracks the truth
