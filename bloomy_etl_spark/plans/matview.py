@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "AggQuery",
+    "streaming_matview_sink",
     "build_state",
     "answer_from_state",
     "create_matview",
@@ -193,6 +194,26 @@ def refresh_matview(df_batch: DataFrame, path: str, batch_id: int) -> None:
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def streaming_matview_sink(stream: DataFrame, path: str,
+                           checkpoint_dir: str):
+    """Live materialized view: every micro-batch folds into the view
+    via :func:`refresh_matview` with ``batch_id = epoch + 1`` (the
+    initial ``create_matview`` load owns batch 0).  Exactly-once per
+    epoch without a coordinator: a crashed epoch replays under the SAME
+    id and the dynamic-overwrite idempotency replaces its partition
+    instead of doubling it — the ``streaming_rollup_ingest`` posture,
+    pointed at the multi-measure rewrite-capable view."""
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        refresh_matview(batch, path, int(epoch_id) + 1)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
 
 
 def matview_meta(path: str) -> dict:

@@ -207,3 +207,44 @@ def test_approx_distinct_survives_incremental_refresh(spark, tmp_path):
     q = AggQuery(keys=(), measures={"n_ids": ("approx_count_distinct", "id")})
     got = answer_from_matview(spark, mv, q).first()["n_ids"]
     assert abs(got - 200) <= 4  # union across batches tracks the truth
+
+
+def test_streaming_matview_equals_direct(spark, tmp_path):
+    """3 micro-batches through streaming_matview_sink finalize to the
+    same answers as a one-shot view over all rows."""
+    import os
+
+    import pandas as pd
+
+    from bloomy_etl_spark.plans.matview import streaming_matview_sink
+
+    rows = [(i, ["east", "west"][i % 2], float(i % 13)) for i in range(150)]
+    src = tmp_path / "in"
+    src.mkdir()
+    t0 = 1_000_000_000
+    for i in range(3):
+        f = src / f"b{i:05d}.parquet"
+        pd.DataFrame(rows[i * 50:(i + 1) * 50],
+                     columns=["id", "region", "amount"]).to_parquet(
+            f, index=False)
+        os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+    mv = str(tmp_path / "mv")
+    schema = "id long, region string, amount double"
+    create_matview(spark.createDataFrame([], schema), ["region"],
+                   ["amount"], mv)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = streaming_matview_sink(stream, mv, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    qry = AggQuery(keys=("region",),
+                   measures={"total": ("sum", "amount"),
+                             "n": ("count_rows", None),
+                             "mean": ("avg", "amount")})
+    got = _rows(answer_from_matview(spark, mv, qry))
+    want = _rows(answer_direct(
+        spark.createDataFrame(rows, schema), qry))
+    assert got == want
