@@ -699,6 +699,23 @@ def q91_centroid_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Q92 — distributed sequential IDs: global row numbers in
+# (acctbal, custkey) order via the two-pass range-sort + offset design
+# (operators/ids.py) — the scalable replacement for the single-task
+# ROW_NUMBER()-with-no-PARTITION window. The oracle IS that window;
+# equality shows the two-pass ids equal the global rank.
+# --------------------------------------------------------------------------
+def q92_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.operators.ids import assign_sequential_ids
+
+    cust = _t(spark, sf_dir, "customer")
+    out = assign_sequential_ids(cust, ["c_acctbal", "c_custkey"])
+    return out.select("seq_id", "c_custkey", "c_acctbal").transform(
+        _psort, "seq_id"
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -722,6 +739,7 @@ ENGINE_QUERIES = {
     "q89_semantic_decontam": q89_semantic_decontam,
     "q90_user_golden_record": q90_user_golden_record,
     "q91_centroid_label_audit": q91_centroid_label_audit,
+    "q92_sequential_ids": q92_sequential_ids,
 }
 
 
@@ -1244,6 +1262,13 @@ ENGINE_ORACLE_SQL = {
         FROM best WHERE rn = 1
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """,
+    "q92_sequential_ids": """
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey)
+                    AS BIGINT) AS seq_id,
+               c_custkey, c_acctbal
+        FROM customer
+        ORDER BY seq_id
     """,
     "q73_incremental_agg": """
         SELECT event_type,

@@ -373,6 +373,37 @@ def test_golden_record_single_aggregate_plan(spark):
 
 
 # ---------------------------------------------------------------------------
+# assign_sequential_ids
+# ---------------------------------------------------------------------------
+def test_sequential_ids_match_global_rank(spark):
+    from bloomy_etl_spark.operators.ids import assign_sequential_ids
+
+    rows = [(i, float((i * 37) % 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v double").repartition(13)
+    out = assign_sequential_ids(df, ["v", "k"]).collect()
+    want = sorted(rows, key=lambda r: (r[1], r[0]))
+    got = sorted(out, key=lambda r: r["seq_id"])
+    assert [r["seq_id"] for r in got] == list(range(1, 501))  # contiguous
+    assert [(r["k"], r["v"]) for r in got] == want            # rank order
+
+
+def test_sequential_ids_start_pin_and_validation(spark):
+    from bloomy_etl_spark.operators.ids import assign_sequential_ids
+
+    df = spark.createDataFrame([(3,), (1,), (2,)], "k long")
+    got = {r["k"]: r["seq_id"]
+           for r in assign_sequential_ids(df, ["k"], start=100).collect()}
+    assert got == {1: 100, 2: 101, 3: 102}
+    unpinned = {r["k"]: r["seq_id"] for r in assign_sequential_ids(
+        df, ["k"], pin=False).collect()}
+    assert unpinned == {1: 1, 2: 2, 3: 3}
+    assert assign_sequential_ids(
+        spark.createDataFrame([], "k long"), ["k"]).count() == 0
+    with pytest.raises(ValueError, match="total order"):
+        assign_sequential_ids(df, [])
+
+
+# ---------------------------------------------------------------------------
 # q86's integer z-score identity
 # ---------------------------------------------------------------------------
 def test_integer_zscore_identity_matches_float_zscore():
