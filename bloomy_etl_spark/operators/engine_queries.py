@@ -716,6 +716,55 @@ def q92_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Q93 — ranking-function pack: NTILE / PERCENT_RANK / CUME_DIST /
+# DENSE_RANK over one per-segment window (completes the window-function
+# family next to q11's RANK). percent_rank and cume_dist are exact
+# rationals of rank and count — identical doubles in both engines under
+# a total order.
+# --------------------------------------------------------------------------
+def q93_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.dense_rank().over(w).alias("drank"),
+        )
+        .transform(_psort, "c_mktsegment", "c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q94 — pivot: daily event counts spread into one column per event
+# type (explicit value list ⇒ deterministic schema; missing cells are
+# true zeros). The oracle is the conditional-aggregation rewrite PIVOT
+# desugars to.
+# --------------------------------------------------------------------------
+def q94_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = (
+        F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date"))
+        .cast("long")
+        .alias("day")
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        _t(spark, sf_dir, "events")
+        .select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+    )
+    return piv.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    ).transform(_psort, "day")
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -740,6 +789,8 @@ ENGINE_QUERIES = {
     "q90_user_golden_record": q90_user_golden_record,
     "q91_centroid_label_audit": q91_centroid_label_audit,
     "q92_sequential_ids": q92_sequential_ids,
+    "q93_window_ranks": q93_window_ranks,
+    "q94_pivot_daily_types": q94_pivot_daily_types,
 }
 
 
@@ -1269,6 +1320,30 @@ ENGINE_ORACLE_SQL = {
                c_custkey, c_acctbal
         FROM customer
         ORDER BY seq_id
+    """,
+    "q93_window_ranks": """
+        SELECT c_mktsegment, c_custkey,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume,
+               CAST(DENSE_RANK() OVER w AS INT) AS drank
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_mktsegment, c_custkey
+    """,
+    "q94_pivot_daily_types": f"""
+        SELECT CAST(DATEDIFF('day', DATE '{_EPOCH}',
+                             CAST(ts AS DATE)) AS BIGINT) AS day,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   AS n_purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        FROM events
+        GROUP BY 1
+        ORDER BY day
     """,
     "q73_incremental_agg": """
         SELECT event_type,
