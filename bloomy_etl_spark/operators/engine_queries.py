@@ -765,6 +765,61 @@ def q94_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_psort, "day")
 
 
+# --------------------------------------------------------------------------
+# Q95 — multiset set operations: EXCEPT ALL / INTERSECT ALL on the
+# per-user click vs view bags (q12 covers the DISTINCT variants; ALL
+# keeps multiplicities — bag algebra, not set algebra). Aggregated to
+# per-user counts so the output is bounded while every multiset row
+# still feeds the hash gate.
+# --------------------------------------------------------------------------
+def q95_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    extra = (
+        clicks.exceptAll(views)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_extra_clicks"))
+    )
+    common = (
+        clicks.intersectAll(views)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        extra.join(common, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_extra_clicks", F.lit(0)).alias("n_extra_clicks"),
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        )
+        .transform(_psort, "user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q96 — modern aggregate pack: COUNT_IF / BOOL_AND / BOOL_OR /
+# MAX_BY / MIN_BY in one pass (arg-extremes use a (price, key) struct
+# order so ties are deterministic; the oracle reads them off ranked
+# windows).
+# --------------------------------------------------------------------------
+def q96_modern_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    ord_struct = F.struct("o_totalprice", "o_orderkey")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            F.bool_and(F.col("o_custkey") > 0).alias("all_pos_cust"),
+            F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+            F.max_by("o_orderkey", ord_struct).alias("top_order"),
+            F.min_by("o_orderkey", ord_struct).alias("bottom_order"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .transform(_psort, "o_orderpriority")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -791,6 +846,8 @@ ENGINE_QUERIES = {
     "q92_sequential_ids": q92_sequential_ids,
     "q93_window_ranks": q93_window_ranks,
     "q94_pivot_daily_types": q94_pivot_daily_types,
+    "q95_multiset_ops": q95_multiset_ops,
+    "q96_modern_aggs": q96_modern_aggs,
 }
 
 
@@ -1344,6 +1401,56 @@ ENGINE_ORACLE_SQL = {
         FROM events
         GROUP BY 1
         ORDER BY day
+    """,
+    "q95_multiset_ops": """
+        WITH extra AS (
+            SELECT user_id, COUNT(*) AS n_extra_clicks FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                EXCEPT ALL
+                SELECT user_id FROM events WHERE event_type = 'view'
+            ) GROUP BY user_id
+        ),
+        common AS (
+            SELECT user_id, COUNT(*) AS n_common FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                INTERSECT ALL
+                SELECT user_id FROM events WHERE event_type = 'view'
+            ) GROUP BY user_id
+        )
+        SELECT COALESCE(e.user_id, c.user_id) AS user_id,
+               COALESCE(e.n_extra_clicks, 0) AS n_extra_clicks,
+               COALESCE(c.n_common, 0) AS n_common
+        FROM extra e FULL OUTER JOIN common c ON e.user_id = c.user_id
+        ORDER BY user_id
+    """,
+    "q96_modern_aggs": """
+        WITH ranked AS (
+            SELECT o_orderpriority, o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC,
+                                               o_orderkey DESC) AS rn_top,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice,
+                                               o_orderkey) AS rn_bot
+            FROM orders
+        ),
+        aggs AS (
+            SELECT o_orderpriority,
+                   COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_big,
+                   BOOL_AND(o_custkey > 0) AS all_pos_cust,
+                   BOOL_OR(o_orderstatus = 'P') AS any_pending,
+                   ROUND(AVG(o_totalprice), 4) AS avg_price
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT a.o_orderpriority, a.n_big, a.all_pos_cust, a.any_pending,
+               t.o_orderkey AS top_order, b.o_orderkey AS bottom_order,
+               a.avg_price
+        FROM aggs a
+        JOIN ranked t ON t.o_orderpriority = a.o_orderpriority
+                     AND t.rn_top = 1
+        JOIN ranked b ON b.o_orderpriority = a.o_orderpriority
+                     AND b.rn_bot = 1
+        ORDER BY a.o_orderpriority
     """,
     "q73_incremental_agg": """
         SELECT event_type,
