@@ -820,6 +820,45 @@ def q96_modern_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Q97 — multi-source BFS reach: hop distances from seed parts over the
+# bipartite part↔supplier graph (nodes integer-encoded 2·part /
+# 2·supp+1). graph.py::bfs_hops iterates frontiers (per-round shuffle
+# O(frontier ⋈ edges), early exit, checkpointed); distances are exact
+# integers so the oracle is a recursive CTE with zero quantization.
+# Summarized per hop level with a part/supplier split.
+# --------------------------------------------------------------------------
+def q97_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.operators.graph import bfs_hops
+
+    os_ = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_partkey") * 2).alias("p"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = os_.select(F.col("p").alias("src"), F.col("s").alias("dst")).union(
+        os_.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    sources = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 500 == 0)
+        .select((F.col("p_partkey") * 2).alias("node"))
+    )
+    d = bfs_hops(edges, sources, max_hops=3)
+    return (
+        d.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.count_if(F.col("node") % 2 == 0).alias("n_parts"),
+            F.count_if(F.col("node") % 2 == 1).alias("n_suppliers"),
+        )
+        .transform(_psort, "dist")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -848,6 +887,7 @@ ENGINE_QUERIES = {
     "q94_pivot_daily_types": q94_pivot_daily_types,
     "q95_multiset_ops": q95_multiset_ops,
     "q96_modern_aggs": q96_modern_aggs,
+    "q97_bfs_reach": q97_bfs_reach,
 }
 
 
@@ -1451,6 +1491,37 @@ ENGINE_ORACLE_SQL = {
         JOIN ranked b ON b.o_orderpriority = a.o_orderpriority
                      AND b.rn_bot = 1
         ORDER BY a.o_orderpriority
+    """,
+    "q97_bfs_reach": """
+        WITH RECURSIVE os AS (
+            SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+            FROM lineitem
+        ),
+        edges AS (
+            SELECT p AS src, s AS dst FROM os
+            UNION ALL
+            SELECT s, p FROM os
+        ),
+        seeds AS (
+            SELECT p_partkey * 2 AS node FROM part
+            WHERE p_partkey % 500 = 0
+        ),
+        r(node, dist) AS (
+            SELECT node, 0 FROM seeds
+            UNION
+            SELECT e.dst, r.dist + 1
+            FROM r JOIN edges e ON e.src = r.node
+            WHERE r.dist < 3
+        ),
+        bfs AS (
+            SELECT node, MIN(dist) AS dist FROM r GROUP BY node
+        )
+        SELECT dist, COUNT(*) AS n_nodes,
+               COUNT(CASE WHEN node % 2 = 0 THEN 1 END) AS n_parts,
+               COUNT(CASE WHEN node % 2 = 1 THEN 1 END) AS n_suppliers
+        FROM bfs
+        GROUP BY dist
+        ORDER BY dist
     """,
     "q73_incremental_agg": """
         SELECT event_type,

@@ -28,7 +28,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "bfs_hops"]
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any source node.
+
+    Returns ``(node, dist)`` for every node within ``max_hops`` of the
+    source set (sources themselves at 0).  The canonical frontier
+    iteration: each round joins the CURRENT frontier (not the whole
+    reached set) against the edge table, anti-joins out already-reached
+    nodes, and checkpoints — per-round shuffle is O(frontier ⋈ edges),
+    and the loop exits early on an empty frontier (one bounded
+    ``isEmpty`` driver sync per round, the k-means/connected-components
+    posture).  Distances are exact integers, so a fixed-round run is
+    replayable by a recursive-CTE oracle with no quantization at all.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    dist = (
+        sources.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return dist
 
 
 def pagerank(

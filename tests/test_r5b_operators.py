@@ -427,6 +427,38 @@ def test_integer_zscore_identity_matches_float_zscore():
                     assert int_flag == (z > 2.0)
 
 
+def test_bfs_hops_path_graph(spark):
+    from bloomy_etl_spark.operators.graph import bfs_hops
+
+    # path 1→2→3→4→5 plus unreachable 9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "src long, dst long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_hops(edges, src, max_hops=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}  # 9 unreachable
+    # hop cap truncates the far tail
+    capped = {r["node"]: r["dist"]
+              for r in bfs_hops(edges, src, max_hops=2).collect()}
+    assert capped == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_hops_multi_source_min_distance(spark):
+    from bloomy_etl_spark.operators.graph import bfs_hops
+
+    # diamond: distances are min over both seeds
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    src = spark.createDataFrame([(1,), (4,)], "node long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_hops(edges, src, max_hops=5).collect()}
+    assert got == {1: 0, 4: 0, 3: 1}  # 3 via 1; 2 has no inbound path
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_hops(edges, src, max_hops=-1)
+
+
 def test_pagerank_multi_edges_combine(spark):
     # duplicate (1,2) edges must weigh like a single doubled edge
     dup = spark.createDataFrame(
