@@ -29,7 +29,7 @@ ALL_ORACLES = {**ORACLE_SQL, **BLOOMY_ORACLE_SQL, **LLM_ORACLE_SQL,
 
 # The external driver's correctness pass checks the FIRST 50 entries of
 # queries() in insertion order (CORRECTNESS_r03/r04 both recorded exactly
-# the first 50). With 97 declared queries, order therefore decides which
+# the first 50). With 98 declared queries, order therefore decides which
 # get a driver-green row. Rotation policy: queries never driver-verified
 # come first; then the complex bloomy/LLM surface; the stable relational
 # q1–q20/q49 (driver-green in BOTH r3 and r4, pure built-in SQL) absorb
@@ -47,7 +47,7 @@ _NEVER_DRIVER_VERIFIED = [
 
 def _driver_order(names) -> list[str]:
     first = [n for n in _NEVER_DRIVER_VERIFIED if n in names]
-    # brand-new queries (r5: q70–q97) go right behind the rotation set so
+    # brand-new queries (r5: q70–q98) go right behind the rotation set so
     # they land inside the 50-row window on their first round
     new = [n for n in ENGINE_QUERIES if n in names and n not in first]
     seen = set(first) | set(new)

@@ -859,6 +859,27 @@ def q97_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Q98 — one-pass OLS trend fit: per-event-type regression of value on
+# day (operators/regression.py — five sufficient statistics in ONE
+# hash aggregate, closed-form slope/intercept/R², no iteration and no
+# transcendentals, so the oracle replays the identical polynomial
+# arithmetic).
+# --------------------------------------------------------------------------
+def q98_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.operators.regression import linreg_by_group
+
+    day = (
+        F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date"))
+        .cast("long")
+        .alias("day")
+    )
+    ev = _t(spark, sf_dir, "events").select("event_type", day, "value")
+    return linreg_by_group(ev, ["event_type"], "day", "value").transform(
+        _psort, "event_type"
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -888,6 +909,7 @@ ENGINE_QUERIES = {
     "q95_multiset_ops": q95_multiset_ops,
     "q96_modern_aggs": q96_modern_aggs,
     "q97_bfs_reach": q97_bfs_reach,
+    "q98_linreg_trend": q98_linreg_trend,
 }
 
 
@@ -1522,6 +1544,42 @@ ENGINE_ORACLE_SQL = {
         FROM bfs
         GROUP BY dist
         ORDER BY dist
+    """,
+    "q98_linreg_trend": f"""
+        WITH d AS (
+            SELECT event_type, value,
+                   CAST(DATEDIFF('day', DATE '{_EPOCH}',
+                                 CAST(ts AS DATE)) AS DOUBLE) AS x
+            FROM events
+        ),
+        s AS (
+            SELECT event_type,
+                   COUNT(CASE WHEN value IS NOT NULL
+                              AND x IS NOT NULL THEN 1 END) AS n,
+                   SUM(CASE WHEN value IS NOT NULL THEN x END) AS sx,
+                   SUM(CASE WHEN x IS NOT NULL THEN value END) AS sy,
+                   SUM(CASE WHEN value IS NOT NULL THEN x * x END) AS sxx,
+                   SUM(CASE WHEN x IS NOT NULL
+                            THEN value * value END) AS syy,
+                   SUM(x * value) AS sxy
+            FROM d
+            GROUP BY event_type
+        )
+        SELECT event_type, n,
+               ROUND(CASE WHEN n * sxx - sx * sx > 0
+                     THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END,
+                     6) AS slope,
+               ROUND(CASE WHEN n * sxx - sx * sx > 0
+                     THEN (sy - ((n * sxy - sx * sy)
+                                 / (n * sxx - sx * sx)) * sx) / n END,
+                     6) AS intercept,
+               ROUND(CASE WHEN n * sxx - sx * sx > 0
+                          AND n * syy - sy * sy > 0
+                     THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                          / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
+                     6) AS r2
+        FROM s
+        ORDER BY event_type
     """,
     "q73_incremental_agg": """
         SELECT event_type,

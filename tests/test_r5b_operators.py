@@ -404,6 +404,44 @@ def test_sequential_ids_start_pin_and_validation(spark):
 
 
 # ---------------------------------------------------------------------------
+# linreg_by_group
+# ---------------------------------------------------------------------------
+def test_linreg_exact_line_and_degenerate(spark):
+    from bloomy_etl_spark.operators.regression import linreg_by_group
+
+    rows = (
+        [("lin", float(x), 3.0 + 2.0 * x) for x in range(10)]     # exact line
+        + [("flat", 5.0, float(v)) for v in range(5)]             # constant x
+        + [("nul", float(x), None) for x in range(4)]             # all-NULL y
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in
+           linreg_by_group(df, ["g"], "x", "y").collect()}
+    assert (out["lin"]["slope"], out["lin"]["intercept"]) == (2.0, 3.0)
+    assert out["lin"]["r2"] == 1.0
+    assert out["flat"]["slope"] is None and out["flat"]["r2"] is None
+    assert out["nul"]["n"] == 0 and out["nul"]["slope"] is None
+
+
+def test_linreg_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    from bloomy_etl_spark.operators.regression import linreg_by_group
+
+    xs = [float((i * 17) % 23) for i in range(200)]
+    ys = [1.5 * x - 4.0 + float((i * 7) % 11) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x double, y double"
+    )
+    got = linreg_by_group(df, ["g"], "x", "y").first()
+    b1, b0 = np.polyfit(xs, ys, 1)
+    assert got["slope"] == pytest.approx(b1, abs=1e-6)
+    assert got["intercept"] == pytest.approx(b0, abs=1e-6)
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert got["r2"] == pytest.approx(r * r, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
 # q86's integer z-score identity
 # ---------------------------------------------------------------------------
 def test_integer_zscore_identity_matches_float_zscore():
