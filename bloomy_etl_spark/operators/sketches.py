@@ -297,3 +297,199 @@ def kmv_overlap_cols(a, b, k: int) -> dict:
         "est_inter": F.when(ku > 0, rho / ku * est_u).otherwise(F.lit(0.0)),
         "jaccard": F.when(ku > 0, rho / ku).otherwise(F.lit(0.0)),
     }
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram (bounded-state quantiles).
+#
+# CMS answers frequency, HLL/KMV answer distinct counts — the remaining
+# aggregate that plain sums cannot re-aggregate is the QUANTILE:
+# median-of-parts is not the median, and Spark's percentile_approx
+# state is not exposed as a storable column. The classical mergeable
+# answer is the fixed-range equi-width histogram: per group, an
+# ``n_bins`` array of counts over a caller-declared value range
+# ``[lo, hi)`` plus exact under/overflow counters and observed min/max.
+# Merging is element-wise addition (a monoid, so map-side partial
+# aggregation IS the merge), and a quantile estimate reads the
+# cumulative walk with linear interpolation inside the landing bin —
+# rank-exact at bin granularity, value error ≤ one bin width
+# ((hi-lo)/n_bins) for in-range data (unit-bounded in
+# tests/test_sketches.py; out-of-range quantiles clamp to the exact
+# observed min/max, which the sketch tracks precisely).
+#
+# Spark shape: build is a two-level aggregation — (keys, bin) counts
+# first (map-side combine does the heavy lifting; shuffle volume is
+# bounded by groups × (n_bins+2), NOT by row count), then one tiny
+# per-key assembly into the array. Merge folds ≤ slice-count arrays
+# in-row; estimates are pure projections. Same durable-table posture as
+# the CMS/HLL stores: write the per-batch sketch, merge at read.
+# ---------------------------------------------------------------------------
+
+_HIST_STATE = ("hist", "n_under", "n_over", "vmin", "vmax", "n")
+
+
+def hist_build(df: DataFrame, keys: list[str], value_col: str,
+               lo: float, hi: float, n_bins: int = 128) -> DataFrame:
+    """Per-group histogram sketch of ``value_col`` over ``[lo, hi)``:
+    (keys…, hist array<long>[n_bins], n_under, n_over, vmin, vmax, n).
+    NULL values are skipped (SQL aggregate semantics); values below
+    ``lo`` / at-or-above ``hi`` land in the exact under/overflow
+    counters, so the caller's range guess degrades the resolution of
+    the tails, never the correctness of counts. ``n`` = all non-null
+    observations including the clamped tails."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if not 1 <= n_bins <= 4096:
+        raise ValueError(f"n_bins must be in [1, 4096], got {n_bins}")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_ = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(n_bins))
+        .otherwise(F.least(F.lit(n_bins - 1),
+                           F.floor((v - F.lit(lo)) / F.lit(width))))
+    ).cast("int")
+    binned = df.filter(v.isNotNull()).select(
+        *keys, v.alias("__v"), bin_.alias("__bin")
+    )
+    lvl1 = binned.groupBy(*keys, "__bin").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min("__v").alias("__mn"),
+        F.max("__v").alias("__mx"),
+    )
+    g = lvl1.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__bin"), F.col("__c")))
+        ).alias("__m"),
+        F.min("__mn").alias("vmin"),
+        F.max("__mx").alias("vmax"),
+        F.sum("__c").alias("n"),
+    )
+    return g.select(
+        *keys,
+        F.expr(
+            f"transform(sequence(0, {n_bins - 1}), i -> coalesce(__m[i], 0L))"
+        ).alias("hist"),
+        F.coalesce(F.expr("__m[-1]"), F.lit(0).cast("long")).alias("n_under"),
+        F.coalesce(F.expr(f"__m[{n_bins}]"), F.lit(0).cast("long")).alias("n_over"),
+        "vmin", "vmax", "n",
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge any number of per-group histogram tables (monoid reduce,
+    like ``hll_merge``): counts add element-wise, tails add, min/max
+    combine. All inputs must share ``n_bins`` AND the ``[lo, hi)`` the
+    caller built them with — a bin-count mismatch fails loudly at
+    execution (runtime assert), but a same-size different-range merge is
+    semantically wrong and undetectable from the state alone; the range
+    is the caller's contract, exactly like ``k`` for the KMV ops."""
+    if not sketches:
+        raise ValueError("no sketches given")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    keys = [c for c in u.columns if c not in _HIST_STATE]
+    g = (u.groupBy(*keys) if keys else u.groupBy()).agg(
+        F.collect_list("hist").alias("__hs"),
+        F.sum("n_under").alias("n_under"),
+        F.sum("n_over").alias("n_over"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.sum("n").alias("n"),
+    )
+    sizes_ok = F.expr("forall(__hs, h -> size(h) = size(__hs[0]))")
+    fold = F.aggregate(
+        F.col("__hs"),
+        F.expr("transform(__hs[0], x -> 0L)"),
+        lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b),
+    )
+    # the when(assert…) wrapper forces the size check to survive column
+    # pruning: assert_true returns NULL iff the condition held
+    checked = F.when(
+        F.assert_true(sizes_ok, F.lit("hist_merge: mismatched n_bins")).isNull(),
+        fold,
+    )
+    return g.select(*keys, checked.alias("hist"),
+                    "n_under", "n_over", "vmin", "vmax", "n")
+
+
+def hist_cum_col(hist):
+    """Cumulative-count array for a histogram column (1-based:
+    ``cum[i]`` = count of the first ``i`` bins). Precompute this ONCE
+    per row (``withColumn``) before calling :func:`hist_est_col` — the
+    estimator references it repeatedly and inlining the O(n_bins²) fold
+    into each reference would cube the per-row cost."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(hist)),
+        lambda i: F.aggregate(
+            F.slice(hist, F.lit(1), i), F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+
+
+def hist_est_col(q: float, hist, cum, n_under, n_over, vmin, vmax, n,
+                 lo: float, hi: float):
+    """Quantile-estimate Column over histogram-state columns — shared by
+    :func:`hist_quantile` and the matview ``approx_percentile`` measure
+    (`plans/matview.py`), so both read the state with identical
+    semantics.
+
+    Rank convention: the estimate for ``q`` is the value whose
+    cumulative count first reaches ``q·n``. Ranks that land in the
+    underflow (resp. overflow) tail return the exact observed ``vmin``
+    (``vmax``) — the sketch knows tail counts exactly but not tail
+    shapes. In-range estimates interpolate linearly inside the landing
+    bin and clamp to [vmin, vmax]; value error ≤ (hi-lo)/n_bins."""
+    width = F.lit(float(hi - lo)) / F.size(hist)
+    r = F.lit(float(q)) * n.cast("double")
+    in_bins = (n - n_over).cast("double")  # ranks ≤ this sit in bins/under
+    b = F.element_at(
+        F.filter(
+            F.sequence(F.lit(0), F.size(hist) - 1),
+            lambda i: (
+                n_under + F.element_at(cum, (i + 1).cast("int"))
+            ).cast("double") >= r,
+        ),
+        1,
+    )
+    prev = F.when(b == 0, F.lit(0).cast("long")).otherwise(
+        F.element_at(cum, b.cast("int"))
+    )
+    inbin = r - n_under.cast("double") - prev.cast("double")
+    cnt = F.element_at(hist, (b + 1).cast("int")).cast("double")
+    interp = F.lit(float(lo)) + width * (b.cast("double") + inbin / cnt)
+    return (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(r <= n_under.cast("double"), vmin)
+        .when(r > in_bins, vmax)
+        .otherwise(F.least(F.greatest(interp, vmin), vmax))
+    )
+
+
+def hist_quantile(sketch: DataFrame, qs: list[float],
+                  lo: float, hi: float) -> DataFrame:
+    """Sketch table → (keys…, q, est) — one row per requested quantile
+    per group, computed entirely in-row (pure projection, no shuffle).
+    Estimate semantics: :func:`hist_est_col`."""
+    if not qs:
+        raise ValueError("no quantiles requested")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of [0,1]: {q}")
+    keys = [c for c in sketch.columns if c not in _HIST_STATE]
+    base = sketch.withColumn("__cum", hist_cum_col(F.col("hist")))
+
+    def est_for(q: float):
+        est = hist_est_col(
+            q, F.col("hist"), F.col("__cum"), F.col("n_under"),
+            F.col("n_over"), F.col("vmin"), F.col("vmax"), F.col("n"),
+            lo, hi,
+        )
+        return F.struct(F.lit(float(q)).alias("q"), est.alias("est"))
+
+    packed = F.array(*[est_for(q) for q in qs])
+    return base.select(*keys, F.explode(packed).alias("__e")).select(
+        *keys, F.col("__e.q").alias("q"), F.col("__e.est").alias("est")
+    )

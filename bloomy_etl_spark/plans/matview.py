@@ -50,11 +50,14 @@ __all__ = [
     "answer",
 ]
 
-_STATE_PREFIXES = ("n", "s", "mn", "mx", "ssq")
+_STATE_PREFIXES = ("n", "s", "mn", "mx", "ssq", "hll",
+                   "ph", "phu", "pho", "pmn", "pmx", "pn")
 _FNS = frozenset(
     {"count_rows", "count", "sum", "min", "max", "avg", "stddev_pop",
-     "approx_count_distinct"}
+     "approx_count_distinct", "approx_percentile"}
 )
+# codegen bound for the inline per-bin sum expressions in build_state
+_MAX_PCTL_BINS = 512
 _OPS = {
     "=": lambda c, v: c == v,
     "!=": lambda c, v: c != v,
@@ -71,24 +74,39 @@ class AggQuery:
     """Declarative aggregate query: GROUP BY ``keys``, computing
     ``measures`` (out_name → (fn, col); col None for ``count_rows``;
     fn ``approx_count_distinct`` needs the col in the view's
-    ``approx_distinct_cols`` — served from the mergeable HLL sketch),
-    under conjunctive ``filters`` ((col, op, value), op ∈ = != < <= >
-    >= in).  The spec form is what makes rewrite legality checkable."""
+    ``approx_distinct_cols`` — served from the mergeable HLL sketch;
+    fn ``approx_percentile`` is the 3-tuple (fn, col, q) and needs the
+    col in the view's ``percentile_cols`` — served from the mergeable
+    histogram state with value error ≤ one bin width), under
+    conjunctive ``filters`` ((col, op, value), op ∈ = != < <= > >=
+    in).  The spec form is what makes rewrite legality checkable."""
 
     keys: tuple[str, ...]
-    measures: dict[str, tuple[str, str | None]]
+    measures: dict[str, tuple]
     filters: tuple[tuple[str, str, object], ...] = field(default_factory=tuple)
 
     def validate(self) -> None:
-        for out, (fn, col) in self.measures.items():
+        for out, m in self.measures.items():
+            fn, col, q = _mfc(m)
             if fn not in _FNS:
                 raise ValueError(f"measure {out}: unknown fn {fn!r}")
             if (col is None) != (fn == "count_rows"):
                 raise ValueError(f"measure {out}: col must be set iff fn"
                                  " is not count_rows")
+            if fn == "approx_percentile":
+                if q is None or not 0.0 <= q <= 1.0:
+                    raise ValueError(f"measure {out}: approx_percentile "
+                                     f"needs (fn, col, q) with q in [0,1]")
+            elif len(m) != 2:
+                raise ValueError(f"measure {out}: {fn} takes (fn, col)")
         for col, op, _ in self.filters:
             if op not in _OPS:
                 raise ValueError(f"filter on {col}: unknown op {op!r}")
+
+
+def _mfc(m: tuple) -> tuple[str, str | None, float | None]:
+    """Normalize a measure tuple: (fn, col) or (fn, col, q) → (fn, col, q)."""
+    return (m[0], m[1], m[2] if len(m) > 2 else None)
 
 
 def _sc(prefix: str, col: str) -> str:
@@ -97,7 +115,9 @@ def _sc(prefix: str, col: str) -> str:
 
 def build_state(df: DataFrame, keys: Sequence[str],
                  measure_cols: Sequence[str],
-                 approx_distinct_cols: Sequence[str] = ()) -> DataFrame:
+                 approx_distinct_cols: Sequence[str] = (),
+                 percentile_cols: dict[str, Sequence[float]] | None = None,
+                 ) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("nr")]
     for c in measure_cols:
         cc = F.col(c)
@@ -114,12 +134,40 @@ def build_state(df: DataFrame, keys: Sequence[str],
     # batch merges the right answer to ~1%
     for c in approx_distinct_cols:
         aggs.append(F.hll_sketch_agg(F.col(c)).alias(_sc("hll", c)))
+    # quantiles are the OTHER non-reaggregable measure (median-of-parts
+    # ≠ median, and percentile_approx state isn't storable): keep a
+    # mergeable equi-width histogram per group (operators/sketches.py
+    # semantics — exact under/overflow tails, observed min/max). Inline
+    # per-bin conditional sums keep the whole state ONE aggregation.
+    for c, (lo, hi, nb) in (percentile_cols or {}).items():
+        lo, hi, nb = float(lo), float(hi), int(nb)
+        width = (hi - lo) / nb
+        v = F.col(c).cast("double")
+        b = (
+            F.when(v < lo, F.lit(-1))
+            .when(v >= hi, F.lit(nb))
+            .otherwise(F.least(F.lit(nb - 1),
+                               F.floor((v - F.lit(lo)) / F.lit(width))))
+        ).cast("int")
+        one = F.lit(1).cast("long")
+        zero = F.lit(0).cast("long")
+        aggs += [
+            F.array(*[F.sum(F.when(b == i, one).otherwise(zero))
+                      for i in range(nb)]).alias(_sc("ph", c)),
+            F.sum(F.when(b == -1, one).otherwise(zero)).alias(_sc("phu", c)),
+            F.sum(F.when(b == nb, one).otherwise(zero)).alias(_sc("pho", c)),
+            F.min(v).alias(_sc("pmn", c)),
+            F.max(v).alias(_sc("pmx", c)),
+            F.count(v).alias(_sc("pn", c)),
+        ]
     return df.groupBy(*keys).agg(*aggs)
 
 
 def _merge_state(state: DataFrame, keys: Sequence[str],
                  measure_cols: Sequence[str],
-                 approx_distinct_cols: Sequence[str] = ()) -> DataFrame:
+                 approx_distinct_cols: Sequence[str] = (),
+                 percentile_cols: dict[str, Sequence[float]] | None = None,
+                 ) -> DataFrame:
     aggs = [F.sum("nr").alias("nr")]
     for c in measure_cols:
         aggs += [
@@ -131,7 +179,26 @@ def _merge_state(state: DataFrame, keys: Sequence[str],
         ]
     for c in approx_distinct_cols:
         aggs.append(F.hll_union_agg(_sc("hll", c)).alias(_sc("hll", c)))
-    return state.groupBy(*keys).agg(*aggs)
+    pcols = list((percentile_cols or {}))
+    for c in pcols:
+        aggs += [
+            F.collect_list(_sc("ph", c)).alias(_sc("phl", c)),
+            F.sum(_sc("phu", c)).alias(_sc("phu", c)),
+            F.sum(_sc("pho", c)).alias(_sc("pho", c)),
+            F.min(_sc("pmn", c)).alias(_sc("pmn", c)),
+            F.max(_sc("pmx", c)).alias(_sc("pmx", c)),
+            F.sum(_sc("pn", c)).alias(_sc("pn", c)),
+        ]
+    merged = state.groupBy(*keys).agg(*aggs)
+    for c in pcols:  # element-wise fold of the collected per-batch arrays
+        lst = F.col(_sc("phl", c))
+        fold = F.aggregate(
+            lst,
+            F.transform(F.element_at(lst, 1), lambda x: F.lit(0).cast("long")),
+            lambda acc, h: F.zip_with(acc, h, lambda a, b2: a + b2),
+        )
+        merged = merged.withColumn(_sc("ph", c), fold).drop(_sc("phl", c))
+    return merged
 
 
 def _meta_path(path: str) -> str:
@@ -145,16 +212,27 @@ def create_matview(
     path: str,
     *,
     approx_distinct_cols: Sequence[str] = (),
+    percentile_cols: dict[str, Sequence[float]] | None = None,
     partition_by: Sequence[str] = (),
 ) -> None:
     """Materialize partial states of ``df`` at grain ``keys`` for every
     column in ``measure_cols``.  ``partition_by`` (⊆ keys) lays the view
-    out for partition pruning on those keys.  The initial load is batch
-    0 of the refresh log."""
+    out for partition pruning on those keys.  ``percentile_cols`` maps
+    col → (lo, hi, n_bins): those columns additionally store a mergeable
+    histogram so ``approx_percentile`` measures answer from the view
+    with value error ≤ (hi−lo)/n_bins.  The initial load is batch 0 of
+    the refresh log."""
     if not set(partition_by) <= set(keys):
         raise ValueError("partition_by must be a subset of keys")
+    percentile_cols = dict(percentile_cols or {})
+    for c, (lo, hi, nb) in percentile_cols.items():
+        if not float(hi) > float(lo):
+            raise ValueError(f"percentile col {c}: need hi > lo")
+        if not 1 <= int(nb) <= _MAX_PCTL_BINS:
+            raise ValueError(
+                f"percentile col {c}: n_bins must be in [1, {_MAX_PCTL_BINS}]")
     state = build_state(
-        df, keys, measure_cols, approx_distinct_cols
+        df, keys, measure_cols, approx_distinct_cols, percentile_cols
     ).withColumn("batch_id", F.lit(0))
     (
         state.write.mode("overwrite")
@@ -165,6 +243,8 @@ def create_matview(
         "keys": list(keys),
         "measure_cols": list(measure_cols),
         "approx_distinct_cols": list(approx_distinct_cols),
+        "percentile_cols": {c: [float(lo), float(hi), int(nb)]
+                            for c, (lo, hi, nb) in percentile_cols.items()},
         "partition_by": list(partition_by),
     }
     with open(_meta_path(path), "w") as f:
@@ -181,7 +261,8 @@ def refresh_matview(df_batch: DataFrame, path: str, batch_id: int) -> None:
         raise ValueError("batch_id must be positive (0 is the initial load)")
     meta = matview_meta(path)
     state = build_state(df_batch, meta["keys"], meta["measure_cols"],
-                        meta.get("approx_distinct_cols", ()))
+                        meta.get("approx_distinct_cols", ()),
+                        meta.get("percentile_cols") or None)
     spark = df_batch.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -226,7 +307,8 @@ def matview_state(spark: SparkSession, path: str) -> DataFrame:
     meta = matview_meta(path)
     raw = spark.read.parquet(path).drop("batch_id")
     return _merge_state(raw, meta["keys"], meta["measure_cols"],
-                        meta.get("approx_distinct_cols", ()))
+                        meta.get("approx_distinct_cols", ()),
+                        meta.get("percentile_cols") or None)
 
 
 def can_answer(meta: dict, q: AggQuery) -> bool:
@@ -238,12 +320,19 @@ def can_answer(meta: dict, q: AggQuery) -> bool:
         return False
     stored = set(meta["measure_cols"])
     stored_hll = set(meta.get("approx_distinct_cols", ()))
-    return all(
-        fn == "count_rows"
-        or (col in stored_hll if fn == "approx_count_distinct"
-            else col in stored)
-        for fn, col in q.measures.values()
-    )
+    stored_pctl = set(meta.get("percentile_cols", ()) or ())
+    ok = []
+    for m in q.measures.values():
+        fn, col, _ = _mfc(m)
+        if fn == "count_rows":
+            ok.append(True)
+        elif fn == "approx_count_distinct":
+            ok.append(col in stored_hll)
+        elif fn == "approx_percentile":
+            ok.append(col in stored_pctl)
+        else:
+            ok.append(col in stored)
+    return all(ok)
 
 
 def _apply_filters(df: DataFrame, q: AggQuery) -> DataFrame:
@@ -252,13 +341,31 @@ def _apply_filters(df: DataFrame, q: AggQuery) -> DataFrame:
     return df
 
 
-def _finalize_measures(q: AggQuery, round_dp: int) -> list[Column]:
+def _finalize_measures(q: AggQuery, round_dp: int,
+                       percentile_cols: dict | None = None) -> list[Column]:
+    from bloomy_etl_spark.operators.sketches import hist_est_col
+
     out = []
-    for name, (fn, col) in q.measures.items():
+    for name, m in q.measures.items():
+        fn, col, qq = _mfc(m)
         if fn == "count_rows":
             e: Column = F.col("nr")
         elif fn == "approx_count_distinct":
             e = F.round(F.hll_sketch_estimate(_sc("hll", col))).cast("long")
+        elif fn == "approx_percentile":
+            if not percentile_cols or col not in percentile_cols:
+                raise ValueError(f"measure {name}: no histogram state "
+                                 f"config for column {col!r}")
+            lo, hi, _nb = percentile_cols[col]
+            e = F.round(
+                hist_est_col(
+                    qq, F.col(_sc("ph", col)), F.col(_sc("phcum", col)),
+                    F.col(_sc("phu", col)), F.col(_sc("pho", col)),
+                    F.col(_sc("pmn", col)), F.col(_sc("pmx", col)),
+                    F.col(_sc("pn", col)), float(lo), float(hi),
+                ),
+                round_dp,
+            )
         else:
             n, s = F.col(_sc("n", col)), F.col(_sc("s", col))
             if fn == "count":
@@ -293,39 +400,87 @@ def answer_from_matview(
                          f"(keys={meta['keys']}, measures="
                          f"{meta['measure_cols']})")
     raw = spark.read.parquet(path).drop("batch_id")
-    return answer_from_state(raw, q, round_dp=round_dp)
+    return answer_from_state(
+        raw, q, round_dp=round_dp,
+        percentile_cols=meta.get("percentile_cols") or None,
+    )
+
+
+def _measure_col_sets(q: AggQuery):
+    plain, approx, pctl = set(), set(), set()
+    for m in q.measures.values():
+        fn, col, _ = _mfc(m)
+        if fn == "approx_count_distinct":
+            approx.add(col)
+        elif fn == "approx_percentile":
+            pctl.add(col)
+        elif col is not None:
+            plain.add(col)
+    return sorted(plain), sorted(approx), sorted(pctl)
 
 
 def answer_from_state(state: DataFrame, q: AggQuery, *,
-                      round_dp: int = 4) -> DataFrame:
+                      round_dp: int = 4,
+                      percentile_cols: dict | None = None) -> DataFrame:
     """Rewrite ``q`` against an in-memory/loaded state table at a finer
     grain: filter states, merge to the query grain, finalize.  This is
     the storage-free core of ``answer_from_matview`` — also the shape a
     caller uses when the fine-grain state arrives from somewhere else
-    (a streaming rollup store, a shuffle-stage byproduct)."""
+    (a streaming rollup store, a shuffle-stage byproduct).
+    ``percentile_cols`` (col → (lo, hi, n_bins)) is required iff the
+    query has ``approx_percentile`` measures — it is the view's
+    histogram contract, carried by the matview meta."""
+    from bloomy_etl_spark.operators.sketches import hist_cum_col
+
     q.validate()
-    plain = sorted({c for fn, c in q.measures.values()
-                    if c is not None and fn != "approx_count_distinct"})
-    approx = sorted({c for fn, c in q.measures.values()
-                     if fn == "approx_count_distinct"})
-    merged = _merge_state(_apply_filters(state, q), q.keys, plain, approx)
-    return merged.select(*q.keys, *_finalize_measures(q, round_dp))
+    plain, approx, pctl = _measure_col_sets(q)
+    if pctl and not percentile_cols:
+        raise ValueError("approx_percentile measures need percentile_cols")
+    merged = _merge_state(
+        _apply_filters(state, q), q.keys, plain, approx,
+        {c: percentile_cols[c] for c in pctl} if pctl else None,
+    )
+    for c in pctl:  # precompute the cumulative walk once per group
+        merged = merged.withColumn(
+            _sc("phcum", c), hist_cum_col(F.col(_sc("ph", c)))
+        )
+    return merged.select(
+        *q.keys, *_finalize_measures(q, round_dp, percentile_cols)
+    )
 
 
 def answer_direct(base: DataFrame, q: AggQuery, *,
                   round_dp: int = 4) -> DataFrame:
     """The same query evaluated directly on base rows (the no-view
-    plan, and the semantics oracle for the rewrite)."""
+    plan, and the semantics oracle for the rewrite).
+    ``approx_percentile`` measures are served EXACTLY here (native
+    ``percentile``) — the view's histogram answer is the approximation,
+    so |view − direct| ≤ one bin width is the testable contract."""
     q.validate()
-    state = build_state(
-        _apply_filters(base, q),
-        q.keys,
-        sorted({c for fn, c in q.measures.values()
-                if c is not None and fn != "approx_count_distinct"}),
-        sorted({c for fn, c in q.measures.values()
-                if fn == "approx_count_distinct"}),
-    )
-    return state.select(*q.keys, *_finalize_measures(q, round_dp))
+    plain, approx, pctl = _measure_col_sets(q)
+    state = build_state(_apply_filters(base, q), q.keys, plain, approx)
+    if not pctl:
+        return state.select(*q.keys, *_finalize_measures(q, round_dp))
+    # exact percentiles need base rows, not partial states: one extra
+    # aggregation at the query grain, joined back on the keys (both
+    # sides are |groups|-sized)
+    pctl_aggs = [
+        F.round(F.percentile(F.col(col), F.lit(float(qq))), round_dp)
+        .alias(name)
+        for name, m in q.measures.items()
+        for fn, col, qq in [_mfc(m)]
+        if fn == "approx_percentile"
+    ]
+    exact = _apply_filters(base, q).groupBy(*q.keys).agg(*pctl_aggs)
+    q_rest = AggQuery(q.keys,
+                      {n: m for n, m in q.measures.items()
+                       if _mfc(m)[0] != "approx_percentile"},
+                      q.filters)
+    rest = (state.select(*q.keys, *_finalize_measures(q_rest, round_dp))
+            if q_rest.measures else state.select(*q.keys))
+    joined = (rest.join(exact, list(q.keys)) if q.keys
+              else rest.crossJoin(exact))
+    return joined.select(*q.keys, *q.measures)
 
 
 def answer(

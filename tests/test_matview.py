@@ -248,3 +248,70 @@ def test_streaming_matview_equals_direct(spark, tmp_path):
     want = _rows(answer_direct(
         spark.createDataFrame(rows, schema), qry))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# approx_percentile measures (mergeable histogram state)
+# ---------------------------------------------------------------------------
+def test_percentile_measure_error_bounded_and_mergeable(spark, tmp_path):
+    path = str(tmp_path / "mv_pctl")
+    # amounts in [0, 17); 34 bins of width 0.5
+    create_matview(
+        _sales(spark, 0, 200), ["region", "day"], ["amount"], path,
+        percentile_cols={"amount": (0.0, 17.0, 34)},
+    )
+    refresh_matview(_sales(spark, 200, 400), path, batch_id=1)
+    q = AggQuery(
+        keys=("region",),
+        measures={
+            "p50": ("approx_percentile", "amount", 0.5),
+            "p90": ("approx_percentile", "amount", 0.9),
+            "total": ("sum", "amount"),
+        },
+    )
+    assert can_answer(matview_meta(path), q)
+    got = {r["region"]: r for r in
+           answer_from_matview(spark, path, q).collect()}
+    exact = {r["region"]: r for r in
+             answer_direct(_sales(spark, 0, 400), q).collect()}
+    assert set(got) == set(exact)
+    for reg in got:
+        # view answer within one bin width of the exact percentile;
+        # the plain measure is exact through the same rewrite
+        assert abs(got[reg]["p50"] - exact[reg]["p50"]) <= 0.5 + 1e-9
+        assert abs(got[reg]["p90"] - exact[reg]["p90"]) <= 0.5 + 1e-9
+        assert got[reg]["total"] == exact[reg]["total"]
+
+
+def test_percentile_legality_and_validation(spark, tmp_path):
+    path = str(tmp_path / "mv_pctl2")
+    create_matview(_sales(spark), ["region"], ["amount"], path)
+    q = AggQuery(keys=("region",),
+                 measures={"p50": ("approx_percentile", "amount", 0.5)})
+    # view built WITHOUT percentile_cols cannot serve the measure —
+    # routing falls through to the exact direct plan
+    assert not can_answer(matview_meta(path), q)
+    res, chosen = answer(spark, q, _sales(spark), [path])
+    assert chosen is None and res.count() == 3
+    with pytest.raises(ValueError, match="q in \\[0,1\\]"):
+        AggQuery(keys=(), measures={"p": ("approx_percentile", "amount", 1.5)}
+                 ).validate()
+    with pytest.raises(ValueError, match="n_bins"):
+        create_matview(_sales(spark), ["region"], [], str(tmp_path / "x"),
+                       percentile_cols={"amount": (0.0, 1.0, 100000)})
+
+
+def test_percentile_tail_clamps_to_observed_extremes(spark, tmp_path):
+    # histogram range deliberately misses the data: everything lands in
+    # the under/overflow tails, estimates clamp to exact min/max
+    path = str(tmp_path / "mv_pctl3")
+    df = spark.createDataFrame(
+        [(1, -5.0), (1, -3.0), (1, 103.0), (1, 107.0)], "g long, v double"
+    )
+    create_matview(df, ["g"], [], path,
+                   percentile_cols={"v": (0.0, 100.0, 10)})
+    q = AggQuery(keys=("g",),
+                 measures={"p25": ("approx_percentile", "v", 0.25),
+                           "p99": ("approx_percentile", "v", 0.99)})
+    row = answer_from_matview(spark, path, q).collect()[0]
+    assert row["p25"] == -5.0 and row["p99"] == 107.0
