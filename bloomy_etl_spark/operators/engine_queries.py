@@ -880,6 +880,75 @@ def q98_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Q99 — keyed pseudonymization release (operators/privacy.py): customer
+# and order ids are replaced by deterministic keyed tokens BEFORE the
+# join, and the whole revenue rollup runs in token space — proving the
+# released tables keep referential integrity without real ids. Pure
+# per-row JVM projection on both sides (no UDF, no extra shuffle); the
+# token fn is engine-portable md5, so the oracle replays it verbatim.
+# --------------------------------------------------------------------------
+_Q99_KEY = "q99-release-key"
+
+
+def q99_pseudonymized_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.operators.privacy import pseudonymize
+
+    cust = pseudonymize(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        ["c_custkey"], _Q99_KEY,
+    )
+    orders = pseudonymize(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        ["o_custkey"], _Q99_KEY,
+    )
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .transform(_psort, "c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q100 — mergeable histogram quantiles under the hash gate
+# (operators/sketches.py::hist_*): two disjoint order slices are
+# sketched independently, merged (element-wise — exactly the state the
+# one-shot build produces), and per-priority p25/p50/p90 estimates are
+# read off the merged state. The oracle replays the identical binning,
+# cumulative walk, landing-bin interpolation, and [vmin, vmax] clamp in
+# SQL — every arithmetic step is the same IEEE double op in both
+# engines, so the estimates hash-match exactly. (lo=0, hi=600000 covers
+# all fixture totalprices: tails stay 0 and the in-range path is what's
+# gated; the tail clamps are unit-tested in tests/test_sketches.py.)
+# --------------------------------------------------------------------------
+def q100_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomy_etl_spark.operators.sketches import (
+        hist_build,
+        hist_merge,
+        hist_quantile,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    slices = [
+        hist_build(o.filter(F.col("o_orderkey") % 2 == k),
+                   ["o_orderpriority"], "v", 0.0, 600000.0, n_bins=60)
+        for k in range(2)
+    ]
+    est = hist_quantile(hist_merge(*slices), [0.25, 0.5, 0.9],
+                        0.0, 600000.0)
+    return est.select(
+        "o_orderpriority", "q", F.round("est", 4).alias("est")
+    ).transform(_psort, "o_orderpriority", "q")
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -910,6 +979,8 @@ ENGINE_QUERIES = {
     "q96_modern_aggs": q96_modern_aggs,
     "q97_bfs_reach": q97_bfs_reach,
     "q98_linreg_trend": q98_linreg_trend,
+    "q99_pseudonymized_release": q99_pseudonymized_release,
+    "q100_hist_quantiles": q100_hist_quantiles,
 }
 
 
@@ -1592,5 +1663,75 @@ ENGINE_ORACLE_SQL = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    # q99: the token fn replays verbatim — same md5, same key prefix,
+    # same 16-char truncation; join + rollup entirely in token space
+    "q99_pseudonymized_release": f"""
+        WITH c AS (
+            SELECT SUBSTRING(MD5('{_Q99_KEY}:'
+                                 || CAST(c_custkey AS VARCHAR)), 1, 16)
+                       AS tok,
+                   c_mktsegment
+            FROM customer
+        ),
+        o AS (
+            SELECT SUBSTRING(MD5('{_Q99_KEY}:'
+                                 || CAST(o_custkey AS VARCHAR)), 1, 16)
+                       AS tok,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT c.c_mktsegment,
+               COUNT(DISTINCT c.tok) AS n_customers,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 4) AS revenue
+        FROM o JOIN c ON o.tok = c.tok
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    # q100: exact replay of the histogram estimator — identical IEEE
+    # double arithmetic at every step (bin = floor(v/width), cumulative
+    # walk, first bin whose cum reaches r = q*n, linear interpolation,
+    # [vmin, vmax] clamp). Tails are provably 0 for this range, so the
+    # under/overflow branches (unit-tested) don't appear here.
+    "q100_hist_quantiles": """
+        WITH v AS (
+            SELECT o_orderpriority AS pri,
+                   CAST(o_totalprice AS DOUBLE) AS v
+            FROM orders
+        ),
+        stats AS (
+            SELECT pri, COUNT(v) AS n, MIN(v) AS vmin, MAX(v) AS vmax
+            FROM v GROUP BY pri
+        ),
+        bins AS (
+            SELECT pri, CAST(FLOOR(v / 10000.0) AS INT) AS b,
+                   COUNT(*) AS c
+            FROM v GROUP BY pri, b
+        ),
+        cum AS (
+            SELECT pri, b, c,
+                   CAST(SUM(c) OVER (PARTITION BY pri ORDER BY b)
+                        AS DOUBLE) AS cum
+            FROM bins
+        ),
+        qs AS (SELECT CAST(q AS DOUBLE) AS q
+               FROM (VALUES (0.25), (0.5), (0.9)) AS t(q)),
+        land AS (
+            SELECT s.pri, qs.q, qs.q * CAST(s.n AS DOUBLE) AS r,
+                   s.vmin, s.vmax,
+                   (SELECT MIN(cm.b) FROM cum cm
+                    WHERE cm.pri = s.pri
+                      AND cm.cum >= qs.q * CAST(s.n AS DOUBLE)) AS b
+            FROM stats s CROSS JOIN qs
+        )
+        SELECT l.pri AS o_orderpriority, l.q AS q,
+               ROUND(LEAST(GREATEST(
+                   0.0 + 10000.0 * (CAST(l.b AS DOUBLE)
+                       + (l.r - (cm.cum - CAST(cm.c AS DOUBLE)))
+                         / CAST(cm.c AS DOUBLE)),
+                   l.vmin), l.vmax), 4) AS est
+        FROM land l JOIN cum cm ON cm.pri = l.pri AND cm.b = l.b
+        ORDER BY o_orderpriority, q
     """,
 }

@@ -315,3 +315,51 @@ def test_percentile_tail_clamps_to_observed_extremes(spark, tmp_path):
                            "p99": ("approx_percentile", "v", 0.99)})
     row = answer_from_matview(spark, path, q).collect()[0]
     assert row["p25"] == -5.0 and row["p99"] == 107.0
+
+
+def test_streaming_percentile_matview_within_bin_width(spark, tmp_path):
+    """Live percentile views for free: percentile_cols + the streaming
+    sink compose — micro-batch histogram states merge across epochs and
+    the served p50 stays within one bin width of the exact percentile
+    over everything ingested."""
+    import os
+
+    import pandas as pd
+
+    from bloomy_etl_spark.plans.matview import streaming_matview_sink
+
+    rows = [(i, ["east", "west"][i % 2], float(i % 101)) for i in range(300)]
+    src = tmp_path / "in_p"
+    src.mkdir()
+    t0 = 1_000_000_000
+    for i in range(3):
+        f = src / f"b{i:05d}.parquet"
+        pd.DataFrame(rows[i * 100:(i + 1) * 100],
+                     columns=["id", "region", "amount"]).to_parquet(
+            f, index=False)
+        os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+    mv = str(tmp_path / "mv_p")
+    schema = "id long, region string, amount double"
+    create_matview(spark.createDataFrame([], schema), ["region"],
+                   ["amount"], mv,
+                   percentile_cols={"amount": (0.0, 101.0, 101)})
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = streaming_matview_sink(stream, mv, str(tmp_path / "ckpt_p"))
+    q.processAllAvailable()
+    q.stop()
+    qry = AggQuery(keys=("region",),
+                   measures={"p50": ("approx_percentile", "amount", 0.5),
+                             "n": ("count_rows", None)})
+    got = {r["region"]: r for r in
+           answer_from_matview(spark, mv, qry).collect()}
+    exact = {r["region"]: r for r in
+             answer_direct(spark.createDataFrame(rows, schema),
+                           qry).collect()}
+    assert set(got) == {"east", "west"}
+    for reg in got:
+        assert got[reg]["n"] == exact[reg]["n"]
+        assert abs(got[reg]["p50"] - exact[reg]["p50"]) <= 1.0 + 1e-9
