@@ -1,0 +1,86 @@
+"""Measured scale claims (tools/profile.py): the plan-shape tests in
+test_plans.py assert what the plan SAYS; these assert what the
+execution DID — real shuffle bytes and records from the SQLMetric
+accumulators. A claim like "the corpus never shuffles" or "shuffle
+volume is bounded by the sketch size, not the key cardinality" becomes
+a number the test compares against the data's actual size."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.sources.tables import load_table
+from bloomy_etl_spark.tools.profile import run_profile
+from tests.conftest import SF_SMOKE
+
+
+def test_split_assignment_moves_zero_shuffle_bytes(spark):
+    """q47's operator claims shuffle-free determinism — measured: the
+    execution writes 0 shuffle bytes, not just 'no Exchange in plan'."""
+    from bloomy_etl_spark.operators.corpus import assign_split
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    p = run_profile(assign_split(docs, train_pct=80, val_pct=10))
+    assert p["shuffle_bytes_written"] == 0
+    assert p["output_rows"] == docs.count()
+
+
+def test_chunking_moves_zero_shuffle_bytes(spark):
+    from bloomy_etl_spark.operators.corpus import chunk_documents
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    p = run_profile(chunk_documents(docs, window=64, stride=48))
+    assert p["shuffle_bytes_written"] == 0
+    assert p["output_rows"] >= docs.count()  # explode only adds rows
+
+
+def test_cms_shuffle_bounded_by_sketch_not_corpus(spark):
+    """The CMS build's entire point: shuffle volume tracks d×w counter
+    cells, NOT distinct-token cardinality. Measured: the shuffle writes
+    no more records than partitions × (d×w) partial cells, far below
+    the corpus' token count."""
+    from bloomy_etl_spark.operators.sketches import cms_build
+    from bloomy_etl_spark.functions.text import tokens
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    n_tokens = toks.count()
+    depth, width = 4, 64
+    p = run_profile(cms_build(toks, "tok", depth=depth, width=width))
+    cells = depth * width
+    n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    assert 0 < p["shuffle_records_written"] <= cells * n_parts
+    assert p["shuffle_records_written"] < n_tokens
+
+
+def test_hist_shuffle_bounded_by_groups_times_bins(spark):
+    """The histogram sketch's bound, measured: level-1 map-side combine
+    means the shuffle carries at most groups × (n_bins+2) cell rows plus
+    the level-2 assembly, never the row count."""
+    from bloomy_etl_spark.operators.sketches import hist_build
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_rows = ev.count()
+    n_groups = ev.select("event_type").distinct().count()
+    n_bins = 32
+    p = run_profile(hist_build(ev, ["event_type"], "value",
+                               lo=0.0, hi=100.0, n_bins=n_bins))
+    n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    bound = n_groups * (n_bins + 2) * n_parts + n_groups * n_parts
+    assert 0 < p["shuffle_records_written"] <= bound
+    assert p["shuffle_records_written"] < n_rows
+
+
+def test_mixture_sample_corpus_never_shuffles(spark):
+    """q50's scale story, measured: only the tiny per-language rate
+    table moves through a shuffle; corpus rows reach the output without
+    one. Shuffle records must be O(languages), not O(documents)."""
+    from bloomy_etl_spark.operators.corpus import mixture_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    n_langs = docs.select("lang").distinct().count()
+    p = run_profile(mixture_sample(docs, alpha=0.7))
+    n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    assert p["shuffle_records_written"] <= n_langs * (n_parts + 2)
+    assert p["shuffle_records_written"] < n_docs
