@@ -48,8 +48,9 @@ _NEVER_DRIVER_VERIFIED = [
 
 def _driver_order(names) -> list[str]:
     first = [n for n in _NEVER_DRIVER_VERIFIED if n in names]
-    # brand-new queries (r5: q70–q98) go right behind the rotation set so
-    # they land inside the 50-row window on their first round
+    # brand-new queries (r5: q70–q100, 31 of them) go right behind the
+    # rotation set so they land inside the 50-row window on their first
+    # round (19 + 31 = exactly 50)
     new = [n for n in ENGINE_QUERIES if n in names and n not in first]
     seen = set(first) | set(new)
     mid = [n for n in names if n not in seen and n not in QUERIES]

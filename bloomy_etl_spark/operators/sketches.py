@@ -328,6 +328,21 @@ def kmv_overlap_cols(a, b, k: int) -> dict:
 _HIST_STATE = ("hist", "n_under", "n_over", "vmin", "vmax", "n")
 
 
+def hist_bin_col(v, lo: float, hi: float, n_bins: int):
+    """Bin index Column for a double value: −1 underflow, ``n_bins``
+    overflow, else ``floor((v−lo)/width)`` clamped to the last bin.
+    THE single definition of the binning — shared by :func:`hist_build`
+    and the matview percentile state (`plans/matview.py`); both feed
+    :func:`hist_est_col`, so their bin assignment must never diverge."""
+    width = (hi - lo) / n_bins
+    return (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(n_bins))
+        .otherwise(F.least(F.lit(n_bins - 1),
+                           F.floor((v - F.lit(lo)) / F.lit(width))))
+    ).cast("int")
+
+
 def hist_build(df: DataFrame, keys: list[str], value_col: str,
                lo: float, hi: float, n_bins: int = 128) -> DataFrame:
     """Per-group histogram sketch of ``value_col`` over ``[lo, hi)``:
@@ -341,14 +356,8 @@ def hist_build(df: DataFrame, keys: list[str], value_col: str,
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
     if not 1 <= n_bins <= 4096:
         raise ValueError(f"n_bins must be in [1, 4096], got {n_bins}")
-    width = (hi - lo) / n_bins
     v = F.col(value_col).cast("double")
-    bin_ = (
-        F.when(v < lo, F.lit(-1))
-        .when(v >= hi, F.lit(n_bins))
-        .otherwise(F.least(F.lit(n_bins - 1),
-                           F.floor((v - F.lit(lo)) / F.lit(width))))
-    ).cast("int")
+    bin_ = hist_bin_col(v, lo, hi, n_bins)
     binned = df.filter(v.isNotNull()).select(
         *keys, v.alias("__v"), bin_.alias("__bin")
     )

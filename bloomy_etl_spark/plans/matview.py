@@ -32,7 +32,7 @@ import os
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -50,8 +50,6 @@ __all__ = [
     "answer",
 ]
 
-_STATE_PREFIXES = ("n", "s", "mn", "mx", "ssq", "hll",
-                   "ph", "phu", "pho", "pmn", "pmx", "pn")
 _FNS = frozenset(
     {"count_rows", "count", "sum", "min", "max", "avg", "stddev_pop",
      "approx_count_distinct", "approx_percentile"}
@@ -140,15 +138,11 @@ def build_state(df: DataFrame, keys: Sequence[str],
     # semantics — exact under/overflow tails, observed min/max). Inline
     # per-bin conditional sums keep the whole state ONE aggregation.
     for c, (lo, hi, nb) in (percentile_cols or {}).items():
+        from bloomy_etl_spark.operators.sketches import hist_bin_col
+
         lo, hi, nb = float(lo), float(hi), int(nb)
-        width = (hi - lo) / nb
         v = F.col(c).cast("double")
-        b = (
-            F.when(v < lo, F.lit(-1))
-            .when(v >= hi, F.lit(nb))
-            .otherwise(F.least(F.lit(nb - 1),
-                               F.floor((v - F.lit(lo)) / F.lit(width))))
-        ).cast("int")
+        b = hist_bin_col(v, lo, hi, nb)
         one = F.lit(1).cast("long")
         zero = F.lit(0).cast("long")
         aggs += [
@@ -434,8 +428,10 @@ def answer_from_state(state: DataFrame, q: AggQuery, *,
 
     q.validate()
     plain, approx, pctl = _measure_col_sets(q)
-    if pctl and not percentile_cols:
-        raise ValueError("approx_percentile measures need percentile_cols")
+    missing = [c for c in pctl if c not in (percentile_cols or {})]
+    if missing:
+        raise ValueError("approx_percentile measures need percentile_cols "
+                         f"entries for: {missing}")
     merged = _merge_state(
         _apply_filters(state, q), q.keys, plain, approx,
         {c: percentile_cols[c] for c in pctl} if pctl else None,
@@ -453,25 +449,50 @@ def answer_direct(base: DataFrame, q: AggQuery, *,
                   round_dp: int = 4) -> DataFrame:
     """The same query evaluated directly on base rows (the no-view
     plan, and the semantics oracle for the rewrite).
-    ``approx_percentile`` measures are served EXACTLY here (native
-    ``percentile``) — the view's histogram answer is the approximation,
-    so |view − direct| ≤ one bin width is the testable contract."""
+
+    ``approx_percentile`` measures are served EXACTLY here, under the
+    SAME rank convention the histogram estimator uses (type-1: the
+    smallest value whose cumulative count reaches ``q·n``, read off a
+    ``cume_dist`` window). Convention parity is what makes the
+    documented |view − direct| ≤ one-bin-width contract a theorem: the
+    true type-1 quantile lives in the estimator's landing bin, and the
+    clamped interpolation cannot leave it. (Spark's native
+    ``percentile`` interpolates BETWEEN order statistics — against
+    that convention the gap is unbounded on gappy data.)"""
     q.validate()
     plain, approx, pctl = _measure_col_sets(q)
     state = build_state(_apply_filters(base, q), q.keys, plain, approx)
     if not pctl:
         return state.select(*q.keys, *_finalize_measures(q, round_dp))
-    # exact percentiles need base rows, not partial states: one extra
-    # aggregation at the query grain, joined back on the keys (both
-    # sides are |groups|-sized)
-    pctl_aggs = [
-        F.round(F.percentile(F.col(col), F.lit(float(qq))), round_dp)
-        .alias(name)
-        for name, m in q.measures.items()
-        for fn, col, qq in [_mfc(m)]
-        if fn == "approx_percentile"
-    ]
-    exact = _apply_filters(base, q).groupBy(*q.keys).agg(*pctl_aggs)
+    # exact type-1 quantiles need base rows at a total order: one
+    # window pass per percentile column (NULLs excluded, matching the
+    # sketch's null-skip), then a conditional-min per requested q —
+    # every side of the final join is |groups|-sized
+    base_f = _apply_filters(base, q)
+    exact: DataFrame | None = None
+    for c in pctl:
+        w = Window.partitionBy(*q.keys).orderBy(F.col(c).cast("double"))
+        cd = (
+            base_f.filter(F.col(c).isNotNull())
+            .withColumn("__cd", F.cume_dist().over(w))
+        )
+        aggs = [
+            F.round(
+                F.min(F.when(F.col("__cd") >= float(qq),
+                             F.col(c).cast("double"))),
+                round_dp,
+            ).alias(name)
+            for name, m in q.measures.items()
+            for fn, col, qq in [_mfc(m)]
+            if fn == "approx_percentile" and col == c
+        ]
+        part = cd.groupBy(*q.keys).agg(*aggs)
+        if exact is None:
+            exact = part
+        elif q.keys:
+            exact = exact.join(part, list(q.keys))
+        else:
+            exact = exact.crossJoin(part)
     q_rest = AggQuery(q.keys,
                       {n: m for n, m in q.measures.items()
                        if _mfc(m)[0] != "approx_percentile"},

@@ -43,6 +43,42 @@ class NodeMetrics:
     metrics: dict[str, int] = field(default_factory=dict)
 
 
+# Nodes that only wrap the real operator tree (codegen pipelines, AQE
+# roots, query-stage shells): descended through when locating the root
+# OPERATOR, whose numOutputRows — if it has one — is the result size.
+_WRAPPERS = (
+    "WholeStageCodegen", "InputAdapter", "AdaptiveSparkPlan",
+    "ResultQueryStage", "ShuffleQueryStage", "BroadcastQueryStage",
+    "TableCacheQueryStage",
+)
+# metric-less operators that preserve the row count exactly — safe to
+# look past when the root lacks numOutputRows
+_ROW_PRESERVING = ("Project", "Sort")
+
+
+def _reset_metrics(jnode) -> None:
+    """Zero every SQLMetric accumulator in the tree. Metrics are
+    cumulative across executions of the same plan objects — without the
+    reset, profiling a kept DataFrame twice reports doubled counts."""
+    it = jnode.metrics().iterator()
+    while it.hasNext():
+        try:
+            it.next()._2().reset()
+        except Exception:  # noqa: BLE001 — leave unresettable ones be
+            pass
+    for accessor in ("executedPlan", "plan"):
+        try:
+            child = getattr(jnode, accessor)()
+            if child is not None and hasattr(child, "nodeName"):
+                _reset_metrics(child)
+                return
+        except Exception:  # noqa: BLE001
+            pass
+    children = jnode.children()
+    for i in range(children.size()):
+        _reset_metrics(children.apply(i))
+
+
 def _walk(jnode, depth: int, out: list[NodeMetrics]) -> None:
     mets: dict[str, int] = {}
     it = jnode.metrics().iterator()
@@ -80,9 +116,16 @@ def run_profile(df: DataFrame) -> dict:
          "peak_memory_bytes": int,           # max over operators
          "scans": [{"name", "numFiles", "numOutputRows", ...}],
          "exchanges": int}                   # shuffle count in the plan
+
+    Safe to call repeatedly on the SAME DataFrame object: accumulators
+    are reset before each run. Caveat: a shuffle Spark reuses from a
+    previous execution does not re-run, so its bytes count what THIS
+    run moved (zero) — re-create the DataFrame to re-measure the
+    exchange itself.
     """
     qe = df._jdf.queryExecution()
     root = qe.executedPlan()
+    _reset_metrics(root)  # metrics are cumulative across runs
     root.execute().count()  # full execution; rows stay on executors
     nodes: list[NodeMetrics] = []
     _walk(root, 0, nodes)
@@ -90,11 +133,20 @@ def run_profile(df: DataFrame) -> dict:
     def total(metric: str) -> int:
         return sum(n.metrics.get(metric, 0) for n in nodes)
 
-    output_rows = next(
-        (n.metrics["numOutputRows"] for n in nodes
-         if "numOutputRows" in n.metrics),
-        None,
-    )
+    # the result size is the first numOutputRows found while descending
+    # ONLY through wrappers and row-PRESERVING metric-less operators
+    # (Project/Sort). A count-CHANGING root without the metric (a
+    # limit, a sample) reports None (unknown) — never a deeper node's
+    # pre-limit number.
+    output_rows = None
+    for n in nodes:
+        if any(n.name.startswith(w) for w in _WRAPPERS):
+            continue
+        if "numOutputRows" in n.metrics:
+            output_rows = n.metrics["numOutputRows"]
+            break
+        if not n.name.startswith(_ROW_PRESERVING):
+            break
     scans = [
         {"name": n.name, **n.metrics}
         for n in nodes

@@ -363,3 +363,25 @@ def test_streaming_percentile_matview_within_bin_width(spark, tmp_path):
     for reg in got:
         assert got[reg]["n"] == exact[reg]["n"]
         assert abs(got[reg]["p50"] - exact[reg]["p50"]) <= 1.0 + 1e-9
+
+
+def test_percentile_bound_holds_on_gappy_data(spark, tmp_path):
+    """Regression: the ≤ one-bin-width contract must hold under the
+    estimator's own (type-1) rank convention even when the data is
+    GAPPY — values {0.0, 0.1, 16.8, 16.9} with bin width 0.5 put the
+    type-1 p50 at 0.1; an order-statistic-interpolating oracle would
+    sit at 8.45 and no bin-width bound could hold against it."""
+    df = spark.createDataFrame(
+        [(1, 0.0), (1, 0.1), (1, 16.8), (1, 16.9)], "g long, v double"
+    )
+    path = str(tmp_path / "mv_gappy")
+    create_matview(df, ["g"], [], path,
+                   percentile_cols={"v": (0.0, 17.0, 34)})
+    q = AggQuery(keys=("g",),
+                 measures={"p50": ("approx_percentile", "v", 0.5),
+                           "p75": ("approx_percentile", "v", 0.75)})
+    got = answer_from_matview(spark, path, q).collect()[0]
+    exact = answer_direct(df, q).collect()[0]
+    assert exact["p50"] == 0.1 and exact["p75"] == 16.8  # type-1 truth
+    assert abs(got["p50"] - exact["p50"]) <= 0.5 + 1e-9
+    assert abs(got["p75"] - exact["p75"]) <= 0.5 + 1e-9

@@ -68,3 +68,25 @@ def test_pruned_scan_reads_fewer_files_than_full(spark, tmp_path):
     f_pruned = sum(s.get("numFiles", 0) for s in pruned["scans"])
     assert 0 < f_pruned < f_full
     assert pruned["output_rows"] == one_day.count()
+
+
+def test_repeat_profile_is_idempotent(spark):
+    """Metrics reset per run: profiling the same DataFrame object twice
+    must not report doubled counts."""
+    df = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = run_profile(df)
+    b = run_profile(df)
+    assert a["output_rows"] == b["output_rows"] == df.count()
+    assert b["spill_bytes"] == a["spill_bytes"] == 0
+
+
+def test_row_changing_root_without_metric_reports_none(spark):
+    """A limit root has no numOutputRows metric; the profiler must say
+    'unknown' (None), never a deeper node's pre-limit count."""
+    df = load_table(spark, SF_SMOKE, "orders").limit(10)
+    p = run_profile(df)
+    assert p["output_rows"] is None or p["output_rows"] == 10
