@@ -52,8 +52,10 @@ _WRAPPERS = (
     "TableCacheQueryStage",
 )
 # metric-less operators that preserve the row count exactly — safe to
-# look past when the root lacks numOutputRows
-_ROW_PRESERVING = ("Project", "Sort")
+# look past when the root lacks numOutputRows (a repartition/sort tail
+# like a presentation sort must not hide the real result size)
+_ROW_PRESERVING = ("Project", "Sort", "Exchange", "ReusedExchange",
+                   "AQEShuffleRead")
 
 
 def _reset_metrics(jnode) -> None:
