@@ -127,6 +127,12 @@ def read_webdataset(spark: SparkSession, path: str,
     return raw.select("path", "content").mapInPandas(run, schema=MEMBER_SCHEMA)
 
 
+_SAMPLE_SCHEMA = (
+    "shard string, sample_key string, n_members long, "
+    "parts map<string, binary>"
+)
+
+
 def group_samples(members: DataFrame, group_in_task: bool = False) -> DataFrame:
     """Pivot members into one row per sample:
     (shard, sample_key, n_members, parts: map<ext, payload>).
@@ -134,23 +140,29 @@ def group_samples(members: DataFrame, group_in_task: bool = False) -> DataFrame:
     ``group_in_task=False``: a hash aggregate keyed by (shard,
     sample_key) — correct even if a sample's members were split across
     reads. ``group_in_task=True`` exploits WebDataset's adjacency
-    guarantee (one shard = one task holds all members of each sample)
-    and aggregates per-partition with no exchange — assert it with the
-    plan tests before relying on it for a given source.
+    guarantee (one shard = one task holds all members of each sample,
+    consecutively) and folds groups inside each task with ZERO
+    exchange — payload bytes never move again after the tar read, the
+    scale point of the format. Only valid straight off
+    :func:`read_webdataset` (any intervening repartition voids the
+    adjacency — the equivalence and no-Exchange plan tests pin both
+    modes).
 
-    A malformed shard can repeat the same (sample_key, ext) — the map
-    build dedupes FIRST-per-ext deterministically (entries sorted by
+    A malformed shard can repeat the same (sample_key, ext) — both
+    modes dedupe FIRST-per-ext deterministically (entries sorted by
     (ext, payload), keep each ext's smallest payload) so one bad shard
     degrades to a quarantinable row instead of a DUPLICATED_MAP_KEY job
     failure (spark.sql.mapKeyDedupPolicy defaults to EXCEPTION);
     ``n_members`` still counts raw members, so dupes stay detectable
     (n_members > size(parts)).
     """
+    if group_in_task:
+        return _group_in_task(members)
     agg = members.groupBy("shard", "sample_key").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.array_sort(F.collect_list(F.struct("ext", "payload"))).alias("_entries"),
     )
-    out = agg.select(
+    return agg.select(
         "shard",
         "sample_key",
         "n_members",
@@ -158,15 +170,62 @@ def group_samples(members: DataFrame, group_in_task: bool = False) -> DataFrame:
             F.expr("filter(_entries, (x, i) -> i = 0 OR x.ext != _entries[i-1].ext)")
         ).alias("parts"),
     )
-    if group_in_task:
-        # partial-only aggregation: members of a sample are task-local by
-        # construction, so the exchange the planner would insert is pure
-        # waste; re-expressed as an in-partition sort + sessionized fold
-        # would remove it, but the simple declarative form is kept and
-        # the exchange coalesces to ~nothing under AQE since group counts
-        # are shard-local. (Documented tradeoff; see module docstring.)
-        pass
-    return out
+
+
+def _group_in_task(members: DataFrame) -> DataFrame:
+    """Task-local sample fold: consecutive rows sharing (shard,
+    sample_key) become one sample row, streamed across Arrow batch
+    boundaries (a sample split over two batches of the same task is
+    carried, never emitted twice). Semantics identical to the shuffle
+    mode: first-per-ext under (ext, payload) order, raw n_members."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key: tuple | None = None
+        cur_rows: list[tuple] = []  # (ext, payload)
+
+        def emit(out: list[dict]) -> None:
+            if cur_key is None:
+                return
+            entries = sorted(
+                cur_rows, key=lambda t: (t[0], t[1] if t[1] is not None else b"")
+            )
+            parts: dict[str, bytes] = {}
+            for ext, payload in entries:
+                if ext not in parts:
+                    parts[ext] = payload
+            out.append(
+                {
+                    "shard": cur_key[0],
+                    "sample_key": cur_key[1],
+                    "n_members": len(cur_rows),
+                    "parts": parts,
+                }
+            )
+
+        for pdf in batches:
+            out: list[dict] = []
+            for shard, key, ext, payload in zip(
+                pdf["shard"], pdf["sample_key"], pdf["ext"], pdf["payload"]
+            ):
+                k = (shard, key)
+                if k != cur_key:
+                    emit(out)
+                    cur_key, cur_rows = k, []
+                cur_rows.append((ext, bytes(payload) if payload is not None
+                                 else None))
+            yield pd.DataFrame(
+                out, columns=["shard", "sample_key", "n_members", "parts"]
+            )
+        tail: list[dict] = []
+        emit(tail)
+        if tail:
+            yield pd.DataFrame(
+                tail, columns=["shard", "sample_key", "n_members", "parts"]
+            )
+
+    return members.select("shard", "sample_key", "ext", "payload").mapInPandas(
+        fold, schema=_SAMPLE_SCHEMA
+    )
 
 
 def to_media_table(samples: DataFrame, media_ext: tuple[str, ...] = ("jpg", "png", "wav", "mp4")) -> DataFrame:

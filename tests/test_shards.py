@@ -181,3 +181,62 @@ class TestJsonl:
         # failfast path raises on the corrupt line
         with pytest.raises(Exception):
             read_jsonl_corpus(spark, str(p), quarantine=False).collect()
+
+
+class TestGroupInTask:
+    def test_equivalent_to_shuffle_mode(self, spark, shard_dir):
+        m = read_webdataset(spark, shard_dir + "/*.tar")
+        a = sorted(
+            (r["shard"], r["sample_key"], r["n_members"],
+             tuple(sorted((k, bytes(v)) for k, v in r["parts"].items())))
+            for r in group_samples(m, group_in_task=False).collect()
+        )
+        b = sorted(
+            (r["shard"], r["sample_key"], r["n_members"],
+             tuple(sorted((k, bytes(v)) for k, v in r["parts"].items())))
+            for r in group_samples(m, group_in_task=True).collect()
+        )
+        assert a == b and len(a) == 3
+
+    def test_no_exchange_in_plan(self, spark, shard_dir):
+        m = read_webdataset(spark, shard_dir + "/*.tar")
+        plan = (
+            group_samples(m, group_in_task=True)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_duplicate_ext_same_first_per_ext_rule(self, spark, tmp_path):
+        p = tmp_path / "dup.tar"
+        _write_shard(
+            p,
+            [
+                ("0001.txt", b"bbb"),
+                ("0001.txt", b"aaa"),  # duplicate ext: smallest payload wins
+                ("0001.jpg", b"img"),
+            ],
+        )
+        m = read_webdataset(spark, str(p))
+        row = group_samples(m, group_in_task=True).collect()[0]
+        assert row["n_members"] == 3
+        assert bytes(row["parts"]["txt"]) == b"aaa"
+
+    def test_sample_split_across_arrow_batches(self, spark, tmp_path):
+        """A sample whose members straddle an Arrow batch boundary must
+        fold into ONE row — force 1-row batches to hit every boundary."""
+        p = tmp_path / "spanning.tar"
+        _write_shard(
+            p,
+            [(f"{i:04d}.{ext}", f"{i}-{ext}".encode())
+             for i in range(1, 4) for ext in ("jpg", "txt")],
+        )
+        m = read_webdataset(spark, str(p))
+        saved = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+        try:
+            rows = group_samples(m, group_in_task=True).collect()
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", saved)
+        assert sorted(r["sample_key"] for r in rows) == ["0001", "0002", "0003"]
+        assert all(r["n_members"] == 2 for r in rows)
