@@ -13,9 +13,11 @@ grid, bilinear for reflectance bands / nearest for the fmask, with
   is importable, and otherwise falls back to the pure-NumPy affine warp
   below, which implements the actual resampling math (inverse-affine
   pixel mapping + bilinear/nearest sampling with nodata exclusion and
-  weight renormalization) for the same-CRS case — so the warp
-  computation is REAL and tested in this container, not a stub; only
-  datum/projection conversion itself requires rasterio.
+  weight renormalization) for the same-CRS case AND the closed-form
+  EPSG:4326 ↔ EPSG:3857 (spherical Web Mercator) pair — so both the
+  warp computation and the most common web-tiling reprojection are
+  REAL and tested in this container, not stubs; only projections that
+  need a proj database (UTM zones, datum shifts) require rasterio.
 
 Affine convention (rasterio/GDAL order): ``transform = [a, b, c, d, e, f]``
 maps pixel (col, row) to world ``x = a·col + b·row + c``,
@@ -62,11 +64,54 @@ def _invert_affine(t: np.ndarray) -> np.ndarray:
     return np.array([ia, ib, ic, id_, ie, if_], dtype=np.float64)
 
 
+# --- pure-math CRS conversion (the pairs with closed public formulas) ---
+_WEB_MERCATOR_R = 6378137.0  # EPSG:3857 sphere radius, meters
+
+
+def _lonlat_to_mercator(lon: np.ndarray, lat: np.ndarray):
+    """EPSG:4326 → EPSG:3857 (spherical Web Mercator, the standard
+    published formulas): x = R·λ, y = R·ln(tan(π/4 + φ/2))."""
+    x = _WEB_MERCATOR_R * np.radians(lon)
+    y = _WEB_MERCATOR_R * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    return x, y
+
+
+def _mercator_to_lonlat(x: np.ndarray, y: np.ndarray):
+    """EPSG:3857 → EPSG:4326: λ = x/R, φ = 2·atan(e^(y/R)) − π/2."""
+    lon = np.degrees(x / _WEB_MERCATOR_R)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / _WEB_MERCATOR_R)) - np.pi / 2.0)
+    return lon, lat
+
+
+def _crs_code(crs: str) -> str:
+    return str(crs).strip().upper()
+
+
+def numpy_crs_transform(dst_crs: str, src_crs: str):
+    """Coordinate transform ``f(x_dst, y_dst) -> (x_src, y_src)`` for the
+    CRS pairs with closed-form public math (spherical Web Mercator ↔
+    geographic), or ``None`` when the pair needs a projection database
+    (rasterio's job). Used by the NumPy warp engine so the single most
+    common web-tiling reprojection works without rasterio."""
+    a, b = _crs_code(dst_crs), _crs_code(src_crs)
+    if a == b:
+        return lambda x, y: (x, y)
+    if (a, b) == ("EPSG:3857", "EPSG:4326"):
+        return _mercator_to_lonlat
+    if (a, b) == ("EPSG:4326", "EPSG:3857"):
+        return _lonlat_to_mercator
+    return None
+
+
 def _numpy_warp(src: np.ndarray, src_transform, dst_transform,
                 dst_shape: tuple[int, int], resampling: str,
-                src_nodata: float | None, dst_nodata: float) -> np.ndarray:
-    """Same-CRS affine warp: inverse-map destination pixel centers into
-    source pixel space, then sample.
+                src_nodata: float | None, dst_nodata: float,
+                coord_transform=None) -> np.ndarray:
+    """Affine warp (optionally across a closed-form CRS pair):
+    inverse-map destination pixel centers into source pixel space, then
+    sample. ``coord_transform`` converts destination WORLD coordinates
+    into source WORLD coordinates between the two affine steps (None =
+    same CRS).
 
     * ``nearest``: the source pixel whose cell contains the mapped point.
     * ``bilinear``: weighted mean of the 4 surrounding source pixel
@@ -85,6 +130,8 @@ def _numpy_warp(src: np.ndarray, src_transform, dst_transform,
     # dst pixel centers in world coords
     x = a * cg + b * rg + c
     y = d * cg + e * rg + f
+    if coord_transform is not None:
+        x, y = coord_transform(x, y)
     # world -> fractional source pixel units
     colf = inv[0] * x + inv[1] * y + inv[2]
     rowf = inv[3] * x + inv[4] * y + inv[5]
@@ -186,9 +233,10 @@ def warp_to_grid(tiles: DataFrame, dst_transform: list[float],
     join — ``core/processor.py:180-199``).
 
     ``engine``: ``"auto"`` → rasterio when importable (full CRS
-    reprojection), else the NumPy affine warp (requires src CRS ==
-    ``dst_crs``); ``"numpy"`` / ``"rasterio"`` force a branch. The
-    NumPy branch raises on a CRS mismatch rather than silently treating
+    reprojection), else the NumPy affine warp (src CRS == ``dst_crs``,
+    or the closed-form EPSG:4326 ↔ EPSG:3857 pair); ``"numpy"`` /
+    ``"rasterio"`` force a branch. The NumPy branch raises on any other
+    CRS mismatch rather than silently treating
     coordinates as compatible.
 
     Returns WARPED_SCHEMA rows: the destination-grid band + the shared
@@ -223,16 +271,19 @@ def warp_to_grid(tiles: DataFrame, dst_transform: list[float],
                         (dh, dw), resampling, src_nodata, nodata_out,
                     )
                 else:
-                    if row.crs != dst_crs:
+                    ct = numpy_crs_transform(dst_crs, row.crs)
+                    if ct is None:
                         raise NotImplementedError(
                             f"tile {row.tile_id}: CRS reprojection "
                             f"{row.crs} -> {dst_crs} needs rasterio "
                             "(not importable here); the NumPy engine "
-                            "handles same-CRS affine warps only"
+                            "handles same-CRS affine warps and the "
+                            "closed-form EPSG:4326 <-> EPSG:3857 pair"
                         )
                     warped = _numpy_warp(
                         src, row.transform, dst_t, (dh, dw),
                         resampling, src_nodata, nodata_out,
+                        coord_transform=None if row.crs == dst_crs else ct,
                     )
                 if np.isnan(nodata_out):
                     n_valid = int((~np.isnan(warped)).sum())

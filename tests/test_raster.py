@@ -247,3 +247,92 @@ def test_warp_bilinear_bounds_property(data, ox, oy):
     if finite.size:
         assert finite.min() >= src.min() - 1e-9
         assert finite.max() <= src.max() + 1e-9
+
+
+class TestWebMercatorPair:
+    """The closed-form EPSG:4326 ↔ EPSG:3857 path of the NumPy engine —
+    the one cross-CRS pair that needs no projection database."""
+
+    def test_roundtrip_identity(self):
+        from bloomy_etl_spark.operators.raster import (
+            _lonlat_to_mercator,
+            _mercator_to_lonlat,
+        )
+
+        lon = np.linspace(-179.0, 179.0, 37)
+        lat = np.linspace(-84.0, 84.0, 37)
+        x, y = _lonlat_to_mercator(lon, lat)
+        lon2, lat2 = _mercator_to_lonlat(x, y)
+        np.testing.assert_allclose(lon2, lon, rtol=0, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, rtol=0, atol=1e-9)
+
+    def test_published_corner_values(self):
+        from bloomy_etl_spark.operators.raster import _lonlat_to_mercator
+
+        x, y = _lonlat_to_mercator(np.array([0.0, 180.0]),
+                                   np.array([0.0, 85.05112877980659]))
+        assert x[0] == 0.0 and y[0] == pytest.approx(0.0, abs=1e-6)
+        # the Web-Mercator square: x(180°) == y(85.0511°) == π·R
+        assert x[1] == pytest.approx(20037508.342789244, abs=1e-3)
+        assert y[1] == pytest.approx(20037508.342789244, abs=1e-3)
+
+    def test_unsupported_pair_returns_none(self):
+        from bloomy_etl_spark.operators.raster import numpy_crs_transform
+
+        assert numpy_crs_transform("EPSG:3857", "EPSG:32633") is None
+        assert numpy_crs_transform("EPSG:4326", "EPSG:4326")(1.0, 2.0) == (1.0, 2.0)
+
+    def test_cross_crs_nearest_hits_exact_centers(self, spark):
+        """A 4326 source row warped to a 3857 grid whose pixel centers
+        map EXACTLY onto source pixel centers: nearest must reproduce
+        the source values verbatim."""
+        from bloomy_etl_spark.operators.raster import _lonlat_to_mercator
+
+        vals = np.array([[3.0, 7.0, 11.0, 19.0]])
+        lat0 = 40.0
+        # source: 1°-pixels, centers at lon 10.5..13.5, lat 40 center
+        src_t = [1.0, 0.0, 10.0, 0.0, -1.0, lat0 + 0.5]
+        step = _lonlat_to_mercator(np.array([1.0]), np.array([0.0]))[0][0] \
+            - _lonlat_to_mercator(np.array([0.0]), np.array([0.0]))[0][0]
+        x0 = _lonlat_to_mercator(np.array([10.5]), np.array([0.0]))[0][0]
+        y0 = _lonlat_to_mercator(np.array([0.0]), np.array([lat0]))[1][0]
+        # dst: pixel centers at x0 + k·step (k=0..3), one row centered y0
+        dst_t = [step, 0.0, x0 - 0.5 * step, 0.0, -1.0, y0 + 0.5]
+        tiles = _tile_df(spark, vals, transform=src_t, crs="EPSG:4326")
+        out = warp_to_grid(tiles, dst_t, 4, 1, dst_crs="EPSG:3857",
+                           resampling="nearest", engine="numpy").collect()[0]
+        np.testing.assert_allclose(
+            np.array(out["data"]).reshape(1, 4), vals, atol=1e-9)
+        assert out["n_valid"] == 4 and out["crs"] == "EPSG:3857"
+
+    def test_cross_crs_bilinear_midpoint_average(self, spark):
+        """dst center exactly halfway (in lon) between two source
+        centers, on the source row's center latitude: bilinear = mean
+        of the two neighbors."""
+        from bloomy_etl_spark.operators.raster import _lonlat_to_mercator
+
+        vals = np.array([[10.0, 30.0]])
+        lat0 = -13.0
+        src_t = [1.0, 0.0, 0.0, 0.0, -1.0, lat0 + 0.5]  # centers lon .5, 1.5
+        xm = _lonlat_to_mercator(np.array([1.0]), np.array([0.0]))[0][0]
+        ym = _lonlat_to_mercator(np.array([0.0]), np.array([lat0]))[1][0]
+        dst_t = [1.0, 0.0, xm - 0.5, 0.0, -1.0, ym + 0.5]  # one 1m pixel at (xm, ym)
+        tiles = _tile_df(spark, vals, transform=src_t, crs="EPSG:4326")
+        out = warp_to_grid(tiles, dst_t, 1, 1, dst_crs="EPSG:3857",
+                           resampling="bilinear", engine="numpy").collect()[0]
+        assert out["data"][0] == pytest.approx(20.0, abs=1e-6)
+
+    @pytest.mark.skipif(not _rasterio_available(),
+                        reason="rasterio not importable")
+    def test_numpy_mercator_matches_rasterio(self, spark):  # pragma: no cover
+        rng = np.random.default_rng(5)
+        vals = rng.uniform(0, 100, (6, 8))
+        src_t = [0.5, 0.0, 3.0, 0.0, -0.5, 45.0]
+        dst_t = [40000.0, 0.0, 300000.0, 0.0, -40000.0, 5700000.0]
+        tiles = _tile_df(spark, vals, transform=src_t, crs="EPSG:4326")
+        a = warp_to_grid(tiles, dst_t, 10, 8, dst_crs="EPSG:3857",
+                         engine="numpy").collect()[0]
+        b = warp_to_grid(tiles, dst_t, 10, 8, dst_crs="EPSG:3857",
+                         engine="rasterio").collect()[0]
+        np.testing.assert_allclose(np.array(a["data"]), np.array(b["data"]),
+                                   atol=1e-6)
