@@ -48,6 +48,7 @@ __all__ = [
     "answer_from_matview",
     "answer_direct",
     "answer",
+    "compact_matview",
 ]
 
 _FNS = frozenset(
@@ -289,6 +290,40 @@ def streaming_matview_sink(stream: DataFrame, path: str,
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def compact_matview(spark: SparkSession, path: str) -> int:
+    """Fold every refresh batch into a single batch-0 state and rewrite
+    the view. Each ``refresh_matview`` adds one ``batch_id`` partition;
+    after thousands of refreshes the read-side merge pays for all of
+    them — compaction restores O(groups) read cost. State merging is
+    the monoid, so answers are bit-identical before and after (tested).
+
+    Returns the number of batch partitions folded. Single-writer: run
+    from the same maintenance job that issues refreshes (a refresh
+    landing DURING the rewrite would be lost with it); afterwards,
+    refresh ids may restart anywhere > 0 — idempotent redelivery only
+    needs ids not to collide going forward, which epoch-derived ids
+    (``streaming_matview_sink``) never do."""
+    meta = matview_meta(path)
+    raw = spark.read.parquet(path)
+    n_batches = raw.select("batch_id").distinct().count()
+    merged = _merge_state(
+        raw.drop("batch_id"), meta["keys"], meta["measure_cols"],
+        meta.get("approx_distinct_cols", ()),
+        meta.get("percentile_cols") or None,
+    ).withColumn("batch_id", F.lit(0))
+    # materialize BEFORE the overwrite truncates the input it reads from
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .partitionBy("batch_id", *meta["partition_by"])
+        .parquet(path)
+    )
+    # the whole-path overwrite removed the sidecar meta — restore it
+    with open(_meta_path(path), "w") as f:
+        json.dump(meta, f)
+    return n_batches
 
 
 def matview_meta(path: str) -> dict:

@@ -385,3 +385,33 @@ def test_percentile_bound_holds_on_gappy_data(spark, tmp_path):
     assert exact["p50"] == 0.1 and exact["p75"] == 16.8  # type-1 truth
     assert abs(got["p50"] - exact["p50"]) <= 0.5 + 1e-9
     assert abs(got["p75"] - exact["p75"]) <= 0.5 + 1e-9
+
+
+def test_compact_folds_batches_and_preserves_answers(spark, tmp_path):
+    from bloomy_etl_spark.plans.matview import compact_matview
+
+    path = str(tmp_path / "mv_compact")
+    create_matview(_sales(spark, 0, 100), ["region"], ["amount"], path,
+                   approx_distinct_cols=["day"],
+                   percentile_cols={"amount": (0.0, 17.0, 34)})
+    refresh_matview(_sales(spark, 100, 200), path, batch_id=1)
+    refresh_matview(_sales(spark, 200, 300), path, batch_id=2)
+    q = AggQuery(keys=("region",),
+                 measures={"total": ("sum", "amount"),
+                           "days": ("approx_count_distinct", "day"),
+                           "p50": ("approx_percentile", "amount", 0.5)})
+    before = _rows(answer_from_matview(spark, path, q))
+    folded = compact_matview(spark, path)
+    assert folded == 3
+    import glob
+
+    assert len(glob.glob(path + "/batch_id=*")) == 1
+    assert _rows(answer_from_matview(spark, path, q)) == before
+    # the lifecycle continues: a post-compaction refresh still folds in
+    refresh_matview(_sales(spark, 300, 400), path, batch_id=3)
+    after = _rows(answer_from_matview(spark, path, q))
+    want = _rows(answer_direct(
+        _sales(spark, 0, 400),
+        AggQuery(keys=("region",),
+                 measures={"total": ("sum", "amount")})))
+    assert [(r[0], r[1]) for r in after] == want
