@@ -383,6 +383,18 @@ def build_ivf_index(embs: DataFrame, index_dir: str,
         )
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     cents = spark.read.parquet(f"{index_dir}/centroids")
+    assigned = _assign_to_centroids(embs, cents, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        f"{index_dir}/corpus"
+    )
+
+
+def _assign_to_centroids(embs: DataFrame, cents: DataFrame,
+                         id_col: str, vec_col: str) -> DataFrame:
+    """Coarse-quantizer assignment shared by the initial build and
+    incremental adds — argmax cosine, ties to the smaller cid, the same
+    math as :func:`ivf_topk`, so every write path lands vectors in the
+    cluster a search will probe for them."""
     corpus = embs.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
         norm(F.col(vec_col)).alias("_nn"),
@@ -390,14 +402,31 @@ def build_ivf_index(embs: DataFrame, index_dir: str,
     scored = corpus.join(F.broadcast(cents), F.lit(True)).withColumn(
         "cos_c", dot(F.col("nv"), F.col("cvec")) / (F.col("_nn") * F.col("_ncent"))
     )
-    assigned = scored.groupBy("neighbor_id").agg(
+    return scored.groupBy("neighbor_id").agg(
         F.max_by(F.col("cid"), F.struct(F.col("cos_c"), -F.col("cid"))).alias(
             "cluster_id"
         ),
         F.any_value(F.col("nv")).alias("nv"),
         F.any_value(F.col("_nn")).alias("_nn"),
     )
-    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+
+
+def add_to_ivf_index(embs_new: DataFrame, index_dir: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Incremental add: assign new vectors against the STORED quantizer
+    (frozen centroids — standard IVF ingest; re-train and rebuild when
+    the distribution drifts) and APPEND into the cluster partitions.
+    Search semantics and pruning are unchanged: an add touches only the
+    partitions its vectors land in, never rewrites history, and a
+    post-add search equals a from-scratch build over old∪new vectors
+    under the same centroids (equivalence-tested). Ids are the caller's
+    contract — re-adding an existing id duplicates it (dedup upstream,
+    e.g. the exact-dedup operator, exactly like any append-only store)."""
+    spark = embs_new.sparkSession
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    assigned = _assign_to_centroids(embs_new, cents, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("cluster_id").parquet(
         f"{index_dir}/corpus"
     )
 
