@@ -28,34 +28,52 @@ ALL_ORACLES = {**ORACLE_SQL, **BLOOMY_ORACLE_SQL, **LLM_ORACLE_SQL,
                **ENGINE_ORACLE_SQL}
 
 # The external driver's correctness pass checks the FIRST 50 entries of
-# queries() in insertion order (CORRECTNESS_r03/r04 both recorded exactly
+# queries() in insertion order (every CORRECTNESS_r*.json records exactly
 # the first 50). With 100 declared queries, order therefore decides which
-# get a driver-green row. Rotation policy: queries never driver-verified
-# come first (exactly 50 of them as of r5 — the window is fully packed);
-# then the complex bloomy/LLM surface; the stable relational q1–q20/q49
-# (driver-green in BOTH r3 and r4, pure built-in SQL) absorb the
-# overflow past the 50-row window.
-_NEVER_DRIVER_VERIFIED = [
-    "q50_mixture_sample", "q51_doc_chunking", "q52_embedding_quantization",
-    "q53_eval_carveout", "q54_kmeans_clusters", "q55_blend_to_target",
-    "q56_vocab_coverage", "q57_text_normalization", "q59_domain_cap",
-    "q60_bigram_lm_score", "q61_shared_spans", "q62_bpe_merges",
-    "q63_bpe_segment", "q64_html_extract", "q65_cms_heavy_hitters",
-    "q66_weighted_sample", "q67_dedup_kept_corpus", "q68_tfidf_relevance",
-    "q69_corpus_drift",
-]
+# get a driver-green row. Rotation policy (data-driven since r6): read
+# every CORRECTNESS_r*.json, compute each query's most-recent green
+# round, and put least-recently-verified first — never-verified queries
+# sort as round 0 and always lead. This self-rotates every round without
+# hand-maintained lists.
+
+
+def _last_green_round(repo_dir: str | None = None) -> dict[str, int]:
+    """Most recent round in which each query had a green driver row.
+
+    Green = rows_match and no err (hash_match may be absent for the
+    weaker rows-only check on non-SQL-expressible ops).
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    repo = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (isinstance(row, dict) and row.get("rows_match")
+                    and row.get("err") is None):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _driver_order(names) -> list[str]:
-    first = [n for n in _NEVER_DRIVER_VERIFIED if n in names]
-    # brand-new queries (r5: q70–q100, 31 of them) go right behind the
-    # rotation set so they land inside the 50-row window on their first
-    # round (19 + 31 = exactly 50)
-    new = [n for n in ENGINE_QUERIES if n in names and n not in first]
-    seen = set(first) | set(new)
-    mid = [n for n in names if n not in seen and n not in QUERIES]
-    last = [n for n in names if n not in seen and n in QUERIES]
-    return [*first, *new, *mid, *last]
+    last = _last_green_round()
+    # stable sort: least-recently-verified first, ties broken by the
+    # original declaration order so q1..qN stay in numeric order within
+    # a round cohort
+    pos = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (last.get(n, 0), pos[n]))
 
 _SHIPPED: set[int] = set()
 

@@ -224,6 +224,100 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     )
 
 
+def _span_fingerprint_batches(span: int):
+    """Arrow-batched span fingerprinting for :func:`shared_span_pairs`.
+
+    Returns a ``mapInPandas`` generator mapping (doc_id, text) batches to
+    one (doc_id, span:int64) row per DISTINCT ``span``-token window.
+
+    Determinism contract (required for cross-partition agreement — two
+    copies of a passage land in different tasks and must fingerprint
+    identically): token hash = first 8 bytes of blake2b(token), window
+    combine = Σ_k mult_k·h(tok_{i+k}) mod 2⁶⁴ with fixed odd positional
+    multipliers, then a murmur-style avalanche. No dependence on
+    PYTHONHASHSEED, batch order, or partitioning. Position-distinct
+    multipliers keep the combine order-sensitive (token swaps change the
+    fingerprint); the pre-avalanche linearity is irrelevant for corpus
+    dedup (non-adversarial input).
+
+    Tokenization is Python ``str.split()`` — same whitespace classes as
+    the ``\\s+`` regex split used by the string-shingle operators, minus
+    their leading-empty-token artifact. Docs shorter than ``span``
+    tokens fold to ONE whole-doc fingerprint (the word_ngrams fallback
+    semantic); zero-token docs get a constant sentinel fingerprint.
+    """
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        m64 = (1 << 64) - 1
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        mults = np.array(
+            [((0x9E3779B97F4A7C15 * (k + 1)) & m64) | 1 for k in range(span)],
+            dtype=np.uint64,
+        )
+        empty_fp = np.frombuffer(
+            hashlib.blake2b(b"", digest_size=8).digest(), dtype=np.uint64
+        )[0]
+
+        def h64(tok: str) -> np.uint64:
+            return np.frombuffer(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                dtype=np.uint64,
+            )[0]
+
+        for pdf in batches:
+            toks_per_doc = pdf["text"].fillna("").str.split()
+            flat = [t for ts in toks_per_doc for t in ts]
+            ids = pdf["doc_id"].to_numpy()
+            if flat:
+                codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+                uh = np.fromiter(
+                    (h64(u) for u in uniques),
+                    dtype=np.uint64,
+                    count=len(uniques),
+                )
+                th = uh[codes]
+            else:
+                th = np.array([], dtype=np.uint64)
+            lens = toks_per_doc.str.len().to_numpy()
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            per_doc: list[np.ndarray] = []
+            for i in range(len(ids)):
+                seg = th[offs[i]:offs[i + 1]]
+                if len(seg) == 0:
+                    fps = np.array([empty_fp], dtype=np.uint64)
+                elif len(seg) < span:
+                    acc = seg[0]
+                    for x in seg[1:]:
+                        acc = acc * mult + x
+                    fps = np.array([acc], dtype=np.uint64)
+                else:
+                    w = sliding_window_view(seg, span)
+                    fps = (w * mults).sum(axis=1, dtype=np.uint64)
+                    fps ^= fps >> np.uint64(33)
+                    fps *= mult
+                    fps ^= fps >> np.uint64(29)
+                per_doc.append(np.unique(fps))
+            counts = [len(f) for f in per_doc]
+            if not per_doc or sum(counts) == 0:
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].iloc[:0],
+                     "span": pd.Series([], dtype="int64")}
+                )
+                continue
+            yield pd.DataFrame(
+                {"doc_id": np.repeat(ids, counts),
+                 "span": np.concatenate(per_doc).view(np.int64)}
+            )
+
+    return gen
+
+
 def shared_span_pairs(docs: DataFrame, span: int = 8, min_spans: int = 1,
                       text_col: str = "text", id_col: str = "doc_id",
                       max_doc_freq: int | None = None) -> DataFrame:
@@ -249,13 +343,35 @@ def shared_span_pairs(docs: DataFrame, span: int = 8, min_spans: int = 1,
     costs more than the narrower shuffle saves while shingle compute
     dominates. It becomes the right trade only when shuffle bytes
     dominate compute (very wide corpora with cheap shingles); flip there.
-    """
-    from bloomy_etl_spark.functions.text import word_shingles as _spans
 
-    arr = docs.select(
-        F.col(id_col).alias("doc_id"), _spans(F.col(text_col), span).alias("sp")
-    )
-    idx = arr.select("doc_id", F.explode("sp").alias("span"))
+    Fingerprint note (r6 perf rework): spans enter the exchange as int64
+    FINGERPRINTS, never as strings — the shuffle key was ~50-byte
+    8-token strings before, and building those strings (7 progressive
+    ``concat_ws`` passes per gram) dominated the whole query (measured
+    ~2s of a 2.4s sf0.1 run; the HOF-expression rewrite still paid
+    ~780ns/element on the interpreted lambda path). The fingerprints are
+    computed in ONE Arrow-batched ``mapInPandas`` pass
+    (:func:`_span_fingerprint_batches`): blake2b-8 per *unique* token in
+    the batch (``pd.factorize`` dedups tokenization work), then a
+    vectorized sliding-window positional-multiplier combine + avalanche
+    in NumPy — measured 2.7× faster end-to-end than the best pure-
+    expression plan and pair-identical on the sf0.1 corpus.
+    ``n_shared`` counts distinct shared span *fingerprints*; a false
+    pair needs two distinct spans in the same doc pair to collide in 64
+    bits (~2⁻⁶⁴ per span pair — negligible at any corpus size; for
+    provable exactness re-verify survivors against doc text as
+    verify_jaccard_pairs does for LSH).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_field = docs.schema[id_col]
+    out_schema = StructType([
+        StructField("doc_id", id_field.dataType),
+        StructField("span", LongType()),
+    ])
+    idx = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(_span_fingerprint_batches(span), out_schema)
     postings = (
         idx.groupBy("span")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ms"))

@@ -25,12 +25,26 @@ import __spark_entry__ as entry  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _latest_correctness() -> dict:
-    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    if not files:
-        return {}
-    with open(files[-1]) as f:
-        return json.load(f)
+def _ever_green() -> dict:
+    """Union of green rows across ALL CORRECTNESS_r*.json files.
+
+    'Never driver-verified' must mean never-in-any-round — reading only
+    the latest file made the guard self-invalidate each time the driver
+    rotated a new 50-query window in (it flagged the previous window as
+    'never verified').
+    """
+    merged: dict = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (isinstance(row, dict) and row.get("rows_match")
+                    and row.get("err") is None):
+                merged[name] = row
+    return merged
 
 
 def test_every_query_has_an_oracle_and_unique_qnn_prefix():
@@ -48,7 +62,7 @@ def test_rotation_is_a_permutation():
 
 
 def test_never_driver_verified_queries_fit_the_50_row_window():
-    prev = _latest_correctness()
+    prev = _ever_green()
     names = list(entry.ALL_QUERIES)
     never = [n for n in names if n not in prev]
     first50 = entry._driver_order(names)[:50]
@@ -56,7 +70,22 @@ def test_never_driver_verified_queries_fit_the_50_row_window():
     assert not outside, (
         f"{len(never)} never-driver-verified queries but these fall "
         f"outside the driver's 50-row correctness window: {outside} — "
-        "either trim the corpus or fix _driver_order/_NEVER_DRIVER_VERIFIED"
+        "either trim the corpus or fix _driver_order"
+    )
+
+
+def test_rotation_puts_least_recently_verified_first():
+    """The driver verifies the first 50 queries() entries each round;
+    the rotation must re-verify the stalest cohort first so no query
+    goes more than ceil(N/50) rounds without a driver-green row."""
+    last = entry._last_green_round()
+    if not last:
+        return  # round 1: no correctness files yet
+    names = list(entry.ALL_QUERIES)
+    order = entry._driver_order(names)
+    rounds = [last.get(n, 0) for n in order]
+    assert rounds == sorted(rounds), (
+        "driver order is not least-recently-verified-first"
     )
 
 
