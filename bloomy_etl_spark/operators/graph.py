@@ -107,12 +107,17 @@ def pagerank(
     e = e.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("outw")).alias("frac")
     )
-    e = e.persist()
+    # Eager localCheckpoint, not persist(): a persisted plan lives in
+    # the session CacheManager until explicitly unpersisted, so repeated
+    # pagerank calls would accumulate cached RDDs for the session's
+    # lifetime. Checkpoint blocks are reclaimed by the ContextCleaner
+    # once the returned ranks DataFrame is dropped.
+    e = e.localCheckpoint(eager=True)
     verts = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n = verts.count()  # the one driver-resident scalar
     base, d = (1.0 - damping) / n, damping

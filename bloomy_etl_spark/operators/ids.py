@@ -43,19 +43,27 @@ def assign_sequential_ids(
     ``order_cols`` order.  ``order_cols`` must be a total order (break
     ties with a unique column) for the ids to be deterministic.
 
-    ``pin`` persists the sorted partitions between the count job and
-    the numbering job (spill-safe), so the range boundaries both jobs
-    see are physically identical.  ``pin=False`` skips the cache and
-    relies on Spark's deterministic re-execution (range sampling is
-    seeded per partition index) — correct for deterministic inputs,
-    cheaper for huge one-shot exports."""
+    ``pin`` pins the sorted partitions between the count job and the
+    numbering job (spill-safe), so the range boundaries both jobs see
+    are physically identical. The pin is an EAGER ``localCheckpoint``,
+    not ``persist()``: a persist registers the plan in the session
+    CacheManager, which holds it until an explicit unpersist — repeated
+    calls accumulate cached RDDs for the life of the session (this
+    function cannot unpersist itself: the cache must outlive the
+    returned, still-lazy DataFrame). Checkpoint blocks are owned by the
+    RDD object instead and are reclaimed by the ContextCleaner as soon
+    as the caller drops the result — no session-lifetime leak, same
+    physical-identity guarantee. ``pin=False`` skips the pin and relies
+    on Spark's deterministic re-execution (range sampling is seeded per
+    partition index) — correct for deterministic inputs, cheaper for
+    huge one-shot exports."""
     if not order_cols:
         raise ValueError("order_cols must be non-empty (need a total order)")
     cols = [F.col(c) for c in order_cols]
     ordered = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
     ordered = ordered.withColumn("__pid", F.spark_partition_id())
     if pin:
-        ordered = ordered.persist()
+        ordered = ordered.localCheckpoint(eager=True)
 
     counts = {
         r["__pid"]: r["n"]

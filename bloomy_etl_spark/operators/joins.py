@@ -79,25 +79,41 @@ def binned_range_join(points: DataFrame, intervals: DataFrame,
     pts = points.withColumn("__bin", p_bin)
     if how == "left_semi":
         # True leftsemi semantics: every MATCHING left row survives
-        # exactly once, INCLUDING duplicate rows (deduping on column
-        # values would silently collapse them). A per-row id scopes the
-        # dedup to row identity; it exists only inside this plan.
-        pts = pts.withColumn("__rid", F.monotonically_increasing_id())
-    joined = pts.join(
-        binned_intervals,
-        on=["__bin"],
-        how="inner" if how == "left_semi" else how,
-    )
-    out = joined.filter(
+        # exactly once, INCLUDING duplicate rows. Row identity is
+        # tracked as VALUE + MULTIPLICITY, never a per-row id:
+        # monotonically_increasing_id is nondeterministic under
+        # partial-stage recomputation (executor loss, speculative
+        # retry), which can duplicate or drop rows through the dedup.
+        # Here: count duplicates per distinct row value (``__bin`` is a
+        # function of the value, so the group key IS row equality),
+        # semi-join the distinct values, then re-expand each surviving
+        # value to its original multiplicity. Every step is a
+        # deterministic function of the data. Cost vs the id-stamp
+        # plan: one extra hash aggregation of ``points`` — and the
+        # bin join then moves distinct values only, which at corpus
+        # scale usually SHRINKS the join shuffle.
+        cols = points.columns
+        cnt = pts.groupBy("__bin", *cols).agg(F.count(F.lit(1)).alias("__n"))
+        matched = (
+            cnt.join(binned_intervals, on=["__bin"], how="inner")
+            .filter(
+                (F.col(point_col) >= F.col(lo_col))
+                & (F.col(point_col) <= F.col(hi_col))
+            )
+            # one row per distinct left value; __n rides along (unique
+            # per value by construction of the count aggregate)
+            .dropDuplicates(cols)
+        )
+        return (
+            matched.withColumn(
+                "__i", F.explode(F.sequence(F.lit(1), F.col("__n")))
+            )
+            .select(*cols)
+        )
+    joined = pts.join(binned_intervals, on=["__bin"], how=how)
+    return joined.filter(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
     ).drop("__bin")
-    if how == "left_semi":
-        return (
-            out.select("__rid", *points.columns)
-            .dropDuplicates(["__rid"])
-            .drop("__rid")
-        )
-    return out
 
 
 def salted_join(big: DataFrame, small: DataFrame, on: str | list[str],

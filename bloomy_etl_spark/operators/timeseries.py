@@ -95,9 +95,18 @@ def gapfill(
         nxt_t.alias("__nt"),
         nxt_v.alias("__nv"),
     )
+    # Stop clamped to >= start: two consecutive observations closer than
+    # ``step`` (unbucketed input) would otherwise make sequence() raise
+    # an opaque 'illegal sequence boundaries' error mid-job. Clamped,
+    # the earlier observation emits just its own slot and the later one
+    # still appears as its own grid row — off-grid inputs degrade to
+    # densify-only instead of failing the job.
     span = F.sequence(
         F.col("__t"),
-        F.coalesce(F.col("__nt") - F.lit(step), F.col("__t")),
+        F.greatest(
+            F.col("__t"),
+            F.coalesce(F.col("__nt") - F.lit(step), F.col("__t")),
+        ),
         F.lit(step),
     )
     g = led.select(

@@ -40,12 +40,47 @@ def _assign_shard(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
     )
 
 
-def _write_manifest(path: str, entries: list[dict]) -> None:
+def _fill_empty_shards(path: str, entries: list[dict], n_shards: int,
+                       suffix: str, empty_payload: bytes) -> list[dict]:
+    """Write an empty shard file for every id in [0, n_shards) that got
+    no rows (hash assignment leaves small exports with holes), so the
+    ``shard-NNNNN`` layout a reader enumerates from the manifest's
+    ``n_shards`` is total — no missing-file surprises."""
+    present = {e["shard"] for e in entries}
+    for i in range(n_shards):
+        fname = f"shard-{i:05d}.{suffix}"
+        if fname in present:
+            continue
+        with open(os.path.join(path, fname), "wb") as f:
+            f.write(empty_payload)
+        entries.append(
+            {
+                "shard": fname,
+                "rows": 0,
+                "bytes": len(empty_payload),
+                "sha256": hashlib.sha256(empty_payload).hexdigest(),
+            }
+        )
+    return entries
+
+
+def _empty_tar_bytes() -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w"):
+        pass
+    return buf.getvalue()
+
+
+def _write_manifest(path: str, entries: list[dict],
+                    n_shards: int) -> None:
     entries = sorted(entries, key=lambda e: e["shard"])
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(
             {
-                "n_shards": len(entries),
+                # the REQUESTED shard count — every shard-NNNNN file for
+                # NNNNN < n_shards exists (empty shards are written out),
+                # so enumerating from this field is always safe
+                "n_shards": n_shards,
                 "total_rows": sum(e["rows"] for e in entries),
                 "shards": entries,
             },
@@ -98,9 +133,11 @@ def write_jsonl_shards(df: DataFrame, path: str, n_shards: int,
         )
         .collect()
     )
-    manifest = [r.asDict() for r in entries]
-    _write_manifest(path, manifest)
-    return {"n_shards": len(manifest), "total_rows": sum(e["rows"] for e in manifest)}
+    manifest = _fill_empty_shards(
+        path, [r.asDict() for r in entries], n_shards, "jsonl", b""
+    )
+    _write_manifest(path, manifest, n_shards)
+    return {"n_shards": n_shards, "total_rows": sum(e["rows"] for e in manifest)}
 
 
 def write_webdataset(samples: DataFrame, path: str, n_shards: int,
@@ -159,6 +196,8 @@ def write_webdataset(samples: DataFrame, path: str, n_shards: int,
         )
         .collect()
     )
-    manifest = [r.asDict() for r in entries]
-    _write_manifest(path, manifest)
-    return {"n_shards": len(manifest), "total_rows": sum(e["rows"] for e in manifest)}
+    manifest = _fill_empty_shards(
+        path, [r.asDict() for r in entries], n_shards, "tar", _empty_tar_bytes()
+    )
+    _write_manifest(path, manifest, n_shards)
+    return {"n_shards": n_shards, "total_rows": sum(e["rows"] for e in manifest)}

@@ -54,10 +54,30 @@ def _type_name(dt: T.DataType) -> str:
     return "decimal" if isinstance(dt, T.DecimalType) else dt.simpleString()
 
 
+# Decimal digits needed to hold every value of an integral type (Spark's
+# Cast.canUpCast rule): a promotion to decimal is lossless only when the
+# target keeps at least this many INTEGER digits (precision - scale).
+_INT_DIGITS: dict[str, int] = {
+    "tinyint": 3,    # ±127
+    "smallint": 5,   # ±32767
+    "int": 10,       # ±2147483647
+    "bigint": 20,    # ±9223372036854775807 needs 19; 20 per canUpCast
+}
+
+
 def _can_widen(src: T.DataType, dst: T.DataType) -> bool:
     if src == dst:
         return True
-    return _type_name(dst) in _WIDEN.get(_type_name(src), set())
+    if not (_type_name(dst) in _WIDEN.get(_type_name(src), set())):
+        return False
+    # int → decimal is lossless only if the decimal's integer digits
+    # cover the full source range — bigint → decimal(5,0) overflows
+    # (NULLs in permissive mode), which 'widen' must never admit.
+    if isinstance(dst, T.DecimalType):
+        need = _INT_DIGITS.get(_type_name(src))
+        if need is not None and dst.precision - dst.scale < need:
+            return False
+    return True
 
 
 def conform_schema(df: DataFrame, target: T.StructType,

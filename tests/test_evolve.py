@@ -136,3 +136,39 @@ class TestJoinCardinality:
         tol = 3 * (2 / k ** 0.5)  # union/inter compose a few estimates
         assert abs(est["ndv_a"] - n) / n < tol
         assert abs(est["est_rows"] - n / 2) / (n / 2) < tol
+
+
+class TestDecimalWidening:
+    """ADVICE r5: int→decimal is lossless only when the decimal's
+    integer digits cover the source range (Spark Cast.canUpCast)."""
+
+    def _conform(self, spark, src_ddl, value, dst_type):
+        import pyspark.sql.types as T
+
+        df = spark.createDataFrame([(value,)], f"x {src_ddl}")
+        target = T.StructType([T.StructField("x", dst_type)])
+        return conform_schema(df, target)
+
+    def test_bigint_to_narrow_decimal_rejected(self, spark):
+        import pyspark.sql.types as T
+
+        with pytest.raises(SchemaConformError):
+            self._conform(spark, "bigint", 99999, T.DecimalType(5, 0))
+        # scale eats precision: 20 total but only 16 integer digits
+        with pytest.raises(SchemaConformError):
+            self._conform(spark, "bigint", 1, T.DecimalType(20, 4))
+
+    def test_bigint_to_wide_decimal_allowed(self, spark):
+        import pyspark.sql.types as T
+
+        big = 9223372036854775807
+        out = self._conform(spark, "bigint", big, T.DecimalType(20, 0))
+        assert int(out.collect()[0][0]) == big
+
+    def test_int_decimal_boundaries(self, spark):
+        import pyspark.sql.types as T
+
+        out = self._conform(spark, "int", 2147483647, T.DecimalType(10, 0))
+        assert int(out.collect()[0][0]) == 2147483647
+        with pytest.raises(SchemaConformError):
+            self._conform(spark, "int", 1, T.DecimalType(9, 0))

@@ -111,3 +111,41 @@ class TestWebdatasetExport:
                 runs += 1
                 last = k
         assert runs == len(set(keys))
+
+
+class TestEmptyShardContract:
+    """ADVICE r5: hash assignment can leave shard ids with no rows; the
+    layout contract says every shard-NNNNN < n_shards exists on disk and
+    the manifest records the REQUESTED shard count."""
+
+    def test_jsonl_writes_empty_shards(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        out = str(tmp_path / "sparse")
+        res = write_jsonl_shards(df, out, n_shards=8)
+        man = json.load(open(os.path.join(out, "manifest.json")))
+        assert res["n_shards"] == man["n_shards"] == 8
+        assert len(man["shards"]) == 8
+        for i in range(8):
+            p = os.path.join(out, f"shard-{i:05d}.jsonl")
+            assert os.path.exists(p), f"missing {p}"
+        assert man["total_rows"] == 1
+        # checksums hold for the empty files too
+        for e in man["shards"]:
+            data = open(os.path.join(out, e["shard"]), "rb").read()
+            assert hashlib.sha256(data).hexdigest() == e["sha256"]
+
+    def test_webdataset_writes_empty_tar_shards(self, spark, tmp_path):
+        import tarfile
+
+        df = spark.createDataFrame(
+            [("k1", {"txt": bytearray(b"x")})],
+            "sample_key string, parts map<string,binary>",
+        )
+        out = str(tmp_path / "wds")
+        res = write_webdataset(df, out, n_shards=4)
+        assert res["n_shards"] == 4
+        for i in range(4):
+            p = os.path.join(out, f"shard-{i:05d}.tar")
+            assert os.path.exists(p)
+            with tarfile.open(p) as tf:  # empty shards are VALID tars
+                tf.getmembers()

@@ -511,3 +511,53 @@ def test_pagerank_multi_edges_combine(spark):
     b = {r["node"]: r["rank"] for r in pagerank(single, weight="w").collect()}
     assert a == b
     assert a[2] == a[3]  # equal in-weight ⇒ equal rank by symmetry
+
+
+def test_gapfill_observations_closer_than_step_densify_not_error(spark):
+    """ADVICE r5: consecutive observations closer than ``step`` must
+    degrade to densify-only output, not raise 'illegal sequence
+    boundaries' mid-job."""
+    rows = [("A", 0, 1.0), ("A", 1, 2.0), ("A", 10, 11.0)]
+    df = spark.createDataFrame(rows, "k string, day long, v double")
+    out = {(r["k"], r["day"]): (r["v"], r["observed"])
+           for r in gapfill(df, ["k"], "day", "v",
+                            method="locf", step=2).collect()}
+    # both close observations survive as their own grid rows
+    assert out[("A", 0)] == (1.0, True)
+    assert out[("A", 1)] == (2.0, True)
+    # the gap after day 1 still fills in step-2 strides
+    assert out[("A", 3)] == (2.0, False)
+    assert out[("A", 10)] == (11.0, True)
+
+
+def test_assign_sequential_ids_leaves_no_cachemanager_entry(spark):
+    """ADVICE r5: the pin must not accumulate session-lifetime cache
+    entries (persist() registers in the CacheManager forever; the
+    eager localCheckpoint pin must not)."""
+    from bloomy_etl_spark.operators.ids import assign_sequential_ids
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    df = spark.createDataFrame([(3,), (1,), (2,)], "x long")
+    out = assign_sequential_ids(df, ["x"])
+    got = {r["x"]: r["seq_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+    assert cm.isEmpty(), "assign_sequential_ids leaked a cached plan"
+
+
+def test_binned_range_join_semi_plan_is_deterministic(spark):
+    """ADVICE r5: left_semi must not key row identity on
+    monotonically_increasing_id (nondeterministic under partial-stage
+    recomputation) — the plan must contain no nondeterministic ids."""
+    from bloomy_etl_spark.operators.joins import binned_range_join
+
+    points = spark.createDataFrame([(1, 10), (1, 10), (2, 50)],
+                                   "pid long, v long")
+    intervals = spark.createDataFrame([(7, 5, 20)],
+                                      "iid long, lo long, hi long")
+    out = binned_range_join(points, intervals, "v", "lo", "hi", 8,
+                            how="left_semi")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "monotonically_increasing_id" not in plan
+    # semantics: duplicates preserved by multiplicity, not row ids
+    assert sorted((r["pid"], r["v"]) for r in out.collect()) == \
+        [(1, 10), (1, 10)]
