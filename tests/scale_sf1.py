@@ -1,0 +1,117 @@
+"""sf1 fixture derivation + scale-stress harness (shared by
+tests/test_scale_sf1.py and the SCALE.md refresh script).
+
+The driver ships sf0.001/0.01/0.1 only; the 100 TB brief wants the
+"would survive 100×" claims MEASURED, so we derive a 10×-documents /
+10×-embeddings corpus from sf0.1 deterministically:
+
+* documents: 10 replicas. Replica 0 is sf0.1 verbatim; replica r>0
+  prefixes every token with ``r{r}t`` — intra-replica duplicate/near-dup
+  structure is preserved EXACTLY (pair counts scale ×10 linearly) while
+  cross-replica shingle/minhash matches are impossible (disjoint token
+  vocabularies). doc_ids offset by r·10⁸.
+* embeddings: 10 replicas; replica r>0 applies a deterministic small
+  rotation-free perturbation (adds r/1000 to one coordinate) and offsets
+  vec_id by r·10⁸ — cluster geometry is preserved, no exact vector dups
+  across replicas.
+* all other tables are symlinked from sf0.1 (the scale queries under
+  test read documents/embeddings only).
+
+Everything is seedless and deterministic: same input → same bytes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF01 = "/root/testdata/sf0.1"
+REPLICAS = 10
+ID_STRIDE = 10**8
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def build_sf1(spark: SparkSession, out_dir: str) -> str:
+    """Materialize the derived sf1 directory (idempotent: reuses a
+    complete existing build)."""
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    reps = []
+    for r in range(REPLICAS):
+        rep = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(r * ID_STRIDE)
+        )
+        if r > 0:
+            pfx = f"r{r}t"
+            rep = rep.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), r"\s+"),
+                        lambda w: F.concat(F.lit(pfx), w),
+                    ),
+                    " ",
+                ),
+            ).withColumn("n_chars", F.length("text"))
+        reps.append(rep)
+    big_docs = reps[0]
+    for rep in reps[1:]:
+        big_docs = big_docs.unionByName(rep)
+    big_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    ereps = []
+    for r in range(REPLICAS):
+        rep = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * ID_STRIDE))
+        if r > 0:
+            eps = r / 1000.0
+            rep = rep.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda v, i: F.when(i == 0, v + F.lit(eps)).otherwise(v),
+                ),
+            )
+        ereps.append(rep)
+    big_emb = ereps[0]
+    for rep in ereps[1:]:
+        big_emb = big_emb.unionByName(rep)
+    big_emb.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"{SF01}/{t}.parquet", dst)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out_dir
+
+
+def scale_cases():
+    """(name, builder) pairs for the scale-stressed operator surface —
+    the heaviest dedup/ANN queries from the declared corpus."""
+    import __spark_entry__ as entry
+
+    names = [
+        "q30_minhash_lsh_neardups",
+        "q31_ngram_jaccard_neardups",
+        "q61_shared_spans",
+        "q67_dedup_kept_corpus",
+        "q41_ivf_ann_topk",
+    ]
+    return [(n, entry.ALL_QUERIES[n]) for n in names if n in entry.ALL_QUERIES]

@@ -1,0 +1,90 @@
+"""sf1 (10× documents/embeddings) scale-stress: the "would survive
+100×" design claims, measured.
+
+Gated behind ``SPARK_GRAFT_SCALE=1`` (builds a ~10× corpus and runs the
+heaviest dedup/ANN queries twice — minutes, not CI material). The
+assertions are the scale CONTRACT, not timings:
+
+* shuffle bytes grow ≲ linearly ×(replicas × headroom) from sf0.1 → sf1
+  (a super-linear exchange means a pair expansion or join that does not
+  scale);
+* zero spill at sf1 (partitions must still fit executor memory);
+* the job completes with no task failures (implicit: run_profile raises
+  otherwise).
+
+``SCALE.md`` at the repo root records the latest measured table; the
+refresh recipe is in that file's header.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.scale_sf1 import build_sf1, scale_cases  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE") != "1",
+    reason="sf1 scale-stress is opt-in: SPARK_GRAFT_SCALE=1",
+)
+
+SF01 = "/root/testdata/sf0.1"
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+
+# 10× data with 2× headroom for fixed per-run overheads (footers,
+# broadcast sides, map-status metadata) that don't scale with rows.
+MAX_SHUFFLE_GROWTH = 20.0
+
+
+@pytest.fixture(scope="module")
+def sf1_dir(spark):
+    return build_sf1(spark, SF1_DIR)
+
+
+@pytest.mark.parametrize("name,fn", scale_cases())
+def test_shuffle_bytes_scale_linearly(spark, sf1_dir, name, fn):
+    from bloomy_etl_spark.tools.profile import run_profile
+
+    small = run_profile(fn(spark, SF01))
+    big = run_profile(fn(spark, sf1_dir))
+    assert big["spill_bytes"] == 0, f"{name} spilled at sf1"
+    s, b = small["shuffle_bytes_written"], big["shuffle_bytes_written"]
+    if s == 0:
+        assert b == 0, f"{name}: sf1 shuffles ({b}B) where sf0.1 did not"
+        return
+    growth = b / s
+    assert growth <= MAX_SHUFFLE_GROWTH, (
+        f"{name}: shuffle bytes grew {growth:.1f}× for 10× data "
+        f"({s}B → {b}B) — super-linear exchange"
+    )
+
+
+def test_ivf_index_build_and_search_scale(spark, sf1_dir, tmp_path):
+    """IVF build/search on the 10× embedding corpus: build completes,
+    search probes a bounded subset of partitions, zero spill."""
+    from bloomy_etl_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from bloomy_etl_spark.tools.profile import run_profile
+
+    emb = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
+    idx_path = str(tmp_path / "ivf_sf1")
+    build_ivf_index(emb, idx_path, max_centroids=16)
+    queries = emb.limit(2).select("vec_id", "embedding")
+    res = search_ivf_index(spark, idx_path, queries, k=10, nprobe=4)
+    prof = run_profile(res)
+    assert prof["output_rows"] == 20  # 2 queries × k
+    assert prof["spill_bytes"] == 0
+    # partition pruning: the corpus scan must touch probed clusters
+    # only, never the full cluster set
+    corpus_files = max(
+        (s.get("numFiles", 0) for s in prof["scans"]), default=0
+    )
+    assert corpus_files < 16, (
+        f"IVF search read {corpus_files} corpus files — pruning lost"
+    )
