@@ -80,11 +80,17 @@ def test_ivf_index_build_and_search_scale(spark, sf1_dir, tmp_path):
     prof = run_profile(res)
     assert prof["output_rows"] == 20  # 2 queries × k
     assert prof["spill_bytes"] == 0
-    # partition pruning: the corpus scan must touch probed clusters
-    # only, never the full cluster set
-    corpus_files = max(
+    # partition pruning: the corpus scan must touch the probed clusters'
+    # files only, never the full corpus file set
+    scanned = max(
         (s.get("numFiles", 0) for s in prof["scans"]), default=0
     )
-    assert corpus_files < 16, (
-        f"IVF search read {corpus_files} corpus files — pruning lost"
+    on_disk = sum(
+        1
+        for root, _, files in os.walk(os.path.join(idx_path, "corpus"))
+        for f in files
+        if f.endswith(".parquet")
+    )
+    assert 0 < scanned < on_disk, (
+        f"IVF search read {scanned}/{on_disk} corpus files — pruning lost"
     )
