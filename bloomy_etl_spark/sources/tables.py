@@ -15,6 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# (session id, sf_dir, table, fan_out) -> scan DataFrame; see load_table
+_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
 TABLE_NAMES = (
     "region",
     "nation",
@@ -71,6 +74,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     no-op either way, so the flag only affects small-file corners."""
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Driver-side plan memo: a DataFrame is an immutable logical plan,
+    # so the (session, dir, table, fan_out) scan can be built once and
+    # reused across queries/runs. Re-building it pays file listing +
+    # parquet footer schema inference + (events) two conf round-trips
+    # per call — pure fixed overhead on a 100-query bench loop, and a
+    # cheap win on a real cluster too (object-store LIST calls are the
+    # slow part there). The memo holds PLANS, not data: no caching of
+    # rows, no CacheManager entries, nothing pinned on executors.
+    key = (id(spark), sf_dir, name, fan_out)
+    cached = _PLAN_MEMO.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # Older events fixtures store TIMESTAMP(NANOS), which Spark rejects
         # outright; set the session conf here (not only in our session
@@ -93,6 +108,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
         # need the respread; a many-file cluster table never does.
         if len(df.inputFiles()) < cores:
             df = df.repartition(cores)
+    _PLAN_MEMO[key] = df
     return df
 
 
