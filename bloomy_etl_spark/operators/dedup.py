@@ -15,8 +15,12 @@ work, no driver-side collection):
                        within LSH-style bit-band blocks;
   * embedding cosine — blocked (label or LSH bucket) pairwise cosine.
 
-The hash is the md5-derived int64 of functions/text.py — portable to the
-DuckDB oracle, so every operator here is hash-match verifiable.
+Hashing: MinHash/SimHash use the md5-derived int64 of functions/text.py —
+portable, so the oracle can replay the exact signatures. The Jaccard and
+shared-span operators (r6) shingle via Arrow-batched blake2b+NumPy
+fingerprints instead — their outputs are COUNTS (|A∩B|, n_i, n_j), which
+the string-shingling oracle reproduces exactly, while the engine never
+builds shingle strings or shuffles them.
 """
 
 from __future__ import annotations
@@ -169,23 +173,29 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     ``None`` (no cap) keeps oracle parity; pass a pyspark ``Observation``
     as ``dropped_obs`` to count dropped shingles without a second job.
     """
-    # Shingles stay STRINGS here: hashing them to int64 first
-    # (Broder-style) was A/B-measured at sf0.1 and the ~1M md5
-    # evaluations cost as much as the narrower shuffle saves — at a
-    # corpus scale where shuffle bytes dominate compute, flip to
-    # ``array_distinct(transform(word_shingles(...), md5_int))`` and hash
-    # the oracle identically (the q31 oracle's hashed CTE shape is in git
-    # history).
-    # Bind the shingle array to an attribute BEFORE the explode: selecting
-    # size(word_shingles(..)) next to explode(word_shingles(..)) would put
-    # the size's full shingling into the Project above the Generate and
-    # recompute it once per exploded row
-    arr = docs.select(
-        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
-    )
-    idx = arr.select(
-        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-    )
+    # Shingles enter the exchange as int64 FINGERPRINTS from the same
+    # Arrow-batched pass as shared_span_pairs (r6): blake2b per UNIQUE
+    # token via pd.factorize + a vectorized sliding-window combine.
+    # (In-JVM md5_int per shingle was A/B-measured earlier and LOST —
+    # ~1M md5 evaluations cost what the narrower shuffle saved; the
+    # batched path hashes each token once and builds no shingle strings
+    # at all, so it wins on both compute AND shuffle width.) Jaccard
+    # only needs COUNTS (|A∩B|, n_i, n_j), never shingle values, so
+    # fingerprints are exact up to 64-bit collisions (~2⁻⁶⁴/pair).
+    # ``n_sh`` rides along in-row from the same pass.
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    id_field = docs.schema[id_col]
+    idx = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(
+        _span_fingerprint_batches(n, with_counts=True),
+        StructType([
+            StructField("doc_id", id_field.dataType),
+            StructField("n_sh", IntegerType()),
+            StructField("span", LongType()),
+        ]),
+    ).withColumnRenamed("span", "shingle")
     postings = (
         idx.groupBy("shingle")
         .agg(
@@ -224,11 +234,15 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     )
 
 
-def _span_fingerprint_batches(span: int):
-    """Arrow-batched span fingerprinting for :func:`shared_span_pairs`.
+def _span_fingerprint_batches(span: int, with_counts: bool = False):
+    """Arrow-batched span fingerprinting for :func:`shared_span_pairs`
+    and :func:`ngram_jaccard_pairs`.
 
     Returns a ``mapInPandas`` generator mapping (doc_id, text) batches to
-    one (doc_id, span:int64) row per DISTINCT ``span``-token window.
+    one (doc_id, span:int64) row per DISTINCT ``span``-token window;
+    ``with_counts=True`` adds ``n_sh`` (the doc's distinct-window count,
+    constant across the doc's rows) — the |A∪B| ingredient Jaccard needs,
+    attached in-row so no per-doc sizes table or join ever exists.
 
     Determinism contract (required for cross-partition agreement — two
     copies of a passage land in different tasks and must fingerprint
@@ -305,15 +319,19 @@ def _span_fingerprint_batches(span: int):
                 per_doc.append(np.unique(fps))
             counts = [len(f) for f in per_doc]
             if not per_doc or sum(counts) == 0:
-                yield pd.DataFrame(
-                    {"doc_id": pdf["doc_id"].iloc[:0],
-                     "span": pd.Series([], dtype="int64")}
-                )
+                out = {"doc_id": pdf["doc_id"].iloc[:0]}
+                if with_counts:
+                    out["n_sh"] = pd.Series([], dtype="int32")
+                out["span"] = pd.Series([], dtype="int64")
+                yield pd.DataFrame(out)
                 continue
-            yield pd.DataFrame(
-                {"doc_id": np.repeat(ids, counts),
-                 "span": np.concatenate(per_doc).view(np.int64)}
-            )
+            out = {"doc_id": np.repeat(ids, counts)}
+            if with_counts:
+                out["n_sh"] = np.repeat(
+                    np.asarray(counts, dtype=np.int32), counts
+                )
+            out["span"] = np.concatenate(per_doc).view(np.int64)
+            yield pd.DataFrame(out)
 
     return gen
 
