@@ -41,7 +41,8 @@ class _State:
     def __init__(self):
         self.token_serial = 0
         self.token_calls = 0
-        self.expire_current_token = False  # next data request 401s once
+        self.valid_tokens: set[str] = set()  # all unexpired tokens
+        self.expire_current_token = False  # revoke issued tokens once
         self.fail_next = 0                 # next N data requests 500
         self.requests: list[dict] = []     # query params per data request
         self.lock = threading.Lock()
@@ -80,17 +81,22 @@ def _make_handler(state: _State):
                 if parsed.path == "/token":
                     state.token_serial += 1
                     state.token_calls += 1
-                    self._send(200, {"token": f"tok-{state.token_serial}",
-                                     "expires_in": 3600})
+                    tok = f"tok-{state.token_serial}"
+                    state.valid_tokens.add(tok)
+                    self._send(200, {"token": tok, "expires_in": 3600})
                     return
-                # data endpoints: auth + failure injection
-                auth = self.headers.get("Authorization", "")
-                want = f"Bearer tok-{state.token_serial}"
+                # data endpoints: auth + failure injection. Every
+                # unexpired token is accepted (like a real auth server —
+                # concurrent tasks legitimately hold different tokens);
+                # the expiry injection revokes all issued tokens ONCE.
                 if state.expire_current_token:
                     state.expire_current_token = False
+                    state.valid_tokens.clear()
                     self._send(401, {"error": "token expired"})
                     return
-                if auth != want:
+                auth = self.headers.get("Authorization", "")
+                if not (auth.startswith("Bearer ")
+                        and auth[7:] in state.valid_tokens):
                     self._send(401, {"error": "bad token"})
                     return
                 if state.fail_next > 0:

@@ -440,3 +440,43 @@ def test_fuzzy_pairs_match_quadratic_reference(spark, vals, k):
         if _lev(a, b) <= k
     }
     assert got == want
+
+
+_span_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+
+
+@given(
+    docs=st.lists(
+        st.lists(_span_words, min_size=1, max_size=10), min_size=2, max_size=8
+    ),
+    span=st.sampled_from([2, 3]),
+    min_spans=st.sampled_from([1, 2]),
+)
+@settings(**SETTINGS)
+def test_shared_span_pairs_matches_bruteforce(spark, docs, span, min_spans):
+    """The r6 fingerprint path (blake2b + NumPy window combine) must
+    agree with a Python-set string ground truth, including the whole-doc
+    fallback for docs shorter than ``span`` tokens."""
+    from bloomy_etl_spark.operators.dedup import shared_span_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["i"], r["j"]): r["n_shared"]
+        for r in shared_span_pairs(
+            df, span=span, min_spans=min_spans
+        ).collect()
+    }
+    spans = [
+        {" ".join(ws[k:k + span]) for k in range(len(ws) - span + 1)}
+        if len(ws) >= span else {" ".join(ws)}
+        for ws in docs
+    ]
+    want = {}
+    for i, j in itertools.combinations(range(len(docs)), 2):
+        n_shared = len(spans[i] & spans[j])
+        if n_shared >= min_spans:
+            want[(i, j)] = n_shared
+    assert got == want
