@@ -254,29 +254,34 @@ def _span_fingerprint_batches(span: int, with_counts: bool = False):
     fingerprint); the pre-avalanche linearity is irrelevant for corpus
     dedup (non-adversarial input).
 
-    Tokenization is Python ``str.split()`` — same whitespace classes as
-    the ``\\s+`` regex split used by the string-shingle operators, minus
-    their leading-empty-token artifact. Docs shorter than ``span``
+    Tokenization is an ASCII ``[ \\t\\n\\r\\f\\v]+`` regex split —
+    byte-identical to the Java-regex ``\\s+`` split the string-shingle
+    expression path uses AND to the DuckDB oracle's RE2
+    ``string_split_regex(text, '\\s+')``, including their leading/
+    trailing EMPTY-token artifacts and their ASCII-only whitespace
+    classes (NBSP stays inside tokens in all three engines; Python
+    ``str.split()`` would disagree on all of those, silently skewing
+    per-doc counts against the oracle). Docs shorter than ``span``
     tokens fold to ONE whole-doc fingerprint (the word_ngrams fallback
-    semantic); zero-token docs get a constant sentinel fingerprint.
+    semantic); ``re.split`` always yields ≥ 1 token, so every doc emits
+    at least one fingerprint (two empty docs pair, as in the oracle).
     """
 
     def gen(batches):
         import hashlib
+        import re
 
         import numpy as np
         import pandas as pd
         from numpy.lib.stride_tricks import sliding_window_view
 
+        ws_re = re.compile(r"[ \t\n\r\f\v]+")
         m64 = (1 << 64) - 1
         mult = np.uint64(0x9E3779B97F4A7C15)
         mults = np.array(
             [((0x9E3779B97F4A7C15 * (k + 1)) & m64) | 1 for k in range(span)],
             dtype=np.uint64,
         )
-        empty_fp = np.frombuffer(
-            hashlib.blake2b(b"", digest_size=8).digest(), dtype=np.uint64
-        )[0]
 
         def h64(tok: str) -> np.uint64:
             return np.frombuffer(
@@ -285,7 +290,7 @@ def _span_fingerprint_batches(span: int, with_counts: bool = False):
             )[0]
 
         for pdf in batches:
-            toks_per_doc = pdf["text"].fillna("").str.split()
+            toks_per_doc = pdf["text"].fillna("").map(ws_re.split)
             flat = [t for ts in toks_per_doc for t in ts]
             ids = pdf["doc_id"].to_numpy()
             if flat:
@@ -301,14 +306,17 @@ def _span_fingerprint_batches(span: int, with_counts: bool = False):
             lens = toks_per_doc.str.len().to_numpy()
             offs = np.concatenate(([0], np.cumsum(lens)))
             per_doc: list[np.ndarray] = []
+            imult = 0x9E3779B97F4A7C15
             for i in range(len(ids)):
+                # re.split yields >= 1 token, so seg is never empty
                 seg = th[offs[i]:offs[i + 1]]
-                if len(seg) == 0:
-                    fps = np.array([empty_fp], dtype=np.uint64)
-                elif len(seg) < span:
-                    acc = seg[0]
+                if len(seg) < span:
+                    # Python-int Horner fold: uint64 SCALAR ops would
+                    # emit RuntimeWarning on wraparound (vectorized ops
+                    # wrap silently); masked ints wrap warning-free
+                    acc = int(seg[0])
                     for x in seg[1:]:
-                        acc = acc * mult + x
+                        acc = (acc * imult + int(x)) & m64
                     fps = np.array([acc], dtype=np.uint64)
                 else:
                     w = sliding_window_view(seg, span)

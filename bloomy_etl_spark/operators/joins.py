@@ -37,6 +37,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _has_map_type(dt) -> bool:
+    """True if the (possibly nested) type contains a MapType — the one
+    Spark type that cannot be a grouping/dedup key."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_map_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_has_map_type(f.dataType) for f in dt.fields)
+    return False
+
+
 def binned_range_join(points: DataFrame, intervals: DataFrame,
                       point_col: str, lo_col: str, hi_col: str,
                       bin_width: int, how: str = "inner") -> DataFrame:
@@ -92,6 +106,25 @@ def binned_range_join(points: DataFrame, intervals: DataFrame,
         # plan: one extra hash aggregation of ``points`` — and the
         # bin join then moves distinct values only, which at corpus
         # scale usually SHRINKS the join shuffle.
+        #
+        # Schemas with a non-groupable column (MapType) can't take the
+        # value-identity path; they fall back to an id stamp pinned by
+        # an EAGER localCheckpoint, which materializes the ids before
+        # the join so recomputation can't reassign them.
+        if any(_has_map_type(f.dataType) for f in points.schema.fields):
+            stamped = pts.withColumn(
+                "__rid", F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
+            out = (
+                stamped.join(binned_intervals, on=["__bin"], how="inner")
+                .filter(
+                    (F.col(point_col) >= F.col(lo_col))
+                    & (F.col(point_col) <= F.col(hi_col))
+                )
+                .select("__rid", *points.columns)
+                .dropDuplicates(["__rid"])
+            )
+            return out.drop("__rid")
         cols = points.columns
         cnt = pts.groupBy("__bin", *cols).agg(F.count(F.lit(1)).alias("__n"))
         matched = (

@@ -151,36 +151,43 @@ class _CatalogReader(DataSourceReader):
             self.params["bbox"] = options["bbox"]
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
-        # eager (NOT a generator): the param side effects must happen
-        # during planning even if Spark lazily consumes the result
-        remaining: list[Filter] = []
+        # Pushdown here is a bandwidth OPTIMIZATION, never a semantic
+        # contract: every filter — pushed or not — is returned to Spark
+        # for post-scan re-evaluation. That makes the push trivially
+        # safe under every composition Spark can hand us: duplicate
+        # same-attribute predicates (cloud_cover <= 10 AND <= 20),
+        # contradictions (day_night = 'day' AND = 'night' → the server
+        # returns one side's superset, Spark re-applies both → 0 rows),
+        # and strict bounds pushed as inclusive supersets. For bounds we
+        # push the STRONGEST value seen (min upper / max lower) so the
+        # server prunes maximally; for equality, any one conjunct is a
+        # valid superset filter. Eager (NOT a generator): the param side
+        # effects must happen during planning even if Spark lazily
+        # consumes the result.
+        def _tighten(key: str, value, keep) -> None:
+            old = self.params.get(key)
+            if old is None:
+                self.params[key] = str(value)
+            else:  # compare in the value's own type (float / ISO string)
+                self.params[key] = str(keep(type(value)(old), value))
+
         for f in filters:
             attr = f.attribute[0] if f.attribute else None
             if attr == "cloud_cover" and isinstance(
                 f, (LessThan, LessThanOrEqual)
             ):
-                # server contract is inclusive max; a strict < pushed as
-                # <= is a SUPERSET, so the filter is also kept in Spark
-                self.params["cloud_cover_max"] = str(f.value)
-                if isinstance(f, LessThan):
-                    remaining.append(f)
+                _tighten("cloud_cover_max", f.value, min)
             elif attr == "datetime" and isinstance(
                 f, (GreaterThan, GreaterThanOrEqual)
             ):
-                self.params["temporal_start"] = str(f.value)
-                if isinstance(f, GreaterThan):
-                    remaining.append(f)
+                _tighten("temporal_start", f.value, max)
             elif attr == "datetime" and isinstance(
                 f, (LessThan, LessThanOrEqual)
             ):
-                self.params["temporal_end"] = str(f.value)
-                if isinstance(f, LessThan):
-                    remaining.append(f)
+                _tighten("temporal_end", f.value, min)
             elif attr == "day_night" and isinstance(f, EqualTo):
-                self.params["day_night"] = str(f.value)
-            else:
-                remaining.append(f)  # unsupported: Spark evaluates post-scan
-        return remaining
+                self.params.setdefault("day_night", str(f.value))
+        return list(filters)
 
     def _fetch(self, path: str, params: dict[str, str],
                token: TokenProvider) -> Any:
@@ -202,7 +209,8 @@ class _CatalogReader(DataSourceReader):
                     raise  # 4xx other than auth: not retryable
             except urllib.error.URLError as e:
                 last = e
-            time.sleep(self.retry_backoff_s * (2 ** attempt))
+            if attempt < self.max_retries:  # no pointless terminal sleep
+                time.sleep(self.retry_backoff_s * (2 ** attempt))
         raise RuntimeError(
             f"catalog fetch failed after {self.max_retries + 1} attempts: "
             f"{url}"

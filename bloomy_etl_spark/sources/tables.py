@@ -12,6 +12,8 @@ events by date) behind a catalog; the loader interface stays the same —
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -82,10 +84,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     # cheap win on a real cluster too (object-store LIST calls are the
     # slow part there). The memo holds PLANS, not data: no caching of
     # rows, no CacheManager entries, nothing pinned on executors.
-    key = (id(spark), sf_dir, name, fan_out)
+    # The path's mtime is part of the key (one stat per call), so a
+    # table rewritten in-session gets a fresh plan instead of a stale
+    # file index; the memo is size-capped against unbounded rewrites.
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None  # let spark.read raise its own, clearer error
+    key = (id(spark), path, fan_out, mtime)
     cached = _PLAN_MEMO.get(key)
     if cached is not None:
         return cached
+    if len(_PLAN_MEMO) >= 512:
+        _PLAN_MEMO.clear()
     if name == "events":
         # Older events fixtures store TIMESTAMP(NANOS), which Spark rejects
         # outright; set the session conf here (not only in our session

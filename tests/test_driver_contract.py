@@ -13,7 +13,6 @@ unique qNN-prefixed, and the rotation function is a permutation.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import sys
@@ -25,26 +24,15 @@ import __spark_entry__ as entry  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _ever_green() -> dict:
-    """Union of green rows across ALL CORRECTNESS_r*.json files.
+def _ever_green() -> set:
+    """Names green in ANY round — the same union `_driver_order` sorts
+    by, so this guard can never drift from the rotation it protects.
 
-    'Never driver-verified' must mean never-in-any-round — reading only
+    ('Never driver-verified' must mean never-in-any-round — reading only
     the latest file made the guard self-invalidate each time the driver
-    rotated a new 50-query window in (it flagged the previous window as
-    'never verified').
+    rotated a new 50-query window in.)
     """
-    merged: dict = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as f:
-                rows = json.load(f)
-        except (OSError, ValueError):
-            continue
-        for name, row in rows.items():
-            if (isinstance(row, dict) and row.get("rows_match")
-                    and row.get("err") is None):
-                merged[name] = row
-    return merged
+    return set(entry._last_green_round())
 
 
 def test_every_query_has_an_oracle_and_unique_qnn_prefix():
