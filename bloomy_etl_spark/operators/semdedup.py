@@ -1,0 +1,97 @@
+"""SemDeDup-style semantic deduplication: k-means blocking + within-
+cluster cosine pruning (Abbas et al., "SemDeDup: Data-efficient learning
+at web-scale through semantic deduplication", 2023).
+
+Exact pairwise cosine over a corpus is O(n²); SemDeDup's observation is
+that semantic duplicates land in the same k-means cluster, so pairwise
+work only needs to happen WITHIN clusters — O(Σ n_c²), tunable by k.
+
+Spark shape:
+
+* assign — ``clustering.assign_clusters`` / ``kmeans_lloyd``: map-side
+  scoring against literal centroids, deterministic (no RNG, quantized
+  means, low-index ties);
+* pair — an equi self-join on the cluster id with ``id < id`` (never a
+  cross join; the join's shuffle key is the cluster id). Cluster sizes
+  are the skew knob: raise ``k`` (SemDeDup uses k ≈ corpus/1000) or
+  pre-split hot clusters (the ``dedup.bucket_pairs`` chunking pattern)
+  if one cluster dominates;
+* prune — survivors are exactly the ids with NO lower-id neighbor
+  above the threshold (one distinct + one join, no iteration).
+  Deterministic canonical representatives (SemDeDup itself keeps an
+  arbitrary or centroid-far member; a fixed rule makes the output
+  replayable). Shape notes: in a chain a–b–c (a,c not near each other)
+  both b and c drop, like connected components; in a star 1–3, 2–3
+  (1,2 not near) only 3 drops where CC would also drop 2 — i.e. the
+  rule never merges two mutually-distant LOW ids through a shared
+  neighbor, but a dropped doc's lower-id witness may itself be
+  dropped. For transitive group-accurate dedup use
+  ``dedup.dedup_clusters`` on :func:`semantic_dup_pairs` output.
+
+Output of :func:`semantic_dedup`: the input ids with ``cluster``,
+``kept`` (bool) — filter ``kept`` for the deduplicated corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.functions.vectors import dot, norm
+from bloomy_etl_spark.operators.clustering import assign_clusters, kmeans_lloyd
+
+__all__ = ["semantic_dup_pairs", "semantic_dedup"]
+
+
+def semantic_dup_pairs(embs: DataFrame, centroids: list[list[float]],
+                       threshold: float = 0.95, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """(i, j, cluster, cos_sim) for every same-cluster pair with
+    cosine ≥ threshold, i < j. Cosine is computed in index order
+    (engine-stable) on the raw vectors — no normalization pass."""
+    assigned = assign_clusters(embs, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"), "cluster",
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    return (
+        a.join(b, on="cluster", how="inner")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("a.id").alias("i"), F.col("b.id").alias("j"),
+            "cluster", F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+def semantic_dedup(embs: DataFrame, k: int = 8, threshold: float = 0.95,
+                   iters: int = 2, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Full SemDeDup pass: cluster, find within-cluster near-dups, keep
+    the lowest id of every duplicate group. Returns
+    ``(id_col, cluster, kept)`` for the whole corpus."""
+    centroids, assigned = kmeans_lloyd(
+        embs, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    pairs = semantic_dup_pairs(embs, centroids, threshold, id_col, vec_col)
+    # j has a lower-id near-dup (i) → j is dropped; the group's minimum
+    # id is never any pair's j, so exactly one member per group survives
+    dropped = pairs.select(F.col("j").alias("__drop_id")).distinct()
+    return (
+        assigned.select(F.col(id_col), "cluster")
+        .join(
+            dropped,
+            assigned[id_col] == dropped["__drop_id"],
+            "left",
+        )
+        .select(
+            id_col, "cluster",
+            F.col("__drop_id").isNull().alias("kept"),
+        )
+    )

@@ -1,0 +1,167 @@
+"""Product quantization (operators/pq.py) and SemDeDup
+(operators/semdedup.py): NumPy-reference agreement, quality monotonicity,
+and deterministic prune semantics."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bloomy_etl_spark.operators.pq import (  # noqa: E402
+    pq_encode,
+    pq_search,
+    reconstruction_mse,
+    train_pq,
+)
+from bloomy_etl_spark.operators.semdedup import (  # noqa: E402
+    semantic_dedup,
+    semantic_dup_pairs,
+)
+
+
+def _vec_df(spark, mat):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """60 vectors in 4 well-separated 8-dim blobs (seeded)."""
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(-10, 10, size=(4, 8))
+    mat = np.concatenate(
+        [c + rng.normal(0, 0.3, size=(15, 8)) for c in centers]
+    )
+    return _vec_df(spark, mat), mat
+
+
+class TestPQ:
+    def test_encode_matches_numpy_reference(self, spark, clustered):
+        df, mat = clustered
+        books = train_pq(df, m=4, ksub=4, iters=2)
+        got = {r["vec_id"]: list(r["codes"])
+               for r in pq_encode(df, books).collect()}
+        # NumPy reference encode with the SAME trained codebooks
+        for i, v in enumerate(mat):
+            want = []
+            for s in range(4):
+                sub = v[s * 2:(s + 1) * 2]
+                d = [float(((sub - np.array(c)) ** 2).sum())
+                     for c in books[s]]
+                want.append(int(np.argmin(d)))  # ties: lower index, as argmin
+            assert got[i] == want, f"vec {i}"
+
+    def test_adc_search_matches_numpy_reference(self, spark, clustered):
+        df, mat = clustered
+        books = train_pq(df, m=4, ksub=4, iters=2)
+        codes = pq_encode(df, books)
+        q = [float(x) for x in mat[7]]
+        got = [(r["vec_id"], r["adc_dist2"], r["rank"])
+               for r in pq_search(codes, books, q, k=5).collect()]
+        # reference ADC over the same codes
+        code_map = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+        luts = []
+        for s in range(4):
+            qs = np.array(q[s * 2:(s + 1) * 2])
+            luts.append([float(((qs - np.array(c)) ** 2).sum())
+                         for c in books[s]])
+        scored = sorted(
+            (sum(luts[s][c] for s, c in enumerate(cs)), i)
+            for i, cs in code_map.items()
+        )
+        want = [(i, round(d, 6), r + 1)
+                for r, (d, i) in enumerate(scored[:5])]
+        assert [(i, r) for i, _, r in got] == [(i, r) for i, _, r in want]
+        for (_, d_got, _), (_, d_want, _) in zip(got, want):
+            assert math.isclose(d_got, d_want, abs_tol=1e-6)
+
+    def test_adc_top1_is_own_blob(self, spark, clustered):
+        """ADC with enough codebook capacity keeps queries inside their
+        blob: the top hits of a blob-0 query are blob-0 members."""
+        df, mat = clustered
+        books = train_pq(df, m=4, ksub=8, iters=2)
+        codes = pq_encode(df, books)
+        hits = pq_search(codes, books, [float(x) for x in mat[3]], k=5)
+        assert all(r["vec_id"] < 15 for r in hits.collect())
+
+    def test_reconstruction_improves_with_ksub(self, spark, clustered):
+        df, _ = clustered
+        mse2 = reconstruction_mse(df, train_pq(df, m=4, ksub=2, iters=2))
+        mse8 = reconstruction_mse(df, train_pq(df, m=4, ksub=8, iters=2))
+        assert mse8 < mse2  # more centroids -> strictly better fit here
+
+    def test_dim_not_divisible_raises(self, spark):
+        df = _vec_df(spark, np.ones((4, 6)))
+        with pytest.raises(ValueError, match="not divisible"):
+            train_pq(df, m=4, ksub=2)
+
+
+class TestSemDeDup:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        """Two blobs; ids 1/2 are near-dups of 0, id 11 of 10; 20 is a
+        chain case: near 21 only, 21 near 22 only."""
+        base0 = np.array([10.0] * 8)
+        base1 = np.array([-10.0] * 8)
+        rows = {
+            0: base0, 1: base0 * 1.0001, 2: base0 * 0.9999,
+            3: base0 + np.array([6, -6, 6, -6, 6, -6, 6, -6]),
+            10: base1, 11: base1 * 1.0002,
+        }
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in sorted(rows.items())],
+            "vec_id long, embedding array<double>",
+        )
+        return df
+
+    def test_near_dups_found_and_lowest_id_kept(self, spark, corpus):
+        out = {r["vec_id"]: r["kept"]
+               for r in semantic_dedup(corpus, k=2, threshold=0.999).collect()}
+        assert out == {0: True, 1: False, 2: False, 3: True,
+                       10: True, 11: False}
+
+    def test_pairs_are_within_cluster_only(self, spark, corpus):
+        from bloomy_etl_spark.operators.clustering import kmeans_lloyd
+
+        cents, assigned = kmeans_lloyd(corpus, k=2, iters=2)
+        pairs = semantic_dup_pairs(corpus, cents, threshold=0.999).collect()
+        cl = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+        assert pairs, "expected near-dup pairs"
+        for r in pairs:
+            assert cl[r["i"]] == cl[r["j"]]
+            assert r["i"] < r["j"]
+            assert r["cos_sim"] >= 0.999
+
+    def test_chain_and_star_prune_shapes(self, spark):
+        """Chain a–b near, b–c near, a–c NOT near: the no-lower-id-
+        neighbor rule drops b AND c (c's witness is the dropped b)."""
+        a = np.array([1.0, 0.0, 0.0, 0.0])
+        b = np.array([math.cos(0.1), math.sin(0.1), 0.0, 0.0])
+        c = np.array([math.cos(0.2), math.sin(0.2), 0.0, 0.0])
+        df = spark.createDataFrame(
+            [(0, [float(x) for x in a]), (1, [float(x) for x in b]),
+             (2, [float(x) for x in c])],
+            "vec_id long, embedding array<double>",
+        )
+        thr = math.cos(0.15)  # 0.1 apart: dup; 0.2 apart: not
+        out = {r["vec_id"]: r["kept"]
+               for r in semantic_dedup(df, k=1, threshold=thr).collect()}
+        assert out == {0: True, 1: False, 2: False}
+        # star: 1 and 2 both near 3, not near each other -> only 3 drops
+        d = np.array([math.cos(0.3), math.sin(0.3), 0.0, 0.0])
+        df2 = spark.createDataFrame(
+            [(0, [float(x) for x in a]), (1, [float(x) for x in d]),
+             (2, [float(x) for x in (a + d) / np.linalg.norm(a + d)])],
+            "vec_id long, embedding array<double>",
+        )
+        out2 = {r["vec_id"]: r["kept"]
+                for r in semantic_dedup(df2, k=1, threshold=thr).collect()}
+        assert out2 == {0: True, 1: True, 2: False}
