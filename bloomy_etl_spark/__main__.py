@@ -32,6 +32,14 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--start", help="Start date (YYYY-MM-DD), inclusive")
     p.add_argument("--end", help="End date (YYYY-MM-DD), inclusive")
     p.add_argument("--output", required=True, help="Output directory (cube/, events/, index.json)")
+    p.add_argument("--catalog-endpoint",
+                   help="HTTP granule-catalog endpoint (sources/catalog.py); "
+                        "when set, the pipeline processes only dates the "
+                        "catalog returns for the given temporal/cloud/"
+                        "day-night query — the reference's search stage "
+                        "(core/searcher.py) ahead of processing")
+    p.add_argument("--catalog-day-night", default="day",
+                   help="Catalog day_night_flag (reference pins 'day')")
     p.add_argument("--cloud-cover", type=float, default=30.0,
                    help="Max contamination %% per granule (reference --cloud-cover)")
     p.add_argument("--disable-quality-filter", action="store_true",
@@ -102,6 +110,42 @@ def main(argv: list[str] | None = None) -> dict:
         # inclusive end-date, as the reference's CMR temporal range is
         px = px.filter(F.to_date("time") <= F.lit(args.end).cast("date"))
 
+    catalog_stats = {}
+    if args.catalog_endpoint:
+        # The reference's entry point searches the catalog FIRST and
+        # processes only matching granules (pipeline.py:137-146). Here:
+        # query the catalog source (temporal/cloud/day-night predicates
+        # pushed to the server), reduce to the matched DATE set (tiny),
+        # and semi-join the pixel stream on it.
+        from bloomy_etl_spark.sources.catalog import GranuleCatalogDataSource
+
+        spark.dataSource.register(GranuleCatalogDataSource)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        cat = (
+            spark.read.format("granule_catalog")
+            .option("endpoint", args.catalog_endpoint)
+            .load()
+            .filter(F.col("cloud_cover") <= args.cloud_cover)
+            .filter(F.col("day_night") == args.catalog_day_night)
+        )
+        if args.start:
+            cat = cat.filter(F.col("datetime") >= args.start)
+        if args.end:  # inclusive end date over ISO-8601 strings
+            cat = cat.filter(F.col("datetime") <= args.end + "T23:59:59Z")
+        dates = (
+            cat.select(F.to_date("datetime").alias("cat_date")).distinct()
+        )
+        n_dates = dates.count()
+        px = px.join(
+            F.broadcast(dates),
+            F.to_date(px.time) == F.col("cat_date"),
+            "left_semi",
+        )
+        catalog_stats = {
+            "catalog_endpoint": args.catalog_endpoint,
+            "catalog_dates": n_dates,
+        }
+
     cache_stats = {}
     if args.cache_dir:
         # Granule cache (reference processor.py:49-53, 342-367 as S5/S6 +
@@ -162,6 +206,7 @@ def main(argv: list[str] | None = None) -> dict:
         "cube_rows": spark.read.parquet(paths["cube"]).count(),
         "n_events": result.events.count() if not args.no_detect else 0,
         "paths": paths,
+        **catalog_stats,
         **cache_stats,
     }
     if args.export_geotiff:

@@ -81,3 +81,48 @@ def test_cli_cache_incremental_and_netcdf(spark, tmp_path):
     # no --keep-cache on the last run -> scratch cache removed
     assert r3.get("cache_removed") is True
     assert not os.path.isdir(cache)
+
+
+def test_cli_catalog_search_gates_processed_dates(spark, tmp_path):
+    """--catalog-endpoint reproduces the reference's search-then-process
+    flow: only dates the catalog returns (cloud/day-night/temporal
+    query, pushed to the server) are processed into the cube."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from pyspark.sql import functions as F
+
+    from tests.test_catalog import GRANULES, _State, _make_handler
+
+    state = _State()
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+        out = str(tmp_path / "cat")
+        summary = main([
+            "--sf-dir", SF, "--output", out,
+            "--catalog-endpoint", endpoint,
+            "--cloud-cover", "30",
+            "--start", "2024-01-01", "--end", "2024-01-31",
+        ])
+        want_dates = sorted({
+            g["datetime"][:10] for g in GRANULES
+            if g["cloud_cover"] <= 30 and g["day_night"] == "day"
+        })
+        assert summary["catalog_dates"] == len(want_dates)
+        cube_dates = sorted(
+            r["d"].isoformat()
+            for r in spark.read.parquet(out + "/cube")
+            .select(F.to_date("time").alias("d")).distinct().collect()
+        )
+        assert set(cube_dates) <= set(want_dates)
+        assert cube_dates, "catalog gating removed every date"
+        # the predicates reached the SERVER (pushdown, not post-filter)
+        assert any(
+            qp.get("day_night") == "day"
+            and float(qp.get("cloud_cover_max", "nan")) == 30.0
+            for qp in state.requests
+        )
+    finally:
+        srv.shutdown()
