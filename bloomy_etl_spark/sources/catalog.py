@@ -90,7 +90,23 @@ class TokenProvider:
     ``refresh_margin_s`` BEFORE its announced expiry, so long fetches
     never start with a token about to lapse. Tokens come from
     ``{endpoint}/token`` as ``{"token": ..., "expires_in": seconds}``.
+
+    Use :meth:`shared` on executors: it hands out one provider per
+    (endpoint, python worker process), so a thousand read tasks on a
+    reused worker share one login instead of hammering the token
+    endpoint once per task.
     """
+
+    _SHARED: dict[str, "TokenProvider"] = {}
+
+    @classmethod
+    def shared(cls, endpoint: str,
+               refresh_margin_s: float = 60.0) -> "TokenProvider":
+        key = endpoint.rstrip("/")
+        prov = cls._SHARED.get(key)
+        if prov is None:
+            prov = cls._SHARED[key] = cls(key, refresh_margin_s)
+        return prov
 
     def __init__(self, endpoint: str, refresh_margin_s: float = 60.0):
         self.endpoint = endpoint.rstrip("/")
@@ -217,7 +233,7 @@ class _CatalogReader(DataSourceReader):
         ) from last
 
     def partitions(self) -> list[InputPartition]:
-        token = TokenProvider(self.endpoint)
+        token = TokenProvider.shared(self.endpoint)
         params = dict(self.params)
         params["page_size"] = str(self.page_size)
         meta = self._fetch("/granules/count", params, token)
@@ -226,7 +242,7 @@ class _CatalogReader(DataSourceReader):
         return [_Page(p) for p in range(n_pages)]
 
     def read(self, partition: _Page) -> Iterator[tuple]:
-        token = TokenProvider(self.endpoint)
+        token = TokenProvider.shared(self.endpoint)
         params = dict(self.params)
         params["page"] = str(partition.page)
         params["page_size"] = str(self.page_size)
