@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 
 from bloomy_etl_spark.operators.clustering import kmeans_lloyd
 
-__all__ = ["train_pq", "pq_encode", "pq_search", "reconstruction_mse"]
+__all__ = ["train_pq", "pq_encode", "pq_search", "reconstruction_mse",
+           "build_ivfpq_index", "search_ivfpq_index"]
 
 
 def _check_dims(dim: int, m: int) -> int:
@@ -144,6 +145,145 @@ def pq_search(codes: DataFrame, codebooks: list[list[list[float]]],
     return topk.select(
         id_col, F.round("adc_dist2", 6).alias("adc_dist2"),
     ).withColumn("rank", w)
+
+
+def build_ivfpq_index(embs: DataFrame, index_dir: str, m: int = 4,
+                      ksub: int = 16, iters: int = 2,
+                      centroid_stride: int = 40, max_centroids: int = 256,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> list[list[list[float]]]:
+    """IVF-PQ: the coarse inverted-list layout of
+    ``similarity.build_ivf_index`` with PQ CODES in the lists instead of
+    raw vectors — the full Jégou et al. design, and the layout that
+    makes a 100 TB vector corpus searchable from object storage:
+    ``nprobe/K`` of the FILES are read per query (partition pruning) and
+    each file holds m-byte codes, not 4·d-byte vectors.
+
+    Layout: ``{index_dir}/centroids`` (coarse quantizer, as IVF),
+    ``{index_dir}/codebooks`` ((s, c, cvec) rows — m·ksub·dsub doubles),
+    ``{index_dir}/corpus`` ((neighbor_id, codes) partitioned by
+    cluster_id). Codes quantize the RAW vectors (residual encoding —
+    PQ over v − coarse_centroid — is the classic accuracy refinement;
+    layout and search are identical, so it can be added without
+    touching readers). Returns the trained codebooks.
+    """
+    from bloomy_etl_spark.functions.vectors import norm as _vnorm
+    from bloomy_etl_spark.operators.similarity import _assign_to_centroids
+
+    spark = embs.sparkSession
+    cents = embs.filter(
+        (F.col(id_col) % centroid_stride == 0)
+        & (F.col(id_col) < centroid_stride * max_centroids)
+    ).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
+        _vnorm(F.col(vec_col)).alias("_ncent"),
+    )
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+
+    codebooks = train_pq(embs, m=m, ksub=ksub, iters=iters,
+                         id_col=id_col, vec_col=vec_col)
+    cb_rows = [
+        (s, c, [float(x) for x in vec])
+        for s, book in enumerate(codebooks)
+        for c, vec in enumerate(book)
+    ]
+    spark.createDataFrame(
+        cb_rows, "s int, c int, cvec array<double>"
+    ).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+
+    assigned = _assign_to_centroids(embs, cents, id_col, vec_col)
+    coded = pq_encode(
+        assigned.select(F.col("neighbor_id"), F.col("nv")),
+        codebooks, id_col="neighbor_id", vec_col="nv",
+    )
+    (
+        assigned.select("neighbor_id", "cluster_id")
+        .join(coded, "neighbor_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{index_dir}/corpus")
+    )
+    return codebooks
+
+
+def search_ivfpq_index(spark, index_dir: str, queries: DataFrame,
+                       k: int = 5, nprobe: int = 8,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ search: probe the ``nprobe`` nearest coarse centroids per
+    query (cosine, as the IVF builder assigns), partition-prune the code
+    lists to the probed clusters, ADC-score the candidates (squared L2
+    between the query and each candidate's PQ reconstruction — computed
+    as a column expression against the codebook literals, so any number
+    of queries scores in one distributed pass), and return the per-query
+    top-k as (query_id, neighbor_id, adc_dist2, rank)."""
+    from bloomy_etl_spark.functions.vectors import dot as _vdot
+    from bloomy_etl_spark.functions.vectors import norm as _vnorm
+
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    cb_rows = spark.read.parquet(f"{index_dir}/codebooks").collect()
+    m = 1 + max(r["s"] for r in cb_rows)
+    ksub = 1 + max(r["c"] for r in cb_rows)
+    codebooks: list[list[list[float]]] = [
+        [None] * ksub for _ in range(m)  # type: ignore[list-item]
+    ]
+    for r in cb_rows:
+        codebooks[r["s"]][r["c"]] = [float(x) for x in r["cvec"]]
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        _vnorm(F.col(vec_col)).alias("_nq"),
+    )
+    scored_c = q.join(F.broadcast(cents), F.lit(True)).withColumn(
+        "cos_c",
+        _vdot(F.col("qv"), F.col("cvec")) / (F.col("_nq") * F.col("_ncent")),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid")
+    )
+    probes = (
+        scored_c.withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("cluster_id"))
+    )
+    probe_ids = sorted(
+        {r["cluster_id"]
+         for r in probes.select("cluster_id").distinct().collect()}
+    )
+    if not probe_ids:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_dist2 double, rank int"
+        )
+    corpus = spark.read.parquet(f"{index_dir}/corpus").filter(
+        F.col("cluster_id").isin(probe_ids)
+    )
+    # PQ reconstruction as a literal-codebook expression: decoded =
+    # concat over subspaces of codebook[s][codes[s]]
+    cb_lits = [
+        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+        for book in codebooks
+    ]
+    decoded = F.flatten(F.array(*[
+        F.element_at(cb_lits[s], F.element_at(F.col("codes"), s + 1) + 1)
+        for s in range(m)
+    ]))
+    cand = probes.join(corpus, "cluster_id")
+    adc = F.aggregate(
+        F.zip_with(F.col("qv"), decoded, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("adc_dist2", adc)
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("adc_dist2", 6).alias("adc_dist2"), "rank")
+    )
 
 
 def reconstruction_mse(embs: DataFrame, codebooks: list[list[list[float]]],

@@ -165,3 +165,65 @@ class TestSemDeDup:
         out2 = {r["vec_id"]: r["kept"]
                 for r in semantic_dedup(df2, k=1, threshold=thr).collect()}
         assert out2 == {0: True, 1: True, 2: False}
+
+
+class TestIvfPq:
+    def test_build_search_recall_and_pruning(self, spark, clustered, tmp_path):
+        from bloomy_etl_spark.operators.pq import (
+            build_ivfpq_index,
+            search_ivfpq_index,
+        )
+
+        df, mat = clustered
+        idx = str(tmp_path / "ivfpq")
+        books = build_ivfpq_index(
+            df, idx, m=4, ksub=8, centroid_stride=10, max_centroids=6,
+        )
+        assert len(books) == 4 and len(books[0]) == 8
+        queries = df.filter("vec_id in (3, 40)")
+        hits = search_ivfpq_index(spark, idx, queries, k=5, nprobe=3)
+        rows = hits.collect()
+        assert len(rows) == 10  # 2 queries x k
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        # PQ quantizes these tight blobs to one code tuple per blob, so
+        # ADC ties within the blob and id-order breaks them — the right
+        # correctness claim is BLOB membership (quantization-level
+        # recall), not exact-L2 top-5 identity
+        for qid, rs in by_q.items():
+            got = {r["neighbor_id"] for r in rs}
+            blob = set(range((qid // 15) * 15, (qid // 15) * 15 + 15))
+            assert got <= blob, f"q{qid} escaped its blob: {got - blob}"
+            # ranks are 1..5 and ADC distances non-decreasing
+            rs = sorted(rs, key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+            assert all(rs[i]["adc_dist2"] <= rs[i + 1]["adc_dist2"]
+                       for i in range(4))
+
+    def test_search_prunes_partitions(self, spark, clustered, tmp_path):
+        from bloomy_etl_spark.operators.pq import (
+            build_ivfpq_index,
+            search_ivfpq_index,
+        )
+        from bloomy_etl_spark.tools.profile import run_profile
+
+        df, mat = clustered
+        idx = str(tmp_path / "ivfpq2")
+        build_ivfpq_index(df, idx, m=4, ksub=4,
+                          centroid_stride=10, max_centroids=6)
+        queries = df.filter("vec_id = 0")
+        prof = run_profile(
+            search_ivfpq_index(spark, idx, queries, k=3, nprobe=2)
+        )
+        scanned = max(
+            (s.get("numFiles", 0) for s in prof["scans"]), default=0
+        )
+        on_disk = sum(
+            1
+            for root, _, files in os.walk(os.path.join(idx, "corpus"))
+            for f in files if f.endswith(".parquet")
+        )
+        assert 0 < scanned < on_disk, (
+            f"IVF-PQ search read {scanned}/{on_disk} corpus files"
+        )
