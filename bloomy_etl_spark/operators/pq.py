@@ -37,8 +37,8 @@ from pyspark.sql import functions as F
 
 from bloomy_etl_spark.operators.clustering import kmeans_lloyd
 
-__all__ = ["train_pq", "pq_encode", "pq_search", "reconstruction_mse",
-           "build_ivfpq_index", "search_ivfpq_index"]
+__all__ = ["train_pq", "pq_encode", "pq_search", "pq_search_batch",
+           "reconstruction_mse", "build_ivfpq_index", "search_ivfpq_index"]
 
 
 def _check_dims(dim: int, m: int) -> int:
@@ -139,17 +139,80 @@ def pq_search(codes: DataFrame, codebooks: list[list[list[float]]],
     # per-partition top-k merge, NOT a global sort; the unpartitioned
     # row_number window then ranks only the k survivors (bounded)
     topk = scored.orderBy(F.col("adc_dist2").asc(), F.col(id_col).asc()).limit(k)
+    # rank on the UNROUNDED distance (same ordering the limit(k) cut
+    # used), THEN round for output — ranking the rounded column would
+    # re-order by id within sub-1e-6 ties and disagree with the cut
     w = F.row_number().over(
         Window.orderBy(F.col("adc_dist2").asc(), F.col(id_col).asc())
     )
-    return topk.select(
-        id_col, F.round("adc_dist2", 6).alias("adc_dist2"),
-    ).withColumn("rank", w)
+    return topk.withColumn("rank", w).select(
+        id_col, F.round("adc_dist2", 6).alias("adc_dist2"), "rank",
+    )
+
+
+def _decoded_expr(codebooks: list[list[list[float]]], codes_col="codes"):
+    """PQ reconstruction as a literal-codebook column expression:
+    ``flatten([codebook[s][codes[s]] for s])`` — the decoded vector a
+    code row represents, usable in any distance expression with zero
+    Python in the plan."""
+    m = len(codebooks)
+    cb_lits = [
+        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+        for book in codebooks
+    ]
+    return F.flatten(F.array(*[
+        F.element_at(cb_lits[s], F.element_at(F.col(codes_col), s + 1) + 1)
+        for s in range(m)
+    ]))
+
+
+def pq_search_batch(codes: DataFrame, codebooks: list[list[list[float]]],
+                    queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k for a WHOLE DataFrame of queries in one distributed
+    pass: broadcast the (small) query set against the code list and
+    score each candidate as ‖q − decode(codes)‖² — the same squared
+    terms as :func:`pq_search`'s per-query LUT, accumulated in full
+    index order over the decoded vector (LUT sums per-subspace
+    subtotals instead; equal to ~1 ulp, identical after the 6-dp
+    round). Any number of queries shares one corpus scan. Returns
+    (query_id, neighbor_id, adc_dist2, rank)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qrow = queries.select(vec_col).first()
+    if qrow is not None and len(qrow[vec_col]) != m * dsub:
+        raise ValueError(
+            f"query dim {len(qrow[vec_col])} != codebook dim {m * dsub}"
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cand = codes.withColumnRenamed(id_col, "neighbor_id").join(
+        F.broadcast(q), F.lit(True)
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("qv"), _decoded_expr(codebooks),
+                   lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("adc_dist2", adc)
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("adc_dist2", 6).alias("adc_dist2"), "rank")
+    )
 
 
 def build_ivfpq_index(embs: DataFrame, index_dir: str, m: int = 4,
                       ksub: int = 16, iters: int = 2,
                       centroid_stride: int = 40, max_centroids: int = 256,
+                      residual: bool = False,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> list[list[list[float]]]:
     """IVF-PQ: the coarse inverted-list layout of
@@ -162,10 +225,13 @@ def build_ivfpq_index(embs: DataFrame, index_dir: str, m: int = 4,
     Layout: ``{index_dir}/centroids`` (coarse quantizer, as IVF),
     ``{index_dir}/codebooks`` ((s, c, cvec) rows — m·ksub·dsub doubles),
     ``{index_dir}/corpus`` ((neighbor_id, codes) partitioned by
-    cluster_id). Codes quantize the RAW vectors (residual encoding —
-    PQ over v − coarse_centroid — is the classic accuracy refinement;
-    layout and search are identical, so it can be added without
-    touching readers). Returns the trained codebooks.
+    cluster_id), ``{index_dir}/meta`` (one row recording the encoding).
+    ``residual=True`` PQ-encodes ``v − coarse_centroid(v)`` instead of
+    the raw vectors — the classic accuracy refinement (residuals are
+    smaller and better centered, so the same m·ksub budget quantizes
+    them with less error); the code layout is identical, only the
+    reader's reconstruction changes (decode + add centroid back).
+    Returns the trained codebooks.
     """
     from bloomy_etl_spark.functions.vectors import norm as _vnorm
     from bloomy_etl_spark.operators.similarity import _assign_to_centroids
@@ -181,8 +247,23 @@ def build_ivfpq_index(embs: DataFrame, index_dir: str, m: int = 4,
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     cents = spark.read.parquet(f"{index_dir}/centroids")
 
-    codebooks = train_pq(embs, m=m, ksub=ksub, iters=iters,
-                         id_col=id_col, vec_col=vec_col)
+    assigned = _assign_to_centroids(embs, cents, id_col, vec_col)
+    if residual:
+        cj = F.broadcast(
+            cents.select(F.col("cid").alias("cluster_id"), "cvec")
+        )
+        enc_input = assigned.join(cj, "cluster_id").select(
+            "neighbor_id", "cluster_id",
+            F.zip_with(
+                F.col("nv"), F.col("cvec"),
+                lambda a, b: a.cast("double") - b.cast("double"),
+            ).alias("nv"),
+        )
+    else:
+        enc_input = assigned.select("neighbor_id", "cluster_id", "nv")
+
+    codebooks = train_pq(enc_input, m=m, ksub=ksub, iters=iters,
+                         id_col="neighbor_id", vec_col="nv")
     cb_rows = [
         (s, c, [float(x) for x in vec])
         for s, book in enumerate(codebooks)
@@ -191,14 +272,14 @@ def build_ivfpq_index(embs: DataFrame, index_dir: str, m: int = 4,
     spark.createDataFrame(
         cb_rows, "s int, c int, cvec array<double>"
     ).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    spark.createDataFrame(
+        [(bool(residual), m, ksub)], "residual boolean, m int, ksub int"
+    ).write.mode("overwrite").parquet(f"{index_dir}/meta")
 
-    assigned = _assign_to_centroids(embs, cents, id_col, vec_col)
-    coded = pq_encode(
-        assigned.select(F.col("neighbor_id"), F.col("nv")),
-        codebooks, id_col="neighbor_id", vec_col="nv",
-    )
+    coded = pq_encode(enc_input, codebooks, id_col="neighbor_id",
+                      vec_col="nv")
     (
-        assigned.select("neighbor_id", "cluster_id")
+        enc_input.select("neighbor_id", "cluster_id")
         .join(coded, "neighbor_id")
         .write.mode("overwrite")
         .partitionBy("cluster_id")
@@ -217,7 +298,13 @@ def search_ivfpq_index(spark, index_dir: str, queries: DataFrame,
     between the query and each candidate's PQ reconstruction — computed
     as a column expression against the codebook literals, so any number
     of queries scores in one distributed pass), and return the per-query
-    top-k as (query_id, neighbor_id, adc_dist2, rank)."""
+    top-k as (query_id, neighbor_id, adc_dist2, rank).
+
+    Residual-encoded indexes (see :func:`build_ivfpq_index`) are
+    detected from ``{index_dir}/meta`` and scored as
+    ``‖(q − coarse_centroid) − decode(codes)‖²`` — algebraically the
+    distance to the reconstruction ``centroid + decode(codes)`` the
+    codes actually represent."""
     from bloomy_etl_spark.functions.vectors import dot as _vdot
     from bloomy_etl_spark.functions.vectors import norm as _vnorm
 
@@ -230,6 +317,22 @@ def search_ivfpq_index(spark, index_dir: str, queries: DataFrame,
     ]
     for r in cb_rows:
         codebooks[r["s"]][r["c"]] = [float(x) for x in r["cvec"]]
+    try:  # pre-meta indexes (r6 layout) are raw-encoded
+        residual = bool(
+            spark.read.parquet(f"{index_dir}/meta").first()["residual"]
+        )
+    except Exception:  # noqa: BLE001 — missing meta → raw encoding
+        residual = False
+
+    dsub = len(codebooks[0][0])
+    qrow = queries.select(vec_col).first()
+    if qrow is not None and len(qrow[vec_col]) != m * dsub:
+        # zip_with over mismatched lengths null-pads → NULL adc_dist2,
+        # and ascending sort is NULLS FIRST — fail loudly instead of
+        # silently returning garbage at rank 1 (mirrors pq_search)
+        raise ValueError(
+            f"query dim {len(qrow[vec_col])} != codebook dim {m * dsub}"
+        )
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
@@ -245,7 +348,7 @@ def search_ivfpq_index(spark, index_dir: str, queries: DataFrame,
     probes = (
         scored_c.withColumn("pr", F.row_number().over(wprobe))
         .filter(F.col("pr") <= nprobe)
-        .select("query_id", "qv", F.col("cid").alias("cluster_id"))
+        .select("query_id", "qv", F.col("cid").alias("cluster_id"), "cvec")
     )
     probe_ids = sorted(
         {r["cluster_id"]
@@ -258,19 +361,17 @@ def search_ivfpq_index(spark, index_dir: str, queries: DataFrame,
     corpus = spark.read.parquet(f"{index_dir}/corpus").filter(
         F.col("cluster_id").isin(probe_ids)
     )
-    # PQ reconstruction as a literal-codebook expression: decoded =
-    # concat over subspaces of codebook[s][codes[s]]
-    cb_lits = [
-        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
-        for book in codebooks
-    ]
-    decoded = F.flatten(F.array(*[
-        F.element_at(cb_lits[s], F.element_at(F.col("codes"), s + 1) + 1)
-        for s in range(m)
-    ]))
     cand = probes.join(corpus, "cluster_id")
+    # residual index: codes quantize v − centroid, so compare against
+    # q − centroid of the PROBED cluster (same cluster the codes used)
+    qeff = (
+        F.zip_with(F.col("qv"), F.col("cvec"),
+                   lambda a, b: a.cast("double") - b.cast("double"))
+        if residual else F.col("qv")
+    )
     adc = F.aggregate(
-        F.zip_with(F.col("qv"), decoded, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(qeff, _decoded_expr(codebooks),
+                   lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
         F.lit(0.0),
         lambda acc, d: acc + d,
     )

@@ -11,11 +11,16 @@ Spark shape:
 * assign — ``clustering.assign_clusters`` / ``kmeans_lloyd``: map-side
   scoring against literal centroids, deterministic (no RNG, quantized
   means, low-index ties);
-* pair — an equi self-join on the cluster id with ``id < id`` (never a
-  cross join; the join's shuffle key is the cluster id). Cluster sizes
-  are the skew knob: raise ``k`` (SemDeDup uses k ≈ corpus/1000) or
-  pre-split hot clusters (the ``dedup.bucket_pairs`` chunking pattern)
-  if one cluster dominates;
+* pair — cluster members become a sorted id array and expand through
+  ``dedup.bucket_pairs`` (the same skew-safe path q30/q31/q32 use):
+  small clusters expand C(n,2) in-row; a HOT cluster — the skew
+  reality when k is under-sized for the corpus — is chunked into
+  cap-sized slices spread round-robin across the cluster, so per-task
+  pair work is bounded by cap² regardless of cluster size. Vectors
+  join back onto the id pairs afterwards (two hash joins on the id),
+  so no row ever holds a cluster's worth of vectors. ``k`` remains
+  the pair-volume knob (SemDeDup uses k ≈ corpus/1000;
+  :func:`semantic_dedup` auto-sizes that way when k is not given);
 * prune — survivors are exactly the ids with NO lower-id neighbor
   above the threshold (one distinct + one join, no iteration).
   Deterministic canonical representatives (SemDeDup itself keeps an
@@ -48,34 +53,57 @@ def semantic_dup_pairs(embs: DataFrame, centroids: list[list[float]],
                        vec_col: str = "embedding") -> DataFrame:
     """(i, j, cluster, cos_sim) for every same-cluster pair with
     cosine ≥ threshold, i < j. Cosine is computed in index order
-    (engine-stable) on the raw vectors — no normalization pass."""
+    (engine-stable) on the raw vectors — no normalization pass.
+
+    Pair generation routes through :func:`dedup.bucket_pairs` (sorted
+    member-id arrays, in-row C(n,2) for small clusters, cap²-bounded
+    chunk expansion for hot ones), so one dominant cluster can never
+    pin the whole pair space on a single task; vectors join back by id
+    AFTER expansion, keeping every row O(d)."""
+    from bloomy_etl_spark.operators.dedup import bucket_pairs
+
     assigned = assign_clusters(embs, centroids, id_col, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("n"), "cluster",
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
+    buckets = assigned.groupBy("cluster").agg(
+        F.array_sort(F.collect_list("id")).alias("ms")
+    )
+    pairs = bucket_pairs(buckets, carry=("cluster",))
+    va = assigned.select(
+        F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    vb = assigned.select(
+        F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
     return (
-        a.join(b, on="cluster", how="inner")
-        .filter(F.col("a.id") < F.col("b.id"))
+        pairs.join(va, "a").join(vb, "b")
         .withColumn(
             "cos_sim",
-            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")),
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select(
-            F.col("a.id").alias("i"), F.col("b.id").alias("j"),
+            F.col("a").alias("i"), F.col("b").alias("j"),
             "cluster", F.round("cos_sim", 6).alias("cos_sim"),
         )
     )
 
 
-def semantic_dedup(embs: DataFrame, k: int = 8, threshold: float = 0.95,
+def semantic_dedup(embs: DataFrame, k: int | None = None,
+                   threshold: float = 0.95,
                    iters: int = 2, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """Full SemDeDup pass: cluster, find within-cluster near-dups, keep
     the lowest id of every duplicate group. Returns
-    ``(id_col, cluster, kept)`` for the whole corpus."""
+    ``(id_col, cluster, kept)`` for the whole corpus.
+
+    ``k=None`` auto-sizes the blocking factor as SemDeDup prescribes
+    (k ≈ corpus/1000, floored at 2, capped at the corpus size) — one
+    count() job; pass k explicitly to skip it."""
+    if k is None:
+        n = embs.count()
+        k = min(max(2, round(n / 1000)), n)
     centroids, assigned = kmeans_lloyd(
         embs, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
