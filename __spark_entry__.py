@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
+from bloomy_etl_spark.operators.ann_queries import ANN_ORACLE_SQL, ANN_QUERIES
 from bloomy_etl_spark.operators.bloomy_queries import BLOOMY_ORACLE_SQL, BLOOMY_QUERIES
 from bloomy_etl_spark.operators.engine_queries import (
     ENGINE_ORACLE_SQL,
@@ -23,9 +24,10 @@ from bloomy_etl_spark.operators.engine_queries import (
 from bloomy_etl_spark.operators.llm_queries import LLM_ORACLE_SQL, LLM_QUERIES
 from bloomy_etl_spark.operators.relational import ORACLE_SQL, QUERIES
 
-ALL_QUERIES = {**QUERIES, **BLOOMY_QUERIES, **LLM_QUERIES, **ENGINE_QUERIES}
+ALL_QUERIES = {**QUERIES, **BLOOMY_QUERIES, **LLM_QUERIES, **ENGINE_QUERIES,
+               **ANN_QUERIES}
 ALL_ORACLES = {**ORACLE_SQL, **BLOOMY_ORACLE_SQL, **LLM_ORACLE_SQL,
-               **ENGINE_ORACLE_SQL}
+               **ENGINE_ORACLE_SQL, **ANN_ORACLE_SQL}
 
 # The external driver's correctness pass checks the FIRST 50 entries of
 # queries() in insertion order (every CORRECTNESS_r*.json records exactly

@@ -132,10 +132,20 @@ def main(argv: list[str] | None = None) -> dict:
             cat = cat.filter(F.col("datetime") >= args.start)
         if args.end:  # inclusive end date over ISO-8601 strings
             cat = cat.filter(F.col("datetime") <= args.end + "T23:59:59Z")
-        dates = (
-            cat.select(F.to_date("datetime").alias("cat_date")).distinct()
+        # Collect the (tiny) matched date set ONCE: Python DataSource
+        # reads aren't cached, so count() + a later join would each
+        # re-execute the full paged HTTP read (token + count + pages,
+        # twice). One driver-side collect, then a literal-backed
+        # broadcast semi-join.
+        date_rows = [
+            r["cat_date"]
+            for r in cat.select(
+                F.to_date("datetime").alias("cat_date")
+            ).distinct().collect()
+        ]
+        dates = spark.createDataFrame(
+            [(d,) for d in date_rows], "cat_date date"
         )
-        n_dates = dates.count()
         px = px.join(
             F.broadcast(dates),
             F.to_date(px.time) == F.col("cat_date"),
@@ -143,7 +153,7 @@ def main(argv: list[str] | None = None) -> dict:
         )
         catalog_stats = {
             "catalog_endpoint": args.catalog_endpoint,
-            "catalog_dates": n_dates,
+            "catalog_dates": len(date_rows),
         }
 
     cache_stats = {}

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bloomy_etl_spark.session import pin
+
 from bloomy_etl_spark.functions.text import tokens
 
 
@@ -82,9 +84,9 @@ def bpe_train(docs: DataFrame, rounds: int = 3,
     # one eager-ish checkpoint: the corpus scan + vocab collapse runs
     # once; every round's pair count re-executes only the (cheap,
     # vocab-sized) replace chain above it
-    state = words.select(
+    state = pin(words.select(
         "w", "cnt", F.regexp_replace("w", "(.)", "<$1>").alias("rep")
-    ).localCheckpoint(eager=False)
+    ), eager=False)
     merges: list[dict] = []
     for r in range(1, rounds + 1):
         pairs = state.select("cnt", F.explode(_adjacent_pairs(_symbols(F.col("rep")))).alias("p"))

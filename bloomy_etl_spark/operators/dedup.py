@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bloomy_etl_spark.session import pin
+
 from bloomy_etl_spark.functions.text import md5_int, tokens, word_shingles
 from bloomy_etl_spark.functions.vectors import dot, norm, normalize
 
@@ -585,9 +587,9 @@ def incremental_near_dups(new_docs: DataFrame, history_docs: DataFrame,
     # signature store — without it each consumer re-runs the shingle +
     # num_perm-way MinHash fold over the batch text. Batch-proportional,
     # so safe to materialize at any corpus size.
-    new_sigs = minhash_signatures(
+    new_sigs = pin(minhash_signatures(
         new_docs, num_perm, n, text_col, id_col
-    ).localCheckpoint(eager=False)
+    ), eager=False)
     new_bands = stacked_bands(new_sigs, bands, rows)
     hist_bands = stacked_bands(history_sigs, bands, rows)
     # history probes the broadcast new-batch band keys; emit (i<j) pairs
@@ -923,7 +925,7 @@ def connected_components(pairs: DataFrame, i_col: str = "i", j_col: str = "j",
     # `checkpoint()` (localCheckpoint loses partitions on executor
     # failure); the iteration structure is identical.
     adj = edges.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
-    adj = adj.localCheckpoint(eager=False)
+    adj = pin(adj, eager=False)
     # Self-loop folded into the adjacency: min over (self + neighbors)
     # equals the union-with-own-label formulation but references the
     # labels table ONCE per round. A `lbl.union(nbr(lbl))` step doubles
@@ -946,9 +948,9 @@ def connected_components(pairs: DataFrame, i_col: str = "i", j_col: str = "j",
             labels = step(labels)
         return labels
 
-    labels = labels.localCheckpoint(eager=True)
+    labels = pin(labels, eager=True)
     for _ in range(max_iter):
-        new = step(labels).localCheckpoint(eager=True)
+        new = pin(step(labels), eager=True)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "node")

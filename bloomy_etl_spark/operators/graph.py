@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bloomy_etl_spark.session import pin
+
 __all__ = ["pagerank", "bfs_hops"]
 
 
@@ -59,7 +61,7 @@ def bfs_hops(
         sources.select(F.col(node).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0))
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     )
     frontier = dist.select("node")
     for hop in range(1, max_hops + 1):
@@ -69,11 +71,11 @@ def bfs_hops(
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(hop))
-            .localCheckpoint(eager=False)
+            .transform(pin, eager=False)
         )
         if nxt.isEmpty():
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        dist = pin(dist.unionByName(nxt), eager=False)
         frontier = nxt.select("node")
     return dist
 
@@ -107,17 +109,16 @@ def pagerank(
     e = e.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("outw")).alias("frac")
     )
-    # Eager localCheckpoint, not persist(): a persisted plan lives in
-    # the session CacheManager until explicitly unpersisted, so repeated
-    # pagerank calls would accumulate cached RDDs for the session's
-    # lifetime. Checkpoint blocks are reclaimed by the ContextCleaner
-    # once the returned ranks DataFrame is dropped.
-    e = e.localCheckpoint(eager=True)
+    # session.pin: eager localCheckpoint locally (ContextCleaner
+    # reclaims the blocks once the returned ranks DataFrame is dropped,
+    # no session-lifetime CacheManager entry), persist on clusters
+    # (recomputable under executor loss, which localCheckpoint is not).
+    e = pin(e, eager=True)
     verts = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin, eager=True)
     )
     n = verts.count()  # the one driver-resident scalar
     base, d = (1.0 - damping) / n, damping
@@ -146,6 +147,6 @@ def pagerank(
                     quantize_dp,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .transform(pin, eager=False)
         )
     return ranks

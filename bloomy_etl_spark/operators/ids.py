@@ -28,6 +28,8 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bloomy_etl_spark.session import pin as _pin
+
 __all__ = ["assign_sequential_ids"]
 
 
@@ -45,15 +47,13 @@ def assign_sequential_ids(
 
     ``pin`` pins the sorted partitions between the count job and the
     numbering job (spill-safe), so the range boundaries both jobs see
-    are physically identical. The pin is an EAGER ``localCheckpoint``,
-    not ``persist()``: a persist registers the plan in the session
-    CacheManager, which holds it until an explicit unpersist — repeated
-    calls accumulate cached RDDs for the life of the session (this
-    function cannot unpersist itself: the cache must outlive the
-    returned, still-lazy DataFrame). Checkpoint blocks are owned by the
-    RDD object instead and are reclaimed by the ContextCleaner as soon
-    as the caller drops the result — no session-lifetime leak, same
-    physical-identity guarantee. ``pin=False`` skips the pin and relies
+    are physically identical. The pin strategy is profile-gated by
+    ``session.pin``: an eager ``localCheckpoint`` locally (blocks
+    reclaimed by the ContextCleaner when the caller drops the result,
+    no session-lifetime CacheManager entry), ``persist`` on clusters
+    (recomputable under executor loss / dynamic-allocation
+    decommission, which localCheckpoint blocks are not).
+    ``pin=False`` skips the pin and relies
     on Spark's deterministic re-execution (range sampling is seeded per
     partition index) — correct for deterministic inputs, cheaper for
     huge one-shot exports."""
@@ -63,7 +63,7 @@ def assign_sequential_ids(
     ordered = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
     ordered = ordered.withColumn("__pid", F.spark_partition_id())
     if pin:
-        ordered = ordered.localCheckpoint(eager=True)
+        ordered = _pin(ordered, eager=True)
 
     counts = {
         r["__pid"]: r["n"]

@@ -36,6 +36,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bloomy_etl_spark.session import pin
+
 
 def _has_map_type(dt) -> bool:
     """True if the (possibly nested) type contains a MapType — the one
@@ -112,9 +114,9 @@ def binned_range_join(points: DataFrame, intervals: DataFrame,
         # an EAGER localCheckpoint, which materializes the ids before
         # the join so recomputation can't reassign them.
         if any(_has_map_type(f.dataType) for f in points.schema.fields):
-            stamped = pts.withColumn(
+            stamped = pin(pts.withColumn(
                 "__rid", F.monotonically_increasing_id()
-            ).localCheckpoint(eager=True)
+            ), eager=True)
             out = (
                 stamped.join(binned_intervals, on=["__bin"], how="inner")
                 .filter(

@@ -213,6 +213,7 @@ def build_ivfpq_index(embs: DataFrame, index_dir: str, m: int = 4,
                       ksub: int = 16, iters: int = 2,
                       centroid_stride: int = 40, max_centroids: int = 256,
                       residual: bool = False,
+                      codebooks: list[list[list[float]]] | None = None,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> list[list[list[float]]]:
     """IVF-PQ: the coarse inverted-list layout of
@@ -262,8 +263,11 @@ def build_ivfpq_index(embs: DataFrame, index_dir: str, m: int = 4,
     else:
         enc_input = assigned.select("neighbor_id", "cluster_id", "nv")
 
-    codebooks = train_pq(enc_input, m=m, ksub=ksub, iters=iters,
-                         id_col="neighbor_id", vec_col="nv")
+    if codebooks is None:
+        codebooks = train_pq(enc_input, m=m, ksub=ksub, iters=iters,
+                             id_col="neighbor_id", vec_col="nv")
+    # else: caller-supplied codebooks must have been trained on the same
+    # encoding (raw vs residual) they are reused for
     cb_rows = [
         (s, c, [float(x) for x in vec])
         for s, book in enumerate(codebooks)

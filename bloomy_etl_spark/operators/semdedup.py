@@ -93,20 +93,26 @@ def semantic_dup_pairs(embs: DataFrame, centroids: list[list[float]],
 def semantic_dedup(embs: DataFrame, k: int | None = None,
                    threshold: float = 0.95,
                    iters: int = 2, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   centroids: list[list[float]] | None = None) -> DataFrame:
     """Full SemDeDup pass: cluster, find within-cluster near-dups, keep
     the lowest id of every duplicate group. Returns
     ``(id_col, cluster, kept)`` for the whole corpus.
 
     ``k=None`` auto-sizes the blocking factor as SemDeDup prescribes
     (k ≈ corpus/1000, floored at 2, capped at the corpus size) — one
-    count() job; pass k explicitly to skip it."""
-    if k is None:
-        n = embs.count()
-        k = min(max(2, round(n / 1000)), n)
-    centroids, assigned = kmeans_lloyd(
-        embs, k=k, iters=iters, id_col=id_col, vec_col=vec_col
-    )
+    count() job; pass k explicitly to skip it. Pre-trained
+    ``centroids`` skip the Lloyd rounds entirely (callers that reuse
+    one training across several passes)."""
+    if centroids is not None:
+        assigned = assign_clusters(embs, centroids, id_col, vec_col)
+    else:
+        if k is None:
+            n = embs.count()
+            k = min(max(2, round(n / 1000)), n)
+        centroids, assigned = kmeans_lloyd(
+            embs, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
     pairs = semantic_dup_pairs(embs, centroids, threshold, id_col, vec_col)
     # j has a lower-id near-dup (i) → j is dropped; the group's minimum
     # id is never any pair's j, so exactly one member per group survives

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bloomy_etl_spark.session import pin
+
 from bloomy_etl_spark.functions.vectors import dot, norm
 
 
@@ -223,7 +225,7 @@ def ivf_topk(embs: DataFrame, queries: DataFrame, k: int = 5,
         ).select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
             norm(F.col(vec_col)).alias("_ncent"),
-        ).localCheckpoint(eager=False)
+        ).transform(pin, eager=False)
     corpus = embs.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
         norm(F.col(vec_col)).alias("_nn"),

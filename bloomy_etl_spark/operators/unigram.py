@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bloomy_etl_spark.session import pin
+
 from bloomy_etl_spark.operators.bpe import word_frequencies
 
 
@@ -97,7 +99,7 @@ def unigram_train(docs: DataFrame, rounds: int = 2, vocab_size: int = 200,
     table."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    words = word_frequencies(docs, text_col).localCheckpoint(eager=False)
+    words = pin(word_frequencies(docs, text_col), eager=False)
     seeds = seed_pieces(words, vocab_size, max_piece_len).collect()
     total0 = sum(r["score"] for r in seeds)
     logp = {r["piece"]: math.log(r["score"] / total0) for r in seeds}

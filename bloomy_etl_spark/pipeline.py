@@ -32,6 +32,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bloomy_etl_spark.session import pin
+
 from bloomy_etl_spark.functions.indices import DEFAULT_QUALITY, QualityThresholds
 from bloomy_etl_spark.functions.indices import with_indices, with_masks
 from bloomy_etl_spark.operators.events import detect_events, ndvi_series
@@ -91,7 +93,7 @@ def run_pipeline(
     # stats table while deferring compute to the first action; the
     # full-size pixel table is deliberately NOT checkpointed — at 100 TB
     # re-scanning pushed-down parquet is cheaper than caching it.
-    stats = granule_stats(px).localCheckpoint(eager=False)
+    stats = pin(granule_stats(px), eager=False)
 
     # Granule gates: the reference's per-granule early return
     # (processor.py:280-292). Then the timestamp filter runs over the

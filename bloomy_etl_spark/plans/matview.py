@@ -35,6 +35,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bloomy_etl_spark.session import pin
+
 __all__ = [
     "AggQuery",
     "streaming_matview_sink",
@@ -314,7 +316,7 @@ def compact_matview(spark: SparkSession, path: str) -> int:
         meta.get("percentile_cols") or None,
     ).withColumn("batch_id", F.lit(0))
     # materialize BEFORE the overwrite truncates the input it reads from
-    merged = merged.localCheckpoint(eager=True)
+    merged = pin(merged, eager=True)
     (
         merged.write.mode("overwrite")
         .partitionBy("batch_id", *meta["partition_by"])

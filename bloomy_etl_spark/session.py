@@ -117,3 +117,33 @@ def get_spark(app_name: str = "bloomy_etl_spark", master: str | None = None,
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def pin(df, eager: bool = True):
+    """Pin a DataFrame's physical contents for reuse across jobs,
+    profile-gated (the fault-tolerance trade differs by deployment):
+
+    * **local master** — ``localCheckpoint``: blocks live on the one
+      executor that also runs the driver (no extra failure domain), and
+      the ContextCleaner reclaims them as soon as the caller drops the
+      result — no CacheManager entry for the session's lifetime.
+    * **cluster** — ``persist(MEMORY_AND_DISK)``: localCheckpoint blocks
+      are NOT recomputable, so an executor loss or dynamic-allocation
+      decommission would fail the whole job; a persisted plan instead
+      recomputes the lost partitions transparently. The CacheManager
+      entry (until the caller unpersists or the session ends) is the
+      price of that fault tolerance.
+
+    ``eager=True`` materializes before returning (callers that need the
+    pinned contents to be physically identical across later jobs, e.g.
+    range-offset numbering); ``eager=False`` just cuts lineage.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.master.startswith("local"):
+        return df.localCheckpoint(eager=eager)
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if eager:
+        out.count()
+    return out

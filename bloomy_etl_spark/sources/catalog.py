@@ -143,6 +143,9 @@ class TokenProvider:
 @dataclass
 class _Page(InputPartition):
     page: int
+    # server-issued snapshot id (from /granules/count), echoed on every
+    # page read so all pages see ONE consistent catalog version
+    snapshot: str | None = None
 
 
 def _http_json(url: str, headers: dict[str, str], timeout: float) -> Any:
@@ -233,19 +236,32 @@ class _CatalogReader(DataSourceReader):
         ) from last
 
     def partitions(self) -> list[InputPartition]:
+        # Page-boundary consistency: granules added/removed between the
+        # count call and the page reads would shift page boundaries and
+        # duplicate or drop rows. Servers that version their listings
+        # return a ``snapshot`` id with the count; we echo it on every
+        # page read, so all pages serve one consistent catalog version.
+        # Servers WITHOUT snapshots get tolerate-and-document semantics:
+        # the read reflects the catalog as paged (rows present for the
+        # whole read are never dropped or duplicated WITHIN a page, but
+        # concurrent inserts may shift later pages) — re-run the query
+        # for a fresh view, exactly like listing any mutable remote.
         token = TokenProvider.shared(self.endpoint)
         params = dict(self.params)
         params["page_size"] = str(self.page_size)
         meta = self._fetch("/granules/count", params, token)
         total = int(meta["total"])
+        snapshot = meta.get("snapshot")
         n_pages = max(1, -(-total // self.page_size))
-        return [_Page(p) for p in range(n_pages)]
+        return [_Page(p, snapshot) for p in range(n_pages)]
 
     def read(self, partition: _Page) -> Iterator[tuple]:
         token = TokenProvider.shared(self.endpoint)
         params = dict(self.params)
         params["page"] = str(partition.page)
         params["page_size"] = str(self.page_size)
+        if partition.snapshot is not None:
+            params["snapshot"] = str(partition.snapshot)
         body = self._fetch("/granules", params, token)
         for g in body["granules"]:
             bbox = g.get("bbox", [None, None, None, None])

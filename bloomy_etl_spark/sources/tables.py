@@ -13,12 +13,15 @@ events by date) behind a catalog; the loader interface stays the same —
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# (session id, sf_dir, table, fan_out) -> scan DataFrame; see load_table
-_PLAN_MEMO: dict[tuple, DataFrame] = {}
+# session -> {(path, fan_out): (mtime, scan DataFrame)}; see load_table.
+# Weak outer key: a stopped, dereferenced session's plans are collected
+# with it (keying on id(spark) would keep them alive AND risk id reuse).
+_PLAN_MEMO: WeakKeyDictionary = WeakKeyDictionary()
 
 TABLE_NAMES = (
     "region",
@@ -84,20 +87,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     # cheap win on a real cluster too (object-store LIST calls are the
     # slow part there). The memo holds PLANS, not data: no caching of
     # rows, no CacheManager entries, nothing pinned on executors.
-    # The path's mtime is part of the key (one stat per call), so a
-    # table rewritten in-session gets a fresh plan instead of a stale
-    # file index; the memo is size-capped against unbounded rewrites.
+    # The path's mtime is checked on every call (one stat), and a
+    # mismatch REPLACES that path's entry — a rewritten table evicts
+    # only its own stale plan, never the whole memo. The per-session
+    # cap only guards against unbounded DISTINCT paths.
     path = f"{sf_dir}/{name}.parquet"
     try:
         mtime = os.stat(path).st_mtime_ns
     except OSError:
         mtime = None  # let spark.read raise its own, clearer error
-    key = (id(spark), path, fan_out, mtime)
-    cached = _PLAN_MEMO.get(key)
-    if cached is not None:
-        return cached
-    if len(_PLAN_MEMO) >= 512:
-        _PLAN_MEMO.clear()
+    session_memo = _PLAN_MEMO.setdefault(spark, {})
+    key = (path, fan_out)
+    hit = session_memo.get(key)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    if len(session_memo) >= 512:
+        session_memo.clear()
     if name == "events":
         # Older events fixtures store TIMESTAMP(NANOS), which Spark rejects
         # outright; set the session conf here (not only in our session
@@ -120,7 +125,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
         # need the respread; a many-file cluster table never does.
         if len(df.inputFiles()) < cores:
             df = df.repartition(cores)
-    _PLAN_MEMO[key] = df
+    session_memo[key] = (mtime, df)
     return df
 
 

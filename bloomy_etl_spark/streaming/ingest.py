@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bloomy_etl_spark.session import pin
+
 from bloomy_etl_spark.operators.dedup import incremental_near_dups, minhash_signatures
 
 
@@ -83,7 +85,7 @@ def streaming_dedup_ingest(
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        batch = batch.select(id_col, text_col).localCheckpoint(eager=True)
+        batch = pin(batch.select(id_col, text_col), eager=True)
         corpus = _read_or_empty(spark, corpus_dir, batch)
         sig_like = minhash_signatures(batch.limit(0))
         sigs = _read_or_empty(spark, sig_dir, sig_like)
@@ -91,7 +93,7 @@ def streaming_dedup_ingest(
             batch, corpus, sigs, threshold=threshold,
             text_col=text_col, id_col=id_col,
         )
-        pairs = pairs.localCheckpoint(eager=True)  # one computation, used twice
+        pairs = pin(pairs, eager=True)  # one computation, used twice
         pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             pairs_dir
         )

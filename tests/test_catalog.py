@@ -45,6 +45,12 @@ class _State:
         self.expire_current_token = False  # revoke issued tokens once
         self.fail_next = 0                 # next N data requests 500
         self.requests: list[dict] = []     # query params per data request
+        self.granules = list(GRANULES)     # live (mutable) catalog
+        self.snapshot_mode = False         # count returns a snapshot id
+        self.snapshots: dict[str, list] = {}
+        # inserted once, immediately after a /granules/count call:
+        self.add_front: list = []          # worst case — shifts every page
+        self.add_back: list = []           # benign — only extends the tail
         self.lock = threading.Lock()
 
 
@@ -104,9 +110,24 @@ def _make_handler(state: _State):
                     self._send(503, {"error": "try later"})
                     return
                 state.requests.append(dict(qp))
-                hits = [g for g in GRANULES if _match(g, qp)]
+                # page reads carrying a snapshot id see that frozen
+                # version; everything else sees the live catalog
+                src = state.granules
+                if "snapshot" in qp and qp["snapshot"] in state.snapshots:
+                    src = state.snapshots[qp["snapshot"]]
+                hits = [g for g in src if _match(g, qp)]
                 if parsed.path == "/granules/count":
-                    self._send(200, {"total": len(hits)})
+                    body = {"total": len(hits)}
+                    if state.snapshot_mode:
+                        sid = f"snap-{len(state.snapshots)}"
+                        state.snapshots[sid] = list(state.granules)
+                        body["snapshot"] = sid
+                    if state.add_front or state.add_back:
+                        state.granules = (
+                            state.add_front + state.granules + state.add_back
+                        )
+                        state.add_front, state.add_back = [], []
+                    self._send(200, body)
                 elif parsed.path == "/granules":
                     page = int(qp.get("page", "0"))
                     size = int(qp.get("page_size", "1000"))
@@ -168,6 +189,22 @@ class TestPushdown:
         assert all(float(qp.get("cloud_cover_max")) == 7.0
                    for qp in state.requests)
 
+    def test_between_pushes_both_bounds(self, catalog):
+        """A BETWEEN-style datetime range (two conjuncts) must push BOTH
+        bounds to the server as temporal_start AND temporal_end."""
+        df, state = catalog
+        out = df.filter(
+            "datetime >= '2024-01-05' AND datetime <= '2024-01-20T23:59:59Z'"
+        ).collect()
+        want = [g for g in GRANULES
+                if "2024-01-05" <= g["datetime"] <= "2024-01-20T23:59:59Z"]
+        assert {r["granule_id"] for r in out} == \
+            {g["granule_id"] for g in want}
+        assert state.requests, "no data requests recorded"
+        for qp in state.requests:
+            assert qp.get("temporal_start") == "2024-01-05"
+            assert qp.get("temporal_end") == "2024-01-20T23:59:59Z"
+
     def test_unfiltered_scan_pages_in_parallel(self, catalog):
         df, state = catalog
         rows = df.collect()
@@ -191,6 +228,55 @@ class TestResilience:
         rows = df.collect()
         assert len(rows) == len(GRANULES)
         assert state.token_serial >= 2  # a refresh happened
+
+
+class TestPageConsistency:
+    def test_snapshot_pins_page_boundaries(self, catalog):
+        """Granules inserted between /granules/count and the page reads
+        (at the FRONT of the listing, the worst case: every page
+        boundary shifts) must cause neither duplicates nor misses when
+        the server issues a snapshot id — the reader echoes it on every
+        page, so all pages serve one frozen catalog version."""
+        df, state = catalog
+        state.snapshot_mode = True
+        intruders = [
+            {
+                "granule_id": f"NEW{i}",
+                "datetime": "2024-01-01T00:00:00Z",
+                "cloud_cover": 0.0,
+                "day_night": "day",
+                "bbox": [0.0, 0.0, 1.0, 1.0],
+                "download_urls": [],
+            }
+            for i in range(12)
+        ]
+        state.add_front = list(intruders)
+        got = [r["granule_id"] for r in df.collect()]
+        # exactly the snapshot set: no NEW* rows, no dupes, no misses
+        assert sorted(got) == sorted(g["granule_id"] for g in GRANULES)
+        assert len(got) == len(set(got))
+
+    def test_snapshotless_server_tail_appends_are_benign(self, catalog):
+        """Tolerate-and-document path: on a server with NO snapshot
+        support, END-of-listing appends never duplicate or drop the
+        rows that existed at count time (their page boundaries are
+        unchanged); front-inserts CAN shift pages on such a server —
+        that residual is documented in partitions()."""
+        df, state = catalog
+        state.add_back = [{
+            "granule_id": f"TAIL{i}",
+            "datetime": "2024-02-01T00:00:00Z",
+            "cloud_cover": 0.0,
+            "day_night": "day",
+            "bbox": [0.0, 0.0, 1.0, 1.0],
+            "download_urls": [],
+        } for i in range(5)]
+        got = [r["granule_id"] for r in df.collect()]
+        original = [g["granule_id"] for g in GRANULES]
+        # every count-time row exactly once, in order; the appended tail
+        # may or may not surface (page count was fixed at count time)
+        assert [g for g in got if not g.startswith("TAIL")] == original
+        assert len(got) == len(set(got))
 
 
 class TestTokenProvider:
