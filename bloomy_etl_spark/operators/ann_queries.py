@@ -154,11 +154,40 @@ def q104_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.transform(_psort, "query_id", "rank")
 
 
+def q105_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed corpus covariance (the PCA/whitening front half,
+    `linalg.covariance_long`): one Arrow-batched moments pass reduced by
+    hash aggregation — the corpus never reaches the driver. Gated on a
+    FLOOR(x·1000) integer-quantized view: integer-valued doubles sum
+    exactly under IEEE in any order, so the partial-sum reduction
+    replays bit-identically in DuckDB (the same quantize-for-replay
+    trick as the k-means 6-dp centroid rounding). The raw-float path is
+    NumPy-reference-verified in tests/test_linalg.py."""
+    from bloomy_etl_spark.operators.linalg import covariance_long
+
+    # no fan_out: the moments pass emits one tiny partial row per
+    # partition, so extra partitions only add Python-worker startups at
+    # fixture scale (measured 0.66s → ~0.3s); at cluster scale the scan
+    # splits into many partitions by itself and the same plan spreads
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = embs.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000).cast("double"),
+        ).alias("embedding")
+    )
+    out = covariance_long(q, "embedding", dim=64)
+    return out.select(
+        "i", "j", F.round("cov", 6).alias("cov")
+    ).transform(_psort, "i", "j")
+
+
 ANN_QUERIES = {
     "q101_pq_codes": q101_pq_codes,
     "q102_pq_adc_topk": q102_pq_adc_topk,
     "q103_semdedup_kept": q103_semdedup_kept,
     "q104_ivfpq_topk": q104_ivfpq_topk,
+    "q105_embedding_covariance": q105_embedding_covariance,
 }
 
 
@@ -369,5 +398,31 @@ ANN_ORACLE_SQL = {
                CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank
+    """,
+    # q105: covariance over the FLOOR(x*1000) quantized view — all sums
+    # are integer-valued doubles (exact in any order), the final
+    # sxx/n − (si/n)(sj/n) arithmetic is the identical op sequence in
+    # both engines. i/j are 0-based to match np.triu_indices.
+    "q105_embedding_covariance": """
+        WITH q AS (
+            SELECT list_transform(
+                embedding, x -> FLOOR(CAST(x AS DOUBLE) * 1000)
+            ) AS v
+            FROM embeddings
+        ),
+        idx AS (SELECT unnest(generate_series(1, 64)) AS p),
+        pr AS (SELECT a.p AS pi, b.p AS pj FROM idx a JOIN idx b
+               ON a.p <= b.p),
+        sums AS (
+            SELECT pr.pi, pr.pj,
+                   SUM(v[pr.pi] * v[pr.pj]) AS sxx,
+                   SUM(v[pr.pi]) AS si, SUM(v[pr.pj]) AS sj,
+                   COUNT(*) AS n
+            FROM q CROSS JOIN pr
+            GROUP BY pr.pi, pr.pj
+        )
+        SELECT CAST(pi - 1 AS INT) AS i, CAST(pj - 1 AS INT) AS j,
+               ROUND(sxx / n - (si / n) * (sj / n), 6) AS cov
+        FROM sums ORDER BY i, j
     """,
 }

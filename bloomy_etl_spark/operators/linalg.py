@@ -91,6 +91,66 @@ def moments(embs: DataFrame, vec_col: str = "embedding", dim: int | None = None)
     return n, mean, cov
 
 
+def covariance_long(embs: DataFrame, vec_col: str = "embedding",
+                    dim: int | None = None) -> DataFrame:
+    """Population covariance as a LONG-format DataFrame ``(i, j, cov)``
+    over the upper triangle (i ≤ j, 0-based) — the fully DISTRIBUTED
+    counterpart of :func:`moments`: the same one-pass Arrow partials,
+    reduced by position-explode + hash aggregation instead of a driver
+    collect, so nothing driver-side ever scales with the corpus (the
+    driver builds only the O(d²/2) triangle-position index — the same
+    d² budget :func:`pca_fit`'s eigh already assumes).
+
+    The final arithmetic is pure column expressions
+    (``sxx/n − (si/n)·(sj/n)``), so on integer-valued inputs (e.g. a
+    quantized view — exact under IEEE summation in any order) the
+    result replays bit-identically on any engine."""
+    from bloomy_etl_spark.session import pin
+
+    if dim is None:
+        dim = len(embs.select(vec_col).first()[0])
+    spark = embs.sparkSession
+    partials = embs.select(vec_col).mapInPandas(
+        _moment_partials(dim, vec_col),
+        schema="n long, s array<double>, xtx_tri array<double>, _tri int",
+    )
+    # one tiny row per partition, referenced three times below — pin so
+    # the corpus pass executes once
+    partials = pin(partials, eager=False)
+    n_df = partials.agg(F.sum("n").alias("n_tot"))
+    means = (
+        partials.select(F.posexplode("s"))
+        .groupBy(F.col("pos"))
+        .agg(F.sum("col").alias("s"))
+    )
+    tri_sums = (
+        partials.select(F.posexplode("xtx_tri"))
+        .groupBy(F.col("pos"))
+        .agg(F.sum("col").alias("sxx"))
+    )
+    # np.triu_indices order is row-major: (0,0)..(0,d-1),(1,1),..
+    tri_index = [(p, i, j) for p, (i, j) in enumerate(
+        (i, j) for i in range(dim) for j in range(i, dim)
+    )]
+    idx = F.broadcast(spark.createDataFrame(
+        tri_index, "pos int, i int, j int"
+    ))
+    mi = means.select(F.col("pos").alias("i"), F.col("s").alias("si"))
+    mj = means.select(F.col("pos").alias("j"), F.col("s").alias("sj"))
+    n = F.col("n_tot")
+    return (
+        tri_sums.join(idx, "pos")
+        .join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .crossJoin(F.broadcast(n_df))  # 1-row scalar
+        .select(
+            "i", "j",
+            (F.col("sxx") / n - (F.col("si") / n) * (F.col("sj") / n))
+            .alias("cov"),
+        )
+    )
+
+
 def pca_fit(embs: DataFrame, k: int, vec_col: str = "embedding"):
     """Top-k principal components of the embedding corpus.
 

@@ -60,9 +60,21 @@ def semantic_dup_pairs(embs: DataFrame, centroids: list[list[float]],
     chunk expansion for hot ones), so one dominant cluster can never
     pin the whole pair space on a single task; vectors join back by id
     AFTER expansion, keeping every row O(d)."""
+    assigned = assign_clusters(embs, centroids, id_col, vec_col)
+    return _pairs_from_assigned(assigned, threshold, id_col, vec_col)
+
+
+def _pairs_from_assigned(assigned: DataFrame, threshold: float,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Pair stage over a cluster-assignment DataFrame. NOTE: this plan
+    references ``assigned`` three times (buckets, both pair endpoints);
+    Spark recomputes an un-pinned projection at every reference, so
+    callers holding an expensive assignment (O(k·d) argmin per row)
+    should pin it first — :func:`semantic_dedup` does."""
     from bloomy_etl_spark.operators.dedup import bucket_pairs
 
-    assigned = assign_clusters(embs, centroids, id_col, vec_col).select(
+    assigned = assigned.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("n"), "cluster",
     )
@@ -104,6 +116,8 @@ def semantic_dedup(embs: DataFrame, k: int | None = None,
     count() job; pass k explicitly to skip it. Pre-trained
     ``centroids`` skip the Lloyd rounds entirely (callers that reuse
     one training across several passes)."""
+    from bloomy_etl_spark.session import pin
+
     if centroids is not None:
         assigned = assign_clusters(embs, centroids, id_col, vec_col)
     else:
@@ -113,7 +127,13 @@ def semantic_dedup(embs: DataFrame, k: int | None = None,
         centroids, assigned = kmeans_lloyd(
             embs, k=k, iters=iters, id_col=id_col, vec_col=vec_col
         )
-    pairs = semantic_dup_pairs(embs, centroids, threshold, id_col, vec_col)
+    # the plan below references the assignment FOUR times (cluster
+    # buckets, both pair endpoints, the kept-join spine); pin it so the
+    # O(k·d)-per-row argmin executes once, not four times
+    assigned = pin(
+        assigned.select(id_col, vec_col, "cluster"), eager=False
+    )
+    pairs = _pairs_from_assigned(assigned, threshold, id_col, vec_col)
     # j has a lower-id near-dup (i) → j is dropped; the group's minimum
     # id is never any pair's j, so exactly one member per group survives
     dropped = pairs.select(F.col("j").alias("__drop_id")).distinct()

@@ -33,6 +33,48 @@ def test_q103_drops_something(spark):
     assert 0 < sum(kept) < len(kept)
 
 
+def test_q101_encode_has_no_extra_shuffle(spark):
+    """PQ encode is expression-only: the executed plan must shuffle
+    nothing beyond the fan-out respread + presentation repartition(1) —
+    in particular no join/agg exchange anywhere in the encode itself."""
+    from bloomy_etl_spark.tools.profile import run_profile
+
+    prof = run_profile(ANN_QUERIES["q101_pq_codes"](spark, SF_ORACLE))
+    # fan_out repartition + _psort repartition(1): corpus rows cross the
+    # wire at most twice; 500 rows × ~50B of (vec_id, 4 codes) per pass
+    assert prof["spill_bytes"] == 0
+    assert prof["shuffle_records_written"] <= 2 * 500, (
+        prof["shuffle_records_written"]
+    )
+
+
+def test_q104_index_search_prunes_partitions(spark):
+    """A search against q104's PERSISTED index must read only the
+    probed clusters' files (executed SQLMetrics, not plan text). One
+    query with a small nprobe isolates the pruning claim — q104's own
+    5-query × nprobe=8 union can legitimately touch most clusters on
+    the small fixture."""
+    import os
+
+    from bloomy_etl_spark.operators.ann_queries import _embs, _ivfpq_dir
+    from bloomy_etl_spark.operators.pq import search_ivfpq_index
+    from bloomy_etl_spark.tools.profile import run_profile
+    from pyspark.sql import functions as F
+
+    idx = _ivfpq_dir(spark, SF_ORACLE)  # the same index q104 searches
+    one = _embs(spark, SF_ORACLE).filter(F.col("vec_id") == 0)
+    prof = run_profile(search_ivfpq_index(spark, idx, one, k=5, nprobe=2))
+    assert prof["spill_bytes"] == 0
+    on_disk = sum(
+        1 for root, _, files in os.walk(os.path.join(idx, "corpus"))
+        for f in files if f.endswith(".parquet")
+    )
+    scanned = max((s.get("numFiles", 0) for s in prof["scans"]), default=0)
+    assert 0 < scanned < on_disk, (
+        f"index search read {scanned}/{on_disk} files — pruning lost"
+    )
+
+
 def test_q104_adc_is_upper_bounded_by_probe_set(spark):
     """Every returned neighbor must live in a probed cluster: rank ≤ 5,
     exactly 5 rows per query (nprobe=8 clusters always hold ≥5

@@ -87,3 +87,19 @@ class TestPca:
             pca_fit(embs, 0)
         with pytest.raises(ValueError):
             pca_fit(embs, 65)
+
+
+class TestCovarianceLong:
+    def test_matches_driver_collect_moments(self, embs, x):
+        """The distributed hash-agg reduce must equal moments()'s
+        driver-collect reduce on the raw floats (to float tolerance —
+        summation grouping differs by design)."""
+        from bloomy_etl_spark.operators.linalg import covariance_long, moments
+
+        _, _, cov = moments(embs)
+        got = {(r["i"], r["j"]): r["cov"]
+               for r in covariance_long(embs).collect()}
+        assert len(got) == 64 * 65 // 2
+        for (i, j), v in got.items():
+            assert i <= j
+            np.testing.assert_allclose(v, cov[i, j], rtol=1e-9, atol=1e-9)
