@@ -154,6 +154,42 @@ def q104_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.transform(_psort, "query_id", "rank")
 
 
+_RIDX_MEMO: dict[str, str] = {}
+
+
+def _ivfpq_residual_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Residual-encoded sibling of :func:`_ivfpq_dir` (its own memo —
+    residual codebooks train on v − coarse_centroid, so they cannot be
+    shared with the raw index)."""
+    key = sf_dir.rstrip("/")
+    if key not in _RIDX_MEMO:
+        d = os.path.join(
+            tempfile.gettempdir(), "bloomy_ann_idx",
+            "res-" + hashlib.md5(key.encode()).hexdigest()[:12],
+        )
+        build_ivfpq_index(
+            _embs(spark, sf_dir), d, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS,
+            centroid_stride=IVF_STRIDE, max_centroids=IVF_MAXC,
+            residual=True,
+        )
+        _RIDX_MEMO[key] = d
+    return _RIDX_MEMO[key]
+
+
+def q106_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding, end-to-end through the persisted
+    index — the full Jégou et al. design: codes quantize
+    v − coarse_centroid, search scores ‖(q − centroid) − decode‖².
+    Same probes/queries as q104, so the two gates differ exactly by the
+    encoding. The oracle replays assignment → residuals → 4 subspace
+    trainings over the residuals → ADC on the recentred queries."""
+    idx = _ivfpq_residual_dir(spark, sf_dir)
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 100 == 0)
+    out = search_ivfpq_index(spark, idx, queries, k=5, nprobe=IVF_NPROBE)
+    return out.transform(_psort, "query_id", "rank")
+
+
 def q105_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed corpus covariance (the PCA/whitening front half,
     `linalg.covariance_long`): one Arrow-batched moments pass reduced by
@@ -188,6 +224,7 @@ ANN_QUERIES = {
     "q103_semdedup_kept": q103_semdedup_kept,
     "q104_ivfpq_topk": q104_ivfpq_topk,
     "q105_embedding_covariance": q105_embedding_covariance,
+    "q106_ivfpq_residual_topk": q106_ivfpq_residual_topk,
 }
 
 
@@ -252,16 +289,18 @@ def _update_cte(mname: str, cname: str, aname: str, prev: str,
     )"""
 
 
-def _subspace_chain(s: int, dsub: int = 16, ksub: int = PQ_KSUB) -> str:
+def _subspace_chain(s: int, dsub: int = 16, ksub: int = PQ_KSUB,
+                    src: str = "embeddings",
+                    vec: str = "embedding") -> str:
     """Train subspace ``s``'s codebook (init + 2 Lloyd rounds on the
-    vector SLICE) and encode every vector against it: final CTE
-    ``enc{s}`` = (vec_id, c{s})."""
+    vector SLICE of ``{src}.{vec}``) and encode every vector against
+    it: final CTE ``enc{s}`` = (vec_id, c{s})."""
     lo, hi = s * dsub + 1, (s + 1) * dsub
     sub = f"sub{s}"
     parts = [
-        f"""{sub} AS (
-        SELECT vec_id, list_slice(embedding, {lo}, {hi}) AS emb
-        FROM embeddings
+        f"""{sub} AS MATERIALIZED (
+        SELECT vec_id, list_slice({vec}, {lo}, {hi}) AS emb
+        FROM {src}
     )""",
         _init_cte(f"s{s}c0", sub, ksub),
         _assign_cte(f"s{s}a0", sub, f"s{s}c0"),
@@ -280,12 +319,14 @@ def _subspace_chain(s: int, dsub: int = 16, ksub: int = PQ_KSUB) -> str:
     return ",\n".join(parts)
 
 
-def _pq_chain() -> str:
+def _pq_chain(src: str = "embeddings", vec: str = "embedding") -> str:
     """All 4 subspace trainings + the per-vector code tuple."""
-    chains = ",\n".join(_subspace_chain(s) for s in range(PQ_M))
+    chains = ",\n".join(
+        _subspace_chain(s, src=src, vec=vec) for s in range(PQ_M)
+    )
     joins = " ".join(f"JOIN enc{s} USING (vec_id)" for s in range(1, PQ_M))
     return f"""{chains},
-    codes AS (
+    codes AS MATERIALIZED (
         SELECT vec_id, c0, c1, c2, c3
         FROM enc0 {joins}
     )"""
@@ -332,7 +373,7 @@ ANN_ORACLE_SQL = {
         ORDER BY query_id, rank
     """,
     "q103_semdedup_kept": f"""
-        WITH wsub AS (SELECT vec_id, embedding AS emb FROM embeddings),
+        WITH wsub AS MATERIALIZED (SELECT vec_id, embedding AS emb FROM embeddings),
         {_init_cte("wc0", "wsub", SEM_K)},
         {_assign_cte("wa0", "wsub", "wc0")},
         {_update_cte("wm1", "wc1", "wa0", "wc0", 64)},
@@ -354,12 +395,12 @@ ANN_ORACLE_SQL = {
     "q104_ivfpq_topk": f"""
         WITH {_pq_chain()},
         {_DEC_CTE},
-        cents AS (
+        cents AS MATERIALIZED (
             SELECT vec_id AS cid, embedding AS cvec FROM embeddings
             WHERE vec_id % {IVF_STRIDE} = 0
               AND vec_id < {IVF_STRIDE * IVF_MAXC}
         ),
-        assigned AS (
+        assigned AS MATERIALIZED (
             SELECT neighbor_id, cluster_id FROM (
                 SELECT e.vec_id AS neighbor_id, c.cid AS cluster_id,
                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -386,6 +427,70 @@ ANN_ORACLE_SQL = {
         scored AS (
             SELECT query_id, c.neighbor_id,
                    {_D2.format(a="qv", b="dvec")} AS adc
+            FROM cand c JOIN dec USING (neighbor_id)
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, adc,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc ASC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc_dist2,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+    # q106: the residual IVF-PQ replay — coarse assignment first, PQ
+    # chains over v − centroid, ADC against recentred queries. The
+    # residual subtraction casts BOTH sides to double before
+    # subtracting, exactly like the Spark zip_with.
+    "q106_ivfpq_residual_topk": f"""
+        WITH cents AS MATERIALIZED (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            WHERE vec_id % {IVF_STRIDE} = 0
+              AND vec_id < {IVF_STRIDE * IVF_MAXC}
+        ),
+        assigned AS MATERIALIZED (
+            SELECT neighbor_id, cluster_id FROM (
+                SELECT e.vec_id AS neighbor_id, c.cid AS cluster_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_COS.format(a="e.embedding", b="c.cvec")} DESC,
+                                    c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+        ),
+        rsrc AS MATERIALIZED (
+            SELECT a.neighbor_id AS vec_id,
+                   list_transform(list_zip(e.embedding, c.cvec),
+                       x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                       AS rv
+            FROM assigned a
+            JOIN embeddings e ON e.vec_id = a.neighbor_id
+            JOIN cents c ON c.cid = a.cluster_id
+        ),
+        {_pq_chain(src="rsrc", vec="rv")},
+        {_DEC_CTE},
+        qs AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id % 100 = 0
+        ),
+        probes AS (
+            SELECT query_id, qv, cid AS cluster_id, cvec FROM (
+                SELECT q.query_id, q.qv, c.cid, c.cvec,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY {_COS.format(a="q.qv", b="c.cvec")} DESC,
+                                    c.cid ASC) AS rn
+                FROM qs q CROSS JOIN cents c) WHERE rn <= {IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT p.query_id, a.neighbor_id,
+                   list_transform(list_zip(p.qv, p.cvec),
+                       x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                       AS qe
+            FROM probes p JOIN assigned a ON p.cluster_id = a.cluster_id
+        ),
+        scored AS (
+            SELECT query_id, c.neighbor_id,
+                   {_D2.format(a="qe", b="dvec")} AS adc
             FROM cand c JOIN dec USING (neighbor_id)
         ),
         ranked AS (

@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 from bloomy_etl_spark.operators.clustering import kmeans_lloyd
 
 __all__ = ["train_pq", "pq_encode", "pq_search", "pq_search_batch",
-           "reconstruction_mse", "build_ivfpq_index", "search_ivfpq_index"]
+           "reconstruction_mse", "build_ivfpq_index", "search_ivfpq_index",
+           "add_to_ivfpq_index"]
 
 
 def _check_dims(dim: int, m: int) -> int:
@@ -249,19 +250,7 @@ def build_ivfpq_index(embs: DataFrame, index_dir: str, m: int = 4,
     cents = spark.read.parquet(f"{index_dir}/centroids")
 
     assigned = _assign_to_centroids(embs, cents, id_col, vec_col)
-    if residual:
-        cj = F.broadcast(
-            cents.select(F.col("cid").alias("cluster_id"), "cvec")
-        )
-        enc_input = assigned.join(cj, "cluster_id").select(
-            "neighbor_id", "cluster_id",
-            F.zip_with(
-                F.col("nv"), F.col("cvec"),
-                lambda a, b: a.cast("double") - b.cast("double"),
-            ).alias("nv"),
-        )
-    else:
-        enc_input = assigned.select("neighbor_id", "cluster_id", "nv")
+    enc_input = _encode_input(assigned, cents, residual)
 
     if codebooks is None:
         codebooks = train_pq(enc_input, m=m, ksub=ksub, iters=iters,
@@ -292,6 +281,79 @@ def build_ivfpq_index(embs: DataFrame, index_dir: str, m: int = 4,
     return codebooks
 
 
+def _load_codebooks(spark, index_dir: str) -> list[list[list[float]]]:
+    """Read the stored (s, c, cvec) codebook rows back into the nested
+    list shape train_pq returns."""
+    cb_rows = spark.read.parquet(f"{index_dir}/codebooks").collect()
+    m = 1 + max(r["s"] for r in cb_rows)
+    ksub = 1 + max(r["c"] for r in cb_rows)
+    codebooks: list[list[list[float]]] = [
+        [None] * ksub for _ in range(m)  # type: ignore[list-item]
+    ]
+    for r in cb_rows:
+        codebooks[r["s"]][r["c"]] = [float(x) for x in r["cvec"]]
+    return codebooks
+
+
+def _load_residual_flag(spark, index_dir: str) -> bool:
+    try:  # pre-meta indexes (r6 layout) are raw-encoded
+        return bool(
+            spark.read.parquet(f"{index_dir}/meta").first()["residual"]
+        )
+    except Exception:  # noqa: BLE001 — missing meta → raw encoding
+        return False
+
+
+def _encode_input(assigned: DataFrame, cents: DataFrame,
+                  residual: bool) -> DataFrame:
+    """(neighbor_id, cluster_id, nv) rows ready for pq_encode — nv is
+    the raw vector, or the residual v − assigned_centroid."""
+    if not residual:
+        return assigned.select("neighbor_id", "cluster_id", "nv")
+    cj = F.broadcast(
+        cents.select(F.col("cid").alias("cluster_id"), "cvec")
+    )
+    return assigned.join(cj, "cluster_id").select(
+        "neighbor_id", "cluster_id",
+        F.zip_with(
+            F.col("nv"), F.col("cvec"),
+            lambda a, b: a.cast("double") - b.cast("double"),
+        ).alias("nv"),
+    )
+
+
+def add_to_ivfpq_index(embs_new: DataFrame, index_dir: str,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> None:
+    """Incremental add: assign new vectors against the STORED coarse
+    quantizer, encode them with the STORED codebooks (frozen model —
+    re-train and rebuild when the distribution drifts, the standard IVF
+    ingest contract shared with ``similarity.add_to_ivf_index``), and
+    APPEND the codes into the cluster partitions. An add touches only
+    the partitions its vectors land in; a post-add search equals a
+    from-scratch encode of old∪new under the same frozen
+    centroids+codebooks (equivalence-tested via build's ``codebooks``
+    pass-through). Residual indexes encode v − centroid exactly like
+    the build. Ids are the caller's dedup contract, as in IVF."""
+    spark = embs_new.sparkSession
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    codebooks = _load_codebooks(spark, index_dir)
+    residual = _load_residual_flag(spark, index_dir)
+    from bloomy_etl_spark.operators.similarity import _assign_to_centroids
+
+    assigned = _assign_to_centroids(embs_new, cents, id_col, vec_col)
+    enc_input = _encode_input(assigned, cents, residual)
+    coded = pq_encode(enc_input, codebooks, id_col="neighbor_id",
+                      vec_col="nv")
+    (
+        enc_input.select("neighbor_id", "cluster_id")
+        .join(coded, "neighbor_id")
+        .write.mode("append")
+        .partitionBy("cluster_id")
+        .parquet(f"{index_dir}/corpus")
+    )
+
+
 def search_ivfpq_index(spark, index_dir: str, queries: DataFrame,
                        k: int = 5, nprobe: int = 8,
                        id_col: str = "vec_id",
@@ -313,21 +375,9 @@ def search_ivfpq_index(spark, index_dir: str, queries: DataFrame,
     from bloomy_etl_spark.functions.vectors import norm as _vnorm
 
     cents = spark.read.parquet(f"{index_dir}/centroids")
-    cb_rows = spark.read.parquet(f"{index_dir}/codebooks").collect()
-    m = 1 + max(r["s"] for r in cb_rows)
-    ksub = 1 + max(r["c"] for r in cb_rows)
-    codebooks: list[list[list[float]]] = [
-        [None] * ksub for _ in range(m)  # type: ignore[list-item]
-    ]
-    for r in cb_rows:
-        codebooks[r["s"]][r["c"]] = [float(x) for x in r["cvec"]]
-    try:  # pre-meta indexes (r6 layout) are raw-encoded
-        residual = bool(
-            spark.read.parquet(f"{index_dir}/meta").first()["residual"]
-        )
-    except Exception:  # noqa: BLE001 — missing meta → raw encoding
-        residual = False
-
+    codebooks = _load_codebooks(spark, index_dir)
+    residual = _load_residual_flag(spark, index_dir)
+    m = len(codebooks)
     dsub = len(codebooks[0][0])
     qrow = queries.select(vec_col).first()
     if qrow is not None and len(qrow[vec_col]) != m * dsub:

@@ -166,6 +166,7 @@ class _CatalogReader(DataSourceReader):
         self.retry_backoff_s = float(options.get("retry_backoff_s", "0.05"))
         self.timeout_s = float(options.get("timeout_s", "30"))
         self.params: dict[str, str] = {}
+        self._aoi: dict[str, float] = {}  # filter-derived bbox edges
         if "bbox" in options:  # explicit AOI option: "west,south,east,north"
             self.params["bbox"] = options["bbox"]
 
@@ -206,6 +207,41 @@ class _CatalogReader(DataSourceReader):
                 _tighten("temporal_end", f.value, min)
             elif attr == "day_night" and isinstance(f, EqualTo):
                 self.params.setdefault("day_night", str(f.value))
+            # Spatial AOI: the standard bbox-intersection predicate is
+            #   east >= aoi_w AND west <= aoi_e AND
+            #   north >= aoi_s AND south <= aoi_n
+            # Each conjunct maps to one edge of a server-side bbox
+            # query param (the reference searcher pushes its polygon
+            # the same way). Pushed as a SUPERSET (strict bounds become
+            # inclusive); Spark re-applies the exact predicate.
+            elif attr == "east" and isinstance(
+                f, (GreaterThan, GreaterThanOrEqual)
+            ):
+                self._aoi["w"] = max(self._aoi.get("w", -180.0),
+                                     float(f.value))
+            elif attr == "west" and isinstance(
+                f, (LessThan, LessThanOrEqual)
+            ):
+                self._aoi["e"] = min(self._aoi.get("e", 180.0),
+                                     float(f.value))
+            elif attr == "north" and isinstance(
+                f, (GreaterThan, GreaterThanOrEqual)
+            ):
+                self._aoi["s"] = max(self._aoi.get("s", -90.0),
+                                     float(f.value))
+            elif attr == "south" and isinstance(
+                f, (LessThan, LessThanOrEqual)
+            ):
+                self._aoi["n"] = min(self._aoi.get("n", 90.0),
+                                     float(f.value))
+        if self._aoi and "bbox" not in self.params:
+            # an explicit bbox option wins; filter-derived edges default
+            # to the full globe on the unconstrained sides
+            self.params["aoi_bbox"] = ",".join(
+                str(self._aoi.get(k, d))
+                for k, d in (("w", -180.0), ("s", -90.0),
+                             ("e", 180.0), ("n", 90.0))
+            )
         return list(filters)
 
     def _fetch(self, path: str, params: dict[str, str],

@@ -57,6 +57,11 @@ class _State:
 def _match(g: dict, qp: dict) -> bool:
     if "cloud_cover_max" in qp and g["cloud_cover"] > float(qp["cloud_cover_max"]):
         return False
+    if "aoi_bbox" in qp:  # bbox intersection: w,s,e,n
+        w, s, e, n = (float(x) for x in qp["aoi_bbox"].split(","))
+        gw, gs, ge, gn = g["bbox"]
+        if ge < w or gw > e or gn < s or gs > n:
+            return False
     if "temporal_start" in qp and g["datetime"] < qp["temporal_start"]:
         return False
     if "temporal_end" in qp and g["datetime"] > qp["temporal_end"]:
@@ -204,6 +209,24 @@ class TestPushdown:
         for qp in state.requests:
             assert qp.get("temporal_start") == "2024-01-05"
             assert qp.get("temporal_end") == "2024-01-20T23:59:59Z"
+
+    def test_spatial_aoi_pushes_bbox(self, catalog):
+        """A bbox-intersection AOI predicate (bound comparisons on the
+        four bbox columns) must reach the server as one aoi_bbox query
+        param, with Spark re-applying the exact predicate."""
+        df, state = catalog
+        out = df.filter(
+            "east >= -40 AND west <= -30 AND north >= -9.5 AND south <= -9"
+        ).collect()
+        want = [g for g in GRANULES
+                if g["bbox"][2] >= -40 and g["bbox"][0] <= -30
+                and g["bbox"][3] >= -9.5 and g["bbox"][1] <= -9]
+        assert want, "fixture AOI selects nothing — bad test bounds"
+        assert {r["granule_id"] for r in out} == \
+            {g["granule_id"] for g in want}
+        assert state.requests, "no data requests recorded"
+        for qp in state.requests:
+            assert qp.get("aoi_bbox") == "-40.0,-9.5,-30.0,-9.0"
 
     def test_unfiltered_scan_pages_in_parallel(self, catalog):
         df, state = catalog

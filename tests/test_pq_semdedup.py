@@ -341,6 +341,82 @@ class TestIvfPq:
         ).collect()))
         assert before == after
 
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_add_equals_frozen_rebuild(self, spark, clustered, tmp_path,
+                                       residual):
+        """Incremental add ≡ from-scratch encode of old∪new under the
+        SAME frozen quantizer and codebooks: split the corpus so the
+        strided centroid pick is identical either way (all strided ids
+        in the base half), build on the base, add the rest, and compare
+        against a rebuild of the union with the base-trained codebooks
+        passed through."""
+        from bloomy_etl_spark.operators.pq import (
+            add_to_ivfpq_index,
+            build_ivfpq_index,
+            search_ivfpq_index,
+        )
+
+        df, _ = clustered
+        base = df.filter("vec_id < 50")
+        extra = df.filter("vec_id >= 50")
+        # stride 10 / max 5 -> centroids = ids 0,10,20,30,40, all in base
+        kw = dict(m=4, ksub=4, centroid_stride=10, max_centroids=5,
+                  residual=residual)
+        a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+        books = build_ivfpq_index(base, a_dir, **kw)
+        add_to_ivfpq_index(extra, a_dir)
+        build_ivfpq_index(df, b_dir, codebooks=books, **kw)
+        queries = df.filter("vec_id in (3, 55)")
+        got = sorted(map(tuple, search_ivfpq_index(
+            spark, a_dir, queries, k=5, nprobe=5).collect()))
+        want = sorted(map(tuple, search_ivfpq_index(
+            spark, b_dir, queries, k=5, nprobe=5).collect()))
+        assert got == want
+        # the added vectors actually landed in the index (their blob's
+        # PQ codes all tie, so lower-id base members rightly win the
+        # top-5 ranks — presence is checked at the storage layer)
+        stored = {
+            r["neighbor_id"]
+            for r in spark.read.parquet(f"{a_dir}/corpus").collect()
+        }
+        assert stored == set(range(60)), sorted(stored ^ set(range(60)))
+
+    def test_add_touches_only_landed_partitions(self, spark, clustered,
+                                                tmp_path):
+        """An add appends into the clusters its vectors land in and
+        leaves every other partition's files byte-identical."""
+        import os
+
+        from bloomy_etl_spark.operators.pq import (
+            add_to_ivfpq_index,
+            build_ivfpq_index,
+        )
+
+        df, _ = clustered
+        idx = str(tmp_path / "inc")
+        build_ivfpq_index(df.filter("vec_id < 50"), idx, m=4, ksub=4,
+                          centroid_stride=10, max_centroids=5)
+
+        def snapshot():
+            out = {}
+            corpus = os.path.join(idx, "corpus")
+            for root, _, files in os.walk(corpus):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(root, f)
+                        out[p] = os.path.getsize(p)
+            return out
+
+        before = snapshot()
+        add_to_ivfpq_index(df.filter("vec_id >= 50"), idx)
+        after = snapshot()
+        landed = {os.path.dirname(p) for p in after if p not in before}
+        assert landed, "add wrote nothing"
+        untouched = [p for p in before if os.path.dirname(p) not in landed]
+        assert untouched, "expected at least one untouched partition"
+        for p in untouched:
+            assert after.get(p) == before[p], f"{p} changed"
+
     def test_wrong_query_dim_raises(self, spark, clustered, tmp_path):
         from bloomy_etl_spark.operators.pq import (
             build_ivfpq_index,
