@@ -51,17 +51,30 @@ PQ_M, PQ_KSUB, PQ_ITERS = 4, 16, 2
 SEM_K, SEM_THRESHOLD = 8, 0.35
 IVF_STRIDE, IVF_MAXC, IVF_NPROBE = 40, 256, 8
 
-_CB_MEMO: dict[str, list[list[list[float]]]] = {}
-_KM_MEMO: dict[str, list[list[float]]] = {}
-_IDX_MEMO: dict[str, str] = {}
+_CB_MEMO: dict[tuple, list[list[list[float]]]] = {}
+_KM_MEMO: dict[tuple, list[list[float]]] = {}
+_IDX_MEMO: dict[tuple, str] = {}
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings", fan_out=True)
 
 
+def _fixture_key(sf_dir: str) -> tuple[str, int]:
+    """(normalized dir, embeddings mtime): the memo key that makes the
+    trained-artifact caches track fixture rewrites exactly like
+    load_table's plan memo — a regenerated parquet gets fresh
+    codebooks/centroids/index instead of stale model state."""
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = 0  # the subsequent read raises its own, clearer error
+    return sf_dir.rstrip("/"), mtime
+
+
 def _codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
-    key = sf_dir.rstrip("/")
+    key = _fixture_key(sf_dir)
     if key not in _CB_MEMO:
         from bloomy_etl_spark.operators.pq import train_pq
 
@@ -72,7 +85,7 @@ def _codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
 
 
 def _sem_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    key = sf_dir.rstrip("/")
+    key = _fixture_key(sf_dir)
     if key not in _KM_MEMO:
         _KM_MEMO[key], _ = kmeans_lloyd(
             _embs(spark, sf_dir), k=SEM_K, iters=PQ_ITERS
@@ -82,13 +95,15 @@ def _sem_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 
 def _ivfpq_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per process) the IVF-PQ index for ``sf_dir`` under
-    the system temp dir. Contents are a pure deterministic function of
-    the fixture, so a rebuild is always byte-equivalent."""
-    key = sf_dir.rstrip("/")
+    the system temp dir. The path is scoped by PID and fixture mtime:
+    concurrent processes never build into (or read) each other's
+    half-written directory, and a rewritten fixture gets a fresh
+    index rather than a stale one."""
+    key = _fixture_key(sf_dir)
     if key not in _IDX_MEMO:
         d = os.path.join(
             tempfile.gettempdir(), "bloomy_ann_idx",
-            hashlib.md5(key.encode()).hexdigest()[:12],
+            f"{os.getpid()}-" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
         )
         build_ivfpq_index(
             _embs(spark, sf_dir), d, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS,
@@ -154,18 +169,19 @@ def q104_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.transform(_psort, "query_id", "rank")
 
 
-_RIDX_MEMO: dict[str, str] = {}
+_RIDX_MEMO: dict[tuple, str] = {}
 
 
 def _ivfpq_residual_dir(spark: SparkSession, sf_dir: str) -> str:
     """Residual-encoded sibling of :func:`_ivfpq_dir` (its own memo —
     residual codebooks train on v − coarse_centroid, so they cannot be
     shared with the raw index)."""
-    key = sf_dir.rstrip("/")
+    key = _fixture_key(sf_dir)
     if key not in _RIDX_MEMO:
         d = os.path.join(
             tempfile.gettempdir(), "bloomy_ann_idx",
-            "res-" + hashlib.md5(key.encode()).hexdigest()[:12],
+            f"res{os.getpid()}-"
+            + hashlib.md5(repr(key).encode()).hexdigest()[:12],
         )
         build_ivfpq_index(
             _embs(spark, sf_dir), d, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS,

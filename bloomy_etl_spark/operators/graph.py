@@ -109,10 +109,9 @@ def pagerank(
     e = e.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("outw")).alias("frac")
     )
-    # session.pin: eager localCheckpoint locally (ContextCleaner
-    # reclaims the blocks once the returned ranks DataFrame is dropped,
-    # no session-lifetime CacheManager entry), persist on clusters
-    # (recomputable under executor loss, which localCheckpoint is not).
+    # session.pin (checkpoint in every branch): ContextCleaner
+    # reclaims the blocks once the returned ranks DataFrame is dropped —
+    # no session-lifetime CacheManager entry even across many calls.
     e = pin(e, eager=True)
     verts = (
         e.select(F.col("src").alias("node"))

@@ -47,13 +47,10 @@ def assign_sequential_ids(
 
     ``pin`` pins the sorted partitions between the count job and the
     numbering job (spill-safe), so the range boundaries both jobs see
-    are physically identical. The pin strategy is profile-gated by
-    ``session.pin``: an eager ``localCheckpoint`` locally (blocks
-    reclaimed by the ContextCleaner when the caller drops the result,
-    no session-lifetime CacheManager entry), ``persist`` on clusters
-    (recomputable under executor loss / dynamic-allocation
-    decommission, which localCheckpoint blocks are not).
-    ``pin=False`` skips the pin and relies
+    are physically identical — which REQUIRES a non-recomputable pin
+    (``session.pin``: localCheckpoint, or reliable checkpoint on a
+    cluster with a checkpoint dir; a recomputable persist could
+    reassign ids on a lost block). ``pin=False`` skips the pin and relies
     on Spark's deterministic re-execution (range sampling is seeded per
     partition index) — correct for deterministic inputs, cheaper for
     huge one-shot exports."""

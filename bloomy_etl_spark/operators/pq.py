@@ -151,6 +151,19 @@ def pq_search(codes: DataFrame, codebooks: list[list[list[float]]],
     )
 
 
+def _dim_guard(vec_col: str, want: int):
+    """Lazy in-plan dimension check: passes matching rows through,
+    raises USER_RAISED_EXCEPTION at EXECUTION time on a mismatch — no
+    extra driver job at plan-build, and still no silent NULL-padded
+    zip_with garbage at rank 1."""
+    return F.when(F.size(F.col(vec_col)) == want, F.lit(True)).otherwise(
+        F.raise_error(F.concat(
+            F.lit("query dim "), F.size(F.col(vec_col)).cast("string"),
+            F.lit(f" != codebook dim {want}"),
+        ))
+    )
+
+
 def _decoded_expr(codebooks: list[list[list[float]]], codes_col="codes"):
     """PQ reconstruction as a literal-codebook column expression:
     ``flatten([codebook[s][codes[s]] for s])`` — the decoded vector a
@@ -181,14 +194,9 @@ def pq_search_batch(codes: DataFrame, codebooks: list[list[list[float]]],
     (query_id, neighbor_id, adc_dist2, rank)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    qrow = queries.select(vec_col).first()
-    if qrow is not None and len(qrow[vec_col]) != m * dsub:
-        raise ValueError(
-            f"query dim {len(qrow[vec_col])} != codebook dim {m * dsub}"
-        )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+    ).filter(_dim_guard("qv", m * dsub))
     cand = codes.withColumnRenamed(id_col, "neighbor_id").join(
         F.broadcast(q), F.lit(True)
     )
@@ -250,11 +258,23 @@ def build_ivfpq_index(embs: DataFrame, index_dir: str, m: int = 4,
     cents = spark.read.parquet(f"{index_dir}/centroids")
 
     assigned = _assign_to_centroids(embs, cents, id_col, vec_col)
-    enc_input = _encode_input(assigned, cents, residual)
+    # pin: enc_input is referenced by training (m·iters jobs on the
+    # residual path), the encode, and the corpus write — un-pinned, each
+    # would re-execute the O(n·K·d) coarse-assignment cross join
+    from bloomy_etl_spark.session import pin
+
+    enc_input = pin(_encode_input(assigned, cents, residual), eager=False)
 
     if codebooks is None:
-        codebooks = train_pq(enc_input, m=m, ksub=ksub, iters=iters,
-                             id_col="neighbor_id", vec_col="nv")
+        if residual:
+            codebooks = train_pq(enc_input, m=m, ksub=ksub, iters=iters,
+                                 id_col="neighbor_id", vec_col="nv")
+        else:
+            # raw codebooks don't depend on the assignment at all —
+            # train straight on the corpus, skipping the cross join in
+            # the training lineage entirely
+            codebooks = train_pq(embs, m=m, ksub=ksub, iters=iters,
+                                 id_col=id_col, vec_col=vec_col)
     # else: caller-supplied codebooks must have been trained on the same
     # encoding (raw vs residual) they are reused for
     cb_rows = [
@@ -296,12 +316,17 @@ def _load_codebooks(spark, index_dir: str) -> list[list[list[float]]]:
 
 
 def _load_residual_flag(spark, index_dir: str) -> bool:
-    try:  # pre-meta indexes (r6 layout) are raw-encoded
+    from pyspark.errors import AnalysisException
+
+    try:
         return bool(
             spark.read.parquet(f"{index_dir}/meta").first()["residual"]
         )
-    except Exception:  # noqa: BLE001 — missing meta → raw encoding
+    except AnalysisException:  # no meta path: pre-meta (r6) = raw
         return False
+    # any OTHER failure (IO, permissions, corrupt footer) propagates —
+    # silently assuming raw would score a residual index with the wrong
+    # formula and return garbage top-k without an error
 
 
 def _encode_input(assigned: DataFrame, cents: DataFrame,
@@ -341,8 +366,11 @@ def add_to_ivfpq_index(embs_new: DataFrame, index_dir: str,
     residual = _load_residual_flag(spark, index_dir)
     from bloomy_etl_spark.operators.similarity import _assign_to_centroids
 
+    from bloomy_etl_spark.session import pin
+
     assigned = _assign_to_centroids(embs_new, cents, id_col, vec_col)
-    enc_input = _encode_input(assigned, cents, residual)
+    # referenced by both the encode and the id/cluster spine below
+    enc_input = pin(_encode_input(assigned, cents, residual), eager=False)
     coded = pq_encode(enc_input, codebooks, id_col="neighbor_id",
                       vec_col="nv")
     (
@@ -379,19 +407,14 @@ def search_ivfpq_index(spark, index_dir: str, queries: DataFrame,
     residual = _load_residual_flag(spark, index_dir)
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    qrow = queries.select(vec_col).first()
-    if qrow is not None and len(qrow[vec_col]) != m * dsub:
-        # zip_with over mismatched lengths null-pads → NULL adc_dist2,
-        # and ascending sort is NULLS FIRST — fail loudly instead of
-        # silently returning garbage at rank 1 (mirrors pq_search)
-        raise ValueError(
-            f"query dim {len(qrow[vec_col])} != codebook dim {m * dsub}"
-        )
-
+    # zip_with over mismatched lengths null-pads → NULL adc_dist2, and
+    # ascending sort is NULLS FIRST — the lazy guard raises at execution
+    # instead of silently returning garbage at rank 1, and costs no
+    # extra plan-build job (the old first() probe scanned per call)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         _vnorm(F.col(vec_col)).alias("_nq"),
-    )
+    ).filter(_dim_guard("qv", m * dsub))
     scored_c = q.join(F.broadcast(cents), F.lit(True)).withColumn(
         "cos_c",
         _vdot(F.col("qv"), F.col("cvec")) / (F.col("_nq") * F.col("_ncent")),

@@ -120,30 +120,38 @@ def get_spark(app_name: str = "bloomy_etl_spark", master: str | None = None,
 
 
 def pin(df, eager: bool = True):
-    """Pin a DataFrame's physical contents for reuse across jobs,
-    profile-gated (the fault-tolerance trade differs by deployment):
+    """Pin a DataFrame's physical contents for reuse across jobs.
+
+    Every branch is a CHECKPOINT (never ``persist``): callers rely on
+    the pinned contents being NON-RECOMPUTABLE-from-lineage — range-id
+    numbering reads the same physical partitions twice, ``__rid``
+    stamps must never be reassigned, and matview compaction overwrites
+    the path its own input was read from. A recomputable ``persist``
+    would silently violate all three on a lost block, and persisted
+    plans also accumulate in the session CacheManager for iterative
+    callers (k-means/CC/pagerank rounds, streaming microbatches) with
+    no reclamation — checkpoint blocks are reclaimed by the
+    ContextCleaner once the caller drops the result.
+
+    Deployment gate:
 
     * **local master** — ``localCheckpoint``: blocks live on the one
-      executor that also runs the driver (no extra failure domain), and
-      the ContextCleaner reclaims them as soon as the caller drops the
-      result — no CacheManager entry for the session's lifetime.
-    * **cluster** — ``persist(MEMORY_AND_DISK)``: localCheckpoint blocks
-      are NOT recomputable, so an executor loss or dynamic-allocation
-      decommission would fail the whole job; a persisted plan instead
-      recomputes the lost partitions transparently. The CacheManager
-      entry (until the caller unpersists or the session ends) is the
-      price of that fault tolerance.
+      executor that also runs the driver; no extra failure domain.
+    * **cluster WITH a configured checkpoint dir** — reliable
+      ``checkpoint``: non-recomputable AND survives executor loss /
+      dynamic-allocation decommission (enable
+      ``spark.cleaner.referenceTracking.cleanCheckpoints`` to reclaim
+      the files automatically).
+    * **cluster without one** — ``localCheckpoint``, with the
+      documented restriction that losing an executor holding blocks
+      fails the job (Spark re-runs it); set a checkpoint dir to remove
+      the restriction.
 
     ``eager=True`` materializes before returning (callers that need the
-    pinned contents to be physically identical across later jobs, e.g.
-    range-offset numbering); ``eager=False`` just cuts lineage.
+    pinned contents physically identical across later jobs);
+    ``eager=False`` just cuts lineage, materializing on first use.
     """
     sc = df.sparkSession.sparkContext
-    if sc.master.startswith("local"):
-        return df.localCheckpoint(eager=eager)
-    from pyspark import StorageLevel
-
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    if eager:
-        out.count()
-    return out
+    if not sc.master.startswith("local") and sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

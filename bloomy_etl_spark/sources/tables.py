@@ -13,15 +13,21 @@ events by date) behind a catalog; the loader interface stays the same —
 from __future__ import annotations
 
 import os
-from weakref import WeakKeyDictionary
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# session -> {(path, fan_out): (mtime, scan DataFrame)}; see load_table.
-# Weak outer key: a stopped, dereferenced session's plans are collected
-# with it (keying on id(spark) would keep them alive AND risk id reuse).
-_PLAN_MEMO: WeakKeyDictionary = WeakKeyDictionary()
+# id(session) -> {(path, fan_out): (mtime, scan DataFrame)}; see
+# load_table. NOT a WeakKeyDictionary: the cached DataFrames hold strong
+# references back to their session, so a weak key could never die while
+# its entry exists — the weakness would be decorative. Instead the outer
+# map is a small LRU over SESSIONS: evicting an old session's dict drops
+# its DataFrames, releasing the session itself. id-keying is sound
+# precisely BECAUSE a live entry pins its session (the id cannot be
+# reused until the entry — and with it the pin — is gone).
+_PLAN_MEMO: OrderedDict[int, dict] = OrderedDict()
+_MAX_MEMO_SESSIONS = 4
 
 TABLE_NAMES = (
     "region",
@@ -96,7 +102,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
         mtime = os.stat(path).st_mtime_ns
     except OSError:
         mtime = None  # let spark.read raise its own, clearer error
-    session_memo = _PLAN_MEMO.setdefault(spark, {})
+    sid = id(spark)
+    session_memo = _PLAN_MEMO.setdefault(sid, {})
+    _PLAN_MEMO.move_to_end(sid)
+    while len(_PLAN_MEMO) > _MAX_MEMO_SESSIONS:
+        _PLAN_MEMO.popitem(last=False)
     key = (path, fan_out)
     hit = session_memo.get(key)
     if hit is not None and hit[0] == mtime:

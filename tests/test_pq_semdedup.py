@@ -430,8 +430,10 @@ class TestIvfPq:
         bad = spark.createDataFrame(
             [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
         )
-        with pytest.raises(ValueError, match="query dim"):
-            search_ivfpq_index(spark, idx, bad, k=3, nprobe=2)
+        # the guard is a lazy in-plan raise (no extra plan-build job):
+        # it fires when the search executes
+        with pytest.raises(Exception, match="query dim"):
+            search_ivfpq_index(spark, idx, bad, k=3, nprobe=2).collect()
 
     def test_search_prunes_partitions(self, spark, clustered, tmp_path):
         from bloomy_etl_spark.operators.pq import (
