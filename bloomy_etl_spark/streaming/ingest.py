@@ -163,3 +163,46 @@ def read_docs_stream(spark: SparkSession, path: str,
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+
+
+def streaming_ivfpq_ingest(
+    embs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Stream new embeddings into a PERSISTED IVF-PQ index and return
+    the started ``StreamingQuery``.
+
+    Each micro-batch is assigned and PQ-encoded against the index's
+    FROZEN coarse quantizer and codebooks
+    (:func:`bloomy_etl_spark.operators.pq.add_to_ivfpq_index`) and
+    appended into exactly the cluster partitions it lands in — vectors
+    become searchable the moment their batch commits, and the final
+    index equals a batch add of the same vectors (which in turn equals
+    a from-scratch encode under the same frozen model; both
+    equivalences are tested). The index must already exist — streaming
+    never retrains; rebuild when distribution drift warrants, exactly
+    the IVF ingest contract.
+
+    Delivery: at-least-once on retry like the dedup ingest — a replayed
+    batch appends its code rows twice. Ids are the caller's dedup
+    contract (duplicate ids = duplicate candidates, still correct top-k
+    by id tie-break); a transactional table format slots in at the
+    writer for exactly-once.
+    """
+    from bloomy_etl_spark.operators.pq import add_to_ivfpq_index
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        add_to_ivfpq_index(batch, index_dir, id_col=id_col,
+                           vec_col=vec_col)
+
+    return (
+        embs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -794,3 +794,64 @@ class TestStreamingCms:
         est = {r["w"]: r["est"]
                for r in cms_estimate(merged, keys, "w").collect()}
         assert all(est[w] >= c for w, c in exact.items())
+
+
+class TestIvfPqIngest:
+    """Streaming embedding ingest into a persisted IVF-PQ index
+    (streaming/ingest.py::streaming_ivfpq_ingest): after replaying the
+    new vectors as micro-batches, search must equal a from-scratch
+    encode of old∪new under the same frozen quantizer+codebooks."""
+
+    def test_stream_equals_frozen_rebuild(self, spark, tmp_path):
+        import numpy as np
+
+        from bloomy_etl_spark.operators.pq import (
+            build_ivfpq_index,
+            search_ivfpq_index,
+        )
+        from bloomy_etl_spark.streaming.ingest import streaming_ivfpq_ingest
+
+        rng = np.random.default_rng(11)
+        centers = rng.uniform(-10, 10, size=(4, 8))
+        mat = np.concatenate(
+            [c + rng.normal(0, 0.3, size=(15, 8)) for c in centers]
+        )
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+            "vec_id long, embedding array<double>",
+        )
+        base = df.filter("vec_id < 40")
+        # stream ids 40..59 in two deterministic micro-batches
+        replay = tmp_path / "replay"
+        replay.mkdir()
+        for bi, (lo, hi) in enumerate([(40, 50), (50, 60)]):
+            df.filter(f"vec_id >= {lo} and vec_id < {hi}").coalesce(
+                1
+            ).write.parquet(str(replay / f"b{bi}"))
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay / "b*"))
+        )
+
+        kw = dict(m=4, ksub=4, centroid_stride=10, max_centroids=4)
+        idx = str(tmp_path / "idx")
+        books = build_ivfpq_index(base, idx, **kw)
+        q = streaming_ivfpq_ingest(
+            stream, idx, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+        ref = str(tmp_path / "ref")
+        build_ivfpq_index(df, ref, codebooks=books, **kw)
+        queries = df.filter("vec_id in (3, 45, 55)")
+        got = sorted(map(tuple, search_ivfpq_index(
+            spark, idx, queries, k=5, nprobe=4).collect()))
+        want = sorted(map(tuple, search_ivfpq_index(
+            spark, ref, queries, k=5, nprobe=4).collect()))
+        assert got == want
+        stored = {
+            r["neighbor_id"]
+            for r in spark.read.parquet(f"{idx}/corpus").collect()
+        }
+        assert stored == set(range(60))
