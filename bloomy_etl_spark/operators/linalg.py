@@ -118,15 +118,20 @@ def covariance_long(embs: DataFrame, vec_col: str = "embedding",
     # the corpus pass executes once
     partials = pin(partials, eager=False)
     n_df = partials.agg(F.sum("n").alias("n_tot"))
-    means = (
-        partials.select(F.posexplode("s"))
+    # ONE explode + hash agg reduces the s-vector and the triangle
+    # together (positions 0..d-1 are the sums, d.. are the products);
+    # splitting them would shuffle the pinned partials twice
+    sums = pin(
+        partials.select(F.posexplode(F.concat("s", "xtx_tri")))
         .groupBy(F.col("pos"))
-        .agg(F.sum("col").alias("s"))
+        .agg(F.sum("col").alias("v")),
+        eager=False,
     )
-    tri_sums = (
-        partials.select(F.posexplode("xtx_tri"))
-        .groupBy(F.col("pos"))
-        .agg(F.sum("col").alias("sxx"))
+    means = sums.filter(F.col("pos") < dim).select(
+        "pos", F.col("v").alias("s")
+    )
+    tri_sums = sums.filter(F.col("pos") >= dim).select(
+        (F.col("pos") - dim).alias("pos"), F.col("v").alias("sxx")
     )
     # np.triu_indices order is row-major: (0,0)..(0,d-1),(1,1),..
     tri_index = [(p, i, j) for p, (i, j) in enumerate(
