@@ -62,26 +62,53 @@ def _moment_partials(dim: int, vec_col: str):
     return run
 
 
+def _reduced_frame(embs: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """The per-partition moment partials reduced DISTRIBUTEDLY to exactly
+    ``1 + d + d(d+1)/2`` scalar ``(pos, v)`` rows: position 0 is the row
+    count, 1..d the coordinate sums, the rest the X^T X upper triangle in
+    ``np.triu_indices`` order. One position-explode + hash aggregation —
+    the same reduce :func:`covariance_long` gates under q105 — so the
+    driver-visible row count is a function of the embedding dim ONLY,
+    never of the partition count (the r7 `moments` collected one O(d²)
+    row per partition: O(partitions·d²) driver memory at cluster scale)."""
+    partials = embs.select(vec_col).mapInPandas(
+        _moment_partials(dim, vec_col),
+        schema="n long, s array<double>, xtx_tri array<double>, _tri int",
+    )
+    return (
+        partials.select(
+            F.posexplode(
+                F.concat(
+                    F.array(F.col("n").cast("double")), "s", "xtx_tri"
+                )
+            )
+        )
+        .groupBy("pos")
+        .agg(F.sum("col").alias("v"))
+    )
+
+
 def moments(embs: DataFrame, vec_col: str = "embedding", dim: int | None = None):
     """Corpus moments (n, mean, covariance) in ONE distributed pass.
 
     Returns ``(n, mean ndarray [d], cov ndarray [d,d])`` — population
     covariance (divide by n, matching ``stddev_pop`` conventions
-    elsewhere). Driver memory: O(partitions · d²/2) partial rows, each a
-    few KB at d=64.
+    elsewhere). Driver memory: exactly ``1 + d + d(d+1)/2`` scalar rows
+    (the distributed reduce in :func:`_reduced_frame`) — independent of
+    the partition count, so a 10⁵-partition corpus costs the driver the
+    same d² floats the eigen-decomposition needs anyway.
     """
     if dim is None:
         dim = len(embs.select(vec_col).first()[0])
-    partials = embs.select(vec_col).mapInPandas(
-        _moment_partials(dim, vec_col),
-        schema="n long, s array<double>, xtx_tri array<double>, _tri int",
-    )
-    rows = partials.collect()
-    n = sum(r["n"] for r in rows)
+    rows = _reduced_frame(embs, vec_col, dim).collect()
+    flat = np.zeros(1 + dim + dim * (dim + 1) // 2)
+    for r in rows:
+        flat[r["pos"]] = r["v"]
+    n = int(flat[0])
     if n == 0:
         raise ValueError("moments: empty input")
-    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
-    tri = np.sum([np.asarray(r["xtx_tri"]) for r in rows], axis=0)
+    s = flat[1 : 1 + dim]
+    tri = flat[1 + dim :]
     xtx = np.zeros((dim, dim))
     iu = np.triu_indices(dim)
     xtx[iu] = tri

@@ -49,6 +49,27 @@ class TestMoments:
         with pytest.raises(ValueError):
             moments(embs.filter(F.lit(False)), dim=64)
 
+    def test_driver_rows_partition_independent(self, embs):
+        """The collect feeding moments() must see exactly
+        1 + d + d(d+1)/2 reduced rows NO MATTER the partition count —
+        the r8 fix for the O(partitions·d²) driver collect (a 10⁵-
+        partition corpus at d=768 would otherwise ship hundreds of GB
+        to the driver)."""
+        from bloomy_etl_spark.operators.linalg import _reduced_frame
+
+        want = 1 + 64 + 64 * 65 // 2
+        few = _reduced_frame(embs.repartition(4), "embedding", 64)
+        many = _reduced_frame(embs.repartition(57), "embedding", 64)
+        assert few.count() == want
+        assert many.count() == want
+        # and the reduced values themselves are partition-invariant to
+        # float tolerance (summation grouping differs)
+        a = {r["pos"]: r["v"] for r in few.collect()}
+        b = {r["pos"]: r["v"] for r in many.collect()}
+        assert a.keys() == b.keys()
+        for p, v in a.items():
+            np.testing.assert_allclose(v, b[p], rtol=1e-9, atol=1e-9)
+
 
 class TestPca:
     def test_matches_numpy_eigh(self, embs, x):
