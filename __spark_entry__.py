@@ -31,8 +31,9 @@ ALL_ORACLES = {**ORACLE_SQL, **BLOOMY_ORACLE_SQL, **LLM_ORACLE_SQL,
 
 # The external driver's correctness pass checks the FIRST 50 entries of
 # queries() in insertion order (every CORRECTNESS_r*.json records exactly
-# the first 50). With 100 declared queries, order therefore decides which
-# get a driver-green row. Rotation policy (data-driven since r6): read
+# the first 50). With more declared queries than that window, order
+# decides which get a driver-green row. Rotation policy (data-driven
+# since r6): read
 # every CORRECTNESS_r*.json, compute each query's most-recent green
 # round, and put least-recently-verified first — never-verified queries
 # sort as round 0 and always lead. This self-rotates every round without

@@ -48,12 +48,49 @@ from bloomy_etl_spark.sources.tables import load_table
 # PQ geometry for the 64-dim fixture embeddings: 4 subspaces x 16 dims,
 # 16 centroids each -> codes are 4 small ints (64 floats -> 4 bytes)
 PQ_M, PQ_KSUB, PQ_ITERS = 4, 16, 2
-SEM_K, SEM_THRESHOLD = 8, 0.35
+# SemDeDup blocking factor: k=32 over the 2000-vector sf0.1 corpus keeps
+# mean cluster size ~60 — the pair space is Σ n_c² ≈ n²/k, so k is the
+# quadratic→linear knob (k=8 left a 16× larger pair space; SemDeDup
+# itself prescribes k ≈ corpus/1000 at web scale)
+SEM_K, SEM_THRESHOLD = 32, 0.35
 IVF_STRIDE, IVF_MAXC, IVF_NPROBE = 40, 256, 8
 
 _CB_MEMO: dict[tuple, list[list[list[float]]]] = {}
 _KM_MEMO: dict[tuple, list[list[float]]] = {}
 _IDX_MEMO: dict[tuple, str] = {}
+
+
+def _cleanup_idx_dirs() -> None:
+    """atexit hook: remove this process's temp index directories (they
+    are keyed by PID, so no other process can be reading them)."""
+    import shutil
+
+    for memo in (_IDX_MEMO, _RIDX_MEMO):
+        for d in memo.values():
+            shutil.rmtree(d, ignore_errors=True)
+        memo.clear()
+
+
+import atexit  # noqa: E402 — registration belongs next to the hook
+
+atexit.register(_cleanup_idx_dirs)
+
+
+def _memo_dir(memo: dict, key: tuple, prefix: str, builder) -> str:
+    """Memoized per-process index directory with liveness re-validation:
+    if a /tmp cleaner removed the directory mid-session, rebuild instead
+    of handing out a dangling path."""
+    d = memo.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    d = os.path.join(
+        tempfile.gettempdir(), "bloomy_ann_idx",
+        f"{prefix}{os.getpid()}-"
+        + hashlib.md5(repr(key).encode()).hexdigest()[:12],
+    )
+    builder(d)
+    memo[key] = d
+    return d
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,18 +137,14 @@ def _ivfpq_dir(spark: SparkSession, sf_dir: str) -> str:
     half-written directory, and a rewritten fixture gets a fresh
     index rather than a stale one."""
     key = _fixture_key(sf_dir)
-    if key not in _IDX_MEMO:
-        d = os.path.join(
-            tempfile.gettempdir(), "bloomy_ann_idx",
-            f"{os.getpid()}-" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
-        )
-        build_ivfpq_index(
+    return _memo_dir(
+        _IDX_MEMO, key, "",
+        lambda d: build_ivfpq_index(
             _embs(spark, sf_dir), d, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS,
             centroid_stride=IVF_STRIDE, max_centroids=IVF_MAXC,
             codebooks=_codebooks(spark, sf_dir),
-        )
-        _IDX_MEMO[key] = d
-    return _IDX_MEMO[key]
+        ),
+    )
 
 
 def q101_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,10 +175,11 @@ def q102_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q103_semdedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embedding corpus: k-means blocking (k=8, the
-    q54 training), within-cluster cosine ≥ 0.35 pairs through the
-    skew-safe bucket expansion, lowest-id survivor per duplicate group.
-    Returns every vector with its cluster and kept flag (0/1)."""
+    """SemDeDup over the embedding corpus: k-means blocking (k=32),
+    within-cluster cosine ≥ 0.35 pairs through the skew-safe bucket
+    expansion over PRE-NORMALIZED vectors (cosine = plain dot), lowest-
+    id survivor per duplicate group. Returns every vector with its
+    cluster and kept flag (0/1)."""
     cents = _sem_centroids(spark, sf_dir)
     out = semantic_dedup(
         _embs(spark, sf_dir), threshold=SEM_THRESHOLD, centroids=cents
@@ -177,19 +211,14 @@ def _ivfpq_residual_dir(spark: SparkSession, sf_dir: str) -> str:
     residual codebooks train on v − coarse_centroid, so they cannot be
     shared with the raw index)."""
     key = _fixture_key(sf_dir)
-    if key not in _RIDX_MEMO:
-        d = os.path.join(
-            tempfile.gettempdir(), "bloomy_ann_idx",
-            f"res{os.getpid()}-"
-            + hashlib.md5(repr(key).encode()).hexdigest()[:12],
-        )
-        build_ivfpq_index(
+    return _memo_dir(
+        _RIDX_MEMO, key, "res",
+        lambda d: build_ivfpq_index(
             _embs(spark, sf_dir), d, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS,
             centroid_stride=IVF_STRIDE, max_centroids=IVF_MAXC,
             residual=True,
-        )
-        _RIDX_MEMO[key] = d
-    return _RIDX_MEMO[key]
+        ),
+    )
 
 
 def q106_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,11 +425,18 @@ ANN_ORACLE_SQL = {
         {_assign_cte("wa1", "wsub", "wc1")},
         {_update_cte("wm2", "wc2", "wa1", "wc1", 64)},
         {_assign_cte("waf", "wsub", "wc2")},
+        wn AS MATERIALIZED (
+            SELECT vec_id, cluster,
+                   list_transform(emb, x -> CAST(x AS DOUBLE) /
+                       sqrt(list_dot_product(emb::DOUBLE[], emb::DOUBLE[])))
+                       AS ne
+            FROM waf
+        ),
         pairs AS (
             SELECT a.vec_id AS i, b.vec_id AS j
-            FROM waf a JOIN waf b
+            FROM wn a JOIN wn b
               ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-            WHERE {_COS.format(a="a.emb", b="b.emb")} >= {SEM_THRESHOLD}
+            WHERE list_dot_product(a.ne, b.ne) >= {SEM_THRESHOLD}
         ),
         drops AS (SELECT DISTINCT j FROM pairs)
         SELECT af.vec_id, CAST(af.cluster AS INT) AS cluster,

@@ -39,7 +39,7 @@ from bloomy_etl_spark.operators.clustering import kmeans_lloyd
 
 __all__ = ["train_pq", "pq_encode", "pq_search", "pq_search_batch",
            "reconstruction_mse", "build_ivfpq_index", "search_ivfpq_index",
-           "add_to_ivfpq_index"]
+           "search_ivfpq_refined", "add_to_ivfpq_index"]
 
 
 def _check_dims(dim: int, m: int) -> int:

@@ -445,25 +445,38 @@ def q18_mean_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q19 — as-of shape: latest order date ≤ event day per (event, user).
-# The correlated-scalar-subquery oracle decorrelates to exactly this
-# left join + max-aggregate — the scalable formulation (no per-row
-# subquery execution; one shuffle on user key).
+# Canonical distributed as-of: UNION both streams on the key, one
+# shuffle, one in-partition sort, and a running-max window — never a
+# per-event fan-out join (the r7 form joined every earlier order per
+# event then max-aggregated: |events|·|orders/key| intermediate rows),
+# never per-key collected state (an array-per-customer pre-aggregate
+# holds unbounded key history in one row; the window sort spills
+# instead). Orders sort BEFORE events on equal days (is_ev 0 < 1) so
+# same-day orders are included, matching the oracle's `<=`.
 # --------------------------------------------------------------------------
 def q19_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.to_date("ts").alias("event_day")
+        F.col("user_id").alias("k"), F.to_date("ts").alias("day"),
+        "event_id", F.lit(None).cast("date").alias("o_day"),
+        F.lit(1).alias("is_ev"),
     )
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_custkey", F.to_date("o_orderdate").alias("o_day")
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.to_date("o_orderdate").alias("day"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.to_date("o_orderdate").alias("o_day"),
+        F.lit(0).alias("is_ev"),
     )
-    joined = ev.join(
-        orders,
-        (ev.user_id == orders.o_custkey) & (orders.o_day <= ev.event_day),
-        "left",
+    w = (
+        Window.partitionBy("k")
+        .orderBy("day", "is_ev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        joined.groupBy("event_id", "user_id")
-        .agg(F.max("o_day").alias("last_order_day"))
+        ev.unionByName(od)
+        .withColumn("last_order_day", F.max("o_day").over(w))
+        .filter(F.col("is_ev") == 1)
+        .select("event_id", F.col("k").alias("user_id"), "last_order_day")
         .transform(_psort, "event_id")
     )
 

@@ -66,34 +66,45 @@ def semantic_dup_pairs(embs: DataFrame, centroids: list[list[float]],
 
 def _pairs_from_assigned(assigned: DataFrame, threshold: float,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         normalized: bool = False) -> DataFrame:
     """Pair stage over a cluster-assignment DataFrame. NOTE: this plan
     references ``assigned`` three times (buckets, both pair endpoints);
     Spark recomputes an un-pinned projection at every reference, so
     callers holding an expensive assignment (O(k·d) argmin per row)
-    should pin it first — :func:`semantic_dedup` does."""
+    should pin it first — :func:`semantic_dedup` does.
+
+    ``normalized=True`` declares ``vec_col`` already unit-normalized
+    (``functions.vectors.normalize``): cosine is then a plain dot — the
+    per-pair norm product and the per-endpoint norm column both vanish,
+    the cheap once-per-row-instead-of-once-per-pair trade every vector
+    store makes. :func:`semantic_dedup` normalizes inside its pinned
+    assignment so the division happens exactly once per vector."""
     from bloomy_etl_spark.operators.dedup import bucket_pairs
 
-    assigned = assigned.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("n"), "cluster",
-    )
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cluster"]
+    if not normalized:
+        cols.insert(2, norm(F.col(vec_col)).alias("n"))
+    assigned = assigned.select(*cols)
     buckets = assigned.groupBy("cluster").agg(
         F.array_sort(F.collect_list("id")).alias("ms")
     )
     pairs = bucket_pairs(buckets, carry=("cluster",))
+    side = ["v"] if normalized else ["v", "n"]
     va = assigned.select(
-        F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na")
+        F.col("id").alias("a"),
+        *[F.col(c).alias(c + "a") for c in side],
     )
     vb = assigned.select(
-        F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+        F.col("id").alias("b"),
+        *[F.col(c).alias(c + "b") for c in side],
     )
+    cos = dot(F.col("va"), F.col("vb"))
+    if not normalized:
+        cos = cos / (F.col("na") * F.col("nb"))
     return (
         pairs.join(va, "a").join(vb, "b")
-        .withColumn(
-            "cos_sim",
-            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-        )
+        .withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= threshold)
         .select(
             F.col("a").alias("i"), F.col("b").alias("j"),
@@ -113,9 +124,15 @@ def semantic_dedup(embs: DataFrame, k: int | None = None,
 
     ``k=None`` auto-sizes the blocking factor as SemDeDup prescribes
     (k ≈ corpus/1000, floored at 2, capped at the corpus size) — one
-    count() job; pass k explicitly to skip it. Pre-trained
-    ``centroids`` skip the Lloyd rounds entirely (callers that reuse
-    one training across several passes)."""
+    count() job; pass k explicitly to skip it. BEHAVIOR NOTE (r7): the
+    default changed from a fixed ``k=8`` to this auto-sizing — callers
+    that relied on the old default's exact clustering should pass
+    ``k=8`` explicitly. Pre-trained ``centroids`` skip the Lloyd rounds
+    entirely (callers that reuse one training across several passes).
+
+    Cosine note: vectors are unit-normalized once inside the pinned
+    assignment, so pair similarity is a plain dot product; results can
+    differ from the raw ``dot/(|a||b|)`` form only in the last ulp."""
     from bloomy_etl_spark.session import pin
 
     if centroids is not None:
@@ -129,11 +146,21 @@ def semantic_dedup(embs: DataFrame, k: int | None = None,
         )
     # the plan below references the assignment FOUR times (cluster
     # buckets, both pair endpoints, the kept-join spine); pin it so the
-    # O(k·d)-per-row argmin executes once, not four times
+    # O(k·d)-per-row argmin executes once, not four times. Vectors are
+    # unit-normalized INSIDE the pin: one division per vector here
+    # replaces a norm product per PAIR downstream (cosine becomes a
+    # plain dot over the pair space, the dominant cost)
+    from bloomy_etl_spark.functions.vectors import normalize
+
     assigned = pin(
-        assigned.select(id_col, vec_col, "cluster"), eager=False
+        assigned.select(
+            id_col, normalize(F.col(vec_col)).alias(vec_col), "cluster"
+        ),
+        eager=False,
     )
-    pairs = _pairs_from_assigned(assigned, threshold, id_col, vec_col)
+    pairs = _pairs_from_assigned(
+        assigned, threshold, id_col, vec_col, normalized=True
+    )
     # j has a lower-id near-dup (i) → j is dropped; the group's minimum
     # id is never any pair's j, so exactly one member per group survives
     dropped = pairs.select(F.col("j").alias("__drop_id")).distinct()

@@ -39,11 +39,15 @@ def test_q101_encode_has_no_extra_shuffle(spark):
     in particular no join/agg exchange anywhere in the encode itself."""
     from bloomy_etl_spark.tools.profile import run_profile
 
+    from bloomy_etl_spark.operators.ann_queries import _embs
+
+    n = _embs(spark, SF_ORACLE).count()
     prof = run_profile(ANN_QUERIES["q101_pq_codes"](spark, SF_ORACLE))
     # fan_out repartition + _psort repartition(1): corpus rows cross the
-    # wire at most twice; 500 rows × ~50B of (vec_id, 4 codes) per pass
+    # wire at most twice (bound derived from the live fixture count so a
+    # regenerated fixture keeps the assertion exact)
     assert prof["spill_bytes"] == 0
-    assert prof["shuffle_records_written"] <= 2 * 500, (
+    assert prof["shuffle_records_written"] <= 2 * n, (
         prof["shuffle_records_written"]
     )
 
