@@ -40,6 +40,7 @@ from bloomy_etl_spark.operators.pq import (
     pq_encode,
     pq_search_batch,
     search_ivfpq_index,
+    search_ivfpq_refined,
 )
 from bloomy_etl_spark.operators.semdedup import semantic_dedup
 from bloomy_etl_spark.output import presentation_sort as _psort
@@ -54,6 +55,9 @@ PQ_M, PQ_KSUB, PQ_ITERS = 4, 16, 2
 # itself prescribes k ≈ corpus/1000 at web scale)
 SEM_K, SEM_THRESHOLD = 32, 0.35
 IVF_STRIDE, IVF_MAXC, IVF_NPROBE = 40, 256, 8
+# q107 re-rank shortlist: ADC keeps the top 4·k per query, the exact
+# tier re-orders only those (Jégou et al.'s R)
+IVF_SHORTLIST = 20
 
 _CB_MEMO: dict[tuple, list[list[list[float]]]] = {}
 _KM_MEMO: dict[tuple, list[list[float]]] = {}
@@ -143,6 +147,7 @@ def _ivfpq_dir(spark: SparkSession, sf_dir: str) -> str:
             _embs(spark, sf_dir), d, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS,
             centroid_stride=IVF_STRIDE, max_centroids=IVF_MAXC,
             codebooks=_codebooks(spark, sf_dir),
+            keep_raw=True,  # q107's exact re-rank tier
         ),
     )
 
@@ -263,6 +268,23 @@ def q105_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_psort, "i", "j")
 
 
+def q107_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ search: ADC over the code lists keeps a
+    top-20 shortlist per query; ONLY those rows are fetched from the
+    raw-vector inverted lists (partition-pruned + id-pushed point
+    lookups) and re-ranked by exact squared L2 — Jégou et al.'s
+    re-ranking stage. Same probes/queries as q104, so the two gates
+    differ exactly by the exact tier. The oracle replays shortlist +
+    re-rank as two extra CTEs on the q104 chain."""
+    idx = _ivfpq_dir(spark, sf_dir)
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 100 == 0)
+    out = search_ivfpq_refined(
+        spark, idx, queries, k=5, nprobe=IVF_NPROBE, shortlist=IVF_SHORTLIST
+    )
+    return out.transform(_psort, "query_id", "rank")
+
+
 ANN_QUERIES = {
     "q101_pq_codes": q101_pq_codes,
     "q102_pq_adc_topk": q102_pq_adc_topk,
@@ -270,6 +292,7 @@ ANN_QUERIES = {
     "q104_ivfpq_topk": q104_ivfpq_topk,
     "q105_embedding_covariance": q105_embedding_covariance,
     "q106_ivfpq_residual_topk": q106_ivfpq_residual_topk,
+    "q107_ivfpq_refined_topk": q107_ivfpq_refined_topk,
 }
 
 
@@ -488,6 +511,71 @@ ANN_ORACLE_SQL = {
             FROM scored
         )
         SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc_dist2,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+    # q107: q104's ADC chain, but the per-query ADC ranking keeps a
+    # top-{IVF_SHORTLIST} shortlist whose members are re-ranked by
+    # EXACT squared L2 against the raw embeddings — the two-stage
+    # refined search. Shortlist cut and final rank both tie to the
+    # lower neighbor id, identical to the Spark window discipline.
+    "q107_ivfpq_refined_topk": f"""
+        WITH {_pq_chain()},
+        {_DEC_CTE},
+        cents AS MATERIALIZED (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            WHERE vec_id % {IVF_STRIDE} = 0
+              AND vec_id < {IVF_STRIDE * IVF_MAXC}
+        ),
+        assigned AS MATERIALIZED (
+            SELECT neighbor_id, cluster_id FROM (
+                SELECT e.vec_id AS neighbor_id, c.cid AS cluster_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_COS.format(a="e.embedding", b="c.cvec")} DESC,
+                                    c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+        ),
+        qs AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id % 100 = 0
+        ),
+        probes AS (
+            SELECT query_id, qv, cid AS cluster_id FROM (
+                SELECT q.query_id, q.qv, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY {_COS.format(a="q.qv", b="c.cvec")} DESC,
+                                    c.cid ASC) AS rn
+                FROM qs q CROSS JOIN cents c) WHERE rn <= {IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT p.query_id, p.qv, a.neighbor_id
+            FROM probes p JOIN assigned a ON p.cluster_id = a.cluster_id
+        ),
+        scored AS (
+            SELECT query_id, qv, c.neighbor_id,
+                   {_D2.format(a="qv", b="dvec")} AS adc
+            FROM cand c JOIN dec USING (neighbor_id)
+        ),
+        short AS (
+            SELECT query_id, qv, neighbor_id FROM (
+                SELECT query_id, qv, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY adc ASC, neighbor_id ASC) AS sr
+                FROM scored) WHERE sr <= {IVF_SHORTLIST}
+        ),
+        exact AS (
+            SELECT s.query_id, s.neighbor_id,
+                   {_D2.format(a="s.qv", b="e.embedding")} AS d2
+            FROM short s JOIN embeddings e ON e.vec_id = s.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY d2 ASC, neighbor_id ASC) AS rank
+            FROM exact
+        )
+        SELECT query_id, neighbor_id, ROUND(d2, 6) AS exact_dist2,
                CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank

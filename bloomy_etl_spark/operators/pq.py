@@ -223,6 +223,7 @@ def build_ivfpq_index(embs: DataFrame, index_dir: str, m: int = 4,
                       centroid_stride: int = 40, max_centroids: int = 256,
                       residual: bool = False,
                       codebooks: list[list[list[float]]] | None = None,
+                      keep_raw: bool = False,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> list[list[list[float]]]:
     """IVF-PQ: the coarse inverted-list layout of
@@ -241,6 +242,10 @@ def build_ivfpq_index(embs: DataFrame, index_dir: str, m: int = 4,
     smaller and better centered, so the same m·ksub budget quantizes
     them with less error); the code layout is identical, only the
     reader's reconstruction changes (decode + add centroid back).
+    ``keep_raw=True`` additionally persists ``{index_dir}/raw`` —
+    raw-vector inverted lists for :func:`search_ivfpq_refined`'s exact
+    re-rank tier (always the ORIGINAL vectors, even on residual
+    indexes: exact distances need v, not v − centroid).
     Returns the trained codebooks.
     """
     from bloomy_etl_spark.functions.vectors import norm as _vnorm
@@ -258,11 +263,26 @@ def build_ivfpq_index(embs: DataFrame, index_dir: str, m: int = 4,
     cents = spark.read.parquet(f"{index_dir}/centroids")
 
     assigned = _assign_to_centroids(embs, cents, id_col, vec_col)
-    # pin: enc_input is referenced by training (m·iters jobs on the
-    # residual path), the encode, and the corpus write — un-pinned, each
-    # would re-execute the O(n·K·d) coarse-assignment cross join
     from bloomy_etl_spark.session import pin
 
+    if keep_raw:
+        # with a second consumer (the raw-list write) the assignment is
+        # referenced twice — pin it so the O(n·K·d) coarse-assignment
+        # cross join executes once
+        assigned = pin(assigned, eager=False)
+        # raw-vector inverted lists, cluster-partitioned like the code
+        # lists: the exact-re-rank tier of the classic two-stage search
+        # (Jégou et al. §V). At 100 TB the codes live hot (m bytes/row),
+        # the raw lists live in cheap object storage and are read ONLY
+        # for the per-query shortlist (partition pruning + an id-pushed
+        # filter), never scanned.
+        (
+            assigned.select("neighbor_id", "cluster_id",
+                            F.col("nv").alias("vec"))
+            .write.mode("overwrite")
+            .partitionBy("cluster_id")
+            .parquet(f"{index_dir}/raw")
+        )
     enc_input = pin(_encode_input(assigned, cents, residual), eager=False)
 
     if codebooks is None:
@@ -359,7 +379,11 @@ def add_to_ivfpq_index(embs_new: DataFrame, index_dir: str,
     from-scratch encode of old∪new under the same frozen
     centroids+codebooks (equivalence-tested via build's ``codebooks``
     pass-through). Residual indexes encode v − centroid exactly like
-    the build. Ids are the caller's dedup contract, as in IVF."""
+    the build. Ids are the caller's dedup contract, as in IVF. Indexes
+    built with ``keep_raw=True`` get their raw lists appended too, so
+    :func:`search_ivfpq_refined` sees the added vectors."""
+    import os
+
     spark = embs_new.sparkSession
     cents = spark.read.parquet(f"{index_dir}/centroids")
     codebooks = _load_codebooks(spark, index_dir)
@@ -369,6 +393,19 @@ def add_to_ivfpq_index(embs_new: DataFrame, index_dir: str,
     from bloomy_etl_spark.session import pin
 
     assigned = _assign_to_centroids(embs_new, cents, id_col, vec_col)
+    has_raw = os.path.isdir(f"{index_dir}/raw")
+    if has_raw:
+        # second consumer (raw append) → pin so the assignment cross
+        # join executes once
+        assigned = pin(assigned, eager=False)
+    if has_raw:
+        (
+            assigned.select("neighbor_id", "cluster_id",
+                            F.col("nv").alias("vec"))
+            .write.mode("append")
+            .partitionBy("cluster_id")
+            .parquet(f"{index_dir}/raw")
+        )
     # referenced by both the encode and the id/cluster spine below
     enc_input = pin(_encode_input(assigned, cents, residual), eager=False)
     coded = pq_encode(enc_input, codebooks, id_col="neighbor_id",
@@ -399,6 +436,31 @@ def search_ivfpq_index(spark, index_dir: str, queries: DataFrame,
     ``‖(q − coarse_centroid) − decode(codes)‖²`` — algebraically the
     distance to the reconstruction ``centroid + decode(codes)`` the
     codes actually represent."""
+    scored, probe_ids = _ivfpq_scored_candidates(
+        spark, index_dir, queries, nprobe, id_col, vec_col
+    )
+    if not probe_ids:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_dist2 double, rank int"
+        )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("adc_dist2", 6).alias("adc_dist2"), "rank")
+    )
+
+
+def _ivfpq_scored_candidates(spark, index_dir: str, queries: DataFrame,
+                             nprobe: int, id_col: str, vec_col: str):
+    """Shared front half of IVF-PQ search: probe selection, partition-
+    pruned code-list read, ADC scoring. Returns ``(scored, probe_ids)``
+    where ``scored`` has (query_id, qv, neighbor_id, adc_dist2) — one
+    row per candidate — and ``probe_ids`` is the sorted list of probed
+    clusters (empty ⇒ no queries)."""
     from bloomy_etl_spark.functions.vectors import dot as _vdot
     from bloomy_etl_spark.functions.vectors import norm as _vnorm
 
@@ -432,9 +494,7 @@ def search_ivfpq_index(spark, index_dir: str, queries: DataFrame,
          for r in probes.select("cluster_id").distinct().collect()}
     )
     if not probe_ids:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, adc_dist2 double, rank int"
-        )
+        return None, []
     corpus = spark.read.parquet(f"{index_dir}/corpus").filter(
         F.col("cluster_id").isin(probe_ids)
     )
@@ -452,15 +512,81 @@ def search_ivfpq_index(spark, index_dir: str, queries: DataFrame,
         F.lit(0.0),
         lambda acc, d: acc + d,
     )
-    wk = Window.partitionBy("query_id").orderBy(
+    scored = cand.withColumn("adc_dist2", adc).select(
+        "query_id", "qv", "neighbor_id", "adc_dist2"
+    )
+    return scored, probe_ids
+
+
+def search_ivfpq_refined(spark, index_dir: str, queries: DataFrame,
+                         k: int = 5, nprobe: int = 8,
+                         shortlist: int | None = None,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Two-stage IVF-PQ search with EXACT re-rank — the standard second
+    stage of Jégou et al. (§V, "re-ranking with source coding"): the ADC
+    pass over the compressed code lists produces a per-query SHORTLIST
+    of ``shortlist`` candidates (default 4·k); only those rows are then
+    fetched from the raw-vector inverted lists (``{index_dir}/raw``,
+    written by ``build_ivfpq_index(keep_raw=True)``) and re-ranked by
+    exact squared L2. Recall can only improve over plain ADC at equal
+    nprobe: the true top-k that survive the shortlist are re-ordered
+    correctly instead of by quantized distance.
+
+    Scale shape: the raw read is partition-pruned to the probed clusters
+    AND filtered to the shortlist's neighbor ids (a pushed-down IN list
+    of ≤ |queries|·shortlist ids — driver-bounded, like the probe list),
+    so the expensive raw tier serves point-lookups, never scans. Returns
+    (query_id, neighbor_id, exact_dist2, rank), ties to the lower id.
+    """
+    from bloomy_etl_spark.session import pin
+
+    if shortlist is None:
+        shortlist = 4 * k
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} < k {k}")
+    scored, probe_ids = _ivfpq_scored_candidates(
+        spark, index_dir, queries, nprobe, id_col, vec_col
+    )
+    if not probe_ids:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, exact_dist2 double, rank int"
+        )
+    ws = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist2").asc(), F.col("neighbor_id").asc()
     )
+    # pinned: referenced by the id-collect below and the re-rank join
+    short = pin(
+        scored.withColumn("sr", F.row_number().over(ws))
+        .filter(F.col("sr") <= shortlist)
+        .select("query_id", "qv", "neighbor_id"),
+        eager=False,
+    )
+    short_ids = sorted(
+        {r["neighbor_id"]
+         for r in short.select("neighbor_id").distinct().collect()}
+    )
+    raw = spark.read.parquet(f"{index_dir}/raw").filter(
+        F.col("cluster_id").isin(probe_ids)
+        & F.col("neighbor_id").isin(short_ids)
+    )
+    exact = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("vec"),
+                   lambda a, b: (a.cast("double") - b.cast("double"))
+                   * (a.cast("double") - b.cast("double"))),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist2").asc(), F.col("neighbor_id").asc()
+    )
     return (
-        cand.withColumn("adc_dist2", adc)
+        short.join(raw.select("neighbor_id", "vec"), "neighbor_id")
+        .withColumn("exact_dist2", exact)
         .withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id",
-                F.round("adc_dist2", 6).alias("adc_dist2"), "rank")
+                F.round("exact_dist2", 6).alias("exact_dist2"), "rank")
     )
 
 

@@ -165,6 +165,128 @@ def read_docs_stream(spark: SparkSession, path: str,
     )
 
 
+def replay_embs_dir(spark: SparkSession, sf_dir: str, out_dir: str,
+                    n_files: int = 4) -> str:
+    """Materialize the ``embeddings`` fixture as ``n_files`` id-ordered
+    parquet files — the embeddings analogue of :func:`replay_docs_dir`
+    (monotone vec_id ranges across micro-batches, which is exactly the
+    arrival order :func:`streaming_semdedup_ingest`'s batch-equivalence
+    contract assumes)."""
+    from bloomy_etl_spark.sources.tables import load_table
+
+    (
+        load_table(spark, sf_dir, "embeddings")
+        .repartitionByRange(n_files, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def streaming_semdedup_ingest(
+    embs_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Stream embeddings through SemDeDup against a persisted store and
+    return the started ``StreamingQuery`` — the semantic sibling of
+    :func:`streaming_dedup_ingest`, under the frozen-model contract of
+    :func:`streaming_ivfpq_ingest` (``centroids`` never retrain;
+    rebuild on distribution drift).
+
+    Per micro-batch: assign against the frozen centroids, unit-normalize
+    (cosine = dot, the batch operator's exact math), find lower-id
+    witnesses WITHIN the batch (the skew-safe ``bucket_pairs`` expansion)
+    and AGAINST the store (store scan + broadcast of the small batch —
+    the history never reshuffles, mirroring ``incremental_near_dups``),
+    then append every batch row to ``store_dir`` with its ``kept`` flag.
+
+    The store keeps dropped rows too — deliberately: batch
+    ``semantic_dedup`` drops any id with a lower-id near neighbor
+    REGARDLESS of whether that witness itself survived (the chain shape
+    a–b–c drops both b and c), so an already-dropped stored vector must
+    still witness-drop later arrivals.
+
+    Equivalence contract: when ids arrive monotonically across batches
+    (the :func:`replay_embs_dir` shape), the final store's
+    (id, cluster, kept) EQUALS a single batch ``semantic_dedup`` of the
+    union under the same centroids — bit-identical cosines, tested in
+    ``tests/test_streaming.py``. Out-of-order arrivals fall back to
+    first-arrival-wins: an earlier-arriving HIGHER id cannot be
+    retro-dropped by a later lower-id near-dup (its row is already
+    durable); the later arrival is evaluated against everything stored.
+
+    Delivery: at-least-once on retry; ``batch_id`` rides every append so
+    replays are detectable and reversible (delete-by-batch_id), as in
+    the other ingest loops."""
+    from bloomy_etl_spark.functions.vectors import dot, normalize
+    from bloomy_etl_spark.operators.clustering import assign_clusters
+    from bloomy_etl_spark.operators.semdedup import _pairs_from_assigned
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        # referenced by the in-batch pair stage (3×), the history probe,
+        # and the final spine — pin so the k·d argmin runs once
+        assigned = pin(
+            assign_clusters(
+                batch.select(id_col, vec_col), centroids, id_col, vec_col
+            ).select(
+                id_col, normalize(F.col(vec_col)).alias(vec_col), "cluster"
+            ),
+            eager=True,
+        )
+        like = (
+            assigned.limit(0)
+            .withColumn("kept", F.lit(True))
+            .withColumn("batch_id", F.lit(0).cast("long"))
+        )
+        hist = _read_or_empty(spark, store_dir, like)
+        # within-batch lower-id witnesses (cap²-bounded hot clusters)
+        wdrops = _pairs_from_assigned(
+            assigned, threshold, id_col, vec_col, normalized=True
+        ).select(F.col("j").alias("_drop"))
+        # history witnesses: store rows are ALWAYS lower-id under the
+        # monotone contract, but the guard keeps out-of-order arrivals
+        # at first-arrival-wins instead of silently wrong
+        probe = assigned.select(
+            F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bv"),
+            "cluster",
+        )
+        hdrops = (
+            hist.join(F.broadcast(probe), "cluster")
+            .filter(F.col(id_col) < F.col("_bid"))
+            .filter(dot(F.col(vec_col), F.col("_bv")) >= threshold)
+            .select(F.col("_bid").alias("_drop"))
+        )
+        drops = wdrops.union(hdrops).distinct()
+        (
+            assigned.join(
+                drops, assigned[id_col] == drops["_drop"], "left"
+            )
+            .select(
+                id_col, vec_col, "cluster",
+                F.col("_drop").isNull().alias("kept"),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+
+    return (
+        embs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_ivfpq_ingest(
     embs_stream: DataFrame,
     index_dir: str,

@@ -461,3 +461,130 @@ class TestIvfPq:
         assert 0 < scanned < on_disk, (
             f"IVF-PQ search read {scanned}/{on_disk} corpus files"
         )
+
+
+class TestIvfPqRefined:
+    """Two-stage ADC → exact re-rank (``search_ivfpq_refined``): recall
+    A/B against plain ADC at equal nprobe, NumPy agreement of the exact
+    tier, raw-list read scope (pushed id filter + partition pruning),
+    and incremental-add visibility."""
+
+    @pytest.fixture(scope="class")
+    def refined_idx(self, spark, clustered, tmp_path_factory):
+        from bloomy_etl_spark.operators.pq import build_ivfpq_index
+
+        df, _ = clustered
+        idx = str(tmp_path_factory.mktemp("ivfpq_refined") / "idx")
+        build_ivfpq_index(df, idx, m=4, ksub=4, centroid_stride=10,
+                          max_centroids=6, keep_raw=True)
+        return idx
+
+    def test_recall_at_least_plain_adc(self, spark, clustered, refined_idx):
+        """At equal nprobe the refined search must recall ≥ plain ADC —
+        and on this fixture exactly 1.0: the 15-member blob collapses to
+        one code tuple, so ADC alone id-ties inside the blob, while the
+        exact tier re-orders the ≥15-member shortlist correctly."""
+        from bloomy_etl_spark.operators.pq import (
+            search_ivfpq_index,
+            search_ivfpq_refined,
+        )
+
+        df, mat = clustered
+        qids = [3, 17, 33, 48]
+        queries = df.filter(f"vec_id in {tuple(qids)}")
+
+        def exact_top5(qid):
+            d = ((mat - mat[qid]) ** 2).sum(axis=1)
+            return set(np.lexsort((np.arange(len(mat)), d))[:5])
+
+        def recall(hits):
+            by_q = {}
+            for r in hits.collect():
+                by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            return sum(
+                len(by_q[q] & exact_top5(q)) / 5.0 for q in qids
+            ) / len(qids)
+
+        nprobe = 6  # exhaustive coarse stage: the A/B isolates re-rank
+        r_plain = recall(search_ivfpq_index(
+            spark, refined_idx, queries, k=5, nprobe=nprobe))
+        r_ref = recall(search_ivfpq_refined(
+            spark, refined_idx, queries, k=5, nprobe=nprobe, shortlist=20))
+        assert r_ref >= r_plain, f"refined {r_ref} < plain ADC {r_plain}"
+        assert r_ref == 1.0, f"refined recall {r_ref} != 1.0"
+
+    def test_exact_distances_match_numpy(self, spark, clustered,
+                                         refined_idx):
+        from bloomy_etl_spark.operators.pq import search_ivfpq_refined
+
+        df, mat = clustered
+        out = search_ivfpq_refined(
+            spark, refined_idx, df.filter("vec_id in (3, 40)"),
+            k=5, nprobe=6, shortlist=20,
+        ).collect()
+        assert len(out) == 10
+        for r in out:
+            want = float(((mat[r["query_id"]] - mat[r["neighbor_id"]]) ** 2)
+                         .sum())
+            assert math.isclose(r["exact_dist2"], round(want, 6),
+                                abs_tol=1e-6), (r, want)
+        # determinism across runs
+        a = sorted(map(tuple, out))
+        b = sorted(map(tuple, search_ivfpq_refined(
+            spark, refined_idx, df.filter("vec_id in (3, 40)"),
+            k=5, nprobe=6, shortlist=20,
+        ).collect()))
+        assert a == b
+
+    def test_raw_tier_reads_shortlist_not_corpus(self, spark, clustered,
+                                                 refined_idx):
+        """The exact tier must be point lookups: the shortlist id list
+        is PUSHED into the raw-list scan, and at nprobe < n_clusters
+        both tiers are partition-pruned (files read < files on disk)."""
+        import re
+
+        from bloomy_etl_spark.operators.pq import search_ivfpq_refined
+        from bloomy_etl_spark.tools.profile import run_profile
+
+        df, _ = clustered
+        out = search_ivfpq_refined(
+            spark, refined_idx, df.filter("vec_id = 0"),
+            k=3, nprobe=2, shortlist=8,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PushedFilters: \[[^\]]*In\(neighbor_id", plan), (
+            "shortlist id filter not pushed to the raw-list scan"
+        )
+        prof = run_profile(out)
+        scanned = sum(s.get("numFiles", 0) for s in prof["scans"])
+        on_disk = sum(
+            1
+            for sub in ("corpus", "raw")
+            for root, _, files in os.walk(os.path.join(refined_idx, sub))
+            for f in files if f.endswith(".parquet")
+        )
+        assert 0 < scanned < on_disk, (
+            f"refined search read {scanned} files vs {on_disk} in the "
+            "code+raw tiers alone — no pruning evidence"
+        )
+
+    def test_add_appends_raw_lists(self, spark, clustered, tmp_path):
+        """Incremental adds must reach the raw tier too: an added vector
+        is refined-searchable and returns itself at exact rank 1."""
+        from bloomy_etl_spark.operators.pq import (
+            add_to_ivfpq_index,
+            build_ivfpq_index,
+            search_ivfpq_refined,
+        )
+
+        df, _ = clustered
+        idx = str(tmp_path / "addraw")
+        base, extra = df.filter("vec_id % 3 != 2"), df.filter("vec_id % 3 = 2")
+        build_ivfpq_index(base, idx, m=4, ksub=4, centroid_stride=10,
+                          max_centroids=6, keep_raw=True)
+        add_to_ivfpq_index(extra, idx)
+        hit = search_ivfpq_refined(
+            spark, idx, df.filter("vec_id = 5"), k=1, nprobe=6, shortlist=8,
+        ).collect()
+        assert len(hit) == 1
+        assert hit[0]["neighbor_id"] == 5 and hit[0]["exact_dist2"] == 0.0

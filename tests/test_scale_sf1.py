@@ -141,3 +141,76 @@ def test_ivfpq_index_scale(spark, sf1_dir, tmp_path):
     assert 0 < scanned < on_disk, (
         f"IVF-PQ search read {scanned}/{on_disk} corpus files — pruning lost"
     )
+
+
+def test_covariance_reduce_scale(spark, sf1_dir):
+    """The r8 moments/PCA reduce (q105's covariance shares it): shuffle
+    volume is a function of partitions × d², NEVER corpus rows, and the
+    driver-visible row count is the constant 1 + d + d(d+1)/2 at any
+    scale — measured at 10× rows."""
+    from bloomy_etl_spark.operators.linalg import _reduced_frame
+    from bloomy_etl_spark.sources.tables import load_table
+    from bloomy_etl_spark.tools.profile import run_profile
+
+    want_rows = 1 + 64 + 64 * 65 // 2
+
+    def prof(sf_dir):
+        embs = load_table(spark, sf_dir, "embeddings")
+        parts = embs.rdd.getNumPartitions()
+        return run_profile(_reduced_frame(embs, "embedding", 64)), parts
+
+    small, sp = prof(SF01)
+    big, bp = prof(sf1_dir)
+    assert small["spill_bytes"] == 0 and big["spill_bytes"] == 0
+    # driver-visible (= reduce output) rows: corpus-independent constant
+    assert small["output_rows"] == want_rows
+    assert big["output_rows"] == want_rows
+    # shuffle records are one position-exploded partial row set per
+    # input partition — flat PER PARTITION across a 10× corpus (3×
+    # headroom for partial-agg merge rows)
+    per_small = small["shuffle_records_written"] / max(sp, 1)
+    per_big = big["shuffle_records_written"] / max(bp, 1)
+    assert per_big <= per_small * 3, (
+        f"per-partition shuffle grew {per_small:.0f} → {per_big:.0f} "
+        "records — the reduce is scaling with rows, not partitions"
+    )
+
+
+def test_ivfpq_refined_scale(spark, sf1_dir, tmp_path):
+    """q107's two-stage search at sf1: the exact tier must stay a point
+    lookup — shortlist id filter PUSHED into the raw-list scan,
+    partition pruning on both tiers (files read < files on disk across
+    code + raw lists), zero spill, exact top-k out."""
+    import re
+
+    from bloomy_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        search_ivfpq_refined,
+    )
+    from bloomy_etl_spark.tools.profile import run_profile
+
+    emb = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
+    idx_path = str(tmp_path / "ivfpq_refined_sf1")
+    build_ivfpq_index(emb, idx_path, m=4, ksub=16,
+                      centroid_stride=40, max_centroids=256, keep_raw=True)
+    queries = emb.limit(2).select("vec_id", "embedding")
+    res = search_ivfpq_refined(spark, idx_path, queries, k=10, nprobe=4,
+                               shortlist=40)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PushedFilters: \[[^\]]*In\(neighbor_id", plan), (
+        "shortlist id filter not pushed to the raw-list scan at sf1"
+    )
+    prof = run_profile(res)
+    assert prof["output_rows"] == 20
+    assert prof["spill_bytes"] == 0
+    scanned = sum(s.get("numFiles", 0) for s in prof["scans"])
+    on_disk = sum(
+        1
+        for sub in ("corpus", "raw")
+        for root, _, files in os.walk(os.path.join(idx_path, sub))
+        for f in files if f.endswith(".parquet")
+    )
+    assert 0 < scanned < on_disk, (
+        f"refined search read {scanned} files vs {on_disk} on disk in "
+        "the code+raw tiers alone — pruning lost"
+    )

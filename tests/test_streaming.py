@@ -855,3 +855,114 @@ class TestIvfPqIngest:
             for r in spark.read.parquet(f"{idx}/corpus").collect()
         }
         assert stored == set(range(60))
+
+
+class TestSemDeDupIngest:
+    """Streaming SemDeDup against a persisted store
+    (streaming/ingest.py::streaming_semdedup_ingest): with monotone ids
+    across micro-batches, the final store must EQUAL a single batch
+    ``semantic_dedup`` of the union under the same frozen centroids —
+    including the chain semantics where an already-dropped stored row
+    still witness-drops later arrivals."""
+
+    def _blobs(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        centers = rng.uniform(-5, 5, size=(4, 8))
+        # tight blobs -> plenty of near-dups at a high threshold
+        mat = np.concatenate(
+            [c + rng.normal(0, 0.02, size=(12, 8)) for c in centers]
+        )
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+            "vec_id long, embedding array<double>",
+        )
+        return df
+
+    def test_stream_equals_batch_semdedup(self, spark, tmp_path):
+        from bloomy_etl_spark.operators.clustering import kmeans_lloyd
+        from bloomy_etl_spark.operators.semdedup import semantic_dedup
+        from bloomy_etl_spark.streaming.ingest import (
+            streaming_semdedup_ingest,
+        )
+
+        df = self._blobs(spark)
+        cents, _ = kmeans_lloyd(df, k=4, iters=2)
+
+        replay = tmp_path / "replay"
+        replay.mkdir()
+        for bi, (lo, hi) in enumerate([(0, 16), (16, 32), (32, 48)]):
+            df.filter(f"vec_id >= {lo} and vec_id < {hi}").coalesce(
+                1
+            ).write.parquet(str(replay / f"b{bi}"))
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay / "b*"))
+        )
+        store = str(tmp_path / "store")
+        q = streaming_semdedup_ingest(
+            stream, store, checkpoint_dir=str(tmp_path / "ckpt"),
+            centroids=cents, threshold=0.999,
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r["vec_id"], r["cluster"], r["kept"])
+            for r in spark.read.parquet(store)
+            .select("vec_id", "cluster", "kept").collect()
+        }
+        want = {
+            (r["vec_id"], r["cluster"], r["kept"])
+            for r in semantic_dedup(
+                df, threshold=0.999, centroids=cents
+            ).collect()
+        }
+        assert got == want
+        # the blobs are tight enough that the stream actually dropped
+        # something and kept something — the equivalence is non-vacuous
+        kept = {v for v, _, k in got if k}
+        assert 0 < len(kept) < 48
+
+    def test_dropped_row_still_witnesses(self, spark, tmp_path):
+        """Chain a(0)–b(20)–c(40) across three batches where only
+        consecutive ids are near: b drops against a, then c must drop
+        against the ALREADY-DROPPED b (batch chain semantics)."""
+        from bloomy_etl_spark.streaming.ingest import (
+            streaming_semdedup_ingest,
+        )
+
+        # unit vectors at small successive angles: cos(a,b)=cos(b,c)≈.995
+        # but cos(a,c)≈.980 < threshold .99
+        import math as _m
+
+        def at(theta):
+            return [_m.cos(theta), _m.sin(theta)] + [0.0] * 6
+
+        rows = [(0, at(0.0)), (20, at(0.1)), (40, at(0.2))]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        replay = tmp_path / "replay"
+        replay.mkdir()
+        for bi, vid in enumerate([0, 20, 40]):
+            df.filter(f"vec_id = {vid}").coalesce(1).write.parquet(
+                str(replay / f"b{bi}")
+            )
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay / "b*"))
+        )
+        store = str(tmp_path / "store")
+        q = streaming_semdedup_ingest(
+            stream, store, checkpoint_dir=str(tmp_path / "ckpt"),
+            centroids=[at(0.1)], threshold=0.99,
+        )
+        q.awaitTermination(120)
+        kept = {
+            r["vec_id"]: r["kept"]
+            for r in spark.read.parquet(store).collect()
+        }
+        assert kept == {0: True, 20: False, 40: False}
