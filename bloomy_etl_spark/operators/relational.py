@@ -344,15 +344,19 @@ def q15_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # orders is a FACT table (1.5M rows/SF): broadcasting it is wrong at
     # cluster scale and measured no faster than the shuffle join even at
-    # sf0.1 (0.51s vs 0.53s min-of-3) — let the planner shuffle-join on
-    # o_orderkey; only the true dimension (filtered part) broadcasts.
+    # sf0.1 (0.51s vs 0.53s min-of-3) — shuffle-join on o_orderkey; only
+    # the true dimension (filtered part) broadcasts. SHUFFLE_HASH on the
+    # orders side: o_orderkey is UNIQUE, so the per-partition hash build
+    # is rows/shuffle-partitions entries and skips BOTH sort-merge sorts
+    # of the 600k-row lineitem stream (measured 1.6× at sf0.1:
+    # 0.75 s → 0.48 s interleaved min-of-5).
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.year("o_orderdate").cast("int").alias("order_year"),
         F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
             "order_month"
         ),
-    )
+    ).hint("shuffle_hash")
     # MIN over a string: a declarative min(string) forces SortAggregate
     # over the full fact stream (string agg buffers are immutable types,
     # so HashAggregate refuses the whole aggregate). Two-phase instead:
