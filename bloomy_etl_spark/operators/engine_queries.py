@@ -596,7 +596,9 @@ def q88_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q89_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomy_etl_spark.operators.similarity import semantic_decontam
 
-    embs = _t(spark, sf_dir, "embeddings")
+    # fan_out: the per-row folded-cosine evaluation (interpreted
+    # higher-order functions) dominates the 1-partition scan — spread it
+    embs = _t(spark, sf_dir, "embeddings", fan_out=True)
     bench = embs.filter(F.col("vec_id") % 100 == 0)
     corpus = embs.filter(F.col("vec_id") % 100 != 0)
     flagged = semantic_decontam(corpus, bench, 0.25, keep_cols=("label",))
@@ -658,7 +660,8 @@ def q90_user_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q91_centroid_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomy_etl_spark.functions.vectors import dot, norm
 
-    embs = _t(spark, sf_dir, "embeddings")
+    # fan_out: per-row in-row classification cost dominates (see q89)
+    embs = _t(spark, sf_dir, "embeddings", fan_out=True)
     cent = (
         embs.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
