@@ -285,6 +285,33 @@ def q107_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.transform(_psort, "query_id", "rank")
 
 
+def q108_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top eigenvector + Rayleigh eigenvalue of the corpus covariance by
+    3 power-iteration steps over the q105 quantized view — the
+    representation-collapse audit (top-eigenvalue share), and the
+    oracle-replayable counterpart of `pca_fit`'s driver eigh for k=1.
+    Bit-stable: FLOOR-quantized matrix + integer-scaled iterate make
+    every mat-vec exact under any reduction order; the norm folds and
+    re-quantization run index-order in both engines (see
+    `linalg.power_iteration_long`)."""
+    from bloomy_etl_spark.operators.linalg import (
+        covariance_long,
+        power_iteration_long,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = embs.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000).cast("double"),
+        ).alias("embedding")
+    )
+    cov = covariance_long(q, "embedding", dim=64)
+    return power_iteration_long(cov, dim=64, iters=3).transform(
+        _psort, "pos"
+    )
+
+
 ANN_QUERIES = {
     "q101_pq_codes": q101_pq_codes,
     "q102_pq_adc_topk": q102_pq_adc_topk,
@@ -293,6 +320,7 @@ ANN_QUERIES = {
     "q105_embedding_covariance": q105_embedding_covariance,
     "q106_ivfpq_residual_topk": q106_ivfpq_residual_topk,
     "q107_ivfpq_refined_topk": q107_ivfpq_refined_topk,
+    "q108_top_eigenvector": q108_top_eigenvector,
 }
 
 
@@ -643,6 +671,78 @@ ANN_ORACLE_SQL = {
                CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank
+    """,
+    # q108: 3 power-iteration steps over the FLOOR-quantized covariance.
+    # All mat-vec sums are products of integer-valued doubles (exact in
+    # any order); the norm/Rayleigh folds and FLOOR(w/n*1000)
+    # re-quantizations are index-order list folds — the identical IEEE
+    # op sequence linalg.power_iteration_long runs.
+    "q108_top_eigenvector": """
+        WITH q AS (
+            SELECT list_transform(
+                embedding, x -> FLOOR(CAST(x AS DOUBLE) * 1000)
+            ) AS v
+            FROM embeddings
+        ),
+        idx AS (SELECT unnest(generate_series(1, 64)) AS p),
+        pr AS (SELECT a.p AS pi, b.p AS pj FROM idx a JOIN idx b
+               ON a.p <= b.p),
+        sums AS (
+            SELECT pr.pi, pr.pj,
+                   SUM(v[pr.pi] * v[pr.pj]) AS sxx,
+                   SUM(v[pr.pi]) AS si, SUM(v[pr.pj]) AS sj,
+                   COUNT(*) AS n
+            FROM q CROSS JOIN pr
+            GROUP BY pr.pi, pr.pj
+        ),
+        cov AS (
+            SELECT pi - 1 AS i, pj - 1 AS j,
+                   FLOOR(sxx / n - (si / n) * (sj / n)) AS c
+            FROM sums
+        ),
+        cfull AS MATERIALIZED (
+            SELECT i, j, c FROM cov
+            UNION ALL
+            SELECT j AS i, i AS j, c FROM cov WHERE i <> j
+        ),
+        v0 AS (SELECT unnest(generate_series(0, 63)) AS pos, 1000.0 AS v),
+        w1 AS (
+            SELECT cf.i AS pos, SUM(cf.c * v0.v) AS w
+            FROM cfull cf JOIN v0 ON v0.pos = cf.j GROUP BY cf.i
+        ),
+        a1 AS (SELECT list(w ORDER BY pos) AS ws FROM w1),
+        v1 AS (
+            SELECT pos, FLOOR(w / (SELECT sqrt(list_sum(
+                       list_transform(ws, x -> x * x))) FROM a1) * 1000) AS v
+            FROM w1
+        ),
+        w2 AS (
+            SELECT cf.i AS pos, SUM(cf.c * v1.v) AS w
+            FROM cfull cf JOIN v1 ON v1.pos = cf.j GROUP BY cf.i
+        ),
+        a2 AS (SELECT list(w ORDER BY pos) AS ws FROM w2),
+        v2 AS (
+            SELECT pos, FLOOR(w / (SELECT sqrt(list_sum(
+                       list_transform(ws, x -> x * x))) FROM a2) * 1000) AS v
+            FROM w2
+        ),
+        w3 AS (
+            SELECT cf.i AS pos, SUM(cf.c * v2.v) AS w
+            FROM cfull cf JOIN v2 ON v2.pos = cf.j GROUP BY cf.i
+        ),
+        a3 AS (SELECT list(w ORDER BY pos) AS ws FROM w3),
+        vs2 AS (SELECT list(v ORDER BY pos) AS vs FROM v2)
+        SELECT w3.pos AS pos,
+               CAST(FLOOR(w3.w / (SELECT sqrt(list_sum(
+                   list_transform(ws, x -> x * x))) FROM a3) * 1000)
+                   AS BIGINT) AS v,
+               ROUND(
+                   (SELECT list_sum(list_transform(
+                        list_zip(a3.ws, vs2.vs), x -> x[1] * x[2]))
+                    FROM a3, vs2)
+                   / (SELECT list_sum(list_transform(vs, x -> x * x))
+                      FROM vs2), 6) AS lam
+        FROM w3 ORDER BY pos
     """,
     # q105: covariance over the FLOOR(x*1000) quantized view — all sums
     # are integer-valued doubles (exact in any order), the final

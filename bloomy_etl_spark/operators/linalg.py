@@ -183,6 +183,112 @@ def covariance_long(embs: DataFrame, vec_col: str = "embedding",
     )
 
 
+def power_iteration_long(cov_long: DataFrame, dim: int, iters: int = 3,
+                         scale: int = 1000) -> DataFrame:
+    """Top eigenvector of a covariance given in LONG upper-triangle form
+    (``(i, j, cov)``, the :func:`covariance_long` output) by ``iters``
+    power-iteration steps — the distributed, ORACLE-REPLAYABLE
+    counterpart of ``pca_fit``'s driver ``eigh`` for the k=1 case (the
+    anisotropy / representation-collapse audit: top-eigenvalue share).
+
+    Bit-stable across engines by construction:
+
+    * the matrix is FLOOR-quantized once (integer-valued doubles), and
+      the iterate ``v`` is kept integer-scaled (``·scale``), so every
+      mat-vec product and sum is EXACT under IEEE in any order —
+      group-by reduction order cannot matter;
+    * the only inexact steps (norm fold, the ``w/‖w‖·scale``
+      re-quantization, the final Rayleigh quotient) run as INDEX-ORDER
+      sequential folds over ≤``dim`` values — the identical IEEE op
+      sequence in the driver loop, the in-plan final step, and the
+      DuckDB ``list_sum(list_transform(...))`` replay.
+
+    Shape: iterations 1..iters−1 are driver-synchronized mat-vec jobs
+    (the k-means pattern — driver state is the 64-int iterate, the
+    matrix stays distributed and pinned); the FINAL step runs inside the
+    returned plan (mat-vec, in-plan norm fold, re-quantize, Rayleigh
+    quotient), so the timed query executes real distributed work.
+    Returns ``(pos, v, lam)``: the scaled-integer eigenvector estimate
+    and the (constant) 6-dp Rayleigh eigenvalue estimate.
+    """
+    from bloomy_etl_spark.session import pin
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    # full matrix from the upper triangle, floor-quantized to integers
+    tri = cov_long.select("i", "j", F.floor("cov").alias("c"))
+    full = pin(
+        tri.unionByName(
+            tri.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "c"
+            )
+        ),
+        eager=False,
+    )
+
+    def matvec_df(v_int: list[int]) -> DataFrame:
+        vlit = F.array(*[F.lit(float(x)) for x in v_int])
+        return (
+            full.withColumn(
+                "t", F.col("c") * F.element_at(vlit, F.col("j") + 1)
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("w"))
+        )
+
+    v = [float(scale)] * dim  # deterministic all-equal start
+    for _ in range(iters - 1):
+        rows = matvec_df([int(x) for x in v]).collect()
+        w = [0.0] * dim
+        for r in rows:
+            w[r["i"]] = r["w"]
+        acc = 0.0
+        for x in w:  # index-order fold, the exact op sequence SQL replays
+            acc += x * x
+        if acc == 0.0:
+            raise ValueError("power iteration collapsed to the zero vector")
+        nrm = acc ** 0.5
+        v = [float(int(np.floor(x / nrm * scale))) for x in w]
+    # final step in-plan: mat-vec -> one-row w array (pos-sorted) ->
+    # index-order norm fold -> re-quantize -> Rayleigh quotient
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    warr = matvec_df([int(x) for x in v]).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "w"))),
+            lambda s: s["w"],
+        ).alias("ws")
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("ws", lambda x: x * x),
+            F.lit(0.0), lambda a, b: a + b,
+        )
+    )
+    num = F.aggregate(
+        F.zip_with("ws", vlit, lambda w, vv: w * vv),
+        F.lit(0.0), lambda a, b: a + b,
+    )
+    den = F.aggregate(
+        F.transform(vlit, lambda x: x * x),
+        F.lit(0.0), lambda a, b: a + b,
+    )
+    return (
+        warr.select(
+            F.posexplode("ws").alias("pos", "w"),
+            nrm.alias("_n"),
+            # Rayleigh quotient vᵀ(Cv)/(vᵀv), rescaled by 1/scale² ...
+            # the C quantization already scaled variances by 1000², so
+            # report in the quantized view's units like q105's cov
+            F.round(num / den, 6).alias("lam"),
+        )
+        .select(
+            "pos",
+            F.floor(F.col("w") / F.col("_n") * scale).cast("long").alias("v"),
+            "lam",
+        )
+    )
+
+
 def pca_fit(embs: DataFrame, k: int, vec_col: str = "embedding"):
     """Top-k principal components of the embedding corpus.
 
