@@ -1,6 +1,9 @@
-"""Oracle-checked queries for the ANN-compression surface (q101–q104):
-product quantization (operators/pq.py), SemDeDup (operators/semdedup.py)
-and the composed IVF-PQ index.
+"""Oracle-checked queries for the ANN-compression surface (q101+):
+product quantization (operators/pq.py), SemDeDup (operators/semdedup.py),
+the composed IVF-PQ index (raw/residual/refined), distributed covariance
+and power iteration (operators/linalg.py), and the lightweight
+quantization tiers — SQ8 int8 codes (q109), binary sign/Hamming (q110),
+and Johnson–Lindenstrauss ±1 projection (q111).
 
 Everything here is deterministic BY CONSTRUCTION — no-RNG smallest-id
 k-means init, 6-dp quantized centroid means, low-index tie-breaks,
@@ -31,7 +34,7 @@ import hashlib
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bloomy_etl_spark.operators.clustering import kmeans_lloyd
@@ -312,6 +315,194 @@ def q108_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _int_dot(a, b):
+    """Exact integer dot product of two int-code arrays (long fold —
+    integer sums are order-independent, so the score replays
+    bit-identically in DuckDB with no quantize-for-replay tricks)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def q109_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) cosine search: every vector becomes
+    per-vector symmetric int8 codes (scale = max|x|/127 — the
+    `functions.vectors.quantize_i8` layout q52 audits), and search runs
+    ENTIRELY on the codes: cosine(qa, qb) = Σqa·qb / √(Σqa²·Σqb²) — the
+    per-vector scales cancel, so the score is a ratio of exact integer
+    sums and one IEEE sqrt+divide, bit-identical in any engine and any
+    reduction order. Every 100th vector queries; top-5 per query, ties
+    to the lower id.
+
+    Scale: int8 codes are the 4×-smaller scan (1 byte/dim vs float32);
+    the integer fold stays inside whole-stage codegen; queries
+    broadcast; one corpus scan serves the whole query batch."""
+    from bloomy_etl_spark.functions import vectors as V
+
+    embs = _embs(spark, sf_dir)
+    scale = V.quantize_scale(F.col("embedding"))
+    base = embs.select(
+        "vec_id", V.quantize_i8(F.col("embedding"), scale).alias("q")
+    )
+    corpus = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"),
+        _int_dot(F.col("q"), F.col("q")).alias("nn2"),
+    )
+    queries = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"),
+        _int_dot(F.col("q"), F.col("q")).alias("qn2"),
+    )
+    cand = corpus.join(F.broadcast(queries), F.lit(True))
+    sim = _int_dot(F.col("qq"), F.col("nq")).cast("double") / F.sqrt(
+        (F.col("qn2") * F.col("nn2")).cast("double")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("sq_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("sq_cos", sim)
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id",
+                F.round("sq_cos", 6).alias("sq_cos"), "rank")
+        .transform(_psort, "query_id", "rank")
+    )
+
+
+# 32 bit weights for sign-packing (shared literal so Spark and the
+# oracle pack identically; two 32-dim words per 64-dim vector keep every
+# value well under 2^63 in both engines)
+_POW2_32 = [1 << p for p in range(32)]
+
+
+def _sign_word(v, lo: int):
+    """Pack components lo..lo+31 (1-based lo) into a 32-bit word: bit p
+    set iff component > 0 — exact integer arithmetic end-to-end."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(v, lo, 32),
+            F.lit(_POW2_32),
+            lambda x, w: F.when(x > 0, w.cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + b,
+    )
+
+
+def q110_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit) sign quantization search: every 64-dim vector
+    becomes TWO 32-bit words (bit = component > 0) and search ranks by
+    Hamming distance — ``bit_count(xor)`` on packed words, the 32×
+    compression tier below SQ8/PQ (the binary-embedding trick of
+    RaBitQ / Cohere int1). Exact integers end-to-end, so the gate needs
+    no quantize-for-replay step. Every 100th vector queries; top-5 per
+    query, ties to the lower id.
+
+    Scale: 8 bytes/vector scanned instead of 256; xor+popcount stays in
+    whole-stage codegen; queries broadcast; one corpus scan per batch."""
+    embs = _embs(spark, sf_dir)
+    packed = embs.select(
+        "vec_id",
+        _sign_word(F.col("embedding"), 1).alias("w0"),
+        _sign_word(F.col("embedding"), 33).alias("w1"),
+    )
+    corpus = packed.select(
+        F.col("vec_id").alias("neighbor_id"), "w0", "w1"
+    )
+    queries = packed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("u0"), F.col("w1").alias("u1"),
+    )
+    ham = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("u0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("u1")))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        corpus.join(F.broadcast(queries), F.lit(True))
+        .withColumn("hamming", ham.cast("int"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+        .transform(_psort, "query_id", "rank")
+    )
+
+
+# JL projection geometry: 64 dims -> 16, Rademacher ±1 entries derived
+# from the engine-portable md5 hash (functions/text.md5_int) so the
+# oracle regenerates the identical matrix in SQL
+JL_DIM, JL_IN = 16, 64
+
+
+def _jl_matrix() -> list[list[int]]:
+    """±1 column vectors of the projection: r[j][i] = −1 if
+    md5_int('jl:i:j') is even else +1 — data-independent, so building
+    it driver-side is O(d·t) hashing, not a data pass."""
+    import hashlib as _h
+
+    def sign(i: int, j: int) -> int:
+        h = int(_h.md5(f"jl:{i}:{j}".encode()).hexdigest()[:8], 16)
+        return -1 if h % 2 == 0 else 1
+
+    return [[sign(i, j) for i in range(JL_IN)] for j in range(JL_DIM)]
+
+
+def q111_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality-reduction search: project
+    64-dim embeddings to 16 dims through a deterministic Rademacher ±1
+    matrix (Achlioptas 2003 — hash-derived entries, no RNG state), then
+    brute-force cosine top-5 in the REDUCED space. Each projected
+    component is one index-order fold of ±x — the identical IEEE op
+    sequence DuckDB's list_sum runs, so the gate replays bit-exactly.
+    Every 100th vector queries; ties to the lower id.
+
+    Scale: projection is a 4× working-set reduction computed inside the
+    scan (no shuffle, no Python); the d·t multiply is embarrassingly
+    parallel and the search then costs t=16 multiplies per candidate."""
+    mat = _jl_matrix()
+    embs = _embs(spark, sf_dir)
+    proj = embs.select(
+        "vec_id",
+        F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), F.lit(mat[j]),
+                    lambda x, r: x.cast("double") * r.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for j in range(JL_DIM)
+        ]).alias("pv"),
+    )
+    corpus = proj.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("pv").alias("nv")
+    )
+    queries = proj.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("pv").alias("qv")
+    )
+    from bloomy_etl_spark.functions import vectors as V
+
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("jl_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        corpus.join(F.broadcast(queries), F.lit(True))
+        .withColumn("jl_cos", V.cosine(F.col("qv"), F.col("nv")))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id",
+                F.round("jl_cos", 6).alias("jl_cos"), "rank")
+        .transform(_psort, "query_id", "rank")
+    )
+
+
 ANN_QUERIES = {
     "q101_pq_codes": q101_pq_codes,
     "q102_pq_adc_topk": q102_pq_adc_topk,
@@ -321,6 +512,9 @@ ANN_QUERIES = {
     "q106_ivfpq_residual_topk": q106_ivfpq_residual_topk,
     "q107_ivfpq_refined_topk": q107_ivfpq_refined_topk,
     "q108_top_eigenvector": q108_top_eigenvector,
+    "q109_sq8_topk": q109_sq8_topk,
+    "q110_binary_hamming_topk": q110_binary_hamming_topk,
+    "q111_jl_projection_topk": q111_jl_projection_topk,
 }
 
 
@@ -769,5 +963,123 @@ ANN_ORACLE_SQL = {
         SELECT CAST(pi - 1 AS INT) AS i, CAST(pj - 1 AS INT) AS j,
                ROUND(sxx / n - (si / n) * (sj / n), 6) AS cov
         FROM sums ORDER BY i, j
+    """,
+    # q109: SQ8 search — codes via round(x/scale) (both engines round
+    # half away from zero), then the score is a ratio of EXACT integer
+    # sums: scales cancel in the cosine, so no quantize-for-replay step
+    # is needed anywhere.
+    "q109_sq8_topk": """
+        WITH sc AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+            FROM embeddings
+        ),
+        base AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> round(CAST(x AS DOUBLE) / s)) AS q
+            FROM sc
+        ),
+        n2 AS (
+            SELECT vec_id, q,
+                   list_sum(list_transform(q, x -> x * x)) AS nrm2
+            FROM base
+        ),
+        qs AS (SELECT vec_id AS query_id, q AS qq, nrm2 AS qn2
+               FROM n2 WHERE vec_id % 100 = 0),
+        scored AS (
+            SELECT qs.query_id, c.vec_id AS neighbor_id,
+                   list_sum(list_transform(list_zip(qs.qq, c.q),
+                       x -> x[1] * x[2]))
+                   / sqrt(qs.qn2 * c.nrm2) AS sq_cos
+            FROM qs CROSS JOIN n2 c
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, sq_cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sq_cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, ROUND(sq_cos, 6) AS sq_cos,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+    # q110: sign packing with the same 2^p weight list (two 32-bit
+    # words), Hamming = bit_count(xor) summed — exact integers only.
+    "q110_binary_hamming_topk": f"""
+        WITH pw AS (SELECT {_POW2_32} AS ws),
+        packed AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(
+                       list_zip(embedding[1:32], pw.ws),
+                       x -> CASE WHEN x[1] > 0 THEN x[2] ELSE 0 END))
+                       AS BIGINT) AS w0,
+                   CAST(list_sum(list_transform(
+                       list_zip(embedding[33:64], pw.ws),
+                       x -> CASE WHEN x[1] > 0 THEN x[2] ELSE 0 END))
+                       AS BIGINT) AS w1
+            FROM embeddings, pw
+        ),
+        qs AS (SELECT vec_id AS query_id, w0 AS u0, w1 AS u1
+               FROM packed WHERE vec_id % 100 = 0),
+        scored AS (
+            SELECT qs.query_id, c.vec_id AS neighbor_id,
+                   bit_count(xor(c.w0, qs.u0))
+                   + bit_count(xor(c.w1, qs.u1)) AS hamming
+            FROM qs CROSS JOIN packed c
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY hamming ASC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(hamming AS INT) AS hamming,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+    # q111: the ±1 matrix regenerates from the same md5 parity; each
+    # projected component is an index-order list fold (identical IEEE
+    # op sequence to the Spark aggregate), then plain cosine top-5.
+    "q111_jl_projection_topk": f"""
+        WITH idx AS (SELECT unnest(generate_series(0, {JL_IN - 1})) AS i),
+        jdx AS (SELECT unnest(generate_series(0, {JL_DIM - 1})) AS j),
+        r AS (
+            SELECT j, list(
+                CASE WHEN ('0x' || substr(
+                         md5('jl:' || i || ':' || j), 1, 8))::BIGINT
+                         % 2 = 0
+                     THEN -1.0 ELSE 1.0 END ORDER BY i) AS rv
+            FROM idx CROSS JOIN jdx GROUP BY j
+        ),
+        proj AS MATERIALIZED (
+            SELECT vec_id, list(y ORDER BY j) AS pv FROM (
+                SELECT e.vec_id, r.j,
+                       list_sum(list_transform(
+                           list_zip(e.embedding, r.rv),
+                           x -> CAST(x[1] AS DOUBLE) * x[2])) AS y
+                FROM embeddings e CROSS JOIN r)
+            GROUP BY vec_id
+        ),
+        qs AS (SELECT vec_id AS query_id, pv AS qv
+               FROM proj WHERE vec_id % 100 = 0),
+        scored AS (
+            SELECT qs.query_id, c.vec_id AS neighbor_id,
+                   {_COS.format(a="qs.qv", b="c.pv")} AS jl_cos
+            FROM qs CROSS JOIN proj c
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, jl_cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY jl_cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, ROUND(jl_cos, 6) AS jl_cos,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
     """,
 }

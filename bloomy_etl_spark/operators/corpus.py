@@ -864,3 +864,68 @@ def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20,
         .orderBy(F.desc("n"), F.asc("gram"))
         .limit(k)
     )
+
+
+def cooccurrence_lift(docs: DataFrame, vocab_size: int = 64, top: int = 20,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Token co-occurrence association mining: lift =
+    ``P(a,b) / (P(a)·P(b))`` over document-level presence, for pairs of
+    the ``vocab_size`` most-document-frequent tokens — the phrase /
+    topic-affinity signal (collocation mining without the PMI log,
+    keeping the score a ratio of exact integer counts so it replays
+    bit-identically: ``n_ab·N / (n_a·n_b)`` is exact int64 products and
+    ONE IEEE division).
+
+    Returns the ``top`` pairs by lift (ties by pair text):
+    ``(t1, t2, n_ab, lift)`` with t1 < t2.
+
+    Scale: the vocabulary is one hash-agg + TakeOrdered(vocab_size) —
+    a bounded driver artifact like k-means centroids — then pair
+    generation is ARRAY-LOCAL inside the scan (sorted per-doc vocab
+    intersection → in-row combinations), so per-doc work is capped at
+    vocab_size²/2 and the only shuffle is the final pair-count hash-agg
+    over ≤ vocab_size²/2 keys. No self-join of an exploded corpus, no
+    shuffle proportional to corpus tokens."""
+    uniq = docs.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(T.tokens(F.col(text_col))).alias("ts"),
+    )
+    n_docs = docs.count()  # one driver scalar, like pagerank's |V|
+    dfreq = (
+        uniq.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(vocab_size)
+    )
+    vocab = dfreq.collect()  # bounded: vocab_size rows
+    vlist = [r["tok"] for r in vocab]
+    dmap = F.create_map(
+        *[F.lit(x) for r in vocab for x in (r["tok"], int(r["df"]))]
+    )
+    vs = F.array_sort(F.array_intersect(F.col("ts"), F.lit(vlist)))
+    # in-row ordered pairs of the sorted per-doc vocab tokens
+    pairs = F.flatten(
+        F.transform(
+            vs,
+            lambda x, i: F.transform(
+                F.slice(vs, i + 2, F.size(vs)),
+                lambda y: F.struct(x.alias("t1"), y.alias("t2")),
+            ),
+        )
+    )
+    co = (
+        uniq.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    lift = (F.col("n_ab") * F.lit(n_docs)).cast("double") / (
+        dmap[F.col("t1")].cast("long") * dmap[F.col("t2")].cast("long")
+    ).cast("double")
+    return (
+        co.withColumn("lift", F.round(lift, 6))
+        .orderBy(F.desc("lift"), F.asc("t1"), F.asc("t2"))
+        .limit(top)
+    )

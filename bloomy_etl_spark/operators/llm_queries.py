@@ -772,6 +772,15 @@ def q69_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.distribution_drift(ref, new, "lang").transform(_psort, "lang")
 
 
+def q112_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (corpus.cooccurrence_lift): top-20 pairs of
+    the 64 most-document-frequent tokens by lift = n_ab·N/(n_a·n_b) —
+    exact integer counts, one IEEE division, in-row pair generation
+    (per-doc work capped at vocab²/2, no exploded self-join)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return C.cooccurrence_lift(docs, vocab_size=64, top=20)
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -819,6 +828,7 @@ LLM_QUERIES = {
     "q67_dedup_kept_corpus": q67_dedup_kept_corpus,
     "q68_tfidf_relevance": q68_tfidf_relevance,
     "q69_corpus_drift": q69_corpus_drift,
+    "q112_cooccurrence_lift": q112_cooccurrence_lift,
 }
 
 
@@ -2007,4 +2017,44 @@ LLM_ORACLE_SQL["q69_corpus_drift"] = r"""
            END AS chi2_contrib,
            ref_n = 0 AS is_new
     FROM j CROSS JOIN t ORDER BY lang
+"""
+
+# q112: lift over exact integer counts (n_ab·N and n_a·n_b are exact
+# int64 products; the score is ONE IEEE division, then both engines
+# order by the 6-dp rounded value with pair-text tie-breaks).
+LLM_ORACLE_SQL["q112_cooccurrence_lift"] = r"""
+    WITH uniq AS (
+        SELECT doc_id,
+               list_distinct(string_split_regex(text, '\s+')) AS ts
+        FROM documents
+    ),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    ex AS (SELECT doc_id, unnest(ts) AS tok FROM uniq),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM ex GROUP BY tok),
+    vocab AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT 64),
+    vl AS (SELECT list(tok) AS vlist FROM vocab),
+    docv AS (
+        SELECT list_sort(list_intersect(ts, vl.vlist)) AS vs
+        FROM uniq CROSS JOIN vl
+    ),
+    pairs AS (
+        SELECT p.t1 AS t1, p.t2 AS t2 FROM (
+            SELECT unnest(flatten(
+                [[{t1: vs[i], t2: vs[j]}
+                  for j in range(i + 1, len(vs) + 1)]
+                 for i in range(1, len(vs) + 1)])) AS p
+            FROM docv)
+    ),
+    co AS (SELECT t1, t2, COUNT(*) AS n_ab FROM pairs GROUP BY t1, t2),
+    scored AS (
+        SELECT co.t1, co.t2, co.n_ab,
+               ROUND(CAST(co.n_ab * nd.n AS DOUBLE)
+                     / CAST(a.df * b.df AS DOUBLE), 6) AS lift
+        FROM co
+        JOIN vocab a ON a.tok = co.t1
+        JOIN vocab b ON b.tok = co.t2
+        CROSS JOIN nd
+    )
+    SELECT t1, t2, n_ab, lift
+    FROM scored ORDER BY lift DESC, t1, t2 LIMIT 20
 """
