@@ -1,0 +1,158 @@
+"""Unit tests for the r8 quantization-tier ANN queries (q109–q111) and
+co-occurrence lift mining (q112) — semantics the generic oracle
+comparison can't state: self-match ranks, recall floors, and the
+in-row-pairs shuffle shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.operators.ann_queries import ANN_QUERIES
+from bloomy_etl_spark.operators.corpus import cooccurrence_lift
+from bloomy_etl_spark.sources.tables import load_table
+
+from tests.conftest import SF_ORACLE
+
+
+def _top1(df):
+    return {
+        r["query_id"]: r["neighbor_id"]
+        for r in df.filter(F.col("rank") == 1).collect()
+    }
+
+
+class TestQuantTierSelfMatch:
+    """Every tier's similarity is maximal (distance minimal) at the
+    query itself, and rank-1 ties break to the lower id — so each
+    query's top-1 must be a vector whose codes equal the query's own
+    (usually itself)."""
+
+    def test_sq8_self_rank1_score(self, spark):
+        out = ANN_QUERIES["q109_sq8_topk"](spark, SF_ORACLE).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], {})[r["neighbor_id"]] = r
+        for q, rows in by_q.items():
+            assert q in rows, f"query {q} missing from its own top-5"
+            # cosine of identical codes is exactly 1 after rounding
+            assert rows[q]["sq_cos"] == 1.0
+
+    def test_hamming_self_distance_zero(self, spark):
+        out = ANN_QUERIES["q110_binary_hamming_topk"](spark, SF_ORACLE)
+        rows = out.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], {})[r["neighbor_id"]] = r
+        for q, nbrs in by_q.items():
+            assert q in nbrs and nbrs[q]["hamming"] == 0
+            # rank 1 is the LOWEST-id zero-distance neighbor
+            r1 = min(
+                (r for r in nbrs.values() if r["rank"] == 1),
+                key=lambda r: r["neighbor_id"],
+            )
+            assert r1["hamming"] == 0
+
+    def test_jl_self_rank(self, spark):
+        out = ANN_QUERIES["q111_jl_projection_topk"](spark, SF_ORACLE)
+        top = _top1(out)
+        for q, n in top.items():
+            assert n == q, f"JL projection lost self-similarity for {q}"
+
+
+class TestQuantTierRecall:
+    """The tiers must carry signal: against exact-cosine top-5 (ground
+    truth), each query's approximate top-5 overlaps in at least 1 of 5
+    — a floor, not a benchmark (the fixture corpus is tiny)."""
+
+    def _exact_top5(self, spark):
+        from bloomy_etl_spark.functions import vectors as V
+
+        embs = load_table(spark, SF_ORACLE, "embeddings")
+        q = embs.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        c = embs.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+        )
+        from pyspark.sql import Window
+
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        out = (
+            c.join(F.broadcast(q), F.lit(True))
+            .withColumn("cos", V.cosine(F.col("qv"), F.col("nv")))
+            .withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= 5)
+        )
+        truth = {}
+        for r in out.collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return truth
+
+    def test_overlap_floor(self, spark):
+        truth = self._exact_top5(spark)
+        for name in ("q109_sq8_topk", "q110_binary_hamming_topk",
+                     "q111_jl_projection_topk"):
+            got = {}
+            for r in ANN_QUERIES[name](spark, SF_ORACLE).collect():
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            assert got.keys() == truth.keys()
+            for q in truth:
+                overlap = len(truth[q] & got[q])
+                assert overlap >= 1, (name, q, truth[q], got[q])
+
+    def test_sq8_is_near_exact(self, spark):
+        """Int8 over 64 dims loses almost nothing — SQ8 top-5 should
+        essentially reproduce the exact top-5 (≥4/5 per query)."""
+        truth = self._exact_top5(spark)
+        got = {}
+        for r in ANN_QUERIES["q109_sq8_topk"](spark, SF_ORACLE).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for q in truth:
+            assert len(truth[q] & got[q]) >= 4, (q, truth[q], got[q])
+
+
+class TestCooccurrenceShape:
+    def test_pairs_are_ordered_and_bounded(self, spark):
+        docs = load_table(spark, SF_ORACLE, "documents")
+        out = cooccurrence_lift(docs, vocab_size=16, top=50).collect()
+        assert 0 < len(out) <= 50
+        for r in out:
+            assert r["t1"] < r["t2"]
+            assert r["n_ab"] >= 1 and r["lift"] > 0
+
+    def test_no_corpus_token_shuffle(self, spark):
+        """Pair generation is in-row: the pair-count exchange carries
+        pair-group partials (≤ vocab²/2 keys per task), never the
+        exploded token stream. Bound: with vocab=16 there are ≤ 120
+        distinct pairs, so shuffle records ≤ 120 · tasks — far below
+        the corpus token count (~37k tokens at sf0.01)."""
+        from bloomy_etl_spark.tools.profile import run_profile
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        prof = run_profile(cooccurrence_lift(docs, vocab_size=16, top=50))
+        parallelism = spark.sparkContext.defaultParallelism
+        assert prof["spill_bytes"] == 0
+        assert prof["shuffle_records_written"] <= 120 * (parallelism + 2), (
+            prof["shuffle_records_written"]
+        )
+
+    def test_lift_identity_on_constructed_corpus(self, spark):
+        """Hand corpus: 'a b' always together (lift = N/n_a·n_b · n_ab
+        maximal), 'a c' never — c pairs only with its own partner."""
+        rows = [(i, "a b filler%d" % (i % 3)) for i in range(8)]
+        rows += [(100 + i, "c d") for i in range(4)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            (r["t1"], r["t2"]): r
+            for r in cooccurrence_lift(docs, vocab_size=10, top=100).collect()
+        }
+        n = 12
+        ab = out[("a", "b")]
+        assert ab["n_ab"] == 8
+        assert ab["lift"] == round(8 * n / (8 * 8), 6)
+        cd = out[("c", "d")]
+        assert cd["n_ab"] == 4
+        assert cd["lift"] == round(4 * n / (4 * 4), 6)
+        assert ("a", "c") not in out
