@@ -114,6 +114,13 @@ def scale_cases():
         "q67_dedup_kept_corpus",
         "q41_ivf_ann_topk",
         "q104_ivfpq_topk",
+        # r8 quantization tiers: brute-force over compressed codes —
+        # shuffle must stay O(corpus) (broadcast queries, no pair blowup)
+        "q109_sq8_topk",
+        "q110_binary_hamming_topk",
+        "q111_jl_projection_topk",
+        # r8 co-occurrence mining: in-row pairs, vocab²-bounded exchange
+        "q112_cooccurrence_lift",
     ]
     cases = [(n, entry.ALL_QUERIES[n]) for n in names if n in entry.ALL_QUERIES]
     # SemDeDup's scale contract holds under its PRESCRIBED sizing
