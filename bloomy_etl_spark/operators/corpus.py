@@ -435,6 +435,36 @@ def tfidf_score(docs: DataFrame, terms: list[str], text_col: str = "text",
         ))
         for t in tset
     }
+    if len(tset) <= 16:
+        # In-row fast path: with a bounded seed set the whole score is
+        # a per-row expression over the token array — tf(t) =
+        # size(filter(ws, = t)) — so the scored corpus needs ZERO
+        # shuffles (the explode path below costs two hash-agg exchanges
+        # per run). Same integers, same gate.
+        tokd = docs.select(
+            F.col(id_col), T.tokens(F.col(text_col)).alias("__ws")
+        )
+        def _tf(term: str):  # single-arg lambda: F.filter treats a
+            # 2-arg callable as (element, index)
+            return F.size(F.filter(F.col("__ws"), lambda x: x == term))
+
+        tfs = {t: _tf(t) for t in tset}
+        score = sum(
+            (tfs[t].cast("long") * F.lit(idf_scaled[t]) for t in tset),
+            F.lit(0).cast("long"),
+        )
+        n_hits = sum(
+            ((tfs[t] > 0).cast("long") for t in tset),
+            F.lit(0).cast("long"),
+        )
+        return (
+            tokd.select(
+                F.col(id_col),
+                score.alias("score_scaled"),
+                n_hits.alias("n_hits"),
+            )
+            .filter(F.col("n_hits") > 0)
+        )
     spark = docs.sparkSession
     idf_df = spark.createDataFrame(
         [(t, idf_scaled[t]) for t in tset], "w string, idf_scaled long"
