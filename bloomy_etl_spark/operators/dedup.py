@@ -25,7 +25,7 @@ builds shingle strings or shuffles them.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bloomy_etl_spark.session import pin
@@ -228,6 +228,106 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     )
     return (
         inter.withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_i") + F.col("n_j") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
+def prefix_jaccard_join(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        cap: int = BUCKET_PAIR_CAP) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo et al., WWW'07): lossless, unlike
+    :func:`ngram_jaccard_pairs`'s stop-shingle cap, which trades missed
+    pairs for bounded postings.
+
+    The filter: order every doc's shingle set by one GLOBAL total order
+    (df asc, shingle asc — rarest first, the canonical choice); two sets
+    with Jaccard ≥ t MUST share an element inside each one's first
+    ``|S| − ⌈t·|S|⌉ + 1`` elements, so only those PREFIX tokens enter
+    the inverted index. At t=0.8 that is ~20% of the postings volume,
+    and the guarantee holds under ANY shared total order — the
+    fingerprint order used here and the oracle's string order generate
+    different candidate sets but the identical verified output.
+
+    Phases (all bounded):
+      1. one fingerprint pass (shared with ngram_jaccard_pairs);
+      2. df counts: one hash-agg keyed by shingle;
+      3. prefix selection: one row_number window keyed by doc;
+      4. candidates: prefix postings → skew-safe ``bucket_pairs`` →
+         distinct pairs, pruned by the length condition
+         ``min(n_i,n_j) ≥ t·max(n_i,n_j)`` (necessary for J ≥ t);
+      5. verify: candidates join the per-doc shingle arrays (point
+         lookups by doc id) and exact ``|A∩B|`` comes from one in-row
+         ``array_intersect`` — pair work is O(candidates), never
+         O(all shared-token pairs).
+    """
+    from bloomy_etl_spark.session import pin
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    id_field = docs.schema[id_col]
+    idx = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(
+        _span_fingerprint_batches(n, with_counts=True),
+        StructType([
+            StructField("doc_id", id_field.dataType),
+            StructField("n_sh", IntegerType()),
+            StructField("span", LongType()),
+        ]),
+    ).withColumnRenamed("span", "shingle")
+    idx = pin(idx, eager=False)  # three consumers: df, prefix, verify
+
+    dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    plen = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    prefix = (
+        idx.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= plen)
+    )
+    postings = (
+        prefix.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("doc_id"), F.col("n_sh")))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
+    cand = (
+        bucket_pairs(postings, cap=cap)
+        .select(
+            F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"),
+            F.col("a.n_sh").alias("n_i"), F.col("b.n_sh").alias("n_j"),
+        )
+        .filter(
+            F.least("n_i", "n_j").cast("double")
+            >= F.lit(threshold) * F.greatest("n_i", "n_j")
+        )
+        .distinct()
+    )
+    sets = idx.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("shingle")).alias("sh")
+    )
+    return (
+        cand.join(
+            sets.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_i")),
+            "i",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_j")),
+            "j",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("sh_i", "sh_j")))
+        .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_i") + F.col("n_j") - F.col("n_inter")),
         )

@@ -772,6 +772,20 @@ def q69_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.distribution_drift(ref, new, "lang").transform(_psort, "lang")
 
 
+def q113_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join at threshold 0.7 via prefix
+    filtering (dedup.prefix_jaccard_join — AllPairs/PPJoin): only each
+    doc's rarest ``⌊0.3·|S|⌋+1`` shingles enter the inverted index, yet
+    the verified output is every pair with true Jaccard ≥ 0.7 — the
+    lossless complement of q31's capped inverted index. The oracle is
+    the brute-force shared-shingle join (exactness IS the gate)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = D.prefix_jaccard_join(docs, threshold=0.7)
+    return pairs.select(
+        "i", "j", F.round("jaccard", 4).alias("jaccard")
+    ).transform(_psort, "i", "j")
+
+
 def q112_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining (corpus.cooccurrence_lift): top-20 pairs of
     the 64 most-document-frequent tokens by lift = n_ab·N/(n_a·n_b) —
@@ -829,6 +843,7 @@ LLM_QUERIES = {
     "q68_tfidf_relevance": q68_tfidf_relevance,
     "q69_corpus_drift": q69_corpus_drift,
     "q112_cooccurrence_lift": q112_cooccurrence_lift,
+    "q113_prefix_jaccard_join": q113_prefix_jaccard_join,
 }
 
 
@@ -2057,4 +2072,13 @@ LLM_ORACLE_SQL["q112_cooccurrence_lift"] = r"""
     )
     SELECT t1, t2, n_ab, lift
     FROM scored ORDER BY lift DESC, t1, t2 LIMIT 20
+"""
+
+# q113: the oracle is deliberately BRUTE FORCE (all shared-shingle
+# pairs, exact Jaccard >= 0.7) — matching it is the proof that prefix
+# filtering lost nothing.
+LLM_ORACLE_SQL["q113_prefix_jaccard_join"] = f"""
+    WITH {_SHINGLES_CTE.strip()}
+    SELECT i, j, ROUND(jaccard, 4) AS jaccard
+    FROM jac WHERE jaccard >= 0.7 ORDER BY i, j
 """

@@ -121,6 +121,9 @@ def scale_cases():
         "q111_jl_projection_topk",
         # r8 co-occurrence mining: in-row pairs, vocab²-bounded exchange
         "q112_cooccurrence_lift",
+        # r8 exact similarity join: prefix-filtered postings + bounded
+        # candidate verify — the lossless dedup path must also scale
+        "q113_prefix_jaccard_join",
     ]
     cases = [(n, entry.ALL_QUERIES[n]) for n in names if n in entry.ALL_QUERIES]
     # SemDeDup's scale contract holds under its PRESCRIBED sizing
