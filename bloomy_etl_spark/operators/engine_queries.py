@@ -952,6 +952,38 @@ def q100_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_psort, "o_orderpriority", "q")
 
 
+def q114_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval sliding window — the RANGE frame, which ROWS frames
+    cannot express over irregular event spacing: for every event, the
+    count and quantized value sum of the SAME USER's events in the
+    trailing hour (``RANGE BETWEEN 3600·10⁶ µs PRECEDING AND CURRENT
+    ROW`` over integer epoch-microseconds). Values enter the frame sum
+    as ``floor(value·10⁴)`` integers, so the windowed sum is exact under
+    any in-frame accumulation order.
+
+    Scale: one shuffle keyed by user (the window partition); frames are
+    evaluated with a sliding two-pointer pass per partition — no
+    self-join, no per-event range scan."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts")).alias("eus"),
+        F.floor(F.col("value") * 10000).cast("long").alias("v_e4"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("eus").asc())
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id", "user_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.sum("v_e4").over(w).alias("sum_v_e4"),
+        )
+        .transform(_psort, "event_id")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -984,6 +1016,7 @@ ENGINE_QUERIES = {
     "q98_linreg_trend": q98_linreg_trend,
     "q99_pseudonymized_release": q99_pseudonymized_release,
     "q100_hist_quantiles": q100_hist_quantiles,
+    "q114_range_frame_window": q114_range_frame_window,
 }
 
 
@@ -1738,3 +1771,20 @@ ENGINE_ORACLE_SQL = {
         ORDER BY o_orderpriority, q
     """,
 }
+
+# q114: RANGE frame over integer epoch-µs; the frame sum is over
+# floor(value·1e4) integers, exact under any accumulation order.
+ENGINE_ORACLE_SQL["q114_range_frame_window"] = """
+    WITH ev AS (
+        SELECT event_id, user_id, epoch_us(ts) AS eus,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4
+        FROM events
+    )
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           SUM(v_e4) OVER w AS sum_v_e4
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY eus
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+"""
