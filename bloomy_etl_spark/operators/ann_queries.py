@@ -403,8 +403,12 @@ def q110_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, ties to the lower id.
 
     Scale: 8 bytes/vector scanned instead of 256; xor+popcount stays in
-    whole-stage codegen; queries broadcast; one corpus scan per batch."""
-    embs = _embs(spark, sf_dir)
+    whole-stage codegen; queries broadcast; one corpus scan per batch.
+
+    No fan_out: xor+popcount scoring is so cheap that the respread
+    costs more than the width buys at fixture scale (A/B 0.30 → 0.18 s
+    at sf0.1); at cluster scale the scan splits on its own."""
+    embs = load_table(spark, sf_dir, "embeddings")
     packed = embs.select(
         "vec_id",
         _sign_word(F.col("embedding"), 1).alias("w0"),

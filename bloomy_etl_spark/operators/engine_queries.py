@@ -984,6 +984,65 @@ def q114_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q115_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary (non-hierarchical) GROUPING SETS — the surface CUBE and
+    ROLLUP (q83/q13) cannot express: exactly the four sets
+    ((priority, status), (priority), (status), ()) over orders, with
+    GROUPING_ID disambiguating the NULL-vs-aggregated cells. One
+    shuffle: Spark expands the sets map-side and aggregates once."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"],
+             ["o_orderstatus"], []],
+            "o_orderpriority", "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("__ALL__")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("__ALL__")).alias("status"),
+            "gid", "n_orders", "total",
+        )
+        .transform(_psort, "gid", "priority", "status")
+    )
+
+
+def q116_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-day event-type count matrix (q94's
+    pivot output) back to long (day, event_type, n) — the
+    wide-to-long reshape, with zero-cells kept (an observed day × known
+    type grid). In-row expansion: unpivot is a generator over the value
+    columns, no extra shuffle beyond the pivot aggregate itself."""
+    day = (
+        F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date"))
+        .cast("long")
+        .alias("day")
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        _t(spark, sf_dir, "events")
+        .select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+    )
+    wide = piv.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+    )
+    return (
+        wide.unpivot(
+            ids=["day"], values=types,
+            variableColumnName="event_type", valueColumnName="n",
+        )
+        .transform(_psort, "day", "event_type")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -1017,6 +1076,8 @@ ENGINE_QUERIES = {
     "q99_pseudonymized_release": q99_pseudonymized_release,
     "q100_hist_quantiles": q100_hist_quantiles,
     "q114_range_frame_window": q114_range_frame_window,
+    "q115_grouping_sets": q115_grouping_sets,
+    "q116_unpivot_daily": q116_unpivot_daily,
 }
 
 
@@ -1787,4 +1848,42 @@ ENGINE_ORACLE_SQL["q114_range_frame_window"] = """
     WINDOW w AS (PARTITION BY user_id ORDER BY eus
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     ORDER BY event_id
+"""
+
+# q115: Spark's grouping_id() bit order is the same MSB-first over the
+# listed columns as DuckDB's GROUPING(col1, col2).
+ENGINE_ORACLE_SQL["q115_grouping_sets"] = """
+    SELECT COALESCE(o_orderpriority, '__ALL__') AS priority,
+           COALESCE(o_orderstatus, '__ALL__') AS status,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    ORDER BY gid, priority, status
+"""
+
+# q116: the oracle reshapes with UNPIVOT (kept zero-cells via the
+# pre-built wide grid, exactly the Spark plan's shape).
+ENGINE_ORACLE_SQL["q116_unpivot_daily"] = """
+    WITH base AS (
+        SELECT CAST(DATEDIFF('day', DATE '1992-01-01',
+                    CAST(ts AS DATE)) AS BIGINT) AS day, event_type
+        FROM events
+    ),
+    wide AS (
+        SELECT day,
+               COUNT(*) FILTER (event_type = 'click') AS click,
+               COUNT(*) FILTER (event_type = 'error') AS error,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'signup') AS signup,
+               COUNT(*) FILTER (event_type = 'view') AS "view"
+        FROM base GROUP BY day
+    )
+    SELECT day, event_type, n FROM (
+        UNPIVOT wide ON click, error, purchase, signup, "view"
+        INTO NAME event_type VALUE n
+    )
+    ORDER BY day, event_type
 """
