@@ -328,3 +328,59 @@ def streaming_ivfpq_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_cms_ingest(
+    items_stream: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+):
+    """Streaming heavy-hitter sketching: fold every micro-batch into a
+    durable Count-Min store and return the started ``StreamingQuery``.
+
+    CMS cells are ADDITIVE, so the streaming contract is trivial to
+    state and test: the store read back with :func:`read_cms_store`
+    equals ``sketches.cms_build`` over the union of all batches,
+    cell-for-cell. Each batch appends its own d·w-bounded cell DELTA
+    tagged with ``batch_id`` (never rewrites history), so an
+    at-least-once replay is detectable and the read side collapses it
+    (duplicate (batch_id, row, bucket) rows are identical by
+    determinism of the sketch — the reader keeps one).
+
+    Scale: per-batch work is one bounded hash-agg (≤ d·w cells out);
+    the store grows by ≤ d·w rows per batch and compacts by rewriting
+    the grouped read — the sketch never exceeds d·w cells merged.
+    """
+    from bloomy_etl_spark.operators.sketches import cms_build
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        delta = cms_build(
+            batch.select(item_col), item_col, depth=depth, width=width
+        )
+        delta.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sketch_dir)
+
+    return (
+        items_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_store(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Collapse the per-batch CMS deltas into one sketch:
+    (row, bucket, cnt). Replayed appends (same batch_id) are identical
+    by construction, so ``max`` per (batch_id, cell) keeps exactly one
+    before the cross-batch sum."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("batch_id", "row", "bucket")
+        .agg(F.max("cnt").alias("cnt"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

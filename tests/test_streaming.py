@@ -966,3 +966,73 @@ class TestSemDeDupIngest:
             for r in spark.read.parquet(store).collect()
         }
         assert kept == {0: True, 20: False, 40: False}
+
+
+class TestCmsIngest:
+    """Streaming Count-Min ingest (streaming/ingest.py::
+    streaming_cms_ingest): the durable store after replaying all
+    micro-batches equals one batch cms_build over the union —
+    cell-for-cell, not just estimate-level."""
+
+    def test_stream_equals_batch_sketch(self, spark, tmp_path):
+        from bloomy_etl_spark.operators.sketches import cms_build
+        from bloomy_etl_spark.streaming.ingest import (
+            read_cms_store,
+            streaming_cms_ingest,
+        )
+
+        rows = [(i, f"w{i % 17}") for i in range(600)]
+        df = spark.createDataFrame(rows, "i long, w string")
+        replay = tmp_path / "replay"
+        replay.mkdir()
+        for bi, (lo, hi) in enumerate([(0, 200), (200, 450), (450, 600)]):
+            df.filter(f"i >= {lo} and i < {hi}").coalesce(1).write.parquet(
+                str(replay / f"b{bi}")
+            )
+        stream = (
+            spark.readStream.schema("i long, w string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay / "b*"))
+        )
+        q = streaming_cms_ingest(
+            stream, str(tmp_path / "sketch"), str(tmp_path / "ckpt"),
+            item_col="w", depth=4, width=32,
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in read_cms_store(spark, str(tmp_path / "sketch")).collect()
+        }
+        want = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cms_build(df, "w", depth=4, width=32).collect()
+        }
+        assert got == want
+        assert sum(v for (r, _), v in got.items() if r == 0) == 600
+
+    def test_replayed_batch_collapses(self, spark, tmp_path):
+        """Simulated at-least-once retry: appending one batch's delta
+        twice with the same batch_id must not double its counts."""
+        from bloomy_etl_spark.operators.sketches import cms_build
+        from bloomy_etl_spark.streaming.ingest import read_cms_store
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, f"w{i % 5}") for i in range(100)], "i long, w string"
+        )
+        delta = cms_build(df, "w", depth=2, width=16).withColumn(
+            "batch_id", F.lit(0)
+        )
+        path = str(tmp_path / "sketch")
+        delta.write.mode("append").parquet(path)
+        delta.write.mode("append").parquet(path)  # the replay
+        got = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in read_cms_store(spark, path).collect()
+        }
+        want = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cms_build(df, "w", depth=2, width=16).collect()
+        }
+        assert got == want
