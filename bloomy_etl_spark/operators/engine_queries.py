@@ -1043,6 +1043,30 @@ def q116_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q117_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale per event type: exact MEDIAN and MAD
+    (median absolute deviation) — the outlier-resistant audit pair, and
+    a NESTED exact-median mechanism (median of |v − median|) no single
+    aggregate expresses. Values enter as FLOOR(value·100) integers so
+    even-count median interpolation ((a+b)/2 vs a+(b−a)/2) is exact and
+    identical in both engines. Two aggregates + one broadcast join of
+    the per-type medians (a handful of rows at any scale)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("double").alias("v")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.median("v").alias("med_e2")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("v") - F.col("med_e2"))
+    )
+    return (
+        dev.groupBy("event_type", "n", "med_e2")
+        .agg(F.median("ad").alias("mad_e2"))
+        .transform(_psort, "event_type")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -1078,6 +1102,7 @@ ENGINE_QUERIES = {
     "q114_range_frame_window": q114_range_frame_window,
     "q115_grouping_sets": q115_grouping_sets,
     "q116_unpivot_daily": q116_unpivot_daily,
+    "q117_robust_stats": q117_robust_stats,
 }
 
 
@@ -1886,4 +1911,24 @@ ENGINE_ORACLE_SQL["q116_unpivot_daily"] = """
         INTO NAME event_type VALUE n
     )
     ORDER BY day, event_type
+"""
+
+# q117: integer-quantized values make the even-count median midpoint
+# exact, so nested medians replay bit-identically.
+ENGINE_ORACLE_SQL["q117_robust_stats"] = """
+    WITH ev AS (
+        SELECT event_type, FLOOR(value * 100) AS v FROM events
+    ),
+    med AS (
+        SELECT event_type, COUNT(*) AS n, MEDIAN(v) AS med_e2
+        FROM ev GROUP BY event_type
+    ),
+    dev AS (
+        SELECT ev.event_type, m.n, m.med_e2,
+               ABS(ev.v - m.med_e2) AS ad
+        FROM ev JOIN med m USING (event_type)
+    )
+    SELECT event_type, n, med_e2, MEDIAN(ad) AS mad_e2
+    FROM dev GROUP BY event_type, n, med_e2
+    ORDER BY event_type
 """
