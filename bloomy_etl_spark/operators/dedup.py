@@ -515,6 +515,135 @@ def shared_span_pairs(docs: DataFrame, span: int = 8, min_spans: int = 1,
     )
 
 
+def _winnow_fp_batches(k: int, window: int):
+    """Arrow-batched winnowed fingerprinting for
+    :func:`winnow_fingerprint_pairs`: maps (doc_id, text) batches to one
+    (doc_id, fp:int64) row per DISTINCT selected fingerprint.
+
+    Hashes are ENGINE-PORTABLE by construction — the selection (a min
+    over hash values) must replay in the SQL oracle, so each k-token
+    gram hashes to the first 8 bytes of its md5 read big-endian: the
+    uint64 order used here is exactly the lexicographic order of the
+    16-hex-char prefix DuckDB's ``list_min`` compares. (blake2b, the
+    cheaper fingerprint of :func:`_span_fingerprint_batches`, is fine
+    there because only COUNTS leave that operator; here the hash ORDER
+    decides which grams survive, so both engines must rank identically.)
+
+    Tokenization matches the shared contract documented on
+    :func:`_span_fingerprint_batches` (ASCII ``\\s+`` split, empty-token
+    artifacts preserved, < k tokens folds to one whole-doc gram); docs
+    with fewer than ``window`` grams select their single minimal hash.
+    """
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        ws_re = re.compile(r"[ \t\n\r\f\v]+")
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            per_doc: list[np.ndarray] = []
+            for txt in pdf["text"].fillna(""):
+                toks = ws_re.split(txt)
+                if len(toks) >= k:
+                    grams = [
+                        " ".join(toks[i:i + k])
+                        for i in range(len(toks) - k + 1)
+                    ]
+                else:
+                    grams = [" ".join(toks)]
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(g.encode("utf-8")).digest()[:8],
+                            "big",
+                        )
+                        for g in grams
+                    ),
+                    dtype=np.uint64,
+                    count=len(grams),
+                )
+                if len(hs) >= window:
+                    sel = sliding_window_view(hs, window).min(axis=1)
+                else:
+                    sel = hs.min(keepdims=True)
+                per_doc.append(np.unique(sel))
+            counts = [len(f) for f in per_doc]
+            if not per_doc or sum(counts) == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].iloc[:0],
+                        "fp": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids, counts),
+                    "fp": np.concatenate(per_doc).view(np.int64),
+                }
+            )
+
+    return gen
+
+
+def winnow_fingerprint_pairs(docs: DataFrame, k: int = 5, window: int = 4,
+                             min_shared: int = 1, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             max_doc_freq: int | None = None) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS algorithm): hash every ``k``-token gram, slide
+    a ``window``-gram window, keep each window's MINIMUM hash, and pair
+    documents sharing ≥ ``min_shared`` distinct selected fingerprints.
+
+    The winnowing guarantee: any verbatim passage of at least
+    ``k + window − 1`` tokens shared by two documents yields at least
+    one shared selected fingerprint — the same catch contract as
+    :func:`shared_span_pairs` at span = k+window−1, but the inverted
+    index holds only ~2/(window+1) of the gram positions (before the
+    per-doc distinct), so postings, shuffle, and bucket volume shrink by
+    the winnowing density factor while copied-passage recall is
+    preserved. That sub-sampling is what makes span-level dedup
+    affordable at 100 TB; the trade is that ``n_shared`` counts selected
+    fingerprints, not all shared windows (rank by it, don't ratio it).
+
+    Scale shape is identical to :func:`shared_span_pairs`: one Arrow
+    fingerprint pass (no gram strings ever shuffle — only the int64
+    selections), posting lists per fingerprint, skew-safe
+    :func:`bucket_pairs` expansion, ``max_doc_freq`` stop-fingerprint
+    cap for boilerplate. Output ``(i, j, n_shared)`` with i < j.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_field = docs.schema[id_col]
+    out_schema = StructType([
+        StructField("doc_id", id_field.dataType),
+        StructField("fp", LongType()),
+    ])
+    idx = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(_winnow_fp_batches(k, window), out_schema)
+    postings = (
+        idx.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    if max_doc_freq is not None:
+        postings = postings.filter(F.size("ms") <= max_doc_freq)
+    return (
+        bucket_pairs(postings)
+        .groupBy(F.col("a").alias("i"), F.col("b").alias("j"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -795,6 +795,20 @@ def q112_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.cooccurrence_lift(docs, vocab_size=64, top=20)
 
 
+def q118_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document-fingerprint pairs (dedup.winnow_fingerprint_
+    pairs — Schleimer et al. SIGMOD'03, the MOSS algorithm): md5 each
+    5-token gram, keep each 4-gram window's minimum hash, pair docs
+    sharing a selected fingerprint. Same ≥8-token copied-passage catch
+    guarantee as q61's full span index at ~2/(window+1) the postings;
+    the oracle replays the identical md5-prefix min selection."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return (
+        D.winnow_fingerprint_pairs(docs, k=5, window=4)
+        .transform(_psort, "i", "j")
+    )
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -844,6 +858,7 @@ LLM_QUERIES = {
     "q69_corpus_drift": q69_corpus_drift,
     "q112_cooccurrence_lift": q112_cooccurrence_lift,
     "q113_prefix_jaccard_join": q113_prefix_jaccard_join,
+    "q118_winnow_fingerprints": q118_winnow_fingerprints,
 }
 
 
@@ -2081,4 +2096,35 @@ LLM_ORACLE_SQL["q113_prefix_jaccard_join"] = f"""
     WITH {_SHINGLES_CTE.strip()}
     SELECT i, j, ROUND(jaccard, 4) AS jaccard
     FROM jac WHERE jaccard >= 0.7 ORDER BY i, j
+"""
+
+# q118: the md5-prefix hash is the ENGINE-PORTABLE part of the design —
+# the 16-hex-char prefix compares lexicographically exactly like the
+# big-endian uint64 the Spark Arrow pass selects by, so both engines
+# winnow the same gram out of every window.
+LLM_ORACLE_SQL["q118_winnow_fingerprints"] = r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+                  FROM documents),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= 5
+                    THEN [substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 16)
+                          for i in range(1, len(ws) - 3)]
+                    ELSE [substr(md5(array_to_string(ws, ' ')), 1, 16)]
+               END AS hs
+        FROM toks
+    ),
+    fps AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) >= 4
+                    THEN list_distinct([list_min(hs[p:p+3])
+                                        for p in range(1, len(hs) - 2)])
+                    ELSE [list_min(hs)]
+               END AS fp
+        FROM grams
+    ),
+    ex AS (SELECT doc_id, unnest(fp) AS f FROM fps)
+    SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_shared
+    FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 ORDER BY i, j
 """
