@@ -137,28 +137,23 @@ def covariance_long(embs: DataFrame, vec_col: str = "embedding",
     if dim is None:
         dim = len(embs.select(vec_col).first()[0])
     spark = embs.sparkSession
-    partials = embs.select(vec_col).mapInPandas(
-        _moment_partials(dim, vec_col),
-        schema="n long, s array<double>, xtx_tri array<double>, _tri int",
+    # ONE corpus pass + ONE explode/hash-agg reduce for n, the s-vector
+    # AND the triangle together (:func:`_reduced_frame`: position 0 is
+    # n, 1..d the sums, d+1.. the products) — a separate n aggregation
+    # or a second reduce branch would re-shuffle the partials and add a
+    # whole driver-synchronized job to every materialization. The
+    # reduced frame is 1+d+d(d+1)/2 rows, referenced three times below —
+    # pin it so the corpus pass executes once. n is exact as a double
+    # for any count < 2^53 (sums of exact integer partials).
+    sums = pin(_reduced_frame(embs, vec_col, dim), eager=False)
+    n_df = sums.filter(F.col("pos") == 0).select(
+        F.col("v").alias("n_tot")
     )
-    # one tiny row per partition, referenced three times below — pin so
-    # the corpus pass executes once
-    partials = pin(partials, eager=False)
-    n_df = partials.agg(F.sum("n").alias("n_tot"))
-    # ONE explode + hash agg reduces the s-vector and the triangle
-    # together (positions 0..d-1 are the sums, d.. are the products);
-    # splitting them would shuffle the pinned partials twice
-    sums = pin(
-        partials.select(F.posexplode(F.concat("s", "xtx_tri")))
-        .groupBy(F.col("pos"))
-        .agg(F.sum("col").alias("v")),
-        eager=False,
+    means = sums.filter((F.col("pos") >= 1) & (F.col("pos") <= dim)).select(
+        (F.col("pos") - 1).alias("pos"), F.col("v").alias("s")
     )
-    means = sums.filter(F.col("pos") < dim).select(
-        "pos", F.col("v").alias("s")
-    )
-    tri_sums = sums.filter(F.col("pos") >= dim).select(
-        (F.col("pos") - dim).alias("pos"), F.col("v").alias("sxx")
+    tri_sums = sums.filter(F.col("pos") > dim).select(
+        (F.col("pos") - (dim + 1)).alias("pos"), F.col("v").alias("sxx")
     )
     # np.triu_indices order is row-major: (0,0)..(0,d-1),(1,1),..
     tri_index = [(p, i, j) for p, (i, j) in enumerate(
