@@ -124,6 +124,10 @@ def scale_cases():
         # r8 exact similarity join: prefix-filtered postings + bounded
         # candidate verify — the lossless dedup path must also scale
         "q113_prefix_jaccard_join",
+        # r8 winnowing: window-min sub-sampled span index — shuffle must
+        # stay linear AND stay below q61's full span index (density row
+        # in SCALE.md)
+        "q118_winnow_fingerprints",
     ]
     cases = [(n, entry.ALL_QUERIES[n]) for n in names if n in entry.ALL_QUERIES]
     # SemDeDup's scale contract holds under its PRESCRIBED sizing
