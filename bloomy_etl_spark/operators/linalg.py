@@ -132,47 +132,56 @@ def covariance_long(embs: DataFrame, vec_col: str = "embedding",
     (``sxx/n − (si/n)·(sj/n)``), so on integer-valued inputs (e.g. a
     quantized view — exact under IEEE summation in any order) the
     result replays bit-identically on any engine."""
-    from bloomy_etl_spark.session import pin
-
     if dim is None:
         dim = len(embs.select(vec_col).first()[0])
-    spark = embs.sparkSession
     # ONE corpus pass + ONE explode/hash-agg reduce for n, the s-vector
     # AND the triangle together (:func:`_reduced_frame`: position 0 is
-    # n, 1..d the sums, d+1.. the products) — a separate n aggregation
-    # or a second reduce branch would re-shuffle the partials and add a
-    # whole driver-synchronized job to every materialization. The
-    # reduced frame is 1+d+d(d+1)/2 rows, referenced three times below —
-    # pin it so the corpus pass executes once. n is exact as a double
-    # for any count < 2^53 (sums of exact integer partials).
-    sums = pin(_reduced_frame(embs, vec_col, dim), eager=False)
-    n_df = sums.filter(F.col("pos") == 0).select(
-        F.col("v").alias("n_tot")
+    # n, 1..d the sums, d+1.. the products), folded into a single
+    # pos-ordered array row and expanded back to the (i, j) triangle
+    # IN-ROW. The previous shape joined three broadcast subtrees (mi,
+    # mj, n) against a pinned reduce — three broadcast-build jobs plus a
+    # checkpoint per materialization, i.e. four extra driver syncs for
+    # d² floats of model state. This is one linear chain: no pin, no
+    # join, one job. Row sizes stay O(d): the i-explode carries only
+    # row i's triangle slice (d−i values) and the d-vector of sums —
+    # never the full d²/2 array per exploded row. n is exact as a
+    # double for any count < 2^53 (sums of exact integer partials).
+    fa = (
+        _reduced_frame(embs, vec_col, dim)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("fa")
+        )
     )
-    means = sums.filter((F.col("pos") >= 1) & (F.col("pos") <= dim)).select(
-        (F.col("pos") - 1).alias("pos"), F.col("v").alias("s")
+    # 1-based layout of fa: [1] = n, [2..d+1] = s, [d+2..] = triangle in
+    # np.triu_indices row-major order; row i's (i,i) sits at
+    # d + 2 + i·d − i(i−1)/2 and runs for d − i values
+    i = F.col("i")
+    tri_start = F.lit(dim + 2) + i * dim - (i * (i - 1)) / 2
+    per_row = fa.select(
+        F.element_at("fa", 1).alias("n"),
+        F.slice("fa", 2, dim).alias("s_all"),
+        F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("i"),
+        "fa",
+    ).select(
+        "n", "s_all", "i",
+        F.element_at("s_all", i + 1).alias("si"),
+        F.slice("fa", tri_start.cast("int"), F.lit(dim) - i).alias("tri_i"),
     )
-    tri_sums = sums.filter(F.col("pos") > dim).select(
-        (F.col("pos") - (dim + 1)).alias("pos"), F.col("v").alias("sxx")
-    )
-    # np.triu_indices order is row-major: (0,0)..(0,d-1),(1,1),..
-    tri_index = [(p, i, j) for p, (i, j) in enumerate(
-        (i, j) for i in range(dim) for j in range(i, dim)
-    )]
-    idx = F.broadcast(spark.createDataFrame(
-        tri_index, "pos int, i int, j int"
-    ))
-    mi = means.select(F.col("pos").alias("i"), F.col("s").alias("si"))
-    mj = means.select(F.col("pos").alias("j"), F.col("s").alias("sj"))
-    n = F.col("n_tot")
+    n = F.col("n")
+    j = F.col("i") + F.col("dj")
     return (
-        tri_sums.join(idx, "pos")
-        .join(F.broadcast(mi), "i")
-        .join(F.broadcast(mj), "j")
-        .crossJoin(F.broadcast(n_df))  # 1-row scalar
+        per_row.select(
+            "n", "i", "si", "s_all",
+            F.posexplode("tri_i").alias("dj", "sxx"),
+        )
         .select(
-            "i", "j",
-            (F.col("sxx") / n - (F.col("si") / n) * (F.col("sj") / n))
+            "i",
+            j.alias("j"),
+            (F.col("sxx") / n
+             - (F.col("si") / n) * (F.element_at("s_all", j + 1) / n))
             .alias("cov"),
         )
     )
