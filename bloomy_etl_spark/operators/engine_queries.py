@@ -1067,6 +1067,27 @@ def q117_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q119_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable register-level HyperLogLog (sketches.hll_registers):
+    per-event-type distinct-user registers over the engine-portable md5
+    hash, PLUS the corpus-wide sketch obtained by MERGING the per-type
+    register tables (bucket-wise max — the mergeability that makes HLL
+    a rollup artifact). Registers are pure integers, so build AND merge
+    are driver-hash-gated exactly; the float estimator is the
+    unit-verified tier (tests/test_sketches.py)."""
+    from bloomy_etl_spark.operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = SK.hll_registers(ev, ["event_type"], "user_id", m=64)
+    merged = SK.hll_registers_merge(regs, []).withColumn(
+        "event_type", F.lit("ALL")
+    )
+    return (
+        regs.unionByName(merged.select("event_type", "bucket", "r"))
+        .transform(_psort, "event_type", "bucket")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -1103,6 +1124,7 @@ ENGINE_QUERIES = {
     "q115_grouping_sets": q115_grouping_sets,
     "q116_unpivot_daily": q116_unpivot_daily,
     "q117_robust_stats": q117_robust_stats,
+    "q119_hll_registers": q119_hll_registers,
 }
 
 
@@ -1931,4 +1953,37 @@ ENGINE_ORACLE_SQL["q117_robust_stats"] = """
     SELECT event_type, n, med_e2, MEDIAN(ad) AS mad_e2
     FROM dev GROUP BY event_type, n, med_e2
     ORDER BY event_type
+"""
+
+# q119: the portable HLL replays because every step is integer
+# arithmetic on the shared md5 int — bucket = h mod 64, rank from
+# length(bin(w)) (both engines render binary without leading zeros),
+# merge = bucket-wise MAX of the per-type registers.
+ENGINE_ORACLE_SQL["q119_hll_registers"] = """
+    WITH h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5('hllr:' || CAST(user_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT) AS hv
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, hv % 64 AS bucket, hv // 64 AS w FROM h
+    ),
+    r AS (
+        SELECT event_type, bucket,
+               CASE WHEN w > 0 THEN 26 - length(bin(w)) + 1 ELSE 27 END AS rk
+        FROM b
+    ),
+    reg AS (
+        SELECT event_type, bucket, CAST(MAX(rk) AS INT) AS r
+        FROM r GROUP BY 1, 2
+    ),
+    allr AS (
+        SELECT 'ALL' AS event_type, bucket, CAST(MAX(r) AS INT) AS r
+        FROM reg GROUP BY 2
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket, r FROM reg
+    UNION ALL
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket, r FROM allr
+    ORDER BY event_type, bucket
 """

@@ -156,6 +156,80 @@ def hll_estimate(sketch: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Portable register-level HLL (Flajolet et al. 2007).
+#
+# The DataSketches store above is the production path but its sketch
+# bytes are library-internal — no cross-engine oracle can replay them.
+# This variant keeps the REGISTERS themselves as rows
+# (keys…, bucket, r): bucket = low-p bits of the portable md5 int,
+# r = max over the group's items of (leading zeros of the remaining
+# W = 32−p hash bits) + 1. Everything is integer arithmetic on the
+# md5_int both engines compute identically (the rank comes from
+# ``length(bin(w))`` — Spark and DuckDB both render binary without
+# leading zeros), so build AND merge are driver-hash-gateable exactly
+# (t2:q119). Same bounded-state shape as the CMS: one hash aggregation,
+# ≤ m result rows per group, map-side partials do the work; merging two
+# register tables is a bucket-wise MAX — the same monoid the streaming
+# ingest and cross-slice rollups use.
+# ---------------------------------------------------------------------------
+def hll_registers(df: DataFrame, keys: list[str], item_col: str,
+                  m: int = 64) -> DataFrame:
+    """Per-group HLL register table (keys…, bucket, r) over the
+    engine-portable md5 hash. ``m`` (a power of two ≤ 2^16) is the
+    register count; absent (bucket) rows mean register 0."""
+    p = m.bit_length() - 1
+    if m < 2 or (1 << p) != m or p > 16:
+        raise ValueError(f"m must be a power of two in [2, 65536], got {m}")
+    w_bits = 32 - p
+    h = md5_int(F.concat(F.lit("hllr:"), F.col(item_col).cast("string")))
+    w = F.floor(h / m).cast("bigint")
+    rank = F.when(
+        w > 0, F.lit(w_bits) - F.length(F.bin(w)) + 1
+    ).otherwise(F.lit(w_bits + 1))
+    keyed = df.select(
+        *keys, F.pmod(h, F.lit(m)).alias("bucket"), rank.alias("rank")
+    )
+    return (
+        keyed.groupBy(*keys, "bucket")
+        .agg(F.max("rank").cast("int").alias("r"))
+    )
+
+
+def hll_registers_merge(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge register tables DOWN to ``keys`` (e.g. per-day → per-month,
+    per-type → corpus): bucket-wise max — associative, idempotent,
+    replay-safe (the at-least-once property the streaming ingests
+    rely on)."""
+    return (
+        regs.groupBy(*keys, "bucket")
+        .agg(F.max("r").cast("int").alias("r"))
+    )
+
+
+def hll_registers_estimate(regs: DataFrame, keys: list[str],
+                           m: int = 64) -> DataFrame:
+    """Register table → (keys…, n_distinct double): the HLL harmonic
+    estimator α_m·m²/Σ2^(−r) with the small-range linear-counting
+    correction (V empty registers → m·ln(m/V) when est ≤ 2.5m). Floats
+    and ln make this the UNIT-VERIFIED tier (accuracy vs exact distinct,
+    tests/test_sketches.py); the gated artifact is the register table
+    itself."""
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    grouped = regs.groupBy(*keys) if keys else regs.groupBy()
+    agg = grouped.agg(
+        F.sum(F.pow(F.lit(0.5), F.col("r"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    s_all = F.col("_s") + (F.lit(m) - F.col("_nb"))  # absent buckets: 2^0
+    raw = F.lit(alpha * m * m) / s_all
+    v = F.lit(m) - F.col("_nb")
+    est = F.when(
+        (v > 0) & (raw <= 2.5 * m), F.lit(float(m)) * F.log(F.lit(m) / v)
+    ).otherwise(raw)
+    return agg.select(*keys, est.alias("n_distinct"))
+
+
+# ---------------------------------------------------------------------------
 # KMV (k-minimum-values / bottom-k, the theta-sketch family).
 #
 # HLL unions but cannot INTERSECT: registers carry no membership, so

@@ -599,6 +599,89 @@ class TestHll:
             hll_merge()
 
 
+class TestHllRegisters:
+    """Portable register-level HLL (the driver-gateable tier, q119)."""
+
+    @pytest.fixture(scope="class")
+    def items(self, spark):
+        return spark.range(0, 20000).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.concat(F.lit("u"), (F.col("id") * 7919 % 5000).cast("string")).alias("u"),
+        )
+
+    def test_estimate_within_standard_error(self, spark, items):
+        """α_m estimator within ~4/√m of exact (m=256 → ~25%; generous
+        3σ bound at 20%... use m=256 and 20%)."""
+        from bloomy_etl_spark.operators.sketches import (
+            hll_registers,
+            hll_registers_estimate,
+        )
+
+        m = 256
+        regs = hll_registers(items, ["g"], "u", m=m)
+        est = {
+            r["g"]: r["n_distinct"]
+            for r in hll_registers_estimate(regs, ["g"], m=m).collect()
+        }
+        exact = {
+            r["g"]: r["n"]
+            for r in items.groupBy("g")
+            .agg(F.count_distinct("u").alias("n"))
+            .collect()
+        }
+        for g, n in exact.items():
+            assert abs(est[g] - n) <= 0.20 * n, (g, est[g], n)
+
+    def test_merge_equals_oneshot_exactly(self, spark, items):
+        """Register merge is EXACT (bucket-wise max), unlike the
+        DataSketches union: slice-merged registers == one-shot build
+        bit-for-bit, and replaying a slice changes nothing."""
+        from bloomy_etl_spark.operators.sketches import (
+            hll_registers,
+            hll_registers_merge,
+        )
+
+        a = items.filter(F.xxhash64("u") % 2 == 0)
+        b = items.filter(F.xxhash64("u") % 2 != 0)
+        sliced = hll_registers_merge(
+            hll_registers(a, ["g"], "u").unionByName(
+                hll_registers(b, ["g"], "u")
+            ).unionByName(hll_registers(a, ["g"], "u")),  # replayed slice
+            ["g"],
+        )
+        oneshot = hll_registers(items, ["g"], "u")
+        got = {(r["g"], r["bucket"]): r["r"] for r in sliced.collect()}
+        want = {(r["g"], r["bucket"]): r["r"] for r in oneshot.collect()}
+        assert got == want
+
+    def test_small_range_linear_counting(self, spark):
+        """A 30-distinct group at m=64 must route through the
+        linear-counting branch and land near-exact."""
+        from bloomy_etl_spark.operators.sketches import (
+            hll_registers,
+            hll_registers_estimate,
+        )
+
+        df = spark.range(0, 30).select(
+            F.lit("g").alias("g"),
+            F.col("id").cast("string").alias("u"),
+        )
+        (row,) = hll_registers_estimate(
+            hll_registers(df, ["g"], "u", m=64), ["g"], m=64
+        ).collect()
+        # this fixture's (deterministic) md5 spread occupies 20 of 64
+        # buckets → LC = 64·ln(64/44) ≈ 23.98; the bound is the LC
+        # standard error at this fill, not a tunable
+        assert abs(row["n_distinct"] - 30) <= 8
+
+    def test_bad_m(self, spark, items):
+        from bloomy_etl_spark.operators.sketches import hll_registers
+
+        for bad in (0, 1, 3, 48, 1 << 17):
+            with pytest.raises(ValueError):
+                hll_registers(items, ["g"], "u", m=bad)
+
+
 # ---------------------------------------------------------------------------
 # bloom_semi_join (runtime-filter pattern as an explicit operator)
 # ---------------------------------------------------------------------------
