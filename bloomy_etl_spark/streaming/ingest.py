@@ -384,3 +384,57 @@ def read_cms_store(spark: SparkSession, sketch_dir: str) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def streaming_hll_ingest(
+    items_stream: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    item_col: str,
+    m: int = 64,
+):
+    """Streaming distinct-count sketching into a durable portable-HLL
+    register store (``sketches.hll_registers``); returns the started
+    ``StreamingQuery``.
+
+    Even simpler than the CMS contract: registers merge by MAX, which is
+    idempotent as well as associative/commutative — an at-least-once
+    replay of a batch is a NO-OP under the reader's bucket-wise max, no
+    batch_id bookkeeping or delta collapsing needed. The store read back
+    with :func:`read_hll_store` equals ``hll_registers`` over the union
+    of all batches bit-for-bit (the register monoid's slice-merge ≡
+    one-shot law, unit-proven batch-side in
+    ``tests/test_r5_operators.py::TestHllRegisters``).
+
+    Scale: per-batch work is one bounded hash-agg (≤ m rows per group
+    out); the store grows by ≤ m·groups rows per batch and the grouped
+    read compacts it — rewrite the store from :func:`read_hll_store`
+    whenever batch count makes the read-side max worth collapsing.
+    """
+    from bloomy_etl_spark.operators.sketches import hll_registers
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        delta = hll_registers(
+            batch.select(*keys, item_col), keys, item_col, m=m
+        )
+        delta.write.mode("append").parquet(sketch_dir)
+
+    return (
+        items_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_store(spark: SparkSession, sketch_dir: str,
+                   keys: list[str]) -> DataFrame:
+    """Collapse the per-batch register deltas into one register table
+    (keys…, bucket, r) by bucket-wise max — idempotent, so replayed or
+    duplicated batch appends change nothing."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy(*keys, "bucket")
+        .agg(F.max("r").cast("int").alias("r"))
+    )

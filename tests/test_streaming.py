@@ -1036,3 +1036,75 @@ class TestCmsIngest:
             for r in cms_build(df, "w", depth=2, width=16).collect()
         }
         assert got == want
+
+
+class TestHllIngest:
+    """Streaming portable-HLL ingest (streaming/ingest.py::
+    streaming_hll_ingest): the register store after replaying all
+    micro-batches equals one batch hll_registers over the union —
+    register-for-register; the max monoid's idempotence makes replays
+    literal no-ops."""
+
+    def test_stream_equals_batch_registers(self, spark, tmp_path):
+        from bloomy_etl_spark.operators.sketches import hll_registers
+        from bloomy_etl_spark.streaming.ingest import (
+            read_hll_store,
+            streaming_hll_ingest,
+        )
+
+        rows = [(i, f"t{i % 3}", f"u{i % 217}") for i in range(600)]
+        df = spark.createDataFrame(rows, "i long, g string, u string")
+        replay = tmp_path / "replay"
+        replay.mkdir()
+        for bi, (lo, hi) in enumerate([(0, 200), (200, 450), (450, 600)]):
+            df.filter(f"i >= {lo} and i < {hi}").coalesce(1).write.parquet(
+                str(replay / f"b{bi}")
+            )
+        stream = (
+            spark.readStream.schema("i long, g string, u string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay / "b*"))
+        )
+        q = streaming_hll_ingest(
+            stream, str(tmp_path / "sketch"), str(tmp_path / "ckpt"),
+            keys=["g"], item_col="u", m=32,
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r["g"], r["bucket"]): r["r"]
+            for r in read_hll_store(
+                spark, str(tmp_path / "sketch"), ["g"]
+            ).collect()
+        }
+        want = {
+            (r["g"], r["bucket"]): r["r"]
+            for r in hll_registers(df, ["g"], "u", m=32).collect()
+        }
+        assert got == want
+
+    def test_replayed_batch_is_noop(self, spark, tmp_path):
+        """At-least-once retry: appending the same batch delta twice
+        changes nothing under the reader's bucket-wise max — no
+        batch_id bookkeeping required, unlike the additive CMS."""
+        from bloomy_etl_spark.operators.sketches import hll_registers
+        from bloomy_etl_spark.streaming.ingest import read_hll_store
+
+        df = spark.createDataFrame(
+            [(i, f"u{i % 50}") for i in range(100)], "i long, u string"
+        )
+        delta = hll_registers(df.selectExpr("'g' as g", "u"), ["g"], "u", m=32)
+        path = str(tmp_path / "sketch")
+        delta.write.mode("append").parquet(path)
+        delta.write.mode("append").parquet(path)  # the replay
+        got = {
+            (r["g"], r["bucket"]): r["r"]
+            for r in read_hll_store(spark, path, ["g"]).collect()
+        }
+        want = {
+            ("g", r["bucket"]): r["r"]
+            for r in hll_registers(
+                df.selectExpr("'g' as g", "u"), ["g"], "u", m=32
+            ).collect()
+        }
+        assert got == want
