@@ -85,10 +85,15 @@ atexit.register(_cleanup_idx_dirs)
 
 def _memo_dir(memo: dict, key: tuple, prefix: str, builder) -> str:
     """Memoized per-process index directory with liveness re-validation:
-    if a /tmp cleaner removed the directory mid-session, rebuild instead
-    of handing out a dangling path."""
+    if a /tmp cleaner removed the directory — or aged out individual
+    part files inside it — mid-session, rebuild instead of handing out
+    a dangling or TRUNCATED path. The ``_BUILD_OK`` marker is written
+    only after the builder returns, so a directory whose contents were
+    partially reaped (file-at-a-time cleaners age the marker like any
+    other file) or whose build crashed half-way fails the check and
+    rebuilds; a bare ``isdir`` would silently search a partial index."""
     d = memo.get(key)
-    if d is not None and os.path.isdir(d):
+    if d is not None and os.path.isfile(os.path.join(d, "_BUILD_OK")):
         return d
     d = os.path.join(
         tempfile.gettempdir(), "bloomy_ann_idx",
@@ -96,6 +101,8 @@ def _memo_dir(memo: dict, key: tuple, prefix: str, builder) -> str:
         + hashlib.md5(repr(key).encode()).hexdigest()[:12],
     )
     builder(d)
+    with open(os.path.join(d, "_BUILD_OK"), "w") as f:
+        f.write("ok")
     memo[key] = d
     return d
 

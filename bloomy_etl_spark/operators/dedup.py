@@ -265,7 +265,6 @@ def prefix_jaccard_join(docs: DataFrame, n: int = 3, threshold: float = 0.8,
          ``array_intersect`` — pair work is O(candidates), never
          O(all shared-token pairs).
     """
-    from bloomy_etl_spark.session import pin
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     id_field = docs.schema[id_col]

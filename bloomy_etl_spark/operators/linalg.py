@@ -287,7 +287,18 @@ def power_iteration_long(cov_long: DataFrame, dim: int, iters: int = 3,
         )
         .select(
             "pos",
-            F.floor(F.col("w") / F.col("_n") * scale).cast("long").alias("v"),
+            # same collapse contract as the driver loop above: a zero
+            # final iterate raises at execution instead of silently
+            # emitting NULL rows (F.raise_error evaluates lazily, only
+            # on the collapsed branch)
+            F.when(
+                F.col("_n") > 0,
+                F.floor(F.col("w") / F.col("_n") * scale).cast("long"),
+            ).otherwise(
+                F.raise_error(
+                    "power iteration collapsed to the zero vector"
+                ).cast("long")
+            ).alias("v"),
             "lam",
         )
     )

@@ -539,12 +539,20 @@ def search_ivfpq_refined(spark, index_dir: str, queries: DataFrame,
     so the expensive raw tier serves point-lookups, never scans. Returns
     (query_id, neighbor_id, exact_dist2, rank), ties to the lower id.
     """
+    import os
+
     from bloomy_etl_spark.session import pin
 
     if shortlist is None:
         shortlist = 4 * k
     if shortlist < k:
         raise ValueError(f"shortlist {shortlist} < k {k}")
+    if not os.path.isdir(f"{index_dir}/raw"):
+        raise ValueError(
+            f"no raw tier at {index_dir}/raw — refined search needs an "
+            "index built with build_ivfpq_index(..., keep_raw=True) "
+            "(the default keep_raw=False stores only the m-byte codes)"
+        )
     scored, probe_ids = _ivfpq_scored_candidates(
         spark, index_dir, queries, nprobe, id_col, vec_col
     )

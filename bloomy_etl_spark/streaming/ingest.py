@@ -31,7 +31,7 @@ without changing the flow.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bloomy_etl_spark.session import pin
@@ -284,6 +284,27 @@ def streaming_semdedup_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def read_semdedup_store(spark: SparkSession, store_dir: str,
+                        id_col: str = "vec_id") -> DataFrame:
+    """Collapse at-least-once replays in a :func:`streaming_semdedup_
+    ingest` store: one row per id, FIRST batch wins. A replayed batch's
+    rows are identical by determinism (same assignment, same witnesses),
+    so which duplicate survives within a batch_id is immaterial; an
+    out-of-order duplicate id landing in a LATER batch is superseded by
+    its first durable row — the first-arrival-wins contract the writer
+    documents. Readers of the store should come through here (the CMS/
+    HLL stores have the same reader discipline); the equivalence
+    contract ("store ≡ one batch semantic_dedup of the union") is
+    stated over THIS collapsed view."""
+    s = spark.read.parquet(store_dir)
+    w = Window.partitionBy(id_col).orderBy("batch_id")
+    return (
+        s.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

@@ -201,3 +201,22 @@ class TestPowerIteration:
             power_iteration_long(
                 covariance_long(embs, "embedding", dim=64), dim=64, iters=0
             )
+
+    def test_zero_matrix_collapse_raises_in_plan(self, spark):
+        """iters=1 skips the driver loop's collapse guard, so the final
+        IN-PLAN step must raise the same error at execution instead of
+        silently emitting NULL rows (constant embeddings floor-quantize
+        to an all-zero covariance)."""
+        from bloomy_etl_spark.operators.linalg import (
+            covariance_long,
+            power_iteration_long,
+        )
+
+        const = spark.range(8).select(
+            F.array(*[F.lit(0.5)] * 4).alias("embedding")
+        )
+        out = power_iteration_long(
+            covariance_long(const, "embedding", dim=4), dim=4, iters=1
+        )
+        with pytest.raises(Exception, match="collapsed to the zero vector"):
+            out.collect()

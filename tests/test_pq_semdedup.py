@@ -479,6 +479,24 @@ class TestIvfPqRefined:
                           max_centroids=6, keep_raw=True)
         return idx
 
+    def test_missing_raw_tier_fails_loudly(self, spark, clustered,
+                                           tmp_path_factory):
+        """An index built with the keep_raw=False default must be
+        rejected with a targeted error, not an opaque path failure from
+        deep inside plan build."""
+        from bloomy_etl_spark.operators.pq import (
+            build_ivfpq_index,
+            search_ivfpq_refined,
+        )
+
+        df, _ = clustered
+        idx = str(tmp_path_factory.mktemp("ivfpq_noraw") / "idx")
+        build_ivfpq_index(df, idx, m=4, ksub=4, centroid_stride=10,
+                          max_centroids=6)
+        queries = df.limit(2)
+        with pytest.raises(ValueError, match="keep_raw=True"):
+            search_ivfpq_refined(spark, idx, queries, k=3)
+
     def test_recall_at_least_plain_adc(self, spark, clustered, refined_idx):
         """At equal nprobe the refined search must recall ≥ plain ADC —
         and on this fixture exactly 1.0: the 15-member blob collapses to

@@ -908,9 +908,11 @@ class TestSemDeDupIngest:
         )
         q.awaitTermination(120)
 
+        from bloomy_etl_spark.streaming.ingest import read_semdedup_store
+
         got = {
             (r["vec_id"], r["cluster"], r["kept"])
-            for r in spark.read.parquet(store)
+            for r in read_semdedup_store(spark, store)
             .select("vec_id", "cluster", "kept").collect()
         }
         want = {
@@ -924,6 +926,20 @@ class TestSemDeDupIngest:
         # something and kept something — the equivalence is non-vacuous
         kept = {v for v, _, k in got if k}
         assert 0 < len(kept) < 48
+
+        # at-least-once retry: re-append one batch's rows verbatim; the
+        # collapsed view must not change (one row per id, first batch
+        # wins), though the raw store now holds duplicates
+        dup = spark.read.parquet(store).filter("batch_id = 1")
+        dup.write.mode("append").parquet(store)
+        raw_n = spark.read.parquet(store).count()
+        again = {
+            (r["vec_id"], r["cluster"], r["kept"])
+            for r in read_semdedup_store(spark, store)
+            .select("vec_id", "cluster", "kept").collect()
+        }
+        assert again == want
+        assert raw_n > len(want)  # the duplicates really are in the raw store
 
     def test_dropped_row_still_witnesses(self, spark, tmp_path):
         """Chain a(0)–b(20)–c(40) across three batches where only
