@@ -128,6 +128,9 @@ def scale_cases():
         # stay linear AND stay below q61's full span index (density row
         # in SCALE.md)
         "q118_winnow_fingerprints",
+        # r8 portable HLL: register exchange is m·groups-bounded — must
+        # not grow with corpus rows at all
+        "q119_hll_registers",
     ]
     cases = [(n, entry.ALL_QUERIES[n]) for n in names if n in entry.ALL_QUERIES]
     # SemDeDup's scale contract holds under its PRESCRIBED sizing
