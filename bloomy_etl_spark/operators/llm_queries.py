@@ -795,6 +795,46 @@ def q112_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.cooccurrence_lift(docs, vocab_size=64, top=20)
 
 
+def q120_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering trained IN the engine
+    (regression.logreg_gd_train): 3 full-batch GD rounds of fast-sigmoid
+    logistic regression predicting lang='en' from exact text features
+    (token/char/digit counts scaled by powers of two — exact doubles),
+    then map-side corpus scoring. The k-means replay pattern: weights
+    are floor-quantized to 6 dp per round, z-folds are fixed
+    left-associated, the link is rational (no libm exp), so the DuckDB
+    oracle replays training AND scoring as a 3-round CTE chain.
+
+    Bench transparency (same as q54/q62): the driver-synchronized
+    training jobs run at plan BUILD; the timed materialization covers
+    the corpus scoring pass, while the oracle replays training inside
+    its timed run."""
+    from bloomy_etl_spark.operators.regression import logreg_gd_train, logreg_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        (F.size(F.split(F.col("text"), r"\s+")) / 128).alias("x1"),
+        (F.col("n_chars") / 1024).alias("x2"),
+        ((F.length("text")
+          - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))) / 16
+         ).alias("x3"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    cols = ["x0", "x1", "x2", "x3"]
+    w = logreg_gd_train(feat, cols, "y", rounds=3, lr=1.0 / 1024)
+    return (
+        logreg_score(feat, cols, w)
+        .select(
+            "doc_id", F.col("y").cast("long").alias("label"),
+            F.round("score", 6).alias("score"),
+            (F.col("score") >= 0.5).alias("kept"),
+        )
+        .transform(_psort, "doc_id")
+    )
+
+
 def q118_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed document-fingerprint pairs (dedup.winnow_fingerprint_
     pairs — Schleimer et al. SIGMOD'03, the MOSS algorithm): md5 each
@@ -859,6 +899,7 @@ LLM_QUERIES = {
     "q112_cooccurrence_lift": q112_cooccurrence_lift,
     "q113_prefix_jaccard_join": q113_prefix_jaccard_join,
     "q118_winnow_fingerprints": q118_winnow_fingerprints,
+    "q120_logreg_quality": q120_logreg_quality,
 }
 
 
@@ -2096,6 +2137,86 @@ LLM_ORACLE_SQL["q113_prefix_jaccard_join"] = f"""
     WITH {_SHINGLES_CTE.strip()}
     SELECT i, j, ROUND(jaccard, 4) AS jaccard
     FROM jac WHERE jaccard >= 0.7 ORDER BY i, j
+"""
+
+# q120: full 3-round GD replay. Every arithmetic step is algebraic
+# (the rational fast-sigmoid link — no libm exp), z-folds are the same
+# left-associated order as the engine's _margin, features are dyadic
+# rationals (counts / powers of two — exact doubles), and weights are
+# FLOOR-quantized to 6 dp after every update, so both engines walk the
+# identical weight trajectory (the k-means/BPE iterative-replay
+# pattern).
+LLM_ORACLE_SQL["q120_logreg_quality"] = r"""
+    WITH feat AS (
+        SELECT doc_id,
+               1.0 AS x0,
+               len(string_split_regex(text, '\s+')) / 128 AS x1,
+               n_chars / 1024 AS x2,
+               (length(text)
+                - length(regexp_replace(text, '[0-9]', '', 'g'))) / 16 AS x3,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents
+    ),
+    s1 AS (
+        SELECT *, 0.0 * x0 + 0.0 * x1 + 0.0 * x2 + 0.0 * x3 AS z FROM feat
+    ),
+    a1 AS (
+        SELECT COUNT(*) AS n,
+               SUM(x0 * e) AS g0, SUM(x1 * e) AS g1,
+               SUM(x2 * e) AS g2, SUM(x3 * e) AS g3
+        FROM (SELECT *, (0.5 + 0.5 * z / (1 + abs(z))) - y AS e FROM s1)
+    ),
+    w1 AS (
+        SELECT FLOOR((0.0 - (1.0/1024) * g0 / n) * 1000000) / 1000000 AS w0,
+               FLOOR((0.0 - (1.0/1024) * g1 / n) * 1000000) / 1000000 AS w1,
+               FLOOR((0.0 - (1.0/1024) * g2 / n) * 1000000) / 1000000 AS w2,
+               FLOOR((0.0 - (1.0/1024) * g3 / n) * 1000000) / 1000000 AS w3
+        FROM a1
+    ),
+    s2 AS (
+        SELECT f.*, w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 AS z
+        FROM feat f, w1 w
+    ),
+    a2 AS (
+        SELECT COUNT(*) AS n,
+               SUM(x0 * e) AS g0, SUM(x1 * e) AS g1,
+               SUM(x2 * e) AS g2, SUM(x3 * e) AS g3
+        FROM (SELECT *, (0.5 + 0.5 * z / (1 + abs(z))) - y AS e FROM s2)
+    ),
+    w2 AS (
+        SELECT FLOOR((w.w0 - (1.0/1024) * a.g0 / a.n) * 1000000) / 1000000 AS w0,
+               FLOOR((w.w1 - (1.0/1024) * a.g1 / a.n) * 1000000) / 1000000 AS w1,
+               FLOOR((w.w2 - (1.0/1024) * a.g2 / a.n) * 1000000) / 1000000 AS w2,
+               FLOOR((w.w3 - (1.0/1024) * a.g3 / a.n) * 1000000) / 1000000 AS w3
+        FROM w1 w, a2 a
+    ),
+    s3 AS (
+        SELECT f.*, w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 AS z
+        FROM feat f, w2 w
+    ),
+    a3 AS (
+        SELECT COUNT(*) AS n,
+               SUM(x0 * e) AS g0, SUM(x1 * e) AS g1,
+               SUM(x2 * e) AS g2, SUM(x3 * e) AS g3
+        FROM (SELECT *, (0.5 + 0.5 * z / (1 + abs(z))) - y AS e FROM s3)
+    ),
+    w3 AS (
+        SELECT FLOOR((w.w0 - (1.0/1024) * a.g0 / a.n) * 1000000) / 1000000 AS w0,
+               FLOOR((w.w1 - (1.0/1024) * a.g1 / a.n) * 1000000) / 1000000 AS w1,
+               FLOOR((w.w2 - (1.0/1024) * a.g2 / a.n) * 1000000) / 1000000 AS w2,
+               FLOOR((w.w3 - (1.0/1024) * a.g3 / a.n) * 1000000) / 1000000 AS w3
+        FROM w2 w, a3 a
+    )
+    SELECT doc_id,
+           CAST(y AS BIGINT) AS label,
+           ROUND(0.5 + 0.5 * z / (1 + abs(z)), 6) AS score,
+           (0.5 + 0.5 * z / (1 + abs(z))) >= 0.5 AS kept
+    FROM (
+        SELECT f.doc_id, f.y,
+               w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 AS z
+        FROM feat f, w3 w
+    )
+    ORDER BY doc_id
 """
 
 # q118: the md5-prefix hash is the ENGINE-PORTABLE part of the design —

@@ -561,3 +561,86 @@ def test_binned_range_join_semi_plan_is_deterministic(spark):
     # semantics: duplicates preserved by multiplicity, not row ids
     assert sorted((r["pid"], r["v"]) for r in out.collect()) == \
         [(1, 10), (1, 10)]
+
+
+class TestLogregGd:
+    """Distributed logistic regression (regression.logreg_gd_train):
+    objective decreases, scoring matches a NumPy replay of the same
+    fast-sigmoid arithmetic, training is partition-invariant."""
+
+    @pytest.fixture(scope="class")
+    def sep(self, spark):
+        # linearly separable in x1: y = 1 iff x1 > 0.5
+        rows = [(i, 1.0, (i % 100) / 128.0, 1.0 if (i % 100) / 128.0 > 0.5 else 0.0)
+                for i in range(400)]
+        return spark.createDataFrame(
+            rows, "id long, x0 double, x1 double, y double"
+        )
+
+    @staticmethod
+    def _loss(df, cols, w):
+        import math
+
+        rows = df.collect()
+        tot = 0.0
+        for r in rows:
+            z = sum(wi * r[c] for wi, c in zip(w, cols))
+            p = min(max(0.5 + 0.5 * z / (1 + abs(z)), 1e-9), 1 - 1e-9)
+            tot += -(r["y"] * math.log(p) + (1 - r["y"]) * math.log(1 - p))
+        return tot / len(rows)
+
+    def test_objective_decreases_and_separates(self, spark, sep):
+        from bloomy_etl_spark.operators.regression import (
+            logreg_gd_train,
+            logreg_score,
+        )
+
+        cols = ["x0", "x1"]
+        w0 = [0.0, 0.0]
+        w5 = logreg_gd_train(sep, cols, "y", rounds=5, lr=1.0 / 4)
+        assert self._loss(sep, cols, w5) < self._loss(sep, cols, w0)
+        # the slope feature must carry positive weight (y grows with x1)
+        assert w5[1] > 0
+        scored = logreg_score(sep, cols, w5).collect()
+        # higher-x1 rows must score higher on average than lower-x1 rows
+        hi = [r["score"] for r in scored if r["x1"] > 0.5]
+        lo = [r["score"] for r in scored if r["x1"] <= 0.5]
+        assert sum(hi) / len(hi) > sum(lo) / len(lo)
+
+    def test_score_matches_numpy_replay(self, spark, sep):
+        from bloomy_etl_spark.operators.regression import (
+            logreg_gd_train,
+            logreg_score,
+        )
+
+        cols = ["x0", "x1"]
+        w = logreg_gd_train(sep, cols, "y", rounds=3, lr=1.0 / 4)
+        got = {r["id"]: r["score"]
+               for r in logreg_score(sep, cols, w).collect()}
+        for r in sep.collect():
+            z = w[0] * r["x0"] + w[1] * r["x1"]
+            want = 0.5 + 0.5 * z / (1 + abs(z))
+            assert got[r["id"]] == want, (r["id"], got[r["id"]], want)
+
+    def test_partition_invariant(self, spark, sep):
+        from bloomy_etl_spark.operators.regression import logreg_gd_train
+
+        cols = ["x0", "x1"]
+        a = logreg_gd_train(sep.repartition(3), cols, "y", rounds=3)
+        b = logreg_gd_train(sep.repartition(17), cols, "y", rounds=3)
+        assert a == b
+
+    def test_validation(self, spark, sep):
+        from bloomy_etl_spark.operators.regression import (
+            logreg_gd_train,
+            logreg_score,
+        )
+
+        with pytest.raises(ValueError):
+            logreg_gd_train(sep, ["x0"], "y", rounds=0)
+        with pytest.raises(ValueError):
+            logreg_gd_train(sep, [], "y")
+        with pytest.raises(ValueError):
+            logreg_score(sep, ["x0", "x1"], [0.1])
+        with pytest.raises(ValueError):
+            logreg_gd_train(sep.filter("id < 0"), ["x0"], "y")
