@@ -983,3 +983,90 @@ def cooccurrence_lift(docs: DataFrame, vocab_size: int = 64, top: int = 20,
         .orderBy(F.desc("lift"), F.asc("t1"), F.asc("t2"))
         .limit(top)
     )
+
+
+def dsir_importance(docs: DataFrame, target: Column, buckets: int = 64,
+                    scale: int = 1_000_000, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR — Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much more likely its
+    hashed-bigram profile is under a TARGET distribution (the rows where
+    ``target`` is true — a trusted high-quality subset) than under the
+    RAW corpus distribution, the standard recipe for selecting
+    pretraining data that "looks like" a curated domain.
+
+    Replayable quantization instead of logs: DSIR ranks documents by
+    ``log w = Σ_g c_g·(log q̂_g − log p̂_g)`` over hashed-n-gram buckets
+    ``g`` with add-1-smoothed bucket probabilities (q̂ = target,
+    p̂ = raw).  ``log`` is libm (not bit-portable across engines), so —
+    per the repo-wide quantization discipline (k-means, PageRank,
+    logistic regression) — this variant scores with FLOOR-QUANTIZED
+    LIKELIHOOD RATIOS::
+
+        s(g)       = floor(scale · (tq_g+1)/(TQ+B) · (TP+B)/(tp_g+1))
+        score(doc) = Σ_g c_g(doc) · s(g)        (exact int64 arithmetic)
+
+    Per-bucket ``s(g)`` is monotone in the same smoothed ratio DSIR
+    exponentiates; the document score orders by the arithmetic rather
+    than geometric mean of per-gram ratios — the same target-heavy
+    documents rise, and every score is exactly auditable on any engine
+    (three IEEE divisions/multiplications in a fixed order, one floor,
+    then pure integer sums).
+
+    Scale: the ONLY corpus-keyed exchange is the B-row bucket-total
+    aggregate (map-side combined: ≤ B partial rows per task). The
+    B-entry weight map folds into ONE row in-plan and broadcasts back;
+    per-document scoring is an IN-ROW fold of the doc's gram-hash array
+    against that map — the corpus itself never shuffles and no
+    per-(doc, bucket) intermediate exists. Hashing is the portable
+    md5-derived int64 (:func:`salted_hash_bucket`'s primitive), so the
+    DuckDB replay buckets identically.
+
+    Returns every document: ``(id, n_grams, score)``. Callers resample
+    (top-k, threshold, or hash-jittered sampling) downstream.
+    """
+    b = F.lit(buckets)
+    hs = docs.select(
+        F.col(id_col),
+        target.cast("long").alias("_t"),
+        F.transform(
+            T.word_ngrams(F.col(text_col), 2),
+            lambda g: T.md5_int(g) % b,
+        ).alias("hs"),
+    )
+    tot = (
+        hs.select(F.explode("hs").alias("bk"), "_t")
+        .groupBy("bk")
+        .agg(F.sum("_t").alias("tq"), F.count(F.lit(1)).alias("tp"))
+    )
+    # fold the ≤B bucket totals into one weight-map row; the smoothing
+    # denominators (corpus gram masses) ride along in the same agg so
+    # the weights are a single linear plan — no join, no driver scalar
+    wmap = tot.agg(
+        F.sum("tq").alias("tqs"),
+        F.sum("tp").alias("tps"),
+        F.collect_list(F.struct("bk", "tq", "tp")).alias("ents"),
+    ).select(
+        F.map_from_entries(
+            F.transform(
+                "ents",
+                lambda e: F.struct(
+                    e["bk"].alias("k"),
+                    F.floor(
+                        F.lit(float(scale))
+                        * ((e["tq"] + 1) / (F.col("tqs") + b))
+                        * ((F.col("tps") + b) / (e["tp"] + 1))
+                    ).cast("long").alias("v"),
+                ),
+            )
+        ).alias("wm")
+    )
+    return hs.crossJoin(F.broadcast(wmap)).select(
+        F.col(id_col),
+        F.size("hs").alias("n_grams"),
+        F.aggregate(
+            "hs",
+            F.lit(0).cast("long"),
+            lambda acc, g: acc + F.element_at("wm", g),
+        ).alias("score"),
+    )

@@ -10,7 +10,7 @@ bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bloomy_etl_spark.functions import text as T
@@ -849,6 +849,67 @@ def q118_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q121_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance data selection (corpus.dsir_importance —
+    Xie et al. 2023): hashed-bigram (B=64) quantized-likelihood-ratio
+    scores of every document against the lang='en' target distribution,
+    gated as the exact-integer top-100 selection. The weight map builds
+    from ONE bounded (B-row) aggregate and broadcasts back; per-doc
+    scoring is an in-row fold, so the corpus never shuffles; the oracle
+    replays bucket hashing, smoothing, floor quantization, and the
+    integer score sums verbatim."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    scored = C.dsir_importance(docs, F.col("lang") == "en", buckets=64)
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(100)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .transform(_psort, "rank")
+    )
+
+
+def q122_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (search.rrf_fuse —
+    Cormack et al. SIGIR'09): the lexical list is q68's integer-scaled
+    seed-term TF-IDF, the semantic list is floor-quantized cosine
+    against the vec_id=0 query embedding (broadcast, corpus never
+    shuffles); each side reduces to its top-50 by a distributed
+    TakeOrdered before any window, and rrf = 1/(60+r_text) +
+    1/(60+r_vec) is two IEEE divisions of exact integers — the fused
+    top-10 replays bit-identically."""
+    from bloomy_etl_spark.functions.vectors import dot, norm
+    from bloomy_etl_spark.operators.search import rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    embs = load_table(spark, sf_dir, "embeddings")
+    text_side = C.tfidf_score(docs, _TFIDF_TERMS).select(
+        "doc_id", F.col("score_scaled").alias("s_text")
+    )
+    q = embs.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("nq"),
+    )
+    c = embs.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("cv"),
+        norm(F.col("embedding")).alias("nc"),
+    )
+    vec_side = c.join(F.broadcast(q), F.lit(True)).select(
+        "doc_id",
+        F.floor(
+            F.lit(1000000.0)
+            * (dot(F.col("cv"), F.col("qv")) / (F.col("nq") * F.col("nc")))
+        ).cast("long").alias("s_vec"),
+    )
+    fused = rrf_fuse(
+        text_side, vec_side, score_a="s_text", score_b="s_vec",
+        topn=50, k=10,
+    )
+    return fused.select(
+        "doc_id", "rank_a", "rank_b", F.round("rrf", 6).alias("rrf")
+    ).transform(_psort, "doc_id")
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -900,6 +961,8 @@ LLM_QUERIES = {
     "q113_prefix_jaccard_join": q113_prefix_jaccard_join,
     "q118_winnow_fingerprints": q118_winnow_fingerprints,
     "q120_logreg_quality": q120_logreg_quality,
+    "q121_dsir_selection": q121_dsir_selection,
+    "q122_hybrid_rrf": q122_hybrid_rrf,
 }
 
 
@@ -2248,4 +2311,104 @@ LLM_ORACLE_SQL["q118_winnow_fingerprints"] = r"""
     SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_shared
     FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
     GROUP BY 1, 2 ORDER BY i, j
+"""
+
+
+# q121: the oracle replays DSIR's hashed-bigram bucketing (portable
+# md5-int mod 64), the add-1-smoothed floor-quantized likelihood-ratio
+# weights, and the exact-integer per-doc score sums. The three IEEE
+# divisions/multiplications are written in the identical fixed order as
+# the Spark expressions, so the floor cannot straddle engines.
+LLM_ORACLE_SQL["q121_dsir_selection"] = r"""
+    WITH toks AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS ws
+                  FROM documents),
+    hs AS (
+        SELECT doc_id, lang,
+               [('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 8))::BIGINT % 64
+                for i in range(1, len(ws))] AS hs
+        FROM toks
+    ),
+    ex AS (SELECT lang, unnest(hs) AS bk FROM hs),
+    tot AS (SELECT bk,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tq,
+                   COUNT(*) AS tp
+            FROM ex GROUP BY bk),
+    sums AS (SELECT SUM(tq) AS tqs, SUM(tp) AS tps FROM tot),
+    w AS (SELECT bk,
+                 CAST(FLOOR(1000000.0
+                            * ((tq + 1)::DOUBLE / (tqs + 64)::DOUBLE)
+                            * ((tps + 64)::DOUBLE / (tp + 1)::DOUBLE))
+                      AS BIGINT) AS s
+          FROM tot CROSS JOIN sums),
+    dex AS (SELECT doc_id, unnest(hs) AS bk FROM hs),
+    persum AS (SELECT dex.doc_id, SUM(w.s) AS score
+               FROM dex JOIN w USING (bk) GROUP BY dex.doc_id),
+    scored AS (SELECT h.doc_id, len(h.hs) AS n_grams,
+                      CAST(COALESCE(p.score, 0) AS BIGINT) AS score
+               FROM hs h LEFT JOIN persum p USING (doc_id)),
+    ranked AS (SELECT doc_id, n_grams, score,
+                      CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                           AS BIGINT) AS rank
+               FROM scored)
+    SELECT doc_id, n_grams, score, rank FROM ranked
+    WHERE rank <= 100 ORDER BY rank
+"""
+
+
+# q122: lexical side = q68's integer-scaled TF-IDF replay; semantic side
+# = floor-quantized list_dot_product cosine against the vec_id=0 row
+# (index-order accumulation matches the Spark zip_with/aggregate fold);
+# both sides rank inside their own top-50, then rrf sums two exact
+# reciprocal terms in the same left-to-right order as the engine.
+LLM_ORACLE_SQL["q122_hybrid_rrf"] = f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents
+    ),
+    hits AS (SELECT doc_id, w FROM tok
+             WHERE w IN ('fast', 'query', 'spark', 'table')),
+    dfc AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY w),
+    idf AS (
+        SELECT t.w,
+               CAST(ROUND(LN((n.n_docs + 1.0) / (COALESCE(d.df, 0) + 1.0)) + 1.0,
+                          6) * 1000000 AS BIGINT) AS idf_scaled
+        FROM (VALUES ('fast'), ('query'), ('spark'), ('table')) t(w)
+        CROSS JOIN n
+        LEFT JOIN dfc d USING (w)
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM hits GROUP BY doc_id, w),
+    text_scores AS (
+        SELECT doc_id, CAST(SUM(tf.tf * idf.idf_scaled) AS BIGINT) AS s_text
+        FROM tf JOIN idf USING (w) GROUP BY doc_id
+    ),
+    ta AS (SELECT doc_id,
+                  CAST(ROW_NUMBER() OVER (ORDER BY s_text DESC, doc_id)
+                       AS INT) AS rank_a
+           FROM text_scores
+           ORDER BY s_text DESC, doc_id LIMIT 50),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vec_scores AS (
+        SELECT vec_id AS doc_id,
+               CAST(FLOOR(1000000.0 *
+                   ({_COS.format(a='qv.qv', b='c.embedding')}))
+                    AS BIGINT) AS s_vec
+        FROM embeddings c CROSS JOIN qv
+    ),
+    tb AS (SELECT doc_id,
+                  CAST(ROW_NUMBER() OVER (ORDER BY s_vec DESC, doc_id)
+                       AS INT) AS rank_b
+           FROM vec_scores
+           ORDER BY s_vec DESC, doc_id LIMIT 50),
+    fused AS (
+        SELECT COALESCE(ta.doc_id, tb.doc_id) AS doc_id,
+               ta.rank_a AS rank_a, tb.rank_b AS rank_b,
+               COALESCE(1.0 / (60.0 + ta.rank_a), 0.0)
+               + COALESCE(1.0 / (60.0 + tb.rank_b), 0.0) AS rrf
+        FROM ta FULL OUTER JOIN tb ON ta.doc_id = tb.doc_id
+    )
+    SELECT * FROM (
+        SELECT doc_id, rank_a, rank_b, ROUND(rrf, 6) AS rrf
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    ) ORDER BY doc_id
 """

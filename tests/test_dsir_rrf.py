@@ -1,0 +1,107 @@
+"""Operator-level tests for DSIR importance scoring (corpus.dsir_importance)
+and Reciprocal Rank Fusion (search.rrf_fuse), beyond the q121/q122
+oracle gates in test_llm_corpus.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomy_etl_spark.operators.corpus import dsir_importance
+from bloomy_etl_spark.operators.search import rrf_fuse
+from bloomy_etl_spark.sources.tables import load_table
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_ORACLE, "documents")
+
+
+class TestDsir:
+    def test_target_docs_score_higher_on_average(self, spark, docs):
+        """The signal check: documents FROM the target slice must rank
+        above non-target documents on average — the per-bucket weights
+        are literally likelihood ratios of the two distributions."""
+        out = dsir_importance(docs, F.col("lang") == "en").join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+        rows = out.select("lang", "score", "n_grams").collect()
+        en = [r["score"] / max(r["n_grams"], 1) for r in rows if r["lang"] == "en"]
+        rest = [r["score"] / max(r["n_grams"], 1) for r in rows if r["lang"] != "en"]
+        assert en and rest
+        assert sum(en) / len(en) > sum(rest) / len(rest)
+
+    def test_partitioning_invariance(self, spark, docs):
+        """Exact-integer scores must be identical at any parallelism —
+        the quantized-ratio design claim (no float reduction order
+        anywhere)."""
+        a = {
+            (r["doc_id"], r["score"])
+            for r in dsir_importance(docs.repartition(64), F.col("lang") == "en").collect()
+        }
+        b = {
+            (r["doc_id"], r["score"])
+            for r in dsir_importance(docs.coalesce(1), F.col("lang") == "en").collect()
+        }
+        assert a == b
+
+    def test_every_doc_scored_and_empty_gram_docs_zero(self, spark, docs):
+        out = dsir_importance(docs, F.col("lang") == "en")
+        assert out.count() == docs.count()
+        zero = out.filter(F.col("n_grams") == 0)
+        assert zero.filter(F.col("score") != 0).count() == 0
+
+    def test_scoring_pass_shuffles_no_corpus_rows(self, spark, docs):
+        """The executed plan's exchanges carry only bucket partials
+        (≤ B rows per map task) and the broadcast build — never the
+        corpus. Bound: B × tasks + a slack constant, far below the
+        500-doc corpus's gram count (~60k)."""
+        from bloomy_etl_spark.tools.profile import run_profile
+
+        out = dsir_importance(docs, F.col("lang") == "en", buckets=64)
+        prof = run_profile(out)
+        n_grams = 64 * 64  # B buckets x an upper bound on map tasks
+        assert prof["shuffle_records_written"] <= n_grams, (
+            prof["shuffle_records_written"]
+        )
+        assert prof["spill_bytes"] == 0
+
+
+class TestRrf:
+    def _mk(self, spark, rows, score):
+        return spark.createDataFrame(rows, f"doc_id long, {score} long")
+
+    def test_both_lists_beat_single_list(self, spark):
+        """A doc ranked mid in BOTH lists outranks a doc that tops only
+        one list — the calibration-free property RRF is chosen for."""
+        a = self._mk(spark, [(1, 100), (2, 90), (3, 80)], "score_a")
+        b = self._mk(spark, [(2, 50), (4, 99)], "score_b")
+        out = {r["doc_id"]: r["rrf"] for r in rrf_fuse(a, b).collect()}
+        # doc 2: rank 2 in a, rank 2 in b -> 2/(60+2); doc 1: rank 1 one list
+        assert out[2] == pytest.approx(1 / 62 + 1 / 62)
+        assert out[1] == pytest.approx(1 / 61)
+        assert out[2] > out[1] > out[3]
+
+    def test_missing_side_rank_is_null(self, spark):
+        a = self._mk(spark, [(1, 10)], "score_a")
+        b = self._mk(spark, [(2, 10)], "score_b")
+        rows = {r["doc_id"]: r for r in rrf_fuse(a, b).collect()}
+        assert rows[1]["rank_b"] is None and rows[1]["rank_a"] == 1
+        assert rows[2]["rank_a"] is None and rows[2]["rank_b"] == 1
+
+    def test_topn_bounds_candidates(self, spark):
+        a = self._mk(spark, [(i, 1000 - i) for i in range(100)], "score_a")
+        b = self._mk(spark, [(i, i) for i in range(100)], "score_b")
+        out = rrf_fuse(a, b, topn=5, k=100).collect()
+        ids = {r["doc_id"] for r in out}
+        # union of each side's top-5: a keeps 0..4, b keeps 99..95
+        assert ids == {0, 1, 2, 3, 4, 95, 96, 97, 98, 99}
+
+    def test_tie_break_deterministic(self, spark):
+        a = self._mk(spark, [(5, 10), (3, 10), (9, 10)], "score_a")
+        b = self._mk(spark, [(9, 10), (5, 10)], "score_b")
+        r1 = [tuple(r) for r in rrf_fuse(a, b).collect()]
+        r2 = [tuple(r) for r in rrf_fuse(a.repartition(8), b.coalesce(1)).collect()]
+        assert r1 == r2
