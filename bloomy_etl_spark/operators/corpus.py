@@ -985,6 +985,102 @@ def cooccurrence_lift(docs: DataFrame, vocab_size: int = 64, top: int = 20,
     )
 
 
+def dsir_weights(docs: DataFrame, target: Column, buckets: int = 64,
+                 scale: int = 1_000_000, text_col: str = "text") -> DataFrame:
+    """The DSIR importance MODEL as one self-describing row:
+    ``(b, wm, w0)`` — bucket count, the ``bucket → quantized-ratio
+    weight`` map, and the unseen-bucket fallback weight (the smoothed
+    ratio an empty bucket would get: both add-1 numerators at 1).
+
+    Weights are FLOOR-QUANTIZED add-1-smoothed likelihood ratios (see
+    :func:`dsir_importance` for why not logs)::
+
+        s(g) = floor(scale · (tq_g+1)/(TQ+B) · (TP+B)/(tp_g+1))
+
+    Scale: ONE B-row bucket aggregate (map-side combined) folded into a
+    single row in-plan — the model is O(B) and broadcasts; nothing
+    driver-side scales with the corpus. The row is durable state: write
+    it to parquet and every later batch or micro-batch scores against
+    the frozen distribution (:func:`dsir_score`,
+    ``streaming/ingest.py::streaming_dsir_ingest``)."""
+    b = F.lit(buckets)
+    tot = (
+        docs.select(
+            target.cast("long").alias("_t"),
+            F.explode(
+                F.transform(
+                    T.word_ngrams(F.col(text_col), 2),
+                    lambda g: T.md5_int(g) % b,
+                )
+            ).alias("bk"),
+        )
+        .groupBy("bk")
+        .agg(F.sum("_t").alias("tq"), F.count(F.lit(1)).alias("tp"))
+    )
+    # fold the ≤B bucket totals into one weight-map row; the smoothing
+    # denominators (corpus gram masses) ride along in the same agg so
+    # the weights are a single linear plan — no join, no driver scalar
+    return tot.agg(
+        F.sum("tq").alias("tqs"),
+        F.sum("tp").alias("tps"),
+        F.collect_list(F.struct("bk", "tq", "tp")).alias("ents"),
+    ).select(
+        F.lit(buckets).alias("b"),
+        F.map_from_entries(
+            F.transform(
+                "ents",
+                lambda e: F.struct(
+                    e["bk"].alias("k"),
+                    F.floor(
+                        F.lit(float(scale))
+                        * ((e["tq"] + 1) / (F.col("tqs") + b))
+                        * ((F.col("tps") + b) / (e["tp"] + 1))
+                    ).cast("long").alias("v"),
+                ),
+            )
+        ).alias("wm"),
+        F.floor(
+            F.lit(float(scale))
+            * (F.lit(1) / (F.col("tqs") + b))
+            * ((F.col("tps") + b) / F.lit(1))
+        ).cast("long").alias("w0"),
+    )
+
+
+def dsir_score(docs: DataFrame, weights: DataFrame,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Score documents against a FROZEN DSIR weight row
+    (:func:`dsir_weights` output, possibly read back from parquet):
+    ``score = Σ_grams weight(bucket(gram))`` — exact int64 sums, with
+    the row's ``w0`` fallback for buckets the training corpus never
+    populated (impossible in the self-trained batch case, routine when
+    scoring NEW data against an old model).
+
+    Scale: the weight row broadcasts (O(B) bytes); scoring is an
+    IN-ROW fold over each doc's gram-hash array — the corpus never
+    shuffles and no per-(doc, bucket) intermediate exists."""
+    return docs.select(id_col, text_col).crossJoin(
+        F.broadcast(weights)
+    ).select(
+        F.col(id_col),
+        F.transform(
+            T.word_ngrams(F.col(text_col), 2),
+            lambda g: T.md5_int(g) % F.col("b"),
+        ).alias("__hs"),
+        "wm", "w0",
+    ).select(
+        F.col(id_col),
+        F.size("__hs").alias("n_grams"),
+        F.aggregate(
+            "__hs",
+            F.lit(0).cast("long"),
+            lambda acc, g: acc
+            + F.coalesce(F.element_at("wm", g), F.col("w0")),
+        ).alias("score"),
+    )
+
+
 def dsir_importance(docs: DataFrame, target: Column, buckets: int = 64,
                     scale: int = 1_000_000, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
@@ -1013,60 +1109,15 @@ def dsir_importance(docs: DataFrame, target: Column, buckets: int = 64,
     (three IEEE divisions/multiplications in a fixed order, one floor,
     then pure integer sums).
 
-    Scale: the ONLY corpus-keyed exchange is the B-row bucket-total
-    aggregate (map-side combined: ≤ B partial rows per task). The
-    B-entry weight map folds into ONE row in-plan and broadcasts back;
-    per-document scoring is an IN-ROW fold of the doc's gram-hash array
-    against that map — the corpus itself never shuffles and no
-    per-(doc, bucket) intermediate exists. Hashing is the portable
-    md5-derived int64 (:func:`salted_hash_bucket`'s primitive), so the
-    DuckDB replay buckets identically.
+    Composition: ``dsir_score(docs, dsir_weights(docs, target))`` — the
+    train/apply split is the model artifact boundary (freeze the weight
+    row, score tomorrow's corpus or a stream against it).
 
     Returns every document: ``(id, n_grams, score)``. Callers resample
     (top-k, threshold, or hash-jittered sampling) downstream.
     """
-    b = F.lit(buckets)
-    hs = docs.select(
-        F.col(id_col),
-        target.cast("long").alias("_t"),
-        F.transform(
-            T.word_ngrams(F.col(text_col), 2),
-            lambda g: T.md5_int(g) % b,
-        ).alias("hs"),
-    )
-    tot = (
-        hs.select(F.explode("hs").alias("bk"), "_t")
-        .groupBy("bk")
-        .agg(F.sum("_t").alias("tq"), F.count(F.lit(1)).alias("tp"))
-    )
-    # fold the ≤B bucket totals into one weight-map row; the smoothing
-    # denominators (corpus gram masses) ride along in the same agg so
-    # the weights are a single linear plan — no join, no driver scalar
-    wmap = tot.agg(
-        F.sum("tq").alias("tqs"),
-        F.sum("tp").alias("tps"),
-        F.collect_list(F.struct("bk", "tq", "tp")).alias("ents"),
-    ).select(
-        F.map_from_entries(
-            F.transform(
-                "ents",
-                lambda e: F.struct(
-                    e["bk"].alias("k"),
-                    F.floor(
-                        F.lit(float(scale))
-                        * ((e["tq"] + 1) / (F.col("tqs") + b))
-                        * ((F.col("tps") + b) / (e["tp"] + 1))
-                    ).cast("long").alias("v"),
-                ),
-            )
-        ).alias("wm")
-    )
-    return hs.crossJoin(F.broadcast(wmap)).select(
-        F.col(id_col),
-        F.size("hs").alias("n_grams"),
-        F.aggregate(
-            "hs",
-            F.lit(0).cast("long"),
-            lambda acc, g: acc + F.element_at("wm", g),
-        ).alias("score"),
+    return dsir_score(
+        docs,
+        dsir_weights(docs, target, buckets, scale, text_col),
+        text_col, id_col,
     )

@@ -459,3 +459,59 @@ def read_hll_store(spark: SparkSession, sketch_dir: str,
         .groupBy(*keys, "bucket")
         .agg(F.max("r").cast("int").alias("r"))
     )
+
+
+def streaming_dsir_ingest(
+    docs_stream: DataFrame,
+    weights: DataFrame,
+    score_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming DSIR quality scoring: score every micro-batch of
+    documents against a FROZEN importance model
+    (:func:`bloomy_etl_spark.operators.corpus.dsir_weights` — train
+    once on the reference corpus, then rank arriving data forever) and
+    append ``(id, n_grams, score, batch_id)`` to a durable store.
+
+    Because the model is frozen and per-document scores are exact
+    integers with no cross-document state, the streaming contract is
+    exact: the store equals batch :func:`dsir_score` over the union of
+    all batches, row-for-row, in ANY arrival order (unlike the
+    SemDeDup ingest, which needs monotone ids). An at-least-once
+    replay re-appends identical rows tagged with the same ``batch_id``;
+    :func:`read_dsir_store` collapses them.
+
+    Scale: per-batch work is one in-row scoring pass against the
+    broadcast O(B) weight row — no shuffle at all; the store grows by
+    |batch| rows per batch.
+    """
+    from bloomy_etl_spark.operators.corpus import dsir_score
+
+    w = pin(weights)  # freeze: one tiny row, never re-derived per batch
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        dsir_score(batch, w, text_col=text_col, id_col=id_col).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(score_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_dsir_store(spark: SparkSession, score_dir: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """The scored corpus from the streaming store, replay-collapsed:
+    duplicate ``(batch_id, id)`` rows from an at-least-once re-append
+    are identical by determinism of the frozen model — keep one."""
+    return (
+        spark.read.parquet(score_dir)
+        .groupBy("batch_id", id_col)
+        .agg(F.max("n_grams").alias("n_grams"), F.max("score").alias("score"))
+        .select(id_col, "n_grams", "score")
+    )

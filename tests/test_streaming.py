@@ -1124,3 +1124,76 @@ class TestHllIngest:
             ).collect()
         }
         assert got == want
+
+
+class TestDsirIngest:
+    """Streaming DSIR scoring against a frozen importance model
+    (streaming/ingest.py::streaming_dsir_ingest): the durable score
+    store after replaying all micro-batches equals one batch
+    dsir_score over the union — exact integers, any arrival order."""
+
+    def test_stream_equals_batch_scoring(self, spark, tmp_path):
+        from bloomy_etl_spark.operators.corpus import dsir_score, dsir_weights
+        from bloomy_etl_spark.sources.tables import load_table
+        from bloomy_etl_spark.streaming.ingest import (
+            read_docs_stream,
+            read_dsir_store,
+            replay_docs_dir,
+            streaming_dsir_ingest,
+        )
+        from tests.conftest import SF_ORACLE
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        weights = dsir_weights(docs, F.col("lang") == "en")
+        replay = replay_docs_dir(
+            spark, SF_ORACLE, str(tmp_path / "replay"), n_files=3
+        )
+        q = streaming_dsir_ingest(
+            read_docs_stream(spark, replay),
+            weights,
+            str(tmp_path / "scores"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["doc_id"], r["n_grams"], r["score"])
+            for r in read_dsir_store(spark, str(tmp_path / "scores")).collect()
+        }
+        want = {
+            (r["doc_id"], r["n_grams"], r["score"])
+            for r in dsir_score(docs, weights).collect()
+        }
+        assert got == want
+
+    def test_replayed_batch_collapses(self, spark, tmp_path):
+        from bloomy_etl_spark.operators.corpus import dsir_score, dsir_weights
+        from bloomy_etl_spark.sources.tables import load_table
+        from bloomy_etl_spark.streaming.ingest import read_dsir_store
+        from tests.conftest import SF_ORACLE
+
+        docs = load_table(spark, SF_ORACLE, "documents").filter(
+            F.col("doc_id") < 60
+        )
+        weights = dsir_weights(docs, F.col("lang") == "en")
+        scored = dsir_score(docs, weights).withColumn("batch_id", F.lit(0))
+        path = str(tmp_path / "scores")
+        scored.write.mode("append").parquet(path)
+        scored.write.mode("append").parquet(path)  # the at-least-once replay
+        out = read_dsir_store(spark, path)
+        assert out.count() == 60
+        assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+    def test_frozen_weights_score_unseen_buckets(self, spark):
+        """A model trained on a tiny slice scores documents whose gram
+        buckets the training corpus never populated — via the w0
+        fallback, never NULL."""
+        from bloomy_etl_spark.operators.corpus import dsir_score, dsir_weights
+        from bloomy_etl_spark.sources.tables import load_table
+        from tests.conftest import SF_ORACLE
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        tiny = docs.filter(F.col("doc_id") < 3)
+        weights = dsir_weights(tiny, F.col("lang") == "en", buckets=4096)
+        out = dsir_score(docs, weights)
+        assert out.filter(F.col("score").isNull()).count() == 0
+        assert out.count() == docs.count()
