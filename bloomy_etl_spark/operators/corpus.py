@@ -1121,3 +1121,100 @@ def dsir_importance(docs: DataFrame, target: Column, buckets: int = 64,
         dsir_weights(docs, target, buckets, scale, text_col),
         text_col, id_col,
     )
+
+
+def curate(docs: DataFrame, min_tokens: int = 20, unique_num: int = 3,
+           unique_den: int = 10, cap: int = 40,
+           domain_col: str = "source", id_col: str = "doc_id",
+           text_col: str = "text", train_pct: int = 90,
+           val_pct: int = 5) -> DataFrame:
+    """The assembled curation pipeline with per-document LINEAGE — the
+    end-to-end composition a corpus build actually runs (quality gate →
+    exact dedup → fingerprint near-dedup → domain cap → split
+    assignment), where every document reports the FIRST stage that
+    dropped it, or ``kept`` plus its split. Auditable disposition is
+    the point: at 100 TB you debug the pipeline from stage attrition
+    counts, not by diffing corpora.
+
+    Stages (each restricted to survivors of the previous, all
+    engine-exact):
+
+    1. ``quality`` — ``n_tokens ≥ min_tokens`` and unique-token ratio ≥
+       ``unique_num/unique_den``, tested as an INTEGER cross-product
+       (``distinct·den ≥ total·num``) so the boundary can't float.
+    2. ``exact_dup`` — keep the min-id document per sha256(text) group
+       (:func:`bloomy_etl_spark.operators.dedup.exact_duplicates`
+       semantics).
+    3. ``near_dup`` — keep the min-id survivor per 1-perm-MinHash
+       fingerprint (min md5-int over 3-word shingles — q35's
+       fingerprint).
+    4. ``domain_cap`` — :func:`domain_cap` semantics: salted-hash rank
+       within the domain, keep ``cap``.
+    5. ``kept`` — :func:`assign_split`'s deterministic train/val/test.
+
+    Survivor-restricted windows are CONDITIONAL aggregates over the
+    full frame (``min(CASE WHEN survivor THEN id END) OVER group``, a
+    running conditional count for the rank), so the whole pipeline is
+    ONE linear plan — no per-stage anti-join round trips; three window
+    shuffles total (sha group, fingerprint group, domain order). A
+    mega-domain serializes its rank window onto one task — at that
+    regime swap stage 4 for :func:`domain_cap` with
+    ``prefilter_margin`` (bounded partitions, identical keeps).
+
+    Returns ``(id, domain, stage, split)`` for EVERY input document.
+    """
+    text = F.col(text_col)
+    lws = T.tokens(F.lower(text))
+    did = F.col(id_col)
+    q_ok = (F.size(T.tokens(text)) >= min_tokens) & (
+        F.size(F.array_distinct(lws)) * unique_den >= F.size(lws) * unique_num
+    )
+    base = docs.select(
+        did,
+        F.col(domain_col),
+        q_ok.alias("_q"),
+        F.sha2(text, 256).alias("_sha"),
+        F.array_min(
+            F.transform(T.word_shingles(text), lambda s: T.md5_int(s))
+        ).alias("_fp"),
+    )
+    w_sha = Window.partitionBy("_sha")
+    w_fp = Window.partitionBy("_fp")
+    base = base.withColumn(
+        "_e",
+        F.col("_q")
+        & (did == F.min(F.when(F.col("_q"), did)).over(w_sha)),
+    ).withColumn(
+        "_n",
+        F.col("_e")
+        & (did == F.min(F.when(F.col("_e"), did)).over(w_fp)),
+    )
+    h = salted_hash_bucket(id_col, "domcap", 1_000_000)
+    w_dom = (
+        Window.partitionBy(domain_col)
+        .orderBy(h.asc(), did.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = base.withColumn(
+        "_rank", F.sum(F.when(F.col("_n"), 1).otherwise(0)).over(w_dom)
+    )
+    kept = F.col("_n") & (F.col("_rank") <= cap)
+    bucket = salted_hash_bucket(id_col, "split", 100)
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    stage = (
+        F.when(~F.col("_q"), "quality")
+        .when(~F.col("_e"), "exact_dup")
+        .when(~F.col("_n"), "near_dup")
+        .when(~kept, "domain_cap")
+        .otherwise("kept")
+    )
+    return base.select(
+        did,
+        F.col(domain_col),
+        stage.alias("stage"),
+        F.when(kept, split).alias("split"),
+    )

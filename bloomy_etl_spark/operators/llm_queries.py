@@ -910,6 +910,20 @@ def q122_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_psort, "doc_id")
 
 
+def q123_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled end-to-end curation pipeline WITH per-document
+    lineage (corpus.curate): quality gate (integer cross-product
+    unique-ratio test) → exact sha256 dedup → 1-perm-MinHash
+    fingerprint near-dedup → salted-hash domain cap (12/source — sized
+    so the stage bites on the fixture) → deterministic split
+    assignment. Every document is gated with the FIRST stage that
+    dropped it or its kept split — the composition proof that the
+    operators stay exact when chained into one linear plan (three
+    window shuffles total, no per-stage anti-join round trips)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return C.curate(docs, cap=12).transform(_psort, "doc_id")
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -963,6 +977,7 @@ LLM_QUERIES = {
     "q120_logreg_quality": q120_logreg_quality,
     "q121_dsir_selection": q121_dsir_selection,
     "q122_hybrid_rrf": q122_hybrid_rrf,
+    "q123_curation_pipeline": q123_curation_pipeline,
 }
 
 
@@ -2411,4 +2426,52 @@ LLM_ORACLE_SQL["q122_hybrid_rrf"] = f"""
         SELECT doc_id, rank_a, rank_b, ROUND(rrf, 6) AS rrf
         FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
     ) ORDER BY doc_id
+"""
+
+
+# q123: the oracle replays the full curation chain — conditional
+# survivor windows (min-id per sha / per fingerprint restricted to
+# prior-stage survivors), the running conditional count that ranks
+# domain survivors in (salted-hash, id) order, and the split bands —
+# over the same portable md5/sha primitives as q26/q35/q47.
+LLM_ORACLE_SQL["q123_curation_pipeline"] = r"""
+    WITH toks AS (SELECT doc_id, source, text,
+                         string_split_regex(text, '\s+') AS ws,
+                         string_split_regex(lower(text), '\s+') AS lws
+                  FROM documents),
+    base AS (
+        SELECT doc_id, source,
+               (len(ws) >= 20
+                AND len(list_distinct(lws)) * 10 >= len(lws) * 3) AS q_ok,
+               sha256(text) AS sha,
+               list_min(list_transform(
+                   CASE WHEN len(ws) >= 3
+                        THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                            for i in range(1, len(ws) - 1)])
+                        ELSE [array_to_string(ws, ' ')] END,
+                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS fp,
+               ('0x' || substr(md5('domcap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000 AS h,
+               ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS sb
+        FROM toks),
+    e AS (SELECT *, q_ok AND doc_id = MIN(CASE WHEN q_ok THEN doc_id END)
+                                      OVER (PARTITION BY sha) AS e_ok FROM base),
+    n AS (SELECT *, e_ok AND doc_id = MIN(CASE WHEN e_ok THEN doc_id END)
+                                      OVER (PARTITION BY fp) AS n_ok FROM e),
+    r AS (SELECT *, SUM(CASE WHEN n_ok THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY source ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS rnk FROM n)
+    SELECT doc_id, source,
+           CASE WHEN NOT q_ok THEN 'quality'
+                WHEN NOT e_ok THEN 'exact_dup'
+                WHEN NOT n_ok THEN 'near_dup'
+                WHEN NOT (n_ok AND rnk <= 12) THEN 'domain_cap'
+                ELSE 'kept' END AS stage,
+           CASE WHEN n_ok AND rnk <= 12
+                THEN CASE WHEN sb < 90 THEN 'train'
+                          WHEN sb < 95 THEN 'val'
+                          ELSE 'test' END
+           END AS split
+    FROM r ORDER BY doc_id
 """

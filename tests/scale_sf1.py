@@ -131,6 +131,10 @@ def scale_cases():
         # r8 portable HLL: register exchange is m·groups-bounded — must
         # not grow with corpus rows at all
         "q119_hll_registers",
+        # r8 DSIR: the only exchange is the B-row bucket-total reduce
+        # (B × tasks partials) — bounded-state like the sketches; the
+        # scored corpus itself must never shuffle
+        "q121_dsir_selection",
     ]
     cases = [(n, entry.ALL_QUERIES[n]) for n in names if n in entry.ALL_QUERIES]
     # SemDeDup's scale contract holds under its PRESCRIBED sizing

@@ -465,3 +465,77 @@ class TestApproxPercentiles:
         assert set(exact[next(iter(exact))].asDict()) == set(
             approx[next(iter(approx))].asDict()
         )
+
+
+class TestCurate:
+    """The composed curation pipeline (corpus.curate): lineage
+    consistency and stage semantics beyond the q123 oracle gate."""
+
+    @pytest.fixture(scope="class")
+    def curated(self, spark):
+        from bloomy_etl_spark.operators.corpus import curate
+        from bloomy_etl_spark.sources.tables import load_table
+        from tests.conftest import SF_ORACLE
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        return curate(docs, cap=12).collect(), docs.count()
+
+    def test_every_doc_has_exactly_one_disposition(self, curated):
+        rows, n = curated
+        assert len(rows) == n
+        assert all(
+            r["stage"] in
+            {"quality", "exact_dup", "near_dup", "domain_cap", "kept"}
+            for r in rows
+        )
+
+    def test_split_iff_kept(self, curated):
+        rows, _ = curated
+        for r in rows:
+            if r["stage"] == "kept":
+                assert r["split"] in {"train", "val", "test"}
+            else:
+                assert r["split"] is None
+
+    def test_domain_cap_enforced(self, curated):
+        rows, _ = curated
+        per = {}
+        for r in rows:
+            if r["stage"] == "kept":
+                per[r["source"]] = per.get(r["source"], 0) + 1
+        assert per and max(per.values()) <= 12
+
+    def test_pipeline_attrition_nontrivial(self, curated):
+        """The fixture must exercise ≥3 distinct stages (kept plus at
+        least two drop reasons) — an all-kept gate would prove nothing."""
+        rows, _ = curated
+        stages = {r["stage"] for r in rows}
+        assert "kept" in stages and len(stages) >= 3
+
+    def test_partitioning_invariance(self, spark):
+        from bloomy_etl_spark.operators.corpus import curate
+        from bloomy_etl_spark.sources.tables import load_table
+        from tests.conftest import SF_ORACLE
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        a = {tuple(r) for r in curate(docs.repartition(64), cap=12).collect()}
+        b = {tuple(r) for r in curate(docs.coalesce(1), cap=12).collect()}
+        assert a == b
+
+    def test_stage_order_is_first_failure(self, spark):
+        """A document failing quality must be reported as 'quality' even
+        if it is also a duplicate (stage precedence = pipeline order)."""
+        from bloomy_etl_spark.operators.corpus import curate
+
+        spark_df = spark.createDataFrame(
+            [
+                (1, "s", "short text"),               # fails quality (<20 toks)
+                (2, "s", "short text"),               # same content: still quality
+                (3, "s", " ".join(f"w{i}" for i in range(30))),  # kept
+                (4, "s", " ".join(f"w{i}" for i in range(30))),  # exact dup of 3
+            ],
+            "doc_id long, source string, text string",
+        )
+        out = {r["doc_id"]: r["stage"] for r in curate(spark_df).collect()}
+        assert out[1] == "quality" and out[2] == "quality"
+        assert out[3] == "kept" and out[4] == "exact_dup"
