@@ -1218,3 +1218,76 @@ def curate(docs: DataFrame, min_tokens: int = 20, unique_num: int = 3,
         stage.alias("stage"),
         F.when(kept, split).alias("split"),
     )
+
+
+def stratified_budget_sample(docs: DataFrame, budget: int,
+                             group_col: str = "source",
+                             id_col: str = "doc_id",
+                             salt: str = "stratsample") -> DataFrame:
+    """Exact-budget stratified sampling: draw EXACTLY ``budget``
+    documents (when the corpus has that many) allocated across groups
+    proportionally by largest-remainder (Hamilton) apportionment — the
+    eval-set / human-review primitive where "about 2%" isn't good
+    enough but per-group proportions must hold (:func:`sample_per_group`
+    fixes k PER group; this fixes the GLOBAL total).
+
+    All arithmetic is exact integers: per-group quota
+    ``base_g = (budget·n_g) DIV N``, remainders ``(budget·n_g) MOD N``,
+    and the leftover ``budget − Σ base`` seats go to the largest
+    remainders (ties by group name) — no float proportions anywhere,
+    so the allocation replays bit-identically. Within each group the
+    members are the salted-hash top-``alloc_g`` (deterministic across
+    runs/engines/partitionings, unbiased w.r.t. crawl order — the
+    :func:`domain_cap` discipline). A group allocated more seats than
+    members (only possible when ``budget > N``) yields all members;
+    the global total then under-fills, which is surfaced by ``alloc``.
+
+    Scale: group counts are one bounded hash-agg (G rows); the
+    apportionment runs entirely inside windows over that G-row frame
+    (no driver collect); allocations broadcast back; the only
+    corpus-scale work is the per-group (hash, id) rank window — a
+    mega-group serializes its rank scan, the same regime (and the same
+    prefilter remedy) as :func:`domain_cap`.
+
+    Returns the sampled rows: ``(group, id, sample_rank, alloc)``.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    wall = Window.partitionBy()
+    quota = F.lit(budget) * F.col("n")
+    tot = F.sum("n").over(wall)
+    alloc = counts.select(
+        group_col,
+        "n",
+        (quota - quota % tot).alias("_scaled"),  # budget·n − rem = base·N
+        (quota % tot).alias("_rem"),
+        tot.alias("_tot"),
+    ).select(
+        group_col,
+        "n",
+        (F.col("_scaled") / F.col("_tot")).cast("long").alias("_base"),
+        "_rem",
+    )
+    w_rem = Window.orderBy(F.col("_rem").desc(), F.col(group_col).asc())
+    w_all = Window.partitionBy()
+    alloc = alloc.select(
+        group_col,
+        "n",
+        "_base",
+        (
+            F.row_number().over(w_rem)
+            <= F.lit(budget) - F.sum("_base").over(w_all)
+        ).cast("long").alias("_extra"),
+    ).select(
+        group_col,
+        F.least(F.col("_base") + F.col("_extra"), F.col("n")).alias("alloc"),
+    )
+    h = salted_hash_bucket(id_col, salt, 1_000_000)
+    w_grp = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.join(F.broadcast(alloc), group_col)
+        .withColumn("sample_rank", F.row_number().over(w_grp))
+        .filter(F.col("sample_rank") <= F.col("alloc"))
+        .select(group_col, id_col, "sample_rank", "alloc")
+    )

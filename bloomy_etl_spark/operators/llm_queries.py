@@ -924,6 +924,23 @@ def q123_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.curate(docs, cap=12).transform(_psort, "doc_id")
 
 
+def q124_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-budget stratified sampling (corpus.stratified_budget_sample):
+    draw exactly 123 documents allocated across sources by
+    largest-remainder (Hamilton) apportionment — integer-exact quotas
+    (budget·n DIV N), leftover seats to the largest remainders (ties by
+    source name), members = the salted-hash top-alloc within each
+    source. 123 is chosen so the remainder stage BITES on the uniform
+    fixture (every group ties at the same remainder and the name
+    tie-break decides). The apportionment runs in windows over the
+    G-row count frame — no driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        C.stratified_budget_sample(docs, budget=123)
+        .transform(_psort, "source", "sample_rank")
+    )
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -978,6 +995,7 @@ LLM_QUERIES = {
     "q121_dsir_selection": q121_dsir_selection,
     "q122_hybrid_rrf": q122_hybrid_rrf,
     "q123_curation_pipeline": q123_curation_pipeline,
+    "q124_stratified_sample": q124_stratified_sample,
 }
 
 
@@ -2474,4 +2492,35 @@ LLM_ORACLE_SQL["q123_curation_pipeline"] = r"""
                           ELSE 'test' END
            END AS split
     FROM r ORDER BY doc_id
+"""
+
+
+# q124: exact integer Hamilton apportionment — the base quota uses the
+# subtract-remainder form ((B·n − (B·n) MOD N) / N is exactly divisible,
+# so the double division is exact below 2^53), leftover seats rank by
+# (remainder DESC, source), membership is the salted-hash rank replay.
+LLM_ORACLE_SQL["q124_stratified_sample"] = r"""
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n) AS t FROM counts),
+    base AS (SELECT source, n,
+                    CAST(((123 * n) - (123 * n) % t) / t AS BIGINT) AS b,
+                    (123 * n) % t AS rem
+             FROM counts CROSS JOIN tot),
+    seats AS (SELECT source, n, b, rem,
+                     ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
+                     (SELECT 123 - SUM(b) FROM base) AS leftover
+              FROM base),
+    alloc AS (SELECT source,
+                     LEAST(b + CASE WHEN rr <= leftover THEN 1 ELSE 0 END, n)
+                         AS alloc
+              FROM seats),
+    ranked AS (SELECT d.source, d.doc_id, a.alloc,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY d.source
+                          ORDER BY ('0x' || substr(md5('stratsample:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                       % 1000000,
+                                   d.doc_id) AS sample_rank
+               FROM documents d JOIN alloc a USING (source))
+    SELECT source, doc_id, sample_rank, alloc FROM ranked
+    WHERE sample_rank <= alloc ORDER BY source, sample_rank
 """

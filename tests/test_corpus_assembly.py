@@ -539,3 +539,61 @@ class TestCurate:
         out = {r["doc_id"]: r["stage"] for r in curate(spark_df).collect()}
         assert out[1] == "quality" and out[2] == "quality"
         assert out[3] == "kept" and out[4] == "exact_dup"
+
+
+class TestStratifiedBudgetSample:
+    """Exact-budget Hamilton sampling (corpus.stratified_budget_sample)
+    beyond the q124 oracle gate."""
+
+    def test_exact_total_and_quota_bounds(self, spark):
+        from bloomy_etl_spark.operators.corpus import stratified_budget_sample
+        from bloomy_etl_spark.sources.tables import load_table
+        from tests.conftest import SF_ORACLE
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        n = docs.count()
+        per = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+        budget = 137
+        out = stratified_budget_sample(docs, budget).collect()
+        assert len(out) == budget
+        alloc = {}
+        for r in out:
+            alloc[r["source"]] = r["alloc"]
+        # Hamilton guarantee: every group within 1 of its exact quota
+        for g, a in alloc.items():
+            exact = budget * per[g] / n
+            assert abs(a - exact) <= 1, (g, a, exact)
+
+    def test_overbudget_underfills_gracefully(self, spark):
+        from bloomy_etl_spark.operators.corpus import stratified_budget_sample
+
+        df = spark.createDataFrame(
+            [(i, "a" if i < 3 else "b") for i in range(8)],
+            "doc_id long, source string",
+        )
+        out = stratified_budget_sample(df, budget=100).collect()
+        assert len(out) == 8  # capped at group sizes
+
+    def test_partitioning_invariance(self, spark):
+        from bloomy_etl_spark.operators.corpus import stratified_budget_sample
+        from bloomy_etl_spark.sources.tables import load_table
+        from tests.conftest import SF_ORACLE
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        a = {tuple(r) for r in
+             stratified_budget_sample(docs.repartition(64), 55).collect()}
+        b = {tuple(r) for r in
+             stratified_budget_sample(docs.coalesce(1), 55).collect()}
+        assert a == b
+
+    def test_rejects_nonpositive_budget(self, spark):
+        from bloomy_etl_spark.operators.corpus import stratified_budget_sample
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        with pytest.raises(ValueError, match="budget"):
+            stratified_budget_sample(df, 0)
