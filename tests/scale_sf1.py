@@ -135,6 +135,12 @@ def scale_cases():
         # (B × tasks partials) — bounded-state like the sketches; the
         # scored corpus itself must never shuffle
         "q121_dsir_selection",
+        # r8 composed curation pipeline: three window shuffles whose
+        # keys (sha, fingerprint, domain) all grow linearly in docs
+        "q123_curation_pipeline",
+        # r8 Hamilton sampling: G-row apportionment windows + one
+        # per-group rank window — linear in docs, constant in G
+        "q124_stratified_sample",
     ]
     cases = [(n, entry.ALL_QUERIES[n]) for n in names if n in entry.ALL_QUERIES]
     # SemDeDup's scale contract holds under its PRESCRIBED sizing
