@@ -941,6 +941,41 @@ def q124_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q125_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication audit (sketches.kmv_build/
+    kmv_overlap_cols over shingle hashes): per-source KMV sketches of
+    the distinct 3-word-shingle sets, then every source pair's
+    estimated distinct/union/intersection/Jaccard — "which domain
+    mirrors which" at a glance, the corpus-level complement of the
+    per-document dedup gates. At fixture scale every source is below
+    k=4096, so the sketch IS the exact distinct set and the oracle
+    replays exact set algebra (q79's pattern); at capacity the same
+    plan degrades to the (k-1)/u_k bottom-k estimator. Exchange is
+    sketch-bounded: ≤ k hashes per source, G² pairs of in-row array
+    ops — the corpus-scale shingle stream reduces map-side."""
+    from bloomy_etl_spark.operators import sketches as SK
+
+    k = 4096
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    sh = docs.select(
+        "source", F.explode(T.word_shingles(F.col("text"))).alias("s")
+    )
+    sk = SK.kmv_build(sh, ["source"], "s", k=k)
+    a = sk.select(F.col("source").alias("source_a"), F.col("kmv").alias("ka"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("kmv").alias("kb"))
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    est = SK.kmv_overlap_cols(F.col("ka"), F.col("kb"), k)
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.round(est["est_a"]).cast("long").alias("est_a"),
+        F.round(est["est_b"]).cast("long").alias("est_b"),
+        F.round(est["est_union"]).cast("long").alias("est_union"),
+        F.round(est["est_inter"]).cast("long").alias("est_inter"),
+        F.round(est["jaccard"], 4).alias("jaccard"),
+    ).transform(_psort, "source_a", "source_b")
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -996,6 +1031,7 @@ LLM_QUERIES = {
     "q122_hybrid_rrf": q122_hybrid_rrf,
     "q123_curation_pipeline": q123_curation_pipeline,
     "q124_stratified_sample": q124_stratified_sample,
+    "q125_source_overlap": q125_source_overlap,
 }
 
 
@@ -2523,4 +2559,37 @@ LLM_ORACLE_SQL["q124_stratified_sample"] = r"""
                FROM documents d JOIN alloc a USING (source))
     SELECT source, doc_id, sample_rank, alloc FROM ranked
     WHERE sample_rank <= alloc ORDER BY source, sample_rank
+"""
+
+
+# q125: exact-regime replay (q79's pattern) — every source's distinct
+# shingle set is below k, so the KMV estimates ARE exact set
+# cardinalities and the oracle computes exact set algebra; jaccard is
+# the same single IEEE division of the same exact integers.
+LLM_ORACLE_SQL["q125_source_overlap"] = r"""
+    WITH toks AS (SELECT doc_id, source, string_split_regex(text, '\s+') AS ws
+                  FROM documents),
+    sh AS (SELECT source, unnest(
+               CASE WHEN len(ws) >= 3
+                    THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                        for i in range(1, len(ws) - 1)])
+                    ELSE [array_to_string(ws, ' ')] END) AS s
+           FROM toks),
+    d AS (SELECT DISTINCT source, s FROM sh),
+    c AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+    inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_i
+              FROM d a JOIN d b ON b.s = a.s AND a.source < b.source
+              GROUP BY 1, 2),
+    pairs AS (SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+              FROM c a JOIN c b ON a.source < b.source)
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           CAST(p.na AS BIGINT) AS est_a,
+           CAST(p.nb AS BIGINT) AS est_b,
+           CAST(p.na + p.nb - COALESCE(i.n_i, 0) AS BIGINT) AS est_union,
+           CAST(COALESCE(i.n_i, 0) AS BIGINT) AS est_inter,
+           ROUND(COALESCE(i.n_i, 0) /
+                 CAST(p.na + p.nb - COALESCE(i.n_i, 0) AS DOUBLE),
+                 4) AS jaccard
+    FROM pairs p LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+    ORDER BY source_a, source_b
 """
