@@ -480,3 +480,36 @@ def test_shared_span_pairs_matches_bruteforce(spark, docs, span, min_spans):
         if n_shared >= min_spans:
             want[(i, j)] = n_shared
     assert got == want
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1,
+                   max_size=8),
+    budget=st.integers(min_value=1, max_value=120),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hamilton_apportionment_invariants(spark, sizes, budget):
+    """stratified_budget_sample under arbitrary group shapes: the
+    sample total is exactly min(budget, corpus); every group is within
+    1 of its exact proportional quota (the Hamilton guarantee) whenever
+    the budget fits; no group exceeds its population."""
+    from bloomy_etl_spark.operators.corpus import stratified_budget_sample
+
+    rows, off = [], 0
+    for gi, n in enumerate(sizes):
+        rows += [(off + i, f"g{gi}") for i in range(n)]
+        off += n
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    total = len(rows)
+    out = stratified_budget_sample(docs, budget).collect()
+    assert len(out) == min(budget, total)
+    per = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    for gi, n in enumerate(sizes):
+        got = per.get(f"g{gi}", 0)
+        assert got <= n
+        if budget <= total:
+            exact = budget * n / total
+            assert abs(got - exact) <= 1, (sizes, budget, gi, got, exact)
