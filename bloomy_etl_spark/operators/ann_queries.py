@@ -514,6 +514,54 @@ def q111_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q126_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN quality audit IN the engine
+    (similarity.retrieval_metrics): recall@10 and reciprocal rank of
+    the 1-bit Hamming tier (q110's packing, self excluded) against the
+    exact cosine top-10 ground truth — pricing the 32× compression
+    tier's accuracy inside the gated corpus rather than a notebook.
+    n_hits is an exact integer; recall and rr are single 6-dp-rounded
+    IEEE divisions; both ranked lists replay exactly (integer Hamming,
+    the q33 cosine fold), so every per-query metric hashes
+    identically."""
+    from bloomy_etl_spark.operators.similarity import (
+        cosine_topk,
+        retrieval_metrics,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    packed = embs.select(
+        "vec_id",
+        _sign_word(F.col("embedding"), 1).alias("w0"),
+        _sign_word(F.col("embedding"), 33).alias("w1"),
+    )
+    corpus = packed.select(F.col("vec_id").alias("neighbor_id"), "w0", "w1")
+    queries = packed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("u0"), F.col("w1").alias("u1"),
+    )
+    ham = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("u0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("u1")))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    result = (
+        corpus.join(F.broadcast(queries), F.lit(True))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hamming", ham.cast("int"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 10)
+    )
+    truth = cosine_topk(
+        embs, embs.filter(F.col("vec_id") % 100 == 0), k=10
+    )
+    return retrieval_metrics(result, truth, k=10).transform(
+        _psort, "query_id"
+    )
+
+
 ANN_QUERIES = {
     "q101_pq_codes": q101_pq_codes,
     "q102_pq_adc_topk": q102_pq_adc_topk,
@@ -526,6 +574,7 @@ ANN_QUERIES = {
     "q109_sq8_topk": q109_sq8_topk,
     "q110_binary_hamming_topk": q110_binary_hamming_topk,
     "q111_jl_projection_topk": q111_jl_projection_topk,
+    "q126_ann_recall": q126_ann_recall,
 }
 
 
@@ -1094,3 +1143,66 @@ ANN_ORACLE_SQL = {
         ORDER BY query_id, rank
     """,
 }
+
+
+# q126: compose the q110 Hamming replay (self excluded, k=10) with the
+# q33 exact-cosine replay (k=10) and aggregate hits — n_hits exact,
+# recall/rr the same single rounded divisions as the engine.
+ANN_ORACLE_SQL["q126_ann_recall"] = f"""
+    WITH pw AS (SELECT {_POW2_32} AS ws),
+    packed AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(
+                   list_zip(embedding[1:32], pw.ws),
+                   x -> CASE WHEN x[1] > 0 THEN x[2] ELSE 0 END))
+                   AS BIGINT) AS w0,
+               CAST(list_sum(list_transform(
+                   list_zip(embedding[33:64], pw.ws),
+                   x -> CASE WHEN x[1] > 0 THEN x[2] ELSE 0 END))
+                   AS BIGINT) AS w1
+        FROM embeddings, pw
+    ),
+    hq AS (SELECT vec_id AS query_id, w0 AS u0, w1 AS u1
+           FROM packed WHERE vec_id % 100 = 0),
+    hscored AS (
+        SELECT hq.query_id, c.vec_id AS neighbor_id,
+               bit_count(xor(c.w0, hq.u0))
+               + bit_count(xor(c.w1, hq.u1)) AS hamming
+        FROM hq CROSS JOIN packed c WHERE c.vec_id <> hq.query_id
+    ),
+    res AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY hamming ASC, neighbor_id ASC) AS rank
+            FROM hscored) WHERE rank <= 10
+    ),
+    cq AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+    cscored AS (
+        SELECT query_id, c.vec_id AS neighbor_id,
+               {_COS.format(a='cq.qv', b='c.embedding')} AS cos_sim
+        FROM cq CROSS JOIN embeddings c WHERE c.vec_id <> cq.query_id
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+            FROM cscored) WHERE rank <= 10
+    ),
+    per AS (
+        SELECT r.query_id,
+               SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_hits,
+               MIN(CASE WHEN t.neighbor_id IS NOT NULL THEN r.rank END)
+                   AS first_hit
+        FROM res r LEFT JOIN truth t
+          ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+        GROUP BY r.query_id
+    )
+    SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+           ROUND(n_hits / 10.0, 6) AS recall,
+           COALESCE(ROUND(1.0 / first_hit, 6), 0.0) AS rr
+    FROM per ORDER BY query_id
+"""

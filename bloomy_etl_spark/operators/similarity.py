@@ -483,3 +483,54 @@ def search_ivf_index(spark, index_dir: str, queries: DataFrame, k: int = 5,
     return rescored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def retrieval_metrics(result: DataFrame, truth: DataFrame, k: int,
+                      query_col: str = "query_id",
+                      item_col: str = "neighbor_id",
+                      rank_col: str = "rank") -> DataFrame:
+    """ANN quality audit: per-query ``recall@k`` and reciprocal rank of
+    an approximate result list against an exact ground-truth list — the
+    measurement half of every compression-tier trade-off (SQ8 / Hamming
+    / JL / PQ all buy speed with recall; this prices it IN the engine
+    instead of a notebook).
+
+    Both inputs are ``(query, item, rank)`` top-k frames (ground truth
+    from :func:`cosine_topk`). Outputs per query: ``n_hits`` (exact
+    int), ``recall = n_hits/k`` and ``rr = 1/first-relevant-rank``
+    (one IEEE division each, 6-dp rounded — engine-exact), with
+    ``rr = 0.0`` when no relevant item appears.
+
+    Scale: both sides are |Q|·k rows — the join is broadcast-sized
+    regardless of corpus size; nothing here touches the corpus.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tr = truth.select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.lit(1).alias("__hit"),
+    )
+    j = result.select(query_col, item_col, rank_col).join(
+        F.broadcast(tr),
+        (F.col(query_col) == F.col("__q"))
+        & (F.col(item_col) == F.col("__i")),
+        "left",
+    )
+    return (
+        j.groupBy(query_col)
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long").alias("n_hits"),
+            F.min(F.when(F.col("__hit") == 1, F.col(rank_col)))
+            .alias("__first"),
+        )
+        .select(
+            query_col,
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
+            F.coalesce(
+                F.round(F.lit(1.0) / F.col("__first"), 6), F.lit(0.0)
+            ).alias("rr"),
+        )
+    )

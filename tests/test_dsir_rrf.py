@@ -105,3 +105,33 @@ class TestRrf:
         r1 = [tuple(r) for r in rrf_fuse(a, b).collect()]
         r2 = [tuple(r) for r in rrf_fuse(a.repartition(8), b.coalesce(1)).collect()]
         assert r1 == r2
+
+
+class TestRetrievalMetrics:
+    def test_known_hit_pattern(self, spark):
+        """Hand-built lists: q1 has hits at ranks 2 and 3 (recall 2/3,
+        rr 1/2); q2 has none (recall 0, rr 0.0)."""
+        from bloomy_etl_spark.operators.similarity import retrieval_metrics
+
+        result = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+             (2, 20, 1), (2, 21, 2), (2, 22, 3)],
+            "query_id long, neighbor_id long, rank int",
+        )
+        truth = spark.createDataFrame(
+            [(1, 11), (1, 12), (1, 99), (2, 77), (2, 88), (2, 66)],
+            "query_id long, neighbor_id long",
+        )
+        out = {r["query_id"]: r for r in
+               retrieval_metrics(result, truth, k=3).collect()}
+        assert out[1]["n_hits"] == 2 and out[1]["rr"] == 0.5
+        assert abs(out[1]["recall"] - 2 / 3) < 1e-6
+        assert out[2]["n_hits"] == 0 and out[2]["rr"] == 0.0
+        assert out[2]["recall"] == 0.0
+
+    def test_rejects_bad_k(self, spark):
+        from bloomy_etl_spark.operators.similarity import retrieval_metrics
+
+        df = spark.createDataFrame([(1, 1, 1)], "query_id long, neighbor_id long, rank int")
+        with pytest.raises(ValueError, match="k"):
+            retrieval_metrics(df, df, k=0)
