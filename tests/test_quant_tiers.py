@@ -213,3 +213,92 @@ class TestPrefixJaccardJoin:
         )
         # bound ≈ 20% of full at t=0.8 (plus one per doc)
         assert prefix_bound < 0.35 * full + len(per_doc)
+
+
+def test_tier_accuracy_ordering_via_retrieval_metrics(spark):
+    """The engine's own audit (similarity.retrieval_metrics) must rank
+    the tiers the way their information budgets predict on the fixture:
+    8-bit SQ recall@10 ≥ 1-bit Hamming recall@10, per mean over the
+    query set. Deterministic — fixed data, exact metrics."""
+    from bloomy_etl_spark.operators.ann_queries import ANN_QUERIES
+    from bloomy_etl_spark.operators.similarity import (
+        cosine_topk,
+        retrieval_metrics,
+    )
+    from bloomy_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    embs = load_table(spark, SF_ORACLE, "embeddings")
+    truth = cosine_topk(embs, embs.filter(F.col("vec_id") % 100 == 0), k=10)
+
+    def mean_recall(result):
+        rows = retrieval_metrics(result, truth, k=10).collect()
+        return sum(r["n_hits"] for r in rows) / (10.0 * len(rows))
+
+    # both tier queries emit (query_id, neighbor_id, ..., rank<=5);
+    # rebuild at k=10 via their gated k=5 lists is not enough for
+    # recall@10, so re-rank through the q126 shapes: Hamming from the
+    # gate file, SQ8 re-run with a wider rank filter
+    ham = ANN_QUERIES["q126_ann_recall"]  # sanity: callable exists
+    assert callable(ham)
+    from bloomy_etl_spark.operators.ann_queries import _sign_word
+    from pyspark.sql import Window
+
+    packed = embs.select(
+        "vec_id",
+        _sign_word(F.col("embedding"), 1).alias("w0"),
+        _sign_word(F.col("embedding"), 33).alias("w1"),
+    )
+    corpus = packed.select(F.col("vec_id").alias("neighbor_id"), "w0", "w1")
+    queries = packed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("u0"), F.col("w1").alias("u1"),
+    )
+    hamd = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("u0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("u1")))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    ham_res = (
+        corpus.join(F.broadcast(queries), F.lit(True))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hamming", hamd.cast("int"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 10)
+    )
+    # SQ8: scalar-quantize to int8 per coordinate, score by dot of
+    # dequantized values against the raw query (the q109 shape, k=10)
+    from bloomy_etl_spark.functions.vectors import dot, norm
+
+    lo, hi = -4.0, 4.0
+    scale = (hi - lo) / 255.0
+    deq = F.transform(
+        F.col("embedding"),
+        lambda x: (
+            F.round((F.least(F.greatest(x.cast("double"), F.lit(lo)),
+                             F.lit(hi)) - F.lit(lo)) / F.lit(scale))
+            * F.lit(scale) + F.lit(lo)
+        ),
+    )
+    sq = embs.select(F.col("vec_id").alias("neighbor_id"), deq.alias("dv"))
+    qs = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("nq"),
+    )
+    wk2 = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("neighbor_id").asc()
+    )
+    sq_res = (
+        sq.join(F.broadcast(qs), F.lit(True))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("s", dot(F.col("dv"), F.col("qv"))
+                    / (norm(F.col("dv")) * F.col("nq")))
+        .withColumn("rank", F.row_number().over(wk2))
+        .filter(F.col("rank") <= 10)
+    )
+    r_ham, r_sq = mean_recall(ham_res), mean_recall(sq_res)
+    assert 0.0 < r_ham < 1.0  # the 1-bit tier genuinely loses accuracy
+    assert r_sq >= r_ham, (r_sq, r_ham)
+    assert r_sq >= 0.9  # 8-bit over [-4,4] is near-lossless on the fixture
