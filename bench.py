@@ -172,10 +172,14 @@ def main() -> None:
         "errors": dict(list(errors.items())[:2]),
         "detail": "BENCH_DETAIL.json",
     }
-    line = json.dumps(compact)
+    # tight separators: ~3 chars/query less than json.dumps defaults —
+    # at 126 queries that is the difference between keeping the
+    # per-query map (1568 chars) and dropping it (the default-separator
+    # line crossed 1800 at this corpus size)
+    line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:  # belt-and-braces: never outgrow the window again
         compact.pop("queries")
-        line = json.dumps(compact)
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

@@ -103,7 +103,9 @@ def test_bench_compact_line_fits_the_2000_char_window():
         "errors": {},
         "detail": "BENCH_DETAIL.json",
     }
-    line = json.dumps(compact)
+    # mirror bench.py: tight separators keep the per-query map ~3
+    # chars/query smaller than the json.dumps defaults
+    line = json.dumps(compact, separators=(",", ":"))
     # bench.py drops the queries map above 1800 — this asserts the
     # primary (per-query) form still fits, so the driver keeps per-query
     # visibility
