@@ -145,9 +145,6 @@ def scale_cases():
         # corpus-bounded exchange (map-side dedup); sketches are ≤ k
         # per source and the pair stage is in-row over a broadcast
         "q125_source_overlap",
-        # r8 ANN recall audit: two broadcast corpus scans + |Q|·k-row
-        # metric join — exchange must stay O(queries·k·tasks)
-        "q126_ann_recall",
     ]
     cases = [(n, entry.ALL_QUERIES[n]) for n in names if n in entry.ALL_QUERIES]
     # SemDeDup's scale contract holds under its PRESCRIBED sizing

@@ -214,3 +214,24 @@ def test_ivfpq_refined_scale(spark, sf1_dir, tmp_path):
         f"refined search read {scanned} files vs {on_disk} on disk in "
         "the code+raw tiers alone — pruning lost"
     )
+
+
+def test_ann_recall_audit_scale(spark, sf1_dir):
+    """q126's exchange is O(queries · k · tasks) BY DESIGN — both
+    ranked lists flow through per-query WindowGroupLimit caps and the
+    metric join is |Q|·k rows a side. The derived fixture grows the
+    QUERY set 10× along with the corpus (every 100th vec_id), so the
+    blanket 20× linear bound misfires on the queries×tasks product;
+    assert the actual contract instead, plus zero spill."""
+    import __spark_entry__ as entry
+    from bloomy_etl_spark.tools.profile import run_profile
+
+    fn = entry.ALL_QUERIES["q126_ann_recall"]
+    for sf, nq in ((SF01, 20), (sf1_dir, 200)):
+        prof = run_profile(fn(spark, sf))
+        assert prof["spill_bytes"] == 0
+        # 2 tiers × |Q| × k=10 × ≤32 tasks, 4× slack for headers/partials
+        bound = 2 * nq * 10 * 32 * 4
+        assert prof["shuffle_records_written"] <= bound, (
+            sf, prof["shuffle_records_written"], bound
+        )
