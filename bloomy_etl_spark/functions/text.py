@@ -251,3 +251,32 @@ def predict_lang(text: Column) -> Column:
     for lang in sorted(scores, reverse=True):
         pred = F.when((best > 0) & (scores[lang] == best), lang).otherwise(pred)
     return pred
+
+
+def collapse_token_repeats(ws: Column) -> Column:
+    """Collapse every run of consecutively repeated tokens to a single
+    occurrence (``a a a b a`` → ``a b a``) — the cheap intra-document
+    cleaning stage for stutter/boilerplate artifacts (tag soup, OCR
+    echo, template spam) that repetition METRICS (q39) only measure.
+
+    ``ws`` must be a materialized array COLUMN (not an inline
+    ``tokens(...)`` expression): the lambda references the array to
+    read each element's predecessor, and an inline expression would be
+    re-evaluated per element (the word_ngrams O(words²) pitfall).
+
+    Engine-exact: keep token i iff ``i == 0`` or it differs from its
+    predecessor. The predecessor lookup uses ``greatest(i, 1)`` so
+    index 0 never touches ``element_at(ws, 0)`` (which throws; SQL OR
+    does not short-circuit past runtime errors) — at i = 0 the lookup
+    degenerates to comparing the first token with itself and the
+    ``i == 0`` branch keeps it. DuckDB replays as
+    ``list_filter(ws, (x, i) -> i = 1 OR x <> ws[i-1])`` (there,
+    ``ws[0]`` is NULL and ``x <> NULL`` is NULL, absorbed by OR).
+
+    Order-preserving, no UDF, no shuffle — pure per-row array work.
+    """
+    return F.filter(
+        ws,
+        lambda x, i: (i == F.lit(0))
+        | (x != F.element_at(ws, F.greatest(i, F.lit(1)))),
+    )

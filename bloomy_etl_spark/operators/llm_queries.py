@@ -976,6 +976,25 @@ def q125_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_psort, "source_a", "source_b")
 
 
+def q127_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document stutter cleaning (text.collapse_token_repeats):
+    collapse every run of consecutively repeated tokens to one
+    occurrence and gate the CLEANED TEXT itself plus before/after token
+    counts — the transform stage downstream of q39's repetition
+    metrics (tag soup, OCR echo, template spam). Pure per-row array
+    work; no UDF, no extra shuffle beyond the fan-out respread."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    base = docs.select("doc_id", T.tokens(F.col("text")).alias("__ws"))
+    return base.select(
+        "doc_id",
+        F.size("__ws").alias("n_before"),
+        F.size(T.collapse_token_repeats(F.col("__ws"))).alias("n_after"),
+        F.array_join(
+            T.collapse_token_repeats(F.col("__ws")), " "
+        ).alias("cleaned"),
+    ).transform(_psort, "doc_id")
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -1032,6 +1051,7 @@ LLM_QUERIES = {
     "q123_curation_pipeline": q123_curation_pipeline,
     "q124_stratified_sample": q124_stratified_sample,
     "q125_source_overlap": q125_source_overlap,
+    "q127_collapse_repeats": q127_collapse_repeats,
 }
 
 
@@ -2592,4 +2612,23 @@ LLM_ORACLE_SQL["q125_source_overlap"] = r"""
                  4) AS jaccard
     FROM pairs p LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
     ORDER BY source_a, source_b
+"""
+
+
+# q127: DuckDB replays the keep-iff-different-from-predecessor filter
+# with an indexed list_filter (ws[0] is NULL there; x <> NULL is NULL
+# and the OR absorbs it — the Spark side uses greatest(i,1) because
+# element_at(ws, 0) throws instead).
+LLM_ORACLE_SQL["q127_collapse_repeats"] = r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+                  FROM documents),
+    cleaned AS (
+        SELECT doc_id, ws,
+               list_filter(ws, (x, i) -> i = 1 OR x <> ws[i-1]) AS cw
+        FROM toks)
+    SELECT doc_id,
+           CAST(len(ws) AS INT) AS n_before,
+           CAST(len(cw) AS INT) AS n_after,
+           array_to_string(cw, ' ') AS cleaned
+    FROM cleaned ORDER BY doc_id
 """

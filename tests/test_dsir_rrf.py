@@ -135,3 +135,32 @@ class TestRetrievalMetrics:
         df = spark.createDataFrame([(1, 1, 1)], "query_id long, neighbor_id long, rank int")
         with pytest.raises(ValueError, match="k"):
             retrieval_metrics(df, df, k=0)
+
+
+class TestCollapseRepeats:
+    def test_crafted_runs(self, spark):
+        from bloomy_etl_spark.functions.text import collapse_token_repeats, tokens
+
+        df = spark.createDataFrame(
+            [(1, "a a a b a"), (2, "x"), (3, "y y"), (4, "p q p q")],
+            "doc_id long, text string",
+        )
+        base = df.select("doc_id", tokens(F.col("text")).alias("ws"))
+        out = {
+            r["doc_id"]: r["c"]
+            for r in base.select(
+                "doc_id",
+                F.array_join(collapse_token_repeats(F.col("ws")), " ").alias("c"),
+            ).collect()
+        }
+        assert out == {1: "a b a", 2: "x", 3: "y", 4: "p q p q"}
+
+    def test_fixture_exercises_the_collapse(self, spark):
+        """The gate would prove nothing on a corpus with no consecutive
+        repeats — assert some doc actually shrinks, and none grows."""
+        from bloomy_etl_spark.operators.llm_queries import LLM_QUERIES
+        from tests.conftest import SF_ORACLE
+
+        rows = LLM_QUERIES["q127_collapse_repeats"](spark, SF_ORACLE).collect()
+        assert all(r["n_after"] <= r["n_before"] for r in rows)
+        assert any(r["n_after"] < r["n_before"] for r in rows)
