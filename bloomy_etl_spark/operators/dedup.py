@@ -1210,3 +1210,43 @@ def dedup_clusters(pairs: DataFrame, i_col: str = "i", j_col: str = "j",
         F.count(F.lit(1)).alias("n_docs"),
         F.max("node").alias("max_doc"),
     )
+
+
+def keep_best_per_cluster(labels: DataFrame, docs: DataFrame,
+                          quality_col: str,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Survivorship UPGRADE over min-id: per duplicate cluster keep the
+    member with the highest ``quality_col``, ties to the lower id —
+    production dedup keeps the BEST copy (longest, cleanest, most
+    recent), not the accidentally-lowest-id one; min-id survivorship
+    silently prefers whatever was crawled first.
+
+    ``labels`` is :func:`connected_components` output (node, label);
+    ``docs`` supplies ``(id, quality)`` where quality is an EXACT
+    (integer or integer-scaled) metric so the arg-max replays
+    bit-identically. Returns one row per cluster:
+    ``(cluster_id, kept_id, kept_<quality_col>, n_docs)``.
+
+    Scale: one broadcast-or-shuffle join of the (small) clustered-node
+    set against the docs' (id, quality) projection, then a per-label
+    window over cluster members — cluster sizes bound the partitions
+    (the same mega-cluster caveat as :func:`connected_components`;
+    a pathological giant cluster serializes its own members only).
+    """
+    members = labels.join(
+        docs.select(F.col(id_col).alias("node"), quality_col), "node"
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col(quality_col).desc(), F.col("node").asc()
+    )
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("label")))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("label").alias("cluster_id"),
+            F.col("node").alias("kept_id"),
+            F.col(quality_col).alias(f"kept_{quality_col}"),
+            "n_docs",
+        )
+    )

@@ -995,6 +995,22 @@ def q127_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_psort, "doc_id")
 
 
+def q128_keep_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-max survivorship over near-dup clusters
+    (dedup.keep_best_per_cluster): q42's exact-Jaccard connected
+    components, but the kept representative is the LONGEST member
+    (n_chars desc, id asc) instead of the lowest id — what production
+    dedup actually ships (min-id silently prefers whatever was crawled
+    first). Exact integer quality metric, so the arg-max replays
+    bit-identically through the oracle's recursive-CTE components."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = D.ngram_jaccard_pairs(docs)
+    labels = D.connected_components(pairs)
+    return D.keep_best_per_cluster(
+        labels, docs.select("doc_id", "n_chars"), "n_chars"
+    ).transform(_psort, "cluster_id")
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -1052,6 +1068,7 @@ LLM_QUERIES = {
     "q124_stratified_sample": q124_stratified_sample,
     "q125_source_overlap": q125_source_overlap,
     "q127_collapse_repeats": q127_collapse_repeats,
+    "q128_keep_best_survivors": q128_keep_best_survivors,
 }
 
 
@@ -2631,4 +2648,30 @@ LLM_ORACLE_SQL["q127_collapse_repeats"] = r"""
            CAST(len(cw) AS INT) AS n_after,
            array_to_string(cw, ' ') AS cleaned
     FROM cleaned ORDER BY doc_id
+"""
+
+
+# q128: q42's recursive-CTE components + an arg-max over each cluster's
+# members by the exact (n_chars desc, id asc) order.
+LLM_ORACLE_SQL["q128_keep_best_survivors"] = f"""
+    WITH RECURSIVE {_SHINGLES_CTE.strip()},
+    p AS (SELECT i, j FROM jac WHERE jaccard >= 0.8),
+    e AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+    reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+        WHERE e2.b <> r.a
+    ),
+    lbl AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+    best AS (
+        SELECT l.label AS cluster_id, d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY l.label
+                   ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY l.label) AS n_docs
+        FROM lbl l JOIN documents d ON d.doc_id = l.node
+    )
+    SELECT cluster_id, doc_id AS kept_id, n_chars AS kept_n_chars,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM best WHERE rn = 1 ORDER BY cluster_id
 """

@@ -164,3 +164,25 @@ class TestCollapseRepeats:
         rows = LLM_QUERIES["q127_collapse_repeats"](spark, SF_ORACLE).collect()
         assert all(r["n_after"] <= r["n_before"] for r in rows)
         assert any(r["n_after"] < r["n_before"] for r in rows)
+
+
+class TestKeepBest:
+    def test_prefers_quality_over_min_id(self, spark):
+        """A 3-node chain cluster where the HIGHEST id is the longest
+        member: min-id survivorship would keep node 1; quality-max must
+        keep node 3 (and break quality ties to the lower id)."""
+        from bloomy_etl_spark.operators.dedup import keep_best_per_cluster
+
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)],
+            "node long, label long",
+        )
+        docs = spark.createDataFrame(
+            [(1, 100), (2, 250), (3, 400), (7, 50), (9, 50)],
+            "doc_id long, n_chars long",
+        )
+        out = {r["cluster_id"]: r for r in
+               keep_best_per_cluster(labels, docs, "n_chars").collect()}
+        assert out[1]["kept_id"] == 3 and out[1]["n_docs"] == 3
+        assert out[7]["kept_id"] == 7  # tie at 50 -> lower id
+        assert out[7]["kept_n_chars"] == 50 and out[7]["n_docs"] == 2
