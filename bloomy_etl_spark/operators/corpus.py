@@ -1291,3 +1291,66 @@ def stratified_budget_sample(docs: DataFrame, budget: int,
         .filter(F.col("sample_rank") <= F.col("alloc"))
         .select(group_col, id_col, "sample_rank", "alloc")
     )
+
+
+def shard_by_token_budget(docs: DataFrame, target_tokens: int,
+                          buckets: int = 64, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          salt: str = "shard") -> DataFrame:
+    """Token-balanced corpus sharding: assign documents to consecutive
+    shards of ~``target_tokens`` whitespace tokens each — equal-WORK
+    training shards (doc-count sharding skews badly when lengths do;
+    a shard of 1k long documents is not the same epoch slice as 1k
+    tweets). Documents are laid out in salted-hash order (unbiased
+    w.r.t. crawl order, deterministic everywhere), and
+    ``shard = floor(tokens_before / target)`` over the EXACT global
+    running token count.
+
+    The global prefix sum is computed WITHOUT a single-task global
+    window — the classic two-phase distributed scan: the hash space
+    splits into ``buckets`` contiguous ranges; per-bucket token totals
+    (one bounded hash-agg) turn into bucket offsets via a window over
+    the B-row frame; each bucket then computes its LOCAL running sum in
+    parallel (``partitionBy(bucket)``) and adds its offset. Order
+    (bucket, h, id) ≡ (h, id) because buckets are contiguous h-ranges,
+    so the result is bit-identical to the oracle's naive global window
+    — exact integer sums in any grouping.
+
+    Returns every document: ``(id, n_tokens, shard)``.
+    """
+    if target_tokens < 1:
+        raise ValueError(f"target_tokens must be >= 1, got {target_tokens}")
+    mod = 1_000_000
+    width = (mod + buckets - 1) // buckets
+    h = salted_hash_bucket(id_col, salt, mod)
+    base = docs.select(
+        F.col(id_col),
+        F.size(T.tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        h.alias("__h"),
+    ).withColumn("__b", (F.col("__h") / width).cast("int"))
+    btot = base.groupBy("__b").agg(F.sum("n_tokens").alias("__t"))
+    w_off = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = btot.select(
+        "__b", (F.sum("__t").over(w_off) - F.col("__t")).alias("__off")
+    )
+    w_loc = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(offs), "__b")
+        .withColumn(
+            "__cumb",
+            F.col("__off") + F.sum("n_tokens").over(w_loc) - F.col("n_tokens"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.floor(F.col("__cumb") / F.lit(float(target_tokens)))
+            .cast("long").alias("shard"),
+        )
+    )

@@ -1011,6 +1011,20 @@ def q128_keep_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_psort, "cluster_id")
 
 
+def q129_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced sharding (corpus.shard_by_token_budget): every
+    document assigned to a ~2048-token shard over the EXACT global
+    running token count in salted-hash order — computed with the
+    two-phase distributed prefix sum (bucket totals → B-row offset
+    window → parallel per-bucket local scans), bit-identical to the
+    oracle's naive single-window replay because integer sums are exact
+    under any grouping."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return C.shard_by_token_budget(docs, target_tokens=2048).transform(
+        _psort, "doc_id"
+    )
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -1069,6 +1083,7 @@ LLM_QUERIES = {
     "q125_source_overlap": q125_source_overlap,
     "q127_collapse_repeats": q127_collapse_repeats,
     "q128_keep_best_survivors": q128_keep_best_survivors,
+    "q129_token_shards": q129_token_shards,
 }
 
 
@@ -2674,4 +2689,26 @@ LLM_ORACLE_SQL["q128_keep_best_survivors"] = f"""
     SELECT cluster_id, doc_id AS kept_id, n_chars AS kept_n_chars,
            CAST(n_docs AS BIGINT) AS n_docs
     FROM best WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
+# q129: the oracle computes the SAME global running sum with one naive
+# window over (hash, id) order — exact integers make the distributed
+# two-phase scan and the single window bit-identical; the shard floor
+# divides exact int64s below 2^53, so the IEEE division matches.
+LLM_ORACLE_SQL["q129_token_shards"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+               ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000 AS h
+        FROM documents),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS cumb
+        FROM t)
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(cumb / 2048.0) AS BIGINT) AS shard
+    FROM c ORDER BY doc_id
 """

@@ -597,3 +597,78 @@ class TestStratifiedBudgetSample:
         df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
         with pytest.raises(ValueError, match="budget"):
             stratified_budget_sample(df, 0)
+
+
+class TestTokenShards:
+    """Token-balanced sharding (corpus.shard_by_token_budget)."""
+
+    def test_matches_naive_global_window(self, spark):
+        """The two-phase distributed prefix sum must equal the naive
+        single-window running sum EXACTLY — the invariant that makes
+        the distributed shape legal."""
+        from pyspark.sql import Window
+
+        from bloomy_etl_spark.operators.corpus import (
+            salted_hash_bucket,
+            shard_by_token_budget,
+        )
+        from bloomy_etl_spark.functions import text as T
+        from bloomy_etl_spark.sources.tables import load_table
+        from tests.conftest import SF_ORACLE
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        got = {(r["doc_id"], r["shard"])
+               for r in shard_by_token_budget(docs, 2048).collect()}
+        h = salted_hash_bucket("doc_id", "shard", 1_000_000)
+        w = (Window.orderBy(h.asc(), F.col("doc_id").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        naive = docs.select(
+            "doc_id",
+            F.size(T.tokens(F.col("text"))).cast("long").alias("n"),
+        ).withColumn("cumb", F.sum("n").over(w) - F.col("n")).select(
+            "doc_id",
+            F.floor(F.col("cumb") / F.lit(2048.0)).cast("long").alias("shard"),
+        )
+        want = {(r["doc_id"], r["shard"]) for r in naive.collect()}
+        assert got == want
+
+    def test_shards_are_token_balanced(self, spark):
+        """Every COMPLETE shard (all but the last) holds ≥ target
+        tokens and overshoots by less than its last document — the
+        greedy-boundary guarantee."""
+        from bloomy_etl_spark.operators.corpus import shard_by_token_budget
+        from bloomy_etl_spark.sources.tables import load_table
+        from tests.conftest import SF_ORACLE
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        rows = shard_by_token_budget(docs, 2048).collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r["shard"], []).append(r["n_tokens"])
+        assert len(per) >= 5  # the fixture actually splits
+        last = max(per)
+        max_doc = max(r["n_tokens"] for r in rows)
+        for s, toks in per.items():
+            if s == last:
+                continue
+            assert sum(toks) >= 2048 - max_doc
+            assert sum(toks) < 2048 + max_doc
+
+    def test_partitioning_invariance(self, spark):
+        from bloomy_etl_spark.operators.corpus import shard_by_token_budget
+        from bloomy_etl_spark.sources.tables import load_table
+        from tests.conftest import SF_ORACLE
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        a = {tuple(r) for r in
+             shard_by_token_budget(docs.repartition(64), 1024).collect()}
+        b = {tuple(r) for r in
+             shard_by_token_budget(docs.coalesce(1), 1024).collect()}
+        assert a == b
+
+    def test_rejects_bad_target(self, spark):
+        from bloomy_etl_spark.operators.corpus import shard_by_token_budget
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="target_tokens"):
+            shard_by_token_budget(df, 0)
