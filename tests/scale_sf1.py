@@ -141,6 +141,9 @@ def scale_cases():
         # r8 Hamilton sampling: G-row apportionment windows + one
         # per-group rank window — linear in docs, constant in G
         "q124_stratified_sample",
+        # r8 token-balanced sharding: two-phase prefix sum — bucket
+        # totals + parallel per-bucket scans, linear in docs
+        "q129_token_shards",
         # r8 cross-source KMV audit: the distinct pass is the only
         # corpus-bounded exchange (map-side dedup); sketches are ≤ k
         # per source and the pair stage is in-row over a broadcast
