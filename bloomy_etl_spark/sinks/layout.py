@@ -362,3 +362,75 @@ def write_range_sorted(df: DataFrame, path: str, sort_col: str,
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def propagate_deletes(spark: SparkSession, path: str, ids: DataFrame,
+                      id_col: str, tombstone_dir: str | None = None,
+                      requested_at: str | None = None) -> list[str]:
+    """Right-to-be-forgotten delete propagation over a date-partitioned
+    table (layout of :func:`write_date_partitioned`): remove every row
+    whose ``id_col`` appears in ``ids``, rewriting ONLY the partitions
+    that actually contain those ids, and append the deleted keys to a
+    durable tombstone log so downstream consumers (caches, derived
+    tables, late replays) can apply the same deletion.
+
+    Steps: (1) probe — one pruned-column scan joined against the
+    broadcast id set finds the touched ``p_date`` values (tiny:
+    distinct days per deleted user); (2) rewrite — only those
+    partitions are read back, anti-joined, and dynamically overwritten;
+    untouched partitions are never read or written; (3) tombstone —
+    ``(id, p_date, requested_at)`` rows append to ``tombstone_dir``.
+    Replaying a tombstone batch is a NO-OP by construction (the
+    anti-join finds nothing the second time), so at-least-once
+    execution is safe. Returns the rewritten partition values.
+
+    ``requested_at`` is the caller's audit timestamp (ISO string);
+    deliberately an argument, not a clock read — deletion runs must be
+    replayable.
+
+    Scale: the probe reads two columns under partition-pruned parquet;
+    rewrite cost is proportional to the touched days, not the table —
+    the same contract as :func:`upsert_partitioned`. The id set
+    broadcasts (deletion requests are human-scale).
+    """
+    idset = ids.select(F.col(id_col)).distinct()
+    # MATERIALIZE the touched (id, day) set before any rewrite: the
+    # lazy plan reads the very files the overwrite replaces, so
+    # evaluating it afterwards throws FILE_NOT_EXIST (and would be
+    # wrong anyway — the rows are gone). Deletion requests are
+    # human-scale, so the probe result is a driver-safe collect.
+    probe = (
+        spark.read.parquet(path)
+        .select(id_col, "p_date")
+        .join(F.broadcast(idset), id_col)
+        .distinct()
+    )
+    probe_schema = probe.schema  # keeps the table's id type (int/str/…)
+    touched = probe.collect()
+    if not touched:
+        return []
+    days = sorted({r["p_date"] for r in touched})
+    # tombstone FIRST: if the rewrite crashes midway, replaying the
+    # tombstone re-applies the deletion (idempotent — the anti-join
+    # finds nothing on rows already gone); the reverse order could
+    # lose the audit record of a partially-applied deletion.
+    if tombstone_dir is not None:
+        spark.createDataFrame(
+            touched, probe_schema
+        ).withColumn("requested_at", F.lit(requested_at)).write.mode(
+            "append"
+        ).parquet(tombstone_dir)
+    existing = spark.read.parquet(path).filter(F.col("p_date").isin(days))
+    kept = existing.join(F.broadcast(idset), id_col, "left_anti")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            kept.repartition("p_date")
+            .write.mode("overwrite")
+            .partitionBy("p_date")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return [str(d) for d in days]

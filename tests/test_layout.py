@@ -287,3 +287,98 @@ class TestUpsertTies:
             upsert_partitioned(spark, path, updates, key_cols=["k"], ts_col="ts")
             got = spark.read.parquet(path).collect()
             assert len(got) == 1 and got[0]["v"] == 10.0
+
+
+class TestPropagateDeletes:
+    """Right-to-be-forgotten propagation (layout.propagate_deletes)."""
+
+    def _table(self, spark, tmp_path):
+        from bloomy_etl_spark.sinks.layout import write_date_partitioned
+
+        rows = [
+            (i, 100 + (i % 5), f"2024-01-{(i % 3) + 1:02d} 00:00:00", float(i))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        path = str(tmp_path / "tbl")
+        write_date_partitioned(df, path)
+        return path
+
+    def test_deletes_only_requested_ids_and_touched_partitions(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from bloomy_etl_spark.sinks.layout import propagate_deletes
+
+        path = self._table(spark, tmp_path)
+        before = spark.read.parquet(path)
+        n_before = before.count()
+        n_victim = before.filter(F.col("user_id") == 102).count()
+        ids = spark.createDataFrame([(102,)], "user_id long")
+        days = propagate_deletes(
+            spark, path, ids, "user_id",
+            tombstone_dir=str(tmp_path / "tomb"), requested_at="2024-02-01",
+        )
+        after = spark.read.parquet(path)
+        assert after.filter(F.col("user_id") == 102).count() == 0
+        assert after.count() == n_before - n_victim
+        # user 102 hits all three days in this fixture
+        assert days == ["2024-01-01", "2024-01-02", "2024-01-03"]
+        tomb = spark.read.parquet(str(tmp_path / "tomb"))
+        assert tomb.filter(F.col("user_id") == 102).count() == 3
+        assert {r["requested_at"] for r in tomb.collect()} == {"2024-02-01"}
+        assert os.path.isdir(path)
+
+    def test_replay_is_noop_and_absent_ids_touch_nothing(self, spark, tmp_path):
+        from bloomy_etl_spark.sinks.layout import propagate_deletes
+
+        path = self._table(spark, tmp_path)
+        ids = spark.createDataFrame([(101,)], "user_id long")
+        first = propagate_deletes(spark, path, ids, "user_id")
+        assert first  # something was deleted
+        snapshot = {tuple(r) for r in spark.read.parquet(path).collect()}
+        # replay: the anti-join finds nothing — no partitions rewritten
+        again = propagate_deletes(spark, path, ids, "user_id")
+        assert again == []
+        assert {tuple(r) for r in spark.read.parquet(path).collect()} == snapshot
+        # an id that never existed touches nothing
+        ghost = spark.createDataFrame([(999,)], "user_id long")
+        assert propagate_deletes(spark, path, ghost, "user_id") == []
+
+    def test_untouched_partitions_not_rewritten(self, spark, tmp_path):
+        """A victim confined to one day must leave the other partition
+        directories' files byte-identical (mtime+size fingerprints)."""
+        import os
+
+        from bloomy_etl_spark.sinks.layout import (
+            propagate_deletes,
+            write_date_partitioned,
+        )
+
+        rows = [(1, 500, "2024-01-01 00:00:00", 1.0),
+                (2, 501, "2024-01-02 00:00:00", 2.0),
+                (3, 502, "2024-01-03 00:00:00", 3.0)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        path = str(tmp_path / "tbl2")
+        write_date_partitioned(df, path)
+
+        def fingerprints(day):
+            d = os.path.join(path, f"p_date={day}")
+            return {
+                f: (os.path.getmtime(os.path.join(d, f)),
+                    os.path.getsize(os.path.join(d, f)))
+                for f in os.listdir(d) if f.endswith(".parquet")
+            }
+
+        fp2 = fingerprints("2024-01-02")
+        fp3 = fingerprints("2024-01-03")
+        ids = spark.createDataFrame([(500,)], "user_id long")
+        days = propagate_deletes(spark, path, ids, "user_id")
+        assert days == ["2024-01-01"]
+        assert fingerprints("2024-01-02") == fp2
+        assert fingerprints("2024-01-03") == fp3
