@@ -434,3 +434,36 @@ def propagate_deletes(spark: SparkSession, path: str, ids: DataFrame,
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return [str(d) for d in days]
+
+
+def apply_tombstones(spark: SparkSession, table_dir: str,
+                     tombstone_dir: str, id_col: str,
+                     out_dir: str | None = None) -> int:
+    """Propagate a :func:`propagate_deletes` tombstone log into a
+    DERIVED table (dedup signature store, DSIR score store, feature
+    cache …): anti-join the table against the distinct tombstoned ids
+    and rewrite. Returns the number of rows removed.
+
+    Idempotent (a second application removes 0 rows) and at-least-once
+    safe — exactly the property the tombstone-first crash protocol in
+    :func:`propagate_deletes` relies on downstream. Derived stores are
+    usually not date-partitioned, so this is a full rewrite of
+    ``table_dir`` (or a fresh write to ``out_dir`` when the store is
+    consumed elsewhere mid-rewrite); partition-pruned stores should
+    use :func:`propagate_deletes` directly.
+    """
+    from bloomy_etl_spark.session import pin
+
+    ids = spark.read.parquet(tombstone_dir).select(id_col).distinct()
+    table = spark.read.parquet(table_dir)
+    kept = table.join(F.broadcast(ids), id_col, "left_anti")
+    n_before = table.count()
+    if out_dir is None:
+        # break lineage off the source files before overwriting them
+        # (an eager pin materializes to executor/checkpoint storage —
+        # never a driver collect; derived stores can be corpus-scale)
+        kept = pin(kept)
+        kept.write.mode("overwrite").parquet(table_dir)
+        return n_before - spark.read.parquet(table_dir).count()
+    kept.write.mode("overwrite").parquet(out_dir)
+    return n_before - spark.read.parquet(out_dir).count()

@@ -382,3 +382,40 @@ class TestPropagateDeletes:
         assert days == ["2024-01-01"]
         assert fingerprints("2024-01-02") == fp2
         assert fingerprints("2024-01-03") == fp3
+
+
+class TestApplyTombstones:
+    def test_derived_store_deletion_and_idempotence(self, spark, tmp_path):
+        from bloomy_etl_spark.sinks.layout import apply_tombstones
+
+        store = str(tmp_path / "store")
+        spark.createDataFrame(
+            [(u, u * 10) for u in range(20)], "user_id long, sig long"
+        ).write.parquet(store)
+        tomb = str(tmp_path / "tomb")
+        spark.createDataFrame(
+            [(3, "2024-02-01"), (7, "2024-02-01")],
+            "user_id long, requested_at string",
+        ).write.parquet(tomb)
+        removed = apply_tombstones(spark, store, tomb, "user_id")
+        assert removed == 2
+        left = spark.read.parquet(store)
+        assert left.count() == 18
+        assert left.filter(F.col("user_id").isin(3, 7)).count() == 0
+        # idempotent: second application removes nothing
+        assert apply_tombstones(spark, store, tomb, "user_id") == 0
+
+    def test_out_dir_mode_leaves_source_untouched(self, spark, tmp_path):
+        from bloomy_etl_spark.sinks.layout import apply_tombstones
+
+        store = str(tmp_path / "store2")
+        spark.createDataFrame(
+            [(u, float(u)) for u in range(10)], "user_id long, v double"
+        ).write.parquet(store)
+        tomb = str(tmp_path / "tomb2")
+        spark.createDataFrame([(1,)], "user_id long").write.parquet(tomb)
+        out = str(tmp_path / "clean")
+        removed = apply_tombstones(spark, store, tomb, "user_id", out_dir=out)
+        assert removed == 1
+        assert spark.read.parquet(store).count() == 10  # untouched
+        assert spark.read.parquet(out).count() == 9
