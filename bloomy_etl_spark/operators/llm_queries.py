@@ -1025,6 +1025,32 @@ def q129_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q130_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-25% quality gate (the FineWeb-style "keep the
+    best p% of each dump" filter): rank documents within each lang by
+    an exact integer quality proxy (distinct-token count, ties to the
+    lower id) and keep rank ≤ (n_lang·25) DIV 100 — the integer quota
+    avoids any float percentile boundary. One window per lang plus a
+    conditional count; every document is gated with its rank and keep
+    decision."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    q = F.size(F.array_distinct(T.tokens(F.col("text"))))
+    base = docs.select("doc_id", "lang", q.alias("q_distinct"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("q_distinct").desc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("lang")
+    ranked = base.withColumn("rank", F.row_number().over(w)).withColumn(
+        "keep_n",
+        ((F.count(F.lit(1)).over(wn) * 25)
+         - (F.count(F.lit(1)).over(wn) * 25) % 100) / 100,
+    )
+    return ranked.select(
+        "doc_id", "lang", "q_distinct", "rank",
+        (F.col("rank") <= F.col("keep_n")).alias("kept"),
+    ).transform(_psort, "doc_id")
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -1084,6 +1110,7 @@ LLM_QUERIES = {
     "q127_collapse_repeats": q127_collapse_repeats,
     "q128_keep_best_survivors": q128_keep_best_survivors,
     "q129_token_shards": q129_token_shards,
+    "q130_quality_percentile_gate": q130_quality_percentile_gate,
 }
 
 
@@ -2711,4 +2738,25 @@ LLM_ORACLE_SQL["q129_token_shards"] = r"""
     SELECT doc_id, n_tokens,
            CAST(FLOOR(cumb / 2048.0) AS BIGINT) AS shard
     FROM c ORDER BY doc_id
+"""
+
+
+# q130: integer quota ((n·25 − (n·25) MOD 100)/100 is exactly divisible
+# → the double division is exact), rank by (distinct-tokens desc, id).
+LLM_ORACLE_SQL["q130_quality_percentile_gate"] = r"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               CAST(len(list_distinct(string_split_regex(text, '\s+')))
+                    AS INT) AS q_distinct
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, lang, q_distinct,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY q_distinct DESC, doc_id ASC) AS INT) AS rank,
+               ((COUNT(*) OVER (PARTITION BY lang) * 25)
+                - (COUNT(*) OVER (PARTITION BY lang) * 25) % 100) / 100
+                   AS keep_n
+        FROM base)
+    SELECT doc_id, lang, q_distinct, rank, rank <= keep_n AS kept
+    FROM ranked ORDER BY doc_id
 """

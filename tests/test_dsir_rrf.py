@@ -186,3 +186,40 @@ class TestKeepBest:
         assert out[1]["kept_id"] == 3 and out[1]["n_docs"] == 3
         assert out[7]["kept_id"] == 7  # tie at 50 -> lower id
         assert out[7]["kept_n_chars"] == 50 and out[7]["n_docs"] == 2
+
+
+class TestQualityPercentileGate:
+    def test_exact_quota_per_lang(self, spark):
+        from bloomy_etl_spark.operators.llm_queries import LLM_QUERIES
+        from tests.conftest import SF_ORACLE
+
+        rows = LLM_QUERIES["q130_quality_percentile_gate"](
+            spark, SF_ORACLE
+        ).collect()
+        per = {}
+        for r in rows:
+            n, k = per.get(r["lang"], (0, 0))
+            per[r["lang"]] = (n + 1, k + int(r["kept"]))
+        for lang, (n, k) in per.items():
+            assert k == (n * 25) // 100, (lang, n, k)
+
+    def test_kept_are_the_top_ranked(self, spark):
+        from bloomy_etl_spark.operators.llm_queries import LLM_QUERIES
+        from tests.conftest import SF_ORACLE
+
+        rows = LLM_QUERIES["q130_quality_percentile_gate"](
+            spark, SF_ORACLE
+        ).collect()
+        for r in rows:
+            if r["kept"]:
+                worst_kept = max(
+                    x["rank"] for x in rows
+                    if x["lang"] == r["lang"] and x["kept"]
+                )
+                best_dropped = min(
+                    (x["rank"] for x in rows
+                     if x["lang"] == r["lang"] and not x["kept"]),
+                    default=10**9,
+                )
+                assert worst_kept < best_dropped
+                break
