@@ -1003,8 +1003,18 @@ def dsir_weights(docs: DataFrame, target: Column, buckets: int = 64,
     it to parquet and every later batch or micro-batch scores against
     the frozen distribution (:func:`dsir_score`,
     ``streaming/ingest.py::streaming_dsir_ingest``)."""
+    tot = dsir_gram_buckets(docs, target, buckets, text_col)
+    return weights_from_totals(tot, buckets, scale)
+
+
+def dsir_gram_buckets(docs: DataFrame, target: Column, buckets: int = 64,
+                      text_col: str = "text") -> DataFrame:
+    """Per-bucket (tq, tp) gram-instance totals — the sufficient
+    statistics of the DSIR model (exposed for incremental maintenance:
+    totals are ADDITIVE, so micro-batch deltas sum into the same model
+    :func:`weights_from_totals` builds)."""
     b = F.lit(buckets)
-    tot = (
+    return (
         docs.select(
             target.cast("long").alias("_t"),
             F.explode(
@@ -1017,9 +1027,16 @@ def dsir_weights(docs: DataFrame, target: Column, buckets: int = 64,
         .groupBy("bk")
         .agg(F.sum("_t").alias("tq"), F.count(F.lit(1)).alias("tp"))
     )
-    # fold the ≤B bucket totals into one weight-map row; the smoothing
-    # denominators (corpus gram masses) ride along in the same agg so
-    # the weights are a single linear plan — no join, no driver scalar
+
+
+def weights_from_totals(tot: DataFrame, buckets: int,
+                        scale: int = 1_000_000) -> DataFrame:
+    """The one-row DSIR weight map from per-bucket (bk, tq, tp) totals —
+    shared by the one-shot trainer (:func:`dsir_weights`) and the
+    incremental model reader (streaming bucket-delta store). Folds the
+    ≤B bucket totals into one row in a single agg — the smoothing
+    denominators ride along, so no join and no driver scalar."""
+    b = F.lit(buckets)
     return tot.agg(
         F.sum("tq").alias("tqs"),
         F.sum("tp").alias("tps"),

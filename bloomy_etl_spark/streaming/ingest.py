@@ -515,3 +515,62 @@ def read_dsir_store(spark: SparkSession, score_dir: str,
         .agg(F.max("n_grams").alias("n_grams"), F.max("score").alias("score"))
         .select(id_col, "n_grams", "score")
     )
+
+
+def streaming_dsir_model_ingest(
+    docs_stream: DataFrame,
+    model_dir: str,
+    checkpoint_dir: str,
+    target_col: str = "lang",
+    target_value: str = "en",
+    buckets: int = 64,
+    text_col: str = "text",
+):
+    """Incremental DSIR MODEL maintenance: the model's sufficient
+    statistics (per-bucket gram totals) are ADDITIVE, so every
+    micro-batch appends its own ≤B-row (bk, tq, tp) delta and the
+    reader (:func:`read_dsir_model`) rebuilds the exact weight row —
+    the importance model tracks the growing corpus with per-batch cost
+    of one bounded hash-agg, never a retrain over history (the CMS
+    delta-store pattern applied to a trained model's statistics).
+
+    Deltas are tagged with ``batch_id``; an at-least-once replay
+    appends an identical delta (the sketch of a batch is deterministic)
+    and the reader collapses duplicates per (batch_id, bucket) before
+    the cross-batch sum.
+    """
+    from bloomy_etl_spark.operators.corpus import dsir_gram_buckets
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        delta = dsir_gram_buckets(
+            batch, F.col(target_col) == target_value, buckets, text_col
+        )
+        delta.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(model_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_dsir_model(spark: SparkSession, model_dir: str,
+                    buckets: int = 64, scale: int = 1_000_000) -> DataFrame:
+    """The current DSIR weight row from the streaming delta store:
+    collapse replays per (batch_id, bucket), sum deltas across batches,
+    then build the SAME one-row weight map as batch
+    ``corpus.dsir_weights`` — exact-integer totals make stream ≡ batch
+    equality entry-for-entry, not approximate."""
+    from bloomy_etl_spark.operators.corpus import weights_from_totals
+
+    tot = (
+        spark.read.parquet(model_dir)
+        .groupBy("batch_id", "bk")
+        .agg(F.max("tq").alias("tq"), F.max("tp").alias("tp"))
+        .groupBy("bk")
+        .agg(F.sum("tq").alias("tq"), F.sum("tp").alias("tp"))
+    )
+    return weights_from_totals(tot, buckets, scale)

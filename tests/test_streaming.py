@@ -1197,3 +1197,55 @@ class TestDsirIngest:
         out = dsir_score(docs, weights)
         assert out.filter(F.col("score").isNull()).count() == 0
         assert out.count() == docs.count()
+
+
+class TestDsirModelIngest:
+    """Incremental DSIR model maintenance: the weight row rebuilt from
+    streamed bucket deltas equals one-shot batch training, entry for
+    entry — and replayed deltas collapse."""
+
+    def test_stream_model_equals_batch_model(self, spark, tmp_path):
+        from bloomy_etl_spark.operators.corpus import dsir_weights
+        from bloomy_etl_spark.sources.tables import load_table
+        from bloomy_etl_spark.streaming.ingest import (
+            read_docs_stream,
+            read_dsir_model,
+            replay_docs_dir,
+            streaming_dsir_model_ingest,
+        )
+        from tests.conftest import SF_ORACLE
+
+        replay = replay_docs_dir(
+            spark, SF_ORACLE, str(tmp_path / "replay"), n_files=3
+        )
+        q = streaming_dsir_model_ingest(
+            read_docs_stream(spark, replay),
+            str(tmp_path / "model"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        got = read_dsir_model(spark, str(tmp_path / "model")).collect()[0]
+        docs = load_table(spark, SF_ORACLE, "documents")
+        want = dsir_weights(docs, F.col("lang") == "en").collect()[0]
+        assert got["b"] == want["b"] and got["w0"] == want["w0"]
+        assert dict(got["wm"]) == dict(want["wm"])
+
+    def test_replayed_delta_collapses(self, spark, tmp_path):
+        from bloomy_etl_spark.operators.corpus import (
+            dsir_gram_buckets,
+            dsir_weights,
+        )
+        from bloomy_etl_spark.sources.tables import load_table
+        from bloomy_etl_spark.streaming.ingest import read_dsir_model
+        from tests.conftest import SF_ORACLE
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        delta = dsir_gram_buckets(docs, F.col("lang") == "en").withColumn(
+            "batch_id", F.lit(0)
+        )
+        path = str(tmp_path / "model")
+        delta.write.mode("append").parquet(path)
+        delta.write.mode("append").parquet(path)  # at-least-once replay
+        got = read_dsir_model(spark, path).collect()[0]
+        want = dsir_weights(docs, F.col("lang") == "en").collect()[0]
+        assert dict(got["wm"]) == dict(want["wm"]) and got["w0"] == want["w0"]
