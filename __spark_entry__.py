@@ -43,8 +43,12 @@ ALL_ORACLES = {**ORACLE_SQL, **BLOOMY_ORACLE_SQL, **LLM_ORACLE_SQL,
 def _last_green_round(repo_dir: str | None = None) -> dict[str, int]:
     """Most recent round in which each query had a green driver row.
 
-    Green = rows_match and no err (hash_match may be absent for the
-    weaker rows-only check on non-SQL-expressible ops).
+    Green = rows_match, no err, and hash_match not explicitly false
+    (hash_match may be ABSENT for the weaker rows-only check on
+    non-SQL-expressible ops — that still counts; an explicit
+    ``hash_match: false`` is a red row and must NOT count, or a
+    hash-red query sorts as recently-verified and rotates OUT of the
+    window its fix needs — exactly what q114 hit in r8→r9).
     """
     import glob
     import json
@@ -65,7 +69,8 @@ def _last_green_round(repo_dir: str | None = None) -> dict[str, int]:
             continue
         for name, row in rows.items():
             if (isinstance(row, dict) and row.get("rows_match")
-                    and row.get("err") is None):
+                    and row.get("err") is None
+                    and row.get("hash_match") is not False):
                 last[name] = max(last.get(name, 0), rnd)
     return last
 

@@ -1088,6 +1088,119 @@ def q119_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GDPR_MEMO: dict[tuple, str] = {}
+
+
+def _cleanup_gdpr_dirs() -> None:
+    import shutil
+
+    for d in _GDPR_MEMO.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _GDPR_MEMO.clear()
+
+
+import atexit  # noqa: E402 — registration belongs next to the hook
+
+atexit.register(_cleanup_gdpr_dirs)
+
+
+def q131_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-be-forgotten, hash-gated END TO END
+    (sinks.layout.propagate_deletes + apply_tombstones — reference has
+    no counterpart; this is the deletion flow a real 100 TB corpus
+    needs): copy events into a date-partitioned scratch table plus a
+    derived per-user store, delete the deterministic id set
+    ``user_id % 53 == 7`` with tombstone logging, propagate the
+    tombstones into the derived store, and report three audited parts:
+
+    - ``events``: surviving per-day row counts + exact quantized value
+      sums read back FROM THE REWRITTEN FILES (proves the deletion
+      actually reached disk, including fully-emptied partitions);
+    - ``tomb``: per-day tombstoned (id, day) audit rows;
+    - ``derived``: surviving user rows vs rows removed by the
+      tombstone replay.
+
+    The oracle replays the whole flow as plain anti-join aggregates.
+    Scale: probe + rewrite touch only the deleted ids' partitions; the
+    id set broadcasts; the scratch build is memoized per (process,
+    fixture mtime) so repeated driver calls read stable files."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bloomy_etl_spark.sinks.layout import (
+        apply_tombstones,
+        propagate_deletes,
+        write_date_partitioned,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = (id(spark), sf_dir, os.stat(src).st_mtime_ns)
+    base = _GDPR_MEMO.get(key)
+    if base is None or not os.path.isfile(os.path.join(base, "_BUILD_OK")):
+        base = os.path.join(
+            tempfile.gettempdir(), "bloomy_gdpr",
+            f"{os.getpid()}-"
+            + hashlib.md5(repr(key).encode()).hexdigest()[:12],
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        tbl, tomb, store = (os.path.join(base, d)
+                            for d in ("events", "tomb", "store"))
+        ev = _t(spark, sf_dir, "events")
+        write_date_partitioned(ev, tbl)
+        (
+            ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .write.mode("overwrite").parquet(store)
+        )
+        ids = (
+            ev.select("user_id")
+            .where(F.col("user_id") % 53 == 7)
+            .distinct()
+        )
+        propagate_deletes(spark, tbl, ids, "user_id", tombstone_dir=tomb,
+                          requested_at="2026-01-01")
+        removed = apply_tombstones(spark, store, tomb, "user_id")
+        with open(os.path.join(base, "_REMOVED"), "w") as f:
+            f.write(str(removed))
+        with open(os.path.join(base, "_BUILD_OK"), "w") as f:
+            f.write("ok")
+        _GDPR_MEMO[key] = base
+    tbl, tomb, store = (os.path.join(base, d)
+                        for d in ("events", "tomb", "store"))
+    with open(os.path.join(base, "_REMOVED")) as f:
+        removed = int(f.read())
+    part_events = (
+        spark.read.parquet(tbl)
+        .groupBy(F.col("p_date").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("m"),
+        )
+        .select(F.lit("events").alias("part"), "day", "n", "m")
+    )
+    part_tomb = (
+        spark.read.parquet(tomb)
+        .groupBy(F.col("p_date").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("tomb").alias("part"), "day", "n",
+                F.lit(0).cast("long").alias("m"))
+    )
+    part_derived = (
+        spark.read.parquet(store)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("derived").alias("part"), F.lit("ALL").alias("day"),
+            "n", F.lit(removed).cast("long").alias("m"),
+        )
+    )
+    return (
+        part_events.unionByName(part_tomb).unionByName(part_derived)
+        .transform(_psort, "part", "day")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -1125,6 +1238,7 @@ ENGINE_QUERIES = {
     "q116_unpivot_daily": q116_unpivot_daily,
     "q117_robust_stats": q117_robust_stats,
     "q119_hll_registers": q119_hll_registers,
+    "q131_gdpr_delete": q131_gdpr_delete,
 }
 
 
@@ -1882,6 +1996,8 @@ ENGINE_ORACLE_SQL = {
 
 # q114: RANGE frame over integer epoch-µs; the frame sum is over
 # floor(value·1e4) integers, exact under any accumulation order.
+# SUM over BIGINT returns HUGEINT in DuckDB, which pandas renders as
+# float64 — explicit CAST keeps the null-free column int64 like Spark's.
 ENGINE_ORACLE_SQL["q114_range_frame_window"] = """
     WITH ev AS (
         SELECT event_id, user_id, epoch_us(ts) AS eus,
@@ -1890,11 +2006,40 @@ ENGINE_ORACLE_SQL["q114_range_frame_window"] = """
     )
     SELECT event_id, user_id,
            COUNT(*) OVER w AS n_1h,
-           SUM(v_e4) OVER w AS sum_v_e4
+           CAST(SUM(v_e4) OVER w AS BIGINT) AS sum_v_e4
     FROM ev
     WINDOW w AS (PARTITION BY user_id ORDER BY eus
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     ORDER BY event_id
+"""
+
+# q131: the oracle replays the whole GDPR flow as plain anti-join
+# aggregates over the source events — if the engine's partitioned
+# rewrite, tombstone log, or derived-store replay drops or keeps one
+# wrong row, some part's integer counts/sums diverge.
+ENGINE_ORACLE_SQL["q131_gdpr_delete"] = """
+    WITH ev AS (
+        SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4
+        FROM events
+    ),
+    del AS (SELECT DISTINCT user_id FROM ev WHERE user_id % 53 = 7),
+    kept AS (SELECT * FROM ev
+             WHERE user_id NOT IN (SELECT user_id FROM del)),
+    e AS (SELECT 'events' AS part, day, COUNT(*) AS n,
+                 CAST(SUM(v_e4) AS BIGINT) AS m
+          FROM kept GROUP BY day),
+    t AS (SELECT 'tomb' AS part, day, COUNT(*) AS n,
+                 CAST(0 AS BIGINT) AS m
+          FROM (SELECT DISTINCT user_id, day FROM ev
+                WHERE user_id % 53 = 7) GROUP BY day),
+    d AS (SELECT 'derived' AS part, 'ALL' AS day,
+                 (SELECT COUNT(DISTINCT user_id) FROM kept) AS n,
+                 (SELECT COUNT(*) FROM del) AS m)
+    SELECT part, day, n, m FROM e
+    UNION ALL SELECT part, day, n, m FROM t
+    UNION ALL SELECT part, day, n, m FROM d
+    ORDER BY part, day
 """
 
 # q115: Spark's grouping_id() bit order is the same MSB-first over the

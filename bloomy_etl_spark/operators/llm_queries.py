@@ -2472,8 +2472,13 @@ LLM_ORACLE_SQL["q121_dsir_selection"] = r"""
                   FROM documents),
     hs AS (
         SELECT doc_id, lang,
-               [('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 8))::BIGINT % 64
-                for i in range(1, len(ws))] AS hs
+               CASE WHEN len(ws) >= 2
+                    THEN [('0x' || substr(md5(ws[i] || ' ' || ws[i+1]),
+                                          1, 8))::BIGINT % 64
+                          for i in range(1, len(ws))]
+                    ELSE [('0x' || substr(md5(array_to_string(ws, ' ')),
+                                          1, 8))::BIGINT % 64]
+               END AS hs
         FROM toks
     ),
     ex AS (SELECT lang, unnest(hs) AS bk FROM hs),

@@ -422,6 +422,15 @@ def propagate_deletes(spark: SparkSession, path: str, ids: DataFrame,
         ).parquet(tombstone_dir)
     existing = spark.read.parquet(path).filter(F.col("p_date").isin(days))
     kept = existing.join(F.broadcast(idset), id_col, "left_anti")
+    # Dynamic overwrite only replaces partitions PRESENT in the output:
+    # a day whose every row is deleted produces no output partition, so
+    # its old files would survive — the delete would silently fail.
+    # Find the surviving days first (source files still exist here),
+    # then hard-delete the emptied partition directories after the
+    # rewrite. Bounded: at most len(days) values.
+    survivors = {
+        r["p_date"] for r in kept.select("p_date").distinct().collect()
+    }
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -433,6 +442,14 @@ def propagate_deletes(spark: SparkSession, path: str, ids: DataFrame,
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    emptied = [d for d in days if d not in survivors]
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for d in emptied:
+            pdir = jvm.org.apache.hadoop.fs.Path(f"{path}/p_date={d}")
+            fs = pdir.getFileSystem(hconf)
+            fs.delete(pdir, True)
     return [str(d) for d in days]
 
 

@@ -33,6 +33,7 @@ from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -259,4 +260,118 @@ def streaming_detect_events(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing time-range stats: the streaming form of the q114 RANGE frame
+# (operators/engine_queries.py::q114_range_frame_window). Batch expresses
+# "count + quantized sum of the SAME key's rows in the trailing hour" as
+# a RANGE BETWEEN frame; on an unbounded stream the same semantics become
+# keyed state holding ONLY the rows still inside the trailing span.
+# ---------------------------------------------------------------------------
+
+TRAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_1h", T.LongType()),
+        T.StructField("sum_v_e4", T.LongType()),
+    ]
+)
+
+# parallel arrays of the in-span rows (event-time µs, quantized value)
+TRAIL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("eus", T.ArrayType(T.LongType(), containsNull=False)),
+        T.StructField("v", T.ArrayType(T.LongType(), containsNull=False)),
+    ]
+)
+
+
+def trail_step(
+    eus_buf: list, v_buf: list, eus: int, v_e4: int, range_us: int
+) -> tuple[int, int]:
+    """Advance one point of a per-key trailing-range frame; mutate the
+    buffers; return (count, sum) of the frame ending at ``eus``.
+
+    The pure per-point transition (shared by unit tests): append, evict
+    everything older than ``eus - range_us`` from the FRONT (arrival is
+    event-time-ordered per key, so the buffer is sorted and eviction is
+    a pointer advance — the same two-pointer pass Spark's RANGE frame
+    runs per partition), then fold. Buffer length is bounded by the
+    per-key event rate × span, never by stream length.
+    """
+    eus_buf.append(eus)
+    v_buf.append(v_e4)
+    lo = eus - range_us
+    k = 0
+    while eus_buf[k] < lo:
+        k += 1
+    if k:
+        del eus_buf[:k], v_buf[:k]
+    return len(eus_buf), sum(v_buf)
+
+
+def _trail_fn(range_us: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        if state.exists:
+            eus_buf, v_buf = (list(a) for a in state.get)
+        else:
+            eus_buf, v_buf = [], []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # event-time order within the micro-batch; ACROSS batches the
+        # caller replays in order (same contract as the detector above)
+        batch = batch.sort_values("eus")
+        out = {"event_id": [], "n_1h": [], "sum_v_e4": []}
+        for eid, eus, v in zip(batch["event_id"], batch["eus"], batch["v_e4"]):
+            n, s = trail_step(eus_buf, v_buf, int(eus), int(v), range_us)
+            out["event_id"].append(int(eid))
+            out["n_1h"].append(n)
+            out["sum_v_e4"].append(s)
+        state.update((eus_buf, v_buf))
+        res = pd.DataFrame(out)
+        res.insert(1, "user_id", user_id)
+        yield res
+
+    return fn
+
+
+def streaming_trailing_range(
+    events_stream: DataFrame,
+    range_us: int = 3_600_000_000,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-key trailing time-range count + exact quantized sum — the
+    streaming counterpart of the batch RANGE frame (q114): for every
+    event, how many of the same user's events fall in the trailing hour
+    and their exact ``floor(value·10⁴)`` sum.
+
+    ``events_stream`` columns: ``key_col``, ``event_id``, ``ts``
+    (timestamp), ``value`` (double). Emits one row per input event with
+    the batch query's exact schema, so stream ≡ batch is bit-checkable
+    after an ordered replay.
+
+    Scale posture: state per key is ONLY the rows inside the trailing
+    span (rate × span, independent of stream length); the shuffle is
+    keyed by ``key_col`` — the same partitioning the batch window uses,
+    so the plan survives a 100× scale-up by adding executors. No
+    timeout: an idle key's buffer stays until its next event (bounded),
+    and eviction is deterministic in event time, never wall clock.
+    """
+    cols = events_stream.select(
+        events_stream[key_col].alias("user_id"),
+        F.col("event_id").cast("long"),
+        F.unix_micros(F.col("ts")).alias("eus"),
+        F.floor(F.col("value") * 10000).cast("long").alias("v_e4"),
+    )
+    return cols.groupBy("user_id").applyInPandasWithState(
+        _trail_fn(range_us),
+        outputStructType=TRAIL_SCHEMA,
+        stateStructType=TRAIL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -113,3 +113,68 @@ def test_bench_compact_line_fits_the_2000_char_window():
         f"compact bench line is {len(line)} chars; the driver's window "
         "keeps ~2000 — shorten keys or drop fields in bench.py"
     )
+
+
+def test_no_oracle_column_renders_float_while_spark_is_integer(spark, duck):
+    """The q114 failure mode, automated (§2.10 corpus rule): DuckDB
+    returns HUGEINT for SUM over BIGINT, which pandas renders as float64
+    (``65500.0``) while a null-free Spark BIGINT column stays int64
+    (``65500``) — flipping the driver's value hash even when every value
+    matches. Run EVERY oracle through DuckDB's pandas conversion; any
+    column that comes back integer-valued float64 with no NULLs must
+    correspond to a float64 (not integer) column in the Spark result —
+    otherwise the oracle needs an explicit CAST(... AS BIGINT).
+    """
+    import numpy as np
+
+    from tests.conftest import SF_ORACLE
+    from tests.oracle import register_duck_views
+
+    sf_dir = SF_ORACLE
+    register_duck_views(duck, sf_dir)
+    suspicious: dict[str, list[str]] = {}
+    for name, sql in entry.ALL_ORACLES.items():
+        pdf = duck.execute(sql).df()
+        cols = []
+        for c in pdf.columns:
+            s = pdf[c]
+            if s.dtype == np.float64 and len(s) and not s.isna().any() \
+                    and bool(np.all(s == np.floor(s))):
+                cols.append(c)
+        if cols:
+            suspicious[name] = cols
+    bad = []
+    for name, cols in suspicious.items():
+        sdf = entry.ALL_QUERIES[name](spark, sf_dir)
+        spdf = sdf.toPandas()
+        for c in cols:
+            sp = spdf[c]
+            if sp.dtype.kind in "iu" and not sp.isna().any():
+                bad.append((name, c, str(sp.dtype)))
+    assert not bad, (
+        "integer-valued float64 oracle columns facing null-free integer "
+        f"Spark columns (add CAST(... AS BIGINT) to the oracle): {bad}"
+    )
+
+
+def test_hash_red_rows_do_not_count_as_green():
+    """A row with ``hash_match: false`` must NOT mark the query
+    verified — otherwise a hash-red query sorts as recently-green and
+    rotates OUT of the very window its fix needs (q114, r8→r9)."""
+    import importlib
+
+    fake = {
+        "q_red": {"rows_match": True, "err": None, "hash_match": False},
+        "q_green": {"rows_match": True, "err": None, "hash_match": True},
+        "q_rows_only": {"rows_match": True, "err": None},
+        "q_err": {"rows_match": True, "err": "boom", "hash_match": True},
+    }
+    import json
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "CORRECTNESS_r03.json"), "w") as f:
+            json.dump(fake, f)
+        last = entry._last_green_round(d)
+    assert last == {"q_green": 3, "q_rows_only": 3}
+    importlib.reload(entry)  # restore module-level state just in case

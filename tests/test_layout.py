@@ -382,6 +382,14 @@ class TestPropagateDeletes:
         assert days == ["2024-01-01"]
         assert fingerprints("2024-01-02") == fp2
         assert fingerprints("2024-01-03") == fp3
+        # user 500 was the ONLY row in 2024-01-01: the delete must not
+        # leave the emptied partition's old files behind (dynamic
+        # overwrite writes nothing for a day with no survivors, so the
+        # directory needs an explicit removal — the GDPR failure mode).
+        after = spark.read.parquet(path)
+        assert after.filter(F.col("user_id") == 500).count() == 0
+        assert after.count() == 2
+        assert not os.path.isdir(os.path.join(path, "p_date=2024-01-01"))
 
 
 class TestApplyTombstones:

@@ -1249,3 +1249,104 @@ class TestDsirModelIngest:
         got = read_dsir_model(spark, path).collect()[0]
         want = dsir_weights(docs, F.col("lang") == "en").collect()[0]
         assert dict(got["wm"]) == dict(want["wm"]) and got["w0"] == want["w0"]
+
+
+class TestTrailingRangeStream:
+    """Streaming counterpart of the q114 RANGE frame: per-user trailing-
+    hour count + exact quantized sum via applyInPandasWithState."""
+
+    def _events(self):
+        rng = np.random.default_rng(114)
+        rows = []
+        base = 1_700_000_000_000_000  # epoch µs
+        for uid in range(6):
+            t = base
+            for i in range(40):
+                t += int(rng.integers(60, 2400)) * 1_000_000  # 1–40 min gaps
+                rows.append(
+                    (uid * 1000 + i, uid, t, float(rng.uniform(-3, 9)))
+                )
+        return rows  # (event_id, user_id, eus, value)
+
+    def test_stream_equals_batch_range_frame(self, spark, tmp_path):
+        """Ordered replay through the stateful operator reproduces the
+        batch RANGE-frame result bit-for-bit, across micro-batch
+        boundaries (state carries the open frames between files)."""
+        import os
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from bloomy_etl_spark.streaming.stateful import (
+            streaming_trailing_range,
+        )
+
+        rows = self._events()
+        rows.sort(key=lambda r: r[2])  # global event-time replay order
+        src = tmp_path / "ev"
+        src.mkdir()
+        t0 = 1_000_000_000
+        n = len(rows)
+        for i in range(4):  # 4 time-sliced files = 4 micro-batches
+            chunk = rows[i * n // 4:(i + 1) * n // 4]
+            f = src / f"b{i:05d}.parquet"
+            pd.DataFrame(
+                chunk, columns=["event_id", "user_id", "eus", "value"]
+            ).to_parquet(f, index=False)
+            os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+        schema = "event_id long, user_id long, eus long, value double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(src))
+            .withColumn("ts", F.timestamp_micros("eus"))
+        )
+        out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = (
+            streaming_trailing_range(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(out_dir)
+            .select("event_id", "user_id", "n_1h", "sum_v_e4")
+            .collect()
+        }
+
+        batch = spark.createDataFrame(rows, schema)
+        w = (
+            Window.partitionBy("user_id").orderBy(F.col("eus").asc())
+            .rangeBetween(-3_600_000_000, 0)
+        )
+        want = {
+            tuple(r)
+            for r in batch.select(
+                "event_id", "user_id",
+                F.count(F.lit(1)).over(w).alias("n_1h"),
+                F.sum(F.floor(F.col("value") * 10000).cast("long"))
+                .over(w).alias("sum_v_e4"),
+            ).collect()
+        }
+        assert got == want
+        assert len(got) == len(rows)
+
+    def test_trail_step_evicts_and_bounds_state(self):
+        """The pure transition: frame contents follow event time exactly
+        and the buffer never retains anything outside the span."""
+        from bloomy_etl_spark.streaming.stateful import trail_step
+
+        eus, v = [], []
+        assert trail_step(eus, v, 0, 10, 100) == (1, 10)
+        assert trail_step(eus, v, 50, 5, 100) == (2, 15)
+        # 101: row at 0 leaves the [1, 101] frame
+        assert trail_step(eus, v, 101, 1, 100) == (2, 6)
+        assert eus == [50, 101]
+        # a large jump clears everything but the new row
+        assert trail_step(eus, v, 10_000, 7, 100) == (1, 7)
+        assert eus == [10_000] and v == [7]
