@@ -1371,3 +1371,109 @@ def shard_by_token_budget(docs: DataFrame, target_tokens: int,
             .cast("long").alias("shard"),
         )
     )
+
+
+def temperature_quotas(docs: DataFrame, budget: int,
+                       alpha_quarters: int = 2, scale: int = 1_000_000,
+                       group_col: str = "source") -> DataFrame:
+    """Temperature-flattened mixture allocation — the multilingual /
+    multi-source sampling trick (mBERT, XLM-R, PaLM data mixing):
+    sample group g proportionally to ``n_g^α`` with ``α < 1`` so
+    head sources are damped and tail sources up-weighted, here with a
+    FIXED global budget apportioned by largest remainder over
+    quantized weights.
+
+    Bit-portability: α is restricted to quarters (k/4, k = 1..4) so
+    ``n^α`` is a composition of IEEE ``sqrt`` (correctly rounded by
+    spec — the ONLY portable transcendental; general ``pow`` is not)
+    and one exact multiply: n^¼ = sqrt(sqrt n), n^¾ = sqrt·sqrt∘sqrt.
+    Weights quantize as ``w_g = floor(scale · n_g^α)``; the Hamilton
+    seats ``base = (budget·w) DIV W``, leftovers by largest
+    ``(budget·w) MOD W`` (ties by group name) — all exact int64, so
+    the allocation replays bit-identically on any engine. ``budget·W``
+    must fit int64 (with the default scale: budgets to ~10⁹ against
+    corpora to ~10¹² docs/group — pass a smaller ``scale`` beyond).
+
+    Scale: ONE bounded hash-agg (G rows); the apportionment runs in
+    windows over the G-row frame — no corpus-scale work at all.
+
+    Returns one row per group: ``(group, n, w_e6, alloc)``.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if not 1 <= alpha_quarters <= 4:
+        raise ValueError(
+            f"alpha_quarters must be in 1..4, got {alpha_quarters}"
+        )
+    nd = F.col("n").cast("double")
+    r2 = F.sqrt(nd)
+    r4 = F.sqrt(r2)
+    powmap = {1: r4, 2: r2, 3: r2 * r4, 4: nd}
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    weights = counts.select(
+        group_col, "n",
+        F.floor(F.lit(scale) * powmap[alpha_quarters])
+        .cast("long").alias("w_e6"),
+    )
+    wall = Window.partitionBy()
+    q = F.lit(budget) * F.col("w_e6")
+    tot = F.sum("w_e6").over(wall)
+    alloc = weights.select(
+        group_col, "n", "w_e6",
+        ((q - q % tot) / tot).cast("long").alias("_base"),
+        (q % tot).alias("_rem"),
+    )
+    w_rem = Window.orderBy(F.col("_rem").desc(), F.col(group_col).asc())
+    return alloc.select(
+        group_col, "n", "w_e6",
+        (
+            F.col("_base")
+            + (
+                F.row_number().over(w_rem)
+                <= F.lit(budget) - F.sum("_base").over(wall)
+            ).cast("long")
+        ).alias("alloc"),
+    )
+
+
+def first_seen_novelty(docs: DataFrame, n: int = 2, scale: int = 1_000_000,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document content novelty by FIRST OCCURRENCE: the fraction
+    of a document's distinct n-grams whose global first appearance
+    (min id) is this document — the marginal-contribution curve a
+    corpus build reads to decide when another crawl dump stops adding
+    anything ("novelty decay"). Near-1 = fresh content; near-0 = the
+    corpus already said all of it.
+
+    Shape: distinct grams per doc explode once; first occurrence is an
+    order-free ``min(id)`` hash-agg keyed by gram (map-side
+    combinable); per-doc novel counts come from THAT G-row result —
+    no gram-grain join back to the corpus. The only doc-grain join is
+    doc-cardinality left-join of the two count tables. Novelty is
+    quantized ``floor(scale · novel / distinct)`` in exact integer
+    arithmetic.
+
+    Returns every document: ``(id, n_distinct, n_novel, novelty_e6)``.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(T.word_ngrams(F.col(text_col), n))
+        ).alias("__g"),
+    )
+    nd = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_distinct"))
+    first = grams.groupBy("__g").agg(F.min(id_col).alias("__first"))
+    nv = first.groupBy(F.col("__first").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    num = F.lit(scale) * F.col("n_novel")
+    return (
+        nd.join(nv, id_col, "left")
+        .na.fill({"n_novel": 0})
+        .select(
+            id_col, "n_distinct", "n_novel",
+            ((num - num % F.col("n_distinct")) / F.col("n_distinct"))
+            .cast("long").alias("novelty_e6"),
+        )
+    )

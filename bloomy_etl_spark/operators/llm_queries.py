@@ -1051,6 +1051,31 @@ def q130_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_psort, "doc_id")
 
 
+def q132_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture quotas (corpus.temperature_quotas —
+    the mBERT/XLM-R n^α sampling recipe, α=½): apportion a fixed
+    200-document budget across sources proportional to sqrt(n_source)
+    by largest-remainder over floor-quantized weights. IEEE sqrt is
+    correctly rounded (the one portable transcendental), every other
+    step is exact int64, so the 20-row allocation replays
+    bit-identically in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.temperature_quotas(docs, budget=200, alpha_quarters=2).transform(
+        _psort, "source"
+    )
+
+
+def q133_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document first-occurrence novelty (corpus.first_seen_novelty):
+    the fraction of each document's distinct bigrams first seen (min
+    doc_id) in that document — the marginal-contribution signal behind
+    "does another dump still add content". Order-free min hash-agg
+    keyed by gram; per-doc counts from the G-row result, no gram-grain
+    join back; exact integer quantization."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return C.first_seen_novelty(docs, n=2).transform(_psort, "doc_id")
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -1111,6 +1136,8 @@ LLM_QUERIES = {
     "q128_keep_best_survivors": q128_keep_best_survivors,
     "q129_token_shards": q129_token_shards,
     "q130_quality_percentile_gate": q130_quality_percentile_gate,
+    "q132_temperature_mixture": q132_temperature_mixture,
+    "q133_novelty_profile": q133_novelty_profile,
 }
 
 
@@ -2764,4 +2791,59 @@ LLM_ORACLE_SQL["q130_quality_percentile_gate"] = r"""
         FROM base)
     SELECT doc_id, lang, q_distinct, rank, rank <= keep_n AS kept
     FROM ranked ORDER BY doc_id
+"""
+
+# q132: SQRT is correctly rounded by IEEE-754 in both engines and the
+# weights/seats are floor-quantized int64, so the Hamilton allocation
+# replays exactly. DuckDB widens the integer products to HUGEINT — the
+# explicit BIGINT casts keep pandas rendering int64 (§2.10 rule e).
+LLM_ORACLE_SQL["q132_temperature_mixture"] = r"""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT source, n,
+                 CAST(FLOOR(1000000.0 * SQRT(CAST(n AS DOUBLE))) AS BIGINT)
+                     AS w_e6
+          FROM c),
+    tot AS (SELECT SUM(w_e6) AS wt FROM w),
+    a AS (SELECT source, n, w_e6,
+                 CAST((200 * w_e6) // wt AS BIGINT) AS base,
+                 (200 * w_e6) % wt AS rem
+          FROM w CROSS JOIN tot),
+    lo AS (SELECT CAST(200 - SUM(base) AS BIGINT) AS leftover FROM a),
+    r AS (SELECT source, n, w_e6, base,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rr
+          FROM a)
+    SELECT source, n, w_e6,
+           CAST(base + CASE WHEN rr <= lo.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM r CROSS JOIN lo
+    ORDER BY source
+"""
+
+# q133: the gram arrays mirror word_ngrams (short docs collapse to one
+# whole-text gram, the q121/q39 convention); first occurrence is MIN
+# over doc_id per distinct gram; novelty is exact integer floor
+# division.
+LLM_ORACLE_SQL["q133_novelty_profile"] = r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+                  FROM documents),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(ws) >= 2
+                        THEN [ws[i] || ' ' || ws[i+1]
+                              for i in range(1, len(ws))]
+                        ELSE [array_to_string(ws, ' ')] END) AS gs
+        FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    nd AS (SELECT doc_id, COUNT(*) AS n_distinct FROM ex GROUP BY doc_id),
+    first AS (SELECT g, MIN(doc_id) AS first_doc FROM ex GROUP BY g),
+    nv AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+           FROM first GROUP BY first_doc)
+    SELECT nd.doc_id, nd.n_distinct,
+           CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST((1000000 * COALESCE(nv.n_novel, 0)) // nd.n_distinct
+                AS BIGINT) AS novelty_e6
+    FROM nd LEFT JOIN nv ON nd.doc_id = nv.doc_id
+    ORDER BY nd.doc_id
 """

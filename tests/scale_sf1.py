@@ -148,6 +148,10 @@ def scale_cases():
         # corpus-bounded exchange (map-side dedup); sketches are ≤ k
         # per source and the pair stage is in-row over a broadcast
         "q125_source_overlap",
+        # r9 first-occurrence novelty: two gram-keyed hash-aggs over
+        # ONE exploded gram stream, doc-grain join only — the exchange
+        # must stay linear in the gram stream (no gram-grain join back)
+        "q133_novelty_profile",
     ]
     cases = [(n, entry.ALL_QUERIES[n]) for n in names if n in entry.ALL_QUERIES]
     # SemDeDup's scale contract holds under its PRESCRIBED sizing

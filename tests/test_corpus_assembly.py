@@ -672,3 +672,122 @@ class TestTokenShards:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="target_tokens"):
             shard_by_token_budget(df, 0)
+
+
+class TestTemperatureQuotas:
+    """Temperature mixture allocation (corpus.temperature_quotas)
+    beyond the q132 oracle gate."""
+
+    def _docs(self, spark):
+        from bloomy_etl_spark.sources.tables import load_table
+
+        return load_table(spark, SF_ORACLE, "documents")
+
+    def test_quotas_sum_to_budget(self, spark):
+        for alpha in (1, 2, 3, 4):
+            rows = C.temperature_quotas(
+                self._docs(spark), budget=137, alpha_quarters=alpha
+            ).collect()
+            assert sum(r["alloc"] for r in rows) == 137
+
+    def test_alpha_flattens_toward_uniform(self, spark):
+        """Lower α must allocate the largest source a SMALLER share and
+        the smallest source a LARGER-or-equal share — the whole point
+        of temperature sampling."""
+        docs = self._docs(spark)
+
+        def spread(alpha):
+            rows = C.temperature_quotas(
+                docs, budget=200, alpha_quarters=alpha
+            ).collect()
+            big = max(rows, key=lambda r: r["n"])
+            small = min(rows, key=lambda r: r["n"])
+            return big["alloc"], small["alloc"]
+
+        b1, s1 = spread(1)   # α = ¼ (flattest)
+        b4, s4 = spread(4)   # α = 1 (proportional)
+        assert b1 <= b4
+        assert s1 >= s4
+
+    def test_alpha_one_matches_hamilton_on_counts(self, spark):
+        """α=1 (quarters=4) must reproduce plain proportional Hamilton
+        apportionment over the raw counts."""
+        docs = self._docs(spark)
+        rows = C.temperature_quotas(
+            docs, budget=100, alpha_quarters=4, scale=1
+        ).collect()
+        per = {r["source"]: r["n"] for r in rows}
+        total = sum(per.values())
+        base = {s: (100 * n) // total for s, n in per.items()}
+        leftover = 100 - sum(base.values())
+        # largest remainder first, ties by source name ascending
+        rem = sorted(
+            per, key=lambda s: (-((100 * per[s]) % total), s)
+        )[:leftover]
+        want = {s: base[s] + (1 if s in rem else 0) for s in per}
+        got = {r["source"]: r["alloc"] for r in rows}
+        assert got == want
+
+    def test_bad_args(self, spark):
+        docs = self._docs(spark)
+        with pytest.raises(ValueError):
+            C.temperature_quotas(docs, budget=0)
+        with pytest.raises(ValueError):
+            C.temperature_quotas(docs, budget=10, alpha_quarters=5)
+
+
+class TestFirstSeenNovelty:
+    """First-occurrence novelty (corpus.first_seen_novelty) beyond the
+    q133 oracle gate."""
+
+    def test_matches_naive_python(self, spark):
+        rows = [
+            (0, "a b c"),
+            (1, "a b c d"),      # novel: "c d" only
+            (2, "x y"),          # all novel
+            (3, "a b x y"),      # "b x" novel only
+            (4, "solo"),         # short-doc fallback gram, novel
+            (5, "solo"),         # same fallback gram, not novel
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_distinct"], r["n_novel"], r["novelty_e6"])
+            for r in C.first_seen_novelty(df, n=2).collect()
+        }
+        seen: set = set()
+        want = {}
+        for did, text in rows:
+            ws = text.split()
+            gs = (
+                {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+                if len(ws) >= 2 else {text}
+            )
+            novel = {g for g in gs if g not in seen}
+            seen |= gs
+            want[did] = (
+                len(gs), len(novel), (1_000_000 * len(novel)) // len(gs)
+            )
+        assert got == want
+
+    def test_novelty_bounds_and_totals(self, spark):
+        from bloomy_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_ORACLE, "documents", fan_out=True)
+        rows = C.first_seen_novelty(docs, n=2).collect()
+        assert all(0 <= r["n_novel"] <= r["n_distinct"] for r in rows)
+        assert all(0 <= r["novelty_e6"] <= 1_000_000 for r in rows)
+        # every distinct gram is novel in exactly one document
+        n_grams = (
+            docs.select(
+                F.explode(
+                    F.array_distinct(
+                        __import__(
+                            "bloomy_etl_spark.functions.text",
+                            fromlist=["text"],
+                        ).word_ngrams(F.col("text"), 2)
+                    )
+                ).alias("g")
+            )
+            .select("g").distinct().count()
+        )
+        assert sum(r["n_novel"] for r in rows) == n_grams

@@ -123,3 +123,42 @@ def test_bloom_semi_join_prefilter_shrinks_the_shuffle(spark):
     # and the shuffled stream is match-sized: both join inputs plus the
     # bitmap words, with false positives allowed some slack
     assert p["shuffle_records_written"] <= 3 * n_match + 1000
+
+
+def test_novelty_shuffle_linear_in_gram_stream(spark):
+    """q133's operator claims NO gram-grain join back to the corpus:
+    the exchange carries the two gram-keyed agg partials plus two
+    doc-grain count tables — measured: shuffle records stay within a
+    small multiple of the distinct-gram stream, far below the
+    quadratic join-back shape."""
+    from bloomy_etl_spark.functions.text import word_ngrams
+    from bloomy_etl_spark.operators.corpus import first_seen_novelty
+
+    docs = load_table(spark, SF_SMOKE, "documents", fan_out=True)
+    n_docs = docs.count()
+    n_gram_rows = docs.select(
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 2))).alias("g")
+    ).count()
+    p = run_profile(first_seen_novelty(docs, n=2))
+    assert p["output_rows"] == n_docs
+    # two gram-keyed aggs (≤ gram stream each after map-side combine)
+    # + two doc-grain tables; 3× covers partials without admitting a
+    # join-back (which would add ≥ 2× the full stream again)
+    assert 0 < p["shuffle_records_written"] <= 3 * n_gram_rows + 4 * n_docs
+
+
+def test_temperature_quotas_shuffle_bounded_by_groups(spark):
+    """q132's apportionment never exchanges corpus rows: the only
+    shuffled records are the G-row count partials and the G-row window
+    frames — measured against the actual source count."""
+    from bloomy_etl_spark.operators.corpus import temperature_quotas
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_groups = docs.select("source").distinct().count()
+    n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    quotas = temperature_quotas(docs, budget=200)
+    assert quotas.count() == n_groups
+    p = run_profile(quotas)
+    # count partials: ≤ groups × map tasks; window frames: ≤ 3 G-row
+    # passes (rem sort + two unbounded windows share one frame)
+    assert 0 < p["shuffle_records_written"] <= n_groups * (n_parts + 4)
