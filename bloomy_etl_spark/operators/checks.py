@@ -24,7 +24,7 @@ Verified value-exact against a DuckDB oracle replaying every metric
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 Constraint = dict  # {name: str, metric: Column, ok: Column}
@@ -179,4 +179,97 @@ def subset_of(df: DataFrame, col: str, ref: DataFrame, ref_col: str,
         F.lit(label).alias("constraint"),
         F.count(F.lit(1)).cast("double").alias("metric"),
         (F.count(F.lit(1)) == 0).alias("passed"),
+    )
+
+
+def skew_profile(df: DataFrame, key_col: str, topk: int = 10,
+                 scale: int = 1_000_000) -> DataFrame:
+    """Key-skew diagnostics — the pre-flight check before keying a
+    shuffle on ``key_col`` at scale: the top-``topk`` hottest keys with
+    their exact quantized share of rows, plus the corpus-wide
+    concentration constants every row carries:
+
+    - ``n_rows`` / ``n_keys`` — totals;
+    - ``hhi_e6`` — Herfindahl–Hirschman index ``floor(scale·Σc²/N²)``
+      (1/K for uniform keys → ``scale`` for one mega-key), the single
+      number that says "salt this join or don't";
+    - ``top_share_e6`` — the hottest key's share.
+
+    All exact integer arithmetic. Shape: ONE key-grain hash-agg
+    (map-side combinable), one 4-value global aggregate over the key
+    frame, and a ``topk``-row TakeOrdered — no global sort window, no
+    key-frame join back, so the profiler itself never becomes the skew
+    problem it measures. (Σc² can overflow int64 only when one key
+    exceeds ~3·10⁹ rows; profile a salted pre-split first at that
+    point — the exact regime the profiler exists to catch.)
+
+    Returns ``topk`` rows: ``(rank, key, c, share_e6, n_rows, n_keys,
+    hhi_e6, top_share_e6)``.
+    """
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    glob = counts.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.max("c").alias("max_c"),
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("key").asc()).limit(topk)
+    w = Window.orderBy(F.col("c").desc(), F.col("key").asc())
+    num_share = F.lit(scale) * F.col("c")
+    num_hhi = F.lit(scale) * F.col("sum_c2")
+    num_top = F.lit(scale) * F.col("max_c")
+    n2 = F.col("n_rows") * F.col("n_rows")
+    return (
+        top.join(F.broadcast(glob), F.lit(True))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "key", "c",
+            ((num_share - num_share % F.col("n_rows")) / F.col("n_rows"))
+            .cast("long").alias("share_e6"),
+            "n_rows", "n_keys",
+            ((num_hhi - num_hhi % n2) / n2).cast("long").alias("hhi_e6"),
+            ((num_top - num_top % F.col("n_rows")) / F.col("n_rows"))
+            .cast("long").alias("top_share_e6"),
+        )
+    )
+
+
+def calibration_bins(df: DataFrame, score_col: str, label_col: str,
+                     bins: int = 10, scale: int = 1_000_000) -> DataFrame:
+    """Reliability-diagram audit of a quality score against outcomes —
+    the check that a [0, ``scale``] quality score actually MEANS what a
+    filtering threshold assumes: bin rows by fixed-width score bins and
+    report, per bin, the exact count, floor-quantized mean score, and
+    floor-quantized positive rate. A calibrated scorer has
+    ``mean_score_e6 ≈ pos_rate_e6`` per bin; a divergent tail says the
+    gate keeps (or drops) the wrong mass.
+
+    ``score_col`` must be an integer score in [0, scale] (the repo's
+    quantization discipline — q120's logreg, q28's quality proxy);
+    ``label_col`` a boolean. One hash-agg keyed by the ≤``bins`` bin
+    ids; everything exact int64, so the audit replays bit-identically.
+
+    Returns ≤``bins`` rows: ``(bin, n, mean_score_e6, pos_rate_e6)``.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    b = F.least(
+        F.lit(bins - 1),
+        ((F.col(score_col) * bins - (F.col(score_col) * bins) % scale)
+         / scale).cast("long"),
+    )
+    num = F.lit(scale) * F.sum(F.col(label_col).cast("long"))
+    ssum = F.sum(F.col(score_col))
+    n = F.count(F.lit(1))
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            n.alias("n"),
+            ((ssum - ssum % n) / n).cast("long").alias("mean_score_e6"),
+            ((num - num % n) / n).cast("long").alias("pos_rate_e6"),
+        )
     )

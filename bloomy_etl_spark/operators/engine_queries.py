@@ -1088,6 +1088,40 @@ def q119_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q134_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics (checks.skew_profile): the top-10 hottest
+    user keys in events with exact quantized shares plus the HHI
+    concentration index — the pre-flight audit before keying a 100 TB
+    shuffle on a column. One key-grain hash-agg + a 4-value global
+    reduce + a top-k TakeOrdered; the profiler never global-sorts the
+    key frame."""
+    ev = _t(spark, sf_dir, "events")
+    return checks.skew_profile(ev, "user_id", topk=10).transform(
+        _psort, "rank"
+    )
+
+
+def q135_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram audit (checks.calibration_bins): bin the
+    exact integer quality proxy floor(10⁶·distinct/total tokens) into
+    10 fixed-width bins and compare per-bin mean score vs the empirical
+    lang='en' rate — the calibration check behind every score-threshold
+    gate (q120/q130). One ≤10-key hash-agg, all int64."""
+    from bloomy_etl_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents", fan_out=True)
+    ws = TX.tokens(F.col("text"))
+    num = F.lit(1_000_000) * F.size(F.array_distinct(ws))
+    den = F.size(ws)
+    scored = docs.select(
+        ((num - num % den) / den).cast("long").alias("score_e6"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return checks.calibration_bins(scored, "score_e6", "is_en").transform(
+        _psort, "bin"
+    )
+
+
 _GDPR_MEMO: dict[tuple, str] = {}
 
 
@@ -1239,6 +1273,8 @@ ENGINE_QUERIES = {
     "q117_robust_stats": q117_robust_stats,
     "q119_hll_registers": q119_hll_registers,
     "q131_gdpr_delete": q131_gdpr_delete,
+    "q134_skew_profile": q134_skew_profile,
+    "q135_calibration_bins": q135_calibration_bins,
 }
 
 
@@ -2040,6 +2076,50 @@ ENGINE_ORACLE_SQL["q131_gdpr_delete"] = """
     UNION ALL SELECT part, day, n, m FROM t
     UNION ALL SELECT part, day, n, m FROM d
     ORDER BY part, day
+"""
+
+# q134: exact integer shares / HHI; DuckDB's integer products widen to
+# HUGEINT — BIGINT casts per §2.10 rule (e).
+ENGINE_ORACLE_SQL["q134_skew_profile"] = """
+    WITH c AS (SELECT user_id AS key, COUNT(*) AS c
+               FROM events GROUP BY user_id),
+    g AS (SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys,
+                 SUM(c * c) AS sum_c2, MAX(c) AS max_c
+          FROM c),
+    t AS (SELECT key, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, key ASC) AS rank
+          FROM c ORDER BY c DESC, key ASC LIMIT 10)
+    SELECT t.rank, t.key, t.c,
+           CAST((1000000 * t.c) // g.n_rows AS BIGINT) AS share_e6,
+           CAST(g.n_rows AS BIGINT) AS n_rows,
+           CAST(g.n_keys AS BIGINT) AS n_keys,
+           CAST((1000000 * g.sum_c2) // (g.n_rows * g.n_rows) AS BIGINT)
+               AS hhi_e6,
+           CAST((1000000 * g.max_c) // g.n_rows AS BIGINT) AS top_share_e6
+    FROM t CROSS JOIN g
+    ORDER BY t.rank
+"""
+
+# q135: the bin id, mean score, and positive rate are all exact integer
+# floor divisions — bit-identical replay.
+ENGINE_ORACLE_SQL["q135_calibration_bins"] = r"""
+    WITH s AS (
+        SELECT CAST((1000000 * len(list_distinct(ws)))
+                    // len(ws) AS BIGINT) AS score_e6,
+               (lang = 'en') AS is_en
+        FROM (SELECT string_split_regex(text, '\s+') AS ws, lang
+              FROM documents)
+    ),
+    b AS (
+        SELECT LEAST(9, CAST((score_e6 * 10) // 1000000 AS BIGINT)) AS bin,
+               score_e6, is_en
+        FROM s
+    )
+    SELECT bin, COUNT(*) AS n,
+           CAST(SUM(score_e6) // COUNT(*) AS BIGINT) AS mean_score_e6,
+           CAST((1000000 * SUM(CASE WHEN is_en THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS pos_rate_e6
+    FROM b GROUP BY bin ORDER BY bin
 """
 
 # q115: Spark's grouping_id() bit order is the same MSB-first over the

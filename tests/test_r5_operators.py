@@ -875,3 +875,92 @@ class TestKmv:
         df = spark.range(5).select(F.col("id").alias("item"))
         with pytest.raises(ValueError):
             kmv_build(df, [], "item", k=1)
+
+
+class TestSkewProfile:
+    """Key-skew diagnostics (checks.skew_profile) beyond the q134 gate."""
+
+    def test_matches_naive_python(self, spark):
+        from bloomy_etl_spark.operators.checks import skew_profile
+
+        rows = [(k,) for k in
+                ["a"] * 50 + ["b"] * 30 + ["c"] * 15 + ["d"] * 5]
+        df = spark.createDataFrame(rows, "k string")
+        got = skew_profile(df, "k", topk=3).collect()
+        assert [(r["rank"], r["key"], r["c"], r["share_e6"]) for r in got] \
+            == [(1, "a", 50, 500000), (2, "b", 30, 300000),
+                (3, "c", 15, 150000)]
+        n, c2 = 100, 50 * 50 + 30 * 30 + 15 * 15 + 5 * 5
+        assert all(r["n_rows"] == n and r["n_keys"] == 4 for r in got)
+        assert all(r["hhi_e6"] == (1_000_000 * c2) // (n * n) for r in got)
+        assert all(r["top_share_e6"] == 500000 for r in got)
+
+    def test_uniform_vs_megakey_extremes(self, spark):
+        from bloomy_etl_spark.operators.checks import skew_profile
+
+        uni = spark.createDataFrame([(str(i),) for i in range(100)],
+                                    "k string")
+        r = skew_profile(uni, "k", topk=1).collect()[0]
+        assert r["hhi_e6"] == 10_000  # 1/K · 1e6
+        mega = spark.createDataFrame([("x",)] * 64, "k string")
+        r = skew_profile(mega, "k", topk=1).collect()[0]
+        assert r["hhi_e6"] == 1_000_000 and r["top_share_e6"] == 1_000_000
+
+    def test_tie_break_and_bad_args(self, spark):
+        import pytest
+
+        from bloomy_etl_spark.operators.checks import skew_profile
+
+        df = spark.createDataFrame([("b",), ("a",)], "k string")
+        got = skew_profile(df, "k", topk=2).collect()
+        assert [r["key"] for r in got] == ["a", "b"]  # count ties by key
+        with pytest.raises(ValueError):
+            skew_profile(df, "k", topk=0)
+
+
+class TestCalibrationBins:
+    """Reliability bins (checks.calibration_bins) beyond the q135 gate."""
+
+    def test_matches_naive_python(self, spark):
+        from bloomy_etl_spark.operators.checks import calibration_bins
+
+        rows = [(0, False), (99_999, False), (100_000, True),
+                (550_000, True), (550_001, False), (999_999, True),
+                (1_000_000, True)]  # scale value folds into the top bin
+        df = spark.createDataFrame(rows, "s long, y boolean")
+        got = {r["bin"]: (r["n"], r["mean_score_e6"], r["pos_rate_e6"])
+               for r in calibration_bins(df, "s", "y").collect()}
+        want: dict = {}
+        from collections import defaultdict
+        acc = defaultdict(list)
+        for s, y in rows:
+            acc[min(9, (s * 10) // 1_000_000)].append((s, y))
+        for b, vs in acc.items():
+            n = len(vs)
+            want[b] = (n, sum(s for s, _ in vs) // n,
+                       (1_000_000 * sum(1 for _, y in vs if y)) // n)
+        assert got == want
+
+    def test_perfectly_calibrated_score(self, spark):
+        """A score equal to the true positive probability lands each
+        bin's pos_rate inside the bin's score span."""
+        from bloomy_etl_spark.operators.checks import calibration_bins
+
+        rows = []
+        for b in range(10):
+            s = b * 100_000 + 50_000
+            rows += [(s, i < b) for i in range(10)]  # P(y)=b/10
+        df = spark.createDataFrame(rows, "s long, y boolean")
+        for r in calibration_bins(df, "s", "y").collect():
+            assert r["n"] == 10
+            assert r["pos_rate_e6"] == r["bin"] * 100_000
+            assert abs(r["mean_score_e6"] - r["pos_rate_e6"]) <= 50_000
+
+    def test_bad_args(self, spark):
+        import pytest
+
+        from bloomy_etl_spark.operators.checks import calibration_bins
+
+        df = spark.createDataFrame([(1, True)], "s long, y boolean")
+        with pytest.raises(ValueError):
+            calibration_bins(df, "s", "y", bins=0)
