@@ -375,3 +375,96 @@ def streaming_trailing_range(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _twscls():
+    """Build the TWS processor class lazily AND self-contained: the
+    StatefulProcessor API (transformWithStateInPandas, Spark 4.x)
+    imports only when used, and the class is defined inside this
+    factory so cloudpickle serializes it BY VALUE — the TWS driver
+    worker is a separate Python process that cannot import
+    ``bloomy_etl_spark`` (it has no addPyFile hook), so the processor
+    must carry everything it needs: the step logic is inlined (same
+    two-pointer transition as :func:`trail_step`, which the unit suite
+    pins) and the state schema arrives as a constructor VALUE, never a
+    module-global reference."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TrailingRangeProcessor(StatefulProcessor):
+        """transformWithStateInPandas form of the trailing-range frame:
+        buffer in a typed ValueState variable instead of the legacy
+        GroupState tuple. State layout and emissions are IDENTICAL to
+        :func:`streaming_trailing_range` — the equivalence test asserts
+        both APIs against the batch RANGE frame."""
+
+        def __init__(self, range_us: int, state_schema):
+            self._range_us = range_us
+            self._state_schema = state_schema
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._buf = handle.getValueState("buf", self._state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            if self._buf.exists():
+                eus_buf, v_buf = (list(a) for a in self._buf.get())
+            else:
+                eus_buf, v_buf = [], []
+            for batch in rows:
+                batch = batch.sort_values("eus")
+                out = {"event_id": [], "n_1h": [], "sum_v_e4": []}
+                for eid, eus, v in zip(
+                    batch["event_id"], batch["eus"], batch["v_e4"]
+                ):
+                    # inline trail_step (by-value pickling: no module ref)
+                    eus_buf.append(int(eus))
+                    v_buf.append(int(v))
+                    lo = int(eus) - self._range_us
+                    k = 0
+                    while eus_buf[k] < lo:
+                        k += 1
+                    if k:
+                        del eus_buf[:k], v_buf[:k]
+                    out["event_id"].append(int(eid))
+                    out["n_1h"].append(len(eus_buf))
+                    out["sum_v_e4"].append(sum(v_buf))
+                res = _pd.DataFrame(out)
+                res.insert(1, "user_id", key[0])
+                yield res
+            self._buf.update((eus_buf, v_buf))
+
+        def close(self) -> None:
+            pass
+
+    return TrailingRangeProcessor
+
+
+def streaming_trailing_range_tws(
+    events_stream: DataFrame,
+    range_us: int = 3_600_000_000,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """:func:`streaming_trailing_range` on the transformWithStateInPandas
+    API (Spark 4.x StatefulProcessor): typed ValueState holds the
+    in-span buffer, ``timeMode='None'`` because eviction is driven by
+    EVENT TIME embedded in the data (deterministic under replay — a
+    processing-time timer would not be). Output rows, state bound, and
+    the per-point transition are identical to the legacy-API form; the
+    equivalence test drives BOTH against the batch RANGE frame."""
+    cols = events_stream.select(
+        events_stream[key_col].alias("user_id"),
+        F.col("event_id").cast("long"),
+        F.unix_micros(F.col("ts")).alias("eus"),
+        F.floor(F.col("value") * 10000).cast("long").alias("v_e4"),
+    )
+    proc = _twscls()(range_us, TRAIL_STATE_SCHEMA)
+    return cols.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=TRAIL_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )

@@ -1350,3 +1350,144 @@ class TestTrailingRangeStream:
         # a large jump clears everything but the new row
         assert trail_step(eus, v, 10_000, 7, 100) == (1, 7)
         assert eus == [10_000] and v == [7]
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas speaks protobuf to its driver worker;
+    without google.protobuf the query can never start (environmental,
+    like the rasterio-gated warp parity tests)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class TestTrailingRangeTws:
+    """The same trailing-range semantics on the Spark 4.x
+    transformWithStateInPandas API — both stateful APIs must reproduce
+    the batch RANGE frame exactly."""
+
+    @pytest.mark.skipif(
+        not _has_protobuf(),
+        reason="transformWithStateInPandas requires google.protobuf "
+               "(absent in this container)",
+    )
+    def test_tws_equals_batch_and_legacy_api(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from bloomy_etl_spark.streaming.stateful import (
+            streaming_trailing_range_tws,
+        )
+
+        rows = TestTrailingRangeStream._events(TestTrailingRangeStream())
+        rows.sort(key=lambda r: r[2])
+        src = tmp_path / "ev"
+        src.mkdir()
+        t0 = 1_000_000_000
+        n = len(rows)
+        for i in range(3):
+            chunk = rows[i * n // 3:(i + 1) * n // 3]
+            f = src / f"b{i:05d}.parquet"
+            pd.DataFrame(
+                chunk, columns=["event_id", "user_id", "eus", "value"]
+            ).to_parquet(f, index=False)
+            os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+        schema = "event_id long, user_id long, eus long, value double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(src))
+            .withColumn("ts", F.timestamp_micros("eus"))
+        )
+        conf = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(conf, None)
+        spark.conf.set(
+            conf,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        try:
+            q = (
+                streaming_trailing_range_tws(stream)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            if prev is None:
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, prev)
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(out_dir)
+            .select("event_id", "user_id", "n_1h", "sum_v_e4")
+            .collect()
+        }
+        batch = spark.createDataFrame(rows, schema)
+        w = (
+            Window.partitionBy("user_id").orderBy(F.col("eus").asc())
+            .rangeBetween(-3_600_000_000, 0)
+        )
+        want = {
+            tuple(r)
+            for r in batch.select(
+                "event_id", "user_id",
+                F.count(F.lit(1)).over(w).alias("n_1h"),
+                F.sum(F.floor(F.col("value") * 10000).cast("long"))
+                .over(w).alias("sum_v_e4"),
+            ).collect()
+        }
+        assert got == want
+        assert len(got) == len(rows)
+
+    def test_tws_inline_step_matches_trail_step(self):
+        """The processor inlines the two-pointer transition (by-value
+        pickling for the TWS driver worker, which cannot import this
+        package); this pins the inline copy to trail_step so the two
+        cannot drift — runs without protobuf/Spark."""
+        from bloomy_etl_spark.streaming.stateful import (
+            TRAIL_STATE_SCHEMA,
+            _twscls,
+            trail_step,
+        )
+
+        proc = _twscls()(100, TRAIL_STATE_SCHEMA)
+
+        class FakeState:
+            def __init__(self):
+                self._v = None
+
+            def exists(self):
+                return self._v is not None
+
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+
+        proc._buf = FakeState()
+        pts = [(1, 0, 10), (2, 50, 5), (3, 101, 1), (4, 10_000, 7),
+               (5, 10_050, 2)]
+        batch = pd.DataFrame(
+            {"event_id": [p[0] for p in pts],
+             "eus": [p[1] for p in pts],
+             "v_e4": [p[2] for p in pts]}
+        )
+        out = pd.concat(list(proc.handleInputRows((42,), iter([batch]), None)))
+        eus_buf, v_buf = [], []
+        want = [trail_step(eus_buf, v_buf, e, v, 100) for _, e, v in pts]
+        assert list(zip(out["n_1h"], out["sum_v_e4"])) == want
+        assert all(out["user_id"] == 42)
+        assert proc._buf.get() == (eus_buf, v_buf)
