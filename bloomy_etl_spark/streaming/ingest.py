@@ -574,3 +574,104 @@ def read_dsir_model(spark: SparkSession, model_dir: str,
         .agg(F.sum("tq").alias("tq"), F.sum("tp").alias("tp"))
     )
     return weights_from_totals(tot, buckets, scale)
+
+
+def streaming_novelty_ingest(
+    docs_stream: DataFrame,
+    gram_dir: str,
+    doc_dir: str,
+    checkpoint_dir: str,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Incremental first-occurrence novelty
+    (:func:`bloomy_etl_spark.operators.corpus.first_seen_novelty` on a
+    stream): the live "is this crawl still adding content" signal. The
+    operator's sufficient statistics are ASSOCIATIVE — global first
+    occurrence is ``min(id)`` over per-batch local minima — so, like
+    the DSIR model ingest, each micro-batch appends two deterministic
+    bounded artifacts and the reader reconstructs the EXACT batch
+    result in ANY arrival order (no monotone-id requirement):
+
+    - ``gram_dir``  ← the batch's distinct grams with their
+      within-batch min id: ``(g, first_doc, batch_id)``;
+    - ``doc_dir``   ← per-doc distinct-gram counts:
+      ``(id, n_distinct, batch_id)``.
+
+    Ids must be unique across batches (re-crawled duplicates belong in
+    the dedup ingest upstream). An at-least-once replay appends
+    identical rows under the same ``batch_id``;
+    :func:`read_novelty_store` collapses per (batch_id, key) before the
+    cross-batch min — detectable and reversible like every other
+    durable ingest here.
+
+    Scale: per-batch work is one explode + two hash-aggs over the
+    batch's grams; store growth is bounded by the batch gram count.
+    """
+    from bloomy_etl_spark.functions.text import word_ngrams
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        grams = pin(
+            batch.select(
+                F.col(id_col),
+                F.explode(
+                    F.array_distinct(word_ngrams(F.col(text_col), n))
+                ).alias("g"),
+            ),
+            eager=True,
+        )  # one shingling pass feeds both artifacts
+        (
+            grams.groupBy("g").agg(F.min(id_col).alias("first_doc"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(gram_dir)
+        )
+        (
+            grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_distinct"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(doc_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_novelty_store(spark: SparkSession, gram_dir: str, doc_dir: str,
+                       scale: int = 1_000_000,
+                       id_col: str = "doc_id") -> DataFrame:
+    """The corpus-wide novelty profile from the streaming store —
+    row-identical to batch ``first_seen_novelty`` over the union of all
+    ingested batches: collapse replays per (batch_id, key), take the
+    cross-batch ``min(first_doc)`` per gram, count novel grams per
+    first doc, and join the per-doc distinct counts."""
+    first = (
+        spark.read.parquet(gram_dir)
+        .groupBy("batch_id", "g")
+        .agg(F.min("first_doc").alias("first_doc"))
+        .groupBy("g")
+        .agg(F.min("first_doc").alias("first_doc"))
+    )
+    nv = first.groupBy(F.col("first_doc").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    nd = (
+        spark.read.parquet(doc_dir)
+        .groupBy("batch_id", id_col)
+        .agg(F.max("n_distinct").alias("n_distinct"))
+        .groupBy(id_col)
+        .agg(F.max("n_distinct").alias("n_distinct"))
+    )
+    num = F.lit(scale) * F.col("n_novel")
+    return (
+        nd.join(nv, id_col, "left")
+        .na.fill({"n_novel": 0})
+        .select(
+            id_col, "n_distinct", "n_novel",
+            ((num - num % F.col("n_distinct")) / F.col("n_distinct"))
+            .cast("long").alias("novelty_e6"),
+        )
+    )

@@ -115,9 +115,13 @@ def scale_cases():
         "q41_ivf_ann_topk",
         "q104_ivfpq_topk",
         # r8 quantization tiers: brute-force over compressed codes —
-        # shuffle must stay O(corpus) (broadcast queries, no pair blowup)
+        # shuffle must stay O(corpus) (broadcast queries, no pair blowup).
+        # q110 is NOT here: its only exchange is the per-query
+        # WindowGroupLimit partials, O(tasks·queries·k) and
+        # corpus-independent — the derived fixture grows the query set
+        # 10× with the corpus, so the blanket ratio misfires on it; it
+        # has a dedicated contract test like q126.
         "q109_sq8_topk",
-        "q110_binary_hamming_topk",
         "q111_jl_projection_topk",
         # r8 co-occurrence mining: in-row pairs, vocab²-bounded exchange
         "q112_cooccurrence_lift",

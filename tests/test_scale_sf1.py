@@ -235,3 +235,25 @@ def test_ann_recall_audit_scale(spark, sf1_dir):
         assert prof["shuffle_records_written"] <= bound, (
             sf, prof["shuffle_records_written"], bound
         )
+
+
+def test_binary_hamming_scale_contract(spark, sf1_dir):
+    """q110's exchange is O(tasks · queries · k) BY DESIGN: the
+    xor+popcount scan never shuffles (queries broadcast), and the only
+    exchange is the per-query top-5 WindowGroupLimit partials. The
+    derived fixture grows the QUERY set 10× along with the corpus
+    (every 100th vec_id — replica offsets are ≡ 0 mod 100), so the
+    blanket 20× linear bound misfires on the queries×tasks product;
+    assert the actual contract instead, plus zero spill."""
+    import __spark_entry__ as entry
+    from bloomy_etl_spark.tools.profile import run_profile
+
+    fn = entry.ALL_QUERIES["q110_binary_hamming_topk"]
+    for sf, nq in ((SF01, 20), (sf1_dir, 200)):
+        prof = run_profile(fn(spark, sf))
+        assert prof["spill_bytes"] == 0
+        # |Q| × k=5 × ≤32 tasks, 4× slack for headers/partials
+        bound = nq * 5 * 32 * 4
+        assert prof["shuffle_records_written"] <= bound, (
+            sf, prof["shuffle_records_written"], bound
+        )

@@ -1491,3 +1491,84 @@ class TestTrailingRangeTws:
         assert list(zip(out["n_1h"], out["sum_v_e4"])) == want
         assert all(out["user_id"] == 42)
         assert proc._buf.get() == (eus_buf, v_buf)
+
+
+class TestNoveltyIngest:
+    """Streaming first-occurrence novelty (streaming/ingest.py::
+    streaming_novelty_ingest): stream ≡ batch in ANY arrival order
+    (min is associative), replay collapses."""
+
+    def _start(self, spark, src, tmp_path):
+        from bloomy_etl_spark.streaming.ingest import streaming_novelty_ingest
+
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, lang string, text string, "
+                "source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        return streaming_novelty_ingest(
+            stream, str(tmp_path / "grams"), str(tmp_path / "docs"),
+            str(tmp_path / "ckpt"),
+        )
+
+    def test_stream_equals_batch_any_order(self, spark, tmp_path):
+        """Replay the documents fixture in REVERSED id slices — the
+        store must still reconstruct the batch novelty profile exactly."""
+        from bloomy_etl_spark.operators.corpus import first_seen_novelty
+        from bloomy_etl_spark.sources.tables import load_table
+        from bloomy_etl_spark.streaming.ingest import read_novelty_store
+        from tests.conftest import SF_ORACLE
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        pdf = docs.toPandas().sort_values("doc_id", ascending=False)
+        src = tmp_path / "src"
+        src.mkdir()
+        t0 = 1_000_000_000
+        n = len(pdf)
+        for i in range(3):  # reversed-id slices: arrival order ≠ id order
+            f = src / f"b{i:05d}.parquet"
+            pdf.iloc[i * n // 3:(i + 1) * n // 3].to_parquet(f, index=False)
+            os.utime(f, (t0 + i * 10, t0 + i * 10))
+        q = self._start(spark, str(src), tmp_path)
+        q.awaitTermination(300)
+        got = {
+            tuple(r)
+            for r in read_novelty_store(
+                spark, str(tmp_path / "grams"), str(tmp_path / "docs")
+            ).collect()
+        }
+        want = {tuple(r) for r in first_seen_novelty(docs, n=2).collect()}
+        assert got == want
+
+    def test_replayed_batch_collapses(self, spark, tmp_path):
+        from bloomy_etl_spark.functions.text import word_ngrams
+        from bloomy_etl_spark.operators.corpus import first_seen_novelty
+        from bloomy_etl_spark.sources.tables import load_table
+        from bloomy_etl_spark.streaming.ingest import read_novelty_store
+        from tests.conftest import SF_ORACLE
+
+        docs = load_table(spark, SF_ORACLE, "documents").filter(
+            F.col("doc_id") < 40
+        )
+        grams = docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("text"), 2))
+            ).alias("g"),
+        )
+        first = grams.groupBy("g").agg(
+            F.min("doc_id").alias("first_doc")
+        ).withColumn("batch_id", F.lit(0))
+        nd = grams.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_distinct")
+        ).withColumn("batch_id", F.lit(0))
+        gdir, ddir = str(tmp_path / "g"), str(tmp_path / "d")
+        for _ in range(2):  # the at-least-once replay
+            first.write.mode("append").parquet(gdir)
+            nd.write.mode("append").parquet(ddir)
+        got = read_novelty_store(spark, gdir, ddir)
+        assert got.count() == 40
+        want = {tuple(r) for r in first_seen_novelty(docs, n=2).collect()}
+        assert {tuple(r) for r in got.collect()} == want
