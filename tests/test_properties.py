@@ -513,3 +513,51 @@ def test_hamilton_apportionment_invariants(spark, sizes, budget):
         if budget <= total:
             exact = budget * n / total
             assert abs(got - exact) <= 1, (sizes, budget, gi, got, exact)
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(-100, 100)),
+        min_size=1, max_size=120,
+    ),
+    span=st.integers(1, 500),
+)
+@settings(max_examples=200, deadline=None)
+def test_trail_step_matches_bruteforce(events, span):
+    """streaming trailing-range transition ≡ the O(n²) definition:
+    frame at t = all points with eus in [t−span, t], in arrival order
+    (event-time order per the operator's contract)."""
+    from bloomy_etl_spark.streaming.stateful import trail_step
+
+    events = sorted(events)  # the ordering contract
+    eus_buf, v_buf = [], []
+    for i, (t, v) in enumerate(events):
+        n, s = trail_step(eus_buf, v_buf, t, v, span)
+        frame = [(tt, vv) for tt, vv in events[: i + 1] if tt >= t - span]
+        assert n == len(frame)
+        assert s == sum(vv for _, vv in frame)
+        # state bound: nothing outside the span is retained
+        assert all(tt >= t - span for tt in eus_buf)
+
+
+@given(
+    counts=st.lists(st.integers(1, 10_000), min_size=1, max_size=12),
+    budget=st.integers(1, 5_000),
+    alpha=st.integers(1, 4),
+)
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_temperature_quotas_hamilton_invariants(spark, counts, budget, alpha):
+    """Hamilton apportionment invariants at every α: allocations sum to
+    the budget exactly, and each group's seat count is within 1 of its
+    real-valued share (the no-float-drift guarantee)."""
+    from bloomy_etl_spark.operators.corpus import temperature_quotas
+
+    rows = [(f"g{i:02d}", j) for i, n in enumerate(counts) for j in range(n)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = temperature_quotas(df, budget=budget, alpha_quarters=alpha).collect()
+    assert sum(r["alloc"] for r in out) == budget
+    wsum = sum(r["w_e6"] for r in out)
+    for r in out:
+        exact = budget * r["w_e6"] / wsum
+        assert exact - 1 < r["alloc"] < exact + 1
