@@ -195,13 +195,18 @@ def skew_profile(df: DataFrame, key_col: str, topk: int = 10,
       number that says "salt this join or don't";
     - ``top_share_e6`` — the hottest key's share.
 
-    All exact integer arithmetic. Shape: ONE key-grain hash-agg
-    (map-side combinable), one 4-value global aggregate over the key
-    frame, and a ``topk``-row TakeOrdered — no global sort window, no
-    key-frame join back, so the profiler itself never becomes the skew
-    problem it measures. (Σc² can overflow int64 only when one key
-    exceeds ~3·10⁹ rows; profile a salted pre-split first at that
-    point — the exact regime the profiler exists to catch.)
+    All arithmetic is exact: the squared/scaled products run in
+    DECIMAL(38,0) (int64 would wrap silently under the session's
+    non-ANSI mode once ``scale·Σc²`` passes ~9·10¹⁸ — a few hundred
+    million rows — exactly the at-scale regime this tool exists for);
+    the quantized quotients are integers ≤ ``scale``, so the decimal
+    divisions round nothing. Exact for corpora to ~10¹⁵ rows (beyond
+    that ``scale·Σc²`` leaves DECIMAL(38)'s range).
+
+    Shape: ONE key-grain hash-agg (map-side combinable), one 4-value
+    global aggregate over the key frame, and a ``topk``-row
+    TakeOrdered — no global sort window, no key-frame join back, so
+    the profiler itself never becomes the skew problem it measures.
 
     Returns ``topk`` rows: ``(rank, key, c, share_e6, n_rows, n_keys,
     hhi_e6, top_share_e6)``.
@@ -211,28 +216,39 @@ def skew_profile(df: DataFrame, key_col: str, topk: int = 10,
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("c")
     )
+    return _skew_from_counts(counts, topk, scale)
+
+
+def _skew_from_counts(counts: DataFrame, topk: int,
+                      scale: int = 1_000_000) -> DataFrame:
+    """:func:`skew_profile`'s arithmetic over a pre-aggregated
+    ``(key, c)`` frame — split out so the overflow envelope is testable
+    with synthetic billion-row counts no fixture could materialize."""
+    dc = F.col("c").cast("decimal(19,0)")
     glob = counts.agg(
         F.sum("c").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
-        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.sum(dc * dc).alias("sum_c2"),  # decimal(38,0): never wraps
         F.max("c").alias("max_c"),
     )
     top = counts.orderBy(F.col("c").desc(), F.col("key").asc()).limit(topk)
     w = Window.orderBy(F.col("c").desc(), F.col("key").asc())
-    num_share = F.lit(scale) * F.col("c")
-    num_hhi = F.lit(scale) * F.col("sum_c2")
-    num_top = F.lit(scale) * F.col("max_c")
-    n2 = F.col("n_rows") * F.col("n_rows")
+    s = F.lit(scale).cast("decimal(8,0)")
+    num_share = s * F.col("c").cast("decimal(19,0)")
+    num_hhi = s * F.col("sum_c2")
+    num_top = s * F.col("max_c").cast("decimal(19,0)")
+    nr = F.col("n_rows").cast("decimal(19,0)")
+    n2 = nr * nr
     return (
         top.join(F.broadcast(glob), F.lit(True))
         .select(
             F.row_number().over(w).alias("rank"),
             "key", "c",
-            ((num_share - num_share % F.col("n_rows")) / F.col("n_rows"))
+            ((num_share - num_share % nr) / nr)
             .cast("long").alias("share_e6"),
             "n_rows", "n_keys",
             ((num_hhi - num_hhi % n2) / n2).cast("long").alias("hhi_e6"),
-            ((num_top - num_top % F.col("n_rows")) / F.col("n_rows"))
+            ((num_top - num_top % nr) / nr)
             .cast("long").alias("top_share_e6"),
         )
     )

@@ -1389,10 +1389,12 @@ def temperature_quotas(docs: DataFrame, budget: int,
     and one exact multiply: n^¼ = sqrt(sqrt n), n^¾ = sqrt·sqrt∘sqrt.
     Weights quantize as ``w_g = floor(scale · n_g^α)``; the Hamilton
     seats ``base = (budget·w) DIV W``, leftovers by largest
-    ``(budget·w) MOD W`` (ties by group name) — all exact int64, so
-    the allocation replays bit-identically on any engine. ``budget·W``
-    must fit int64 (with the default scale: budgets to ~10⁹ against
-    corpora to ~10¹² docs/group — pass a smaller ``scale`` beyond).
+    ``(budget·w) MOD W`` (ties by group name). The seat products run
+    in DECIMAL(38,0) — int64 would wrap silently under non-ANSI mode
+    once ``budget·w`` passes ~9·10¹⁸, and even in-range longs lose
+    exactness above 2⁵³ through the double division — so the
+    allocation replays bit-identically on any engine for any budget·W
+    within DECIMAL(38)'s range (~10³⁸, beyond any real corpus).
 
     Scale: ONE bounded hash-agg (G rows); the apportionment runs in
     windows over the G-row frame — no corpus-scale work at all.
@@ -1416,8 +1418,10 @@ def temperature_quotas(docs: DataFrame, budget: int,
         .cast("long").alias("w_e6"),
     )
     wall = Window.partitionBy()
-    q = F.lit(budget) * F.col("w_e6")
-    tot = F.sum("w_e6").over(wall)
+    q = F.lit(budget).cast("decimal(19,0)") * F.col("w_e6").cast(
+        "decimal(19,0)"
+    )
+    tot = F.sum(F.col("w_e6").cast("decimal(19,0)")).over(wall)
     alloc = weights.select(
         group_col, "n", "w_e6",
         ((q - q % tot) / tot).cast("long").alias("_base"),

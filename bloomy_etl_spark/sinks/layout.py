@@ -407,27 +407,38 @@ def propagate_deletes(spark: SparkSession, path: str, ids: DataFrame,
     )
     probe_schema = probe.schema  # keeps the table's id type (int/str/…)
     touched = probe.collect()
-    if not touched:
-        return []
-    days = sorted({r["p_date"] for r in touched})
     # tombstone FIRST: if the rewrite crashes midway, replaying the
     # tombstone re-applies the deletion (idempotent — the anti-join
     # finds nothing on rows already gone); the reverse order could
-    # lose the audit record of a partially-applied deletion.
+    # lose the audit record of a partially-applied deletion. A no-op
+    # request still writes a 0-row frame so the log directory always
+    # exists with its schema — downstream consumers (apply_tombstones,
+    # audits) must be able to read the log unconditionally, not crash
+    # on PATH_NOT_FOUND because the first request matched nothing.
     if tombstone_dir is not None:
         spark.createDataFrame(
             touched, probe_schema
-        ).withColumn("requested_at", F.lit(requested_at)).write.mode(
-            "append"
-        ).parquet(tombstone_dir)
+        ).coalesce(1).withColumn(
+            "requested_at", F.lit(requested_at).cast("string")
+        ).write.mode("append").parquet(tombstone_dir)
+    if not touched:
+        return []
+    days = sorted({r["p_date"] for r in touched})
+    from bloomy_etl_spark.session import pin
+
     existing = spark.read.parquet(path).filter(F.col("p_date").isin(days))
-    kept = existing.join(F.broadcast(idset), id_col, "left_anti")
+    # pin: the kept set feeds TWO consumers (the surviving-day probe and
+    # the rewrite) — materializing once halves the touched-partition
+    # read+anti-join, and breaks lineage off the files the overwrite is
+    # about to replace
+    kept = pin(
+        existing.join(F.broadcast(idset), id_col, "left_anti"), eager=True
+    )
     # Dynamic overwrite only replaces partitions PRESENT in the output:
     # a day whose every row is deleted produces no output partition, so
     # its old files would survive — the delete would silently fail.
-    # Find the surviving days first (source files still exist here),
-    # then hard-delete the emptied partition directories after the
-    # rewrite. Bounded: at most len(days) values.
+    # Find the surviving days first, then hard-delete the emptied
+    # partition directories after the rewrite. Bounded: ≤ len(days).
     survivors = {
         r["p_date"] for r in kept.select("p_date").distinct().collect()
     }

@@ -295,12 +295,19 @@ def trail_step(
     """Advance one point of a per-key trailing-range frame; mutate the
     buffers; return (count, sum) of the frame ending at ``eus``.
 
-    The pure per-point transition (shared by unit tests): append, evict
-    everything older than ``eus - range_us`` from the FRONT (arrival is
-    event-time-ordered per key, so the buffer is sorted and eviction is
-    a pointer advance — the same two-pointer pass Spark's RANGE frame
-    runs per partition), then fold. Buffer length is bounded by the
-    per-key event rate × span, never by stream length.
+    The pure per-point transition (the unit/property-test spec):
+    append, evict everything older than ``eus - range_us`` from the
+    FRONT (arrival is event-time-ordered per key, so the buffer is
+    sorted and eviction is a pointer advance — the same two-pointer
+    pass Spark's RANGE frame runs per partition), then fold. Buffer
+    length is bounded by the per-key event rate × span, never by
+    stream length.
+
+    Frames here are ARRIVAL-ORDER (each point sees only points at or
+    before it); the streaming operators layer SQL's peer-inclusion on
+    top via :func:`_make_trail_frames`, which admits all rows sharing
+    an eus before any of them emits — matching ``RANGE … CURRENT
+    ROW``'s tied-timestamp semantics, plus an O(1) running sum.
     """
     eus_buf.append(eus)
     v_buf.append(v_e4)
@@ -313,7 +320,66 @@ def trail_step(
     return len(eus_buf), sum(v_buf)
 
 
+def _make_trail_frames(range_us: int):
+    """Build the per-batch frame-advance function shared VERBATIM by
+    both stateful APIs — returned as a CLOSURE (not a module-level
+    function) because cloudpickle serializes closures by value: the
+    transformWithStateInPandas driver worker is a separate Python
+    process that cannot import ``bloomy_etl_spark``, so nothing it
+    unpickles may reference this module.
+
+    The returned ``trail_frames(eus_buf, v_buf, batch) -> dict``
+    advances a key's buffers over one micro-batch and returns the
+    per-event emission columns. Semantics match SQL ``RANGE … CURRENT
+    ROW`` exactly, including PEER rows: all events sharing an eus
+    enter the frame before ANY of them emits, so tied timestamps
+    report the same (count, sum) — the batch window's peer-inclusion
+    rule. A running sum makes per-event work O(1) amortized
+    (evictions are paid once per evicted row).
+
+    Ordering contract: event-time order per key ACROSS micro-batches,
+    and rows sharing an eus must arrive in the SAME micro-batch (a
+    cross-batch peer would need to retro-update an already-emitted
+    append-mode row).
+    """
+
+    def trail_frames(eus_buf: list, v_buf: list, batch) -> dict:
+        batch = batch.sort_values(["eus", "event_id"], kind="mergesort")
+        ids = batch["event_id"].to_numpy()
+        es = batch["eus"].to_numpy()
+        vs = batch["v_e4"].to_numpy()
+        out = {"event_id": [], "n_1h": [], "sum_v_e4": []}
+        s_run = sum(v_buf)  # once per batch; O(1) per event afterwards
+        i, m = 0, len(batch)
+        while i < m:
+            j, t = i, int(es[i])
+            while j < m and int(es[j]) == t:
+                j += 1
+            for k in range(i, j):  # all peers enter before any emits
+                eus_buf.append(t)
+                v_buf.append(int(vs[k]))
+                s_run += int(vs[k])
+            lo = t - range_us
+            k = 0
+            while eus_buf[k] < lo:
+                k += 1
+            if k:
+                s_run -= sum(v_buf[:k])
+                del eus_buf[:k], v_buf[:k]
+            n = len(eus_buf)
+            for p in range(i, j):
+                out["event_id"].append(int(ids[p]))
+                out["n_1h"].append(n)
+                out["sum_v_e4"].append(s_run)
+            i = j
+        return out
+
+    return trail_frames
+
+
 def _trail_fn(range_us: int):
+    frames = _make_trail_frames(range_us)
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -322,16 +388,12 @@ def _trail_fn(range_us: int):
             eus_buf, v_buf = (list(a) for a in state.get)
         else:
             eus_buf, v_buf = [], []
+        # concatenate ALL of the key's Arrow chunks before sorting: a
+        # key larger than arrow.maxRecordsPerBatch arrives as several
+        # chunks in shuffle order, and per-chunk sorting would break
+        # the buffer's event-time invariant
         batch = pd.concat(list(pdfs), ignore_index=True)
-        # event-time order within the micro-batch; ACROSS batches the
-        # caller replays in order (same contract as the detector above)
-        batch = batch.sort_values("eus")
-        out = {"event_id": [], "n_1h": [], "sum_v_e4": []}
-        for eid, eus, v in zip(batch["event_id"], batch["eus"], batch["v_e4"]):
-            n, s = trail_step(eus_buf, v_buf, int(eus), int(v), range_us)
-            out["event_id"].append(int(eid))
-            out["n_1h"].append(n)
-            out["sum_v_e4"].append(s)
+        out = frames(eus_buf, v_buf, batch)
         state.update((eus_buf, v_buf))
         res = pd.DataFrame(out)
         res.insert(1, "user_id", user_id)
@@ -352,8 +414,10 @@ def streaming_trailing_range(
 
     ``events_stream`` columns: ``key_col``, ``event_id``, ``ts``
     (timestamp), ``value`` (double). Emits one row per input event with
-    the batch query's exact schema, so stream ≡ batch is bit-checkable
-    after an ordered replay.
+    the batch query's exact schema — including SQL's peer-inclusion on
+    tied timestamps — so stream ≡ batch is bit-checkable after an
+    ordered replay (ties must co-arrive in one micro-batch; see
+    :func:`_make_trail_frames` for the contract).
 
     Scale posture: state per key is ONLY the rows inside the trailing
     span (rate × span, independent of stream length); the shuffle is
@@ -383,11 +447,10 @@ def _twscls():
     imports only when used, and the class is defined inside this
     factory so cloudpickle serializes it BY VALUE — the TWS driver
     worker is a separate Python process that cannot import
-    ``bloomy_etl_spark`` (it has no addPyFile hook), so the processor
-    must carry everything it needs: the step logic is inlined (same
-    two-pointer transition as :func:`trail_step`, which the unit suite
-    pins) and the state schema arrives as a constructor VALUE, never a
-    module-global reference."""
+    ``bloomy_etl_spark`` (it has no addPyFile hook). The frame-advance
+    logic arrives as the :func:`_make_trail_frames` CLOSURE (by-value
+    too) and the state schema as a constructor VALUE — nothing the
+    worker unpickles references this module."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -397,11 +460,11 @@ def _twscls():
         """transformWithStateInPandas form of the trailing-range frame:
         buffer in a typed ValueState variable instead of the legacy
         GroupState tuple. State layout and emissions are IDENTICAL to
-        :func:`streaming_trailing_range` — the equivalence test asserts
-        both APIs against the batch RANGE frame."""
+        :func:`streaming_trailing_range` — both APIs run the SAME
+        closure from :func:`_make_trail_frames`."""
 
         def __init__(self, range_us: int, state_schema):
-            self._range_us = range_us
+            self._frames = _make_trail_frames(range_us)
             self._state_schema = state_schema
 
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -414,27 +477,14 @@ def _twscls():
                 eus_buf, v_buf = (list(a) for a in self._buf.get())
             else:
                 eus_buf, v_buf = [], []
-            for batch in rows:
-                batch = batch.sort_values("eus")
-                out = {"event_id": [], "n_1h": [], "sum_v_e4": []}
-                for eid, eus, v in zip(
-                    batch["event_id"], batch["eus"], batch["v_e4"]
-                ):
-                    # inline trail_step (by-value pickling: no module ref)
-                    eus_buf.append(int(eus))
-                    v_buf.append(int(v))
-                    lo = int(eus) - self._range_us
-                    k = 0
-                    while eus_buf[k] < lo:
-                        k += 1
-                    if k:
-                        del eus_buf[:k], v_buf[:k]
-                    out["event_id"].append(int(eid))
-                    out["n_1h"].append(len(eus_buf))
-                    out["sum_v_e4"].append(sum(v_buf))
-                res = _pd.DataFrame(out)
-                res.insert(1, "user_id", key[0])
-                yield res
+            # concatenate ALL chunks first: a key above
+            # arrow.maxRecordsPerBatch arrives split, and per-chunk
+            # sorting would break the buffer's event-time invariant
+            batch = _pd.concat(list(rows), ignore_index=True)
+            out = self._frames(eus_buf, v_buf, batch)
+            res = _pd.DataFrame(out)
+            res.insert(1, "user_id", key[0])
+            yield res
             self._buf.update((eus_buf, v_buf))
 
         def close(self) -> None:

@@ -427,3 +427,43 @@ class TestApplyTombstones:
         assert removed == 1
         assert spark.read.parquet(store).count() == 10  # untouched
         assert spark.read.parquet(out).count() == 9
+
+
+class TestPropagateDeletesEmptySet:
+    def test_no_match_request_still_materializes_the_log(
+        self, spark, tmp_path
+    ):
+        """A deletion request that matches nothing must still leave a
+        READABLE 0-row tombstone log (schema and all): downstream
+        apply_tombstones/audits read the log unconditionally and must
+        not crash on PATH_NOT_FOUND just because the first request was
+        a no-op."""
+        from bloomy_etl_spark.sinks.layout import (
+            apply_tombstones,
+            propagate_deletes,
+            write_date_partitioned,
+        )
+
+        rows = [(1, 10, "2024-01-01 00:00:00", 1.0),
+                (2, 11, "2024-01-02 00:00:00", 2.0)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        path = str(tmp_path / "tbl")
+        write_date_partitioned(df, path)
+        tomb = str(tmp_path / "tomb")
+        ghost = spark.createDataFrame([(999,)], "user_id long")
+        assert propagate_deletes(
+            spark, path, ghost, "user_id",
+            tombstone_dir=tomb, requested_at="2024-02-01",
+        ) == []
+        log = spark.read.parquet(tomb)  # readable, right schema, 0 rows
+        assert log.count() == 0
+        assert set(log.columns) == {"user_id", "p_date", "requested_at"}
+        # and the downstream half consumes the empty log without error
+        store = str(tmp_path / "store")
+        spark.createDataFrame(
+            [(10, 1), (11, 1)], "user_id long, n long"
+        ).write.parquet(store)
+        assert apply_tombstones(spark, store, tomb, "user_id") == 0
+        assert spark.read.parquet(path).count() == 2  # table untouched

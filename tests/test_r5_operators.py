@@ -964,3 +964,35 @@ class TestCalibrationBins:
         df = spark.createDataFrame([(1, True)], "s long, y boolean")
         with pytest.raises(ValueError):
             calibration_bins(df, "s", "y", bins=0)
+
+
+class TestSkewProfileOverflowEnvelope:
+    def test_billion_row_counts_stay_exact(self, spark):
+        """The decimal arithmetic must stay exact where int64 products
+        would wrap silently (non-ANSI mode): 100M rows over 1,000
+        uniform keys gives scale·Σc² = 10¹⁹ > int64 max — synthetic
+        counts no fixture could materialize."""
+        from bloomy_etl_spark.operators.checks import _skew_from_counts
+
+        counts = spark.createDataFrame(
+            [(f"k{i:04d}", 100_000) for i in range(1000)],
+            "key string, c long",
+        )
+        r = _skew_from_counts(counts, topk=1).collect()[0]
+        assert r["n_rows"] == 100_000_000
+        assert r["hhi_e6"] == 1_000  # 1e6 / 1000 keys, exactly
+        assert r["share_e6"] == 1_000
+        assert r["top_share_e6"] == 1_000
+        # one 3-billion-row mega-key next to a long tail: c² alone is
+        # 9·10¹⁸ (int64 edge) and scale·Σc² is 9·10²⁴
+        counts = spark.createDataFrame(
+            [("mega", 3_000_000_000)]
+            + [(f"k{i:04d}", 1_000_000) for i in range(1000)],
+            "key string, c long",
+        )
+        r = _skew_from_counts(counts, topk=1).collect()[0]
+        n = 3_000_000_000 + 1000 * 1_000_000
+        c2 = 3_000_000_000**2 + 1000 * 1_000_000**2
+        assert r["n_rows"] == n
+        assert r["hhi_e6"] == (1_000_000 * c2) // (n * n)
+        assert r["top_share_e6"] == (1_000_000 * 3_000_000_000) // n

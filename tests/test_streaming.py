@@ -1251,6 +1251,21 @@ class TestDsirModelIngest:
         assert dict(got["wm"]) == dict(want["wm"]) and got["w0"] == want["w0"]
 
 
+def _tie_safe_slices(rows, n_slices):
+    """Split eus-sorted rows into ~equal replay slices WITHOUT splitting
+    a tied-timestamp group across slices (the operator's co-arrival
+    contract for peers)."""
+    n = len(rows)
+    cuts = [0]
+    for i in range(1, n_slices):
+        b = i * n // n_slices
+        while b < n and rows[b][2] == rows[b - 1][2]:
+            b += 1
+        cuts.append(b)
+    cuts.append(n)
+    return [rows[a:b] for a, b in zip(cuts, cuts[1:]) if a < b]
+
+
 class TestTrailingRangeStream:
     """Streaming counterpart of the q114 RANGE frame: per-user trailing-
     hour count + exact quantized sum via applyInPandasWithState."""
@@ -1262,6 +1277,15 @@ class TestTrailingRangeStream:
         for uid in range(6):
             t = base
             for i in range(40):
+                # every 5th event TIES the previous timestamp — RANGE
+                # CURRENT ROW must include peers, and the stream must
+                # reproduce that (the tied rows co-arrive by time-slice
+                # construction below)
+                if i % 5 == 4:
+                    rows.append(
+                        (uid * 1000 + i, uid, t, float(rng.uniform(-3, 9)))
+                    )
+                    continue
                 t += int(rng.integers(60, 2400)) * 1_000_000  # 1–40 min gaps
                 rows.append(
                     (uid * 1000 + i, uid, t, float(rng.uniform(-3, 9)))
@@ -1286,9 +1310,7 @@ class TestTrailingRangeStream:
         src = tmp_path / "ev"
         src.mkdir()
         t0 = 1_000_000_000
-        n = len(rows)
-        for i in range(4):  # 4 time-sliced files = 4 micro-batches
-            chunk = rows[i * n // 4:(i + 1) * n // 4]
+        for i, chunk in enumerate(_tie_safe_slices(rows, 4)):
             f = src / f"b{i:05d}.parquet"
             pd.DataFrame(
                 chunk, columns=["event_id", "user_id", "eus", "value"]
@@ -1389,9 +1411,7 @@ class TestTrailingRangeTws:
         src = tmp_path / "ev"
         src.mkdir()
         t0 = 1_000_000_000
-        n = len(rows)
-        for i in range(3):
-            chunk = rows[i * n // 3:(i + 1) * n // 3]
+        for i, chunk in enumerate(_tie_safe_slices(rows, 3)):
             f = src / f"b{i:05d}.parquet"
             pd.DataFrame(
                 chunk, columns=["event_id", "user_id", "eus", "value"]
@@ -1451,15 +1471,16 @@ class TestTrailingRangeTws:
         assert got == want
         assert len(got) == len(rows)
 
-    def test_tws_inline_step_matches_trail_step(self):
-        """The processor inlines the two-pointer transition (by-value
-        pickling for the TWS driver worker, which cannot import this
-        package); this pins the inline copy to trail_step so the two
-        cannot drift — runs without protobuf/Spark."""
+    def test_tws_processor_runs_shared_closure_with_peer_semantics(self):
+        """Both stateful APIs run the SAME _make_trail_frames closure;
+        this drives the TWS processor (with a fake state, no
+        Spark/protobuf needed) over a batch INCLUDING tied timestamps
+        and multiple Arrow chunks, against a brute-force RANGE-peer
+        reference: a frame at t contains every point with eus in
+        [t−span, t] — peers included, like SQL's RANGE … CURRENT ROW."""
         from bloomy_etl_spark.streaming.stateful import (
             TRAIL_STATE_SCHEMA,
             _twscls,
-            trail_step,
         )
 
         proc = _twscls()(100, TRAIL_STATE_SCHEMA)
@@ -1478,19 +1499,30 @@ class TestTrailingRangeTws:
                 self._v = v
 
         proc._buf = FakeState()
-        pts = [(1, 0, 10), (2, 50, 5), (3, 101, 1), (4, 10_000, 7),
-               (5, 10_050, 2)]
-        batch = pd.DataFrame(
-            {"event_id": [p[0] for p in pts],
-             "eus": [p[1] for p in pts],
-             "v_e4": [p[2] for p in pts]}
-        )
-        out = pd.concat(list(proc.handleInputRows((42,), iter([batch]), None)))
-        eus_buf, v_buf = [], []
-        want = [trail_step(eus_buf, v_buf, e, v, 100) for _, e, v in pts]
+        pts = [(1, 0, 10), (2, 50, 5), (3, 50, 4), (4, 101, 1),
+               (5, 101, 2), (6, 10_000, 7), (7, 10_050, 3)]
+        # two chunks (a key above arrow.maxRecordsPerBatch arrives
+        # split) — the processor must concat before sorting
+        chunks = [
+            pd.DataFrame(
+                {"event_id": [p[0] for p in grp],
+                 "eus": [p[1] for p in grp],
+                 "v_e4": [p[2] for p in grp]}
+            )
+            for grp in (pts[4:], pts[:4])  # shuffle-order chunks
+        ]
+        out = pd.concat(
+            list(proc.handleInputRows((42,), iter(chunks), None))
+        ).sort_values("event_id")
+        want = []
+        for eid, t, _ in pts:
+            frame = [(tt, vv) for _, tt, vv in pts if t - 100 <= tt <= t]
+            want.append((len(frame), sum(vv for _, vv in frame)))
         assert list(zip(out["n_1h"], out["sum_v_e4"])) == want
         assert all(out["user_id"] == 42)
-        assert proc._buf.get() == (eus_buf, v_buf)
+        # state retains only the last frame's in-span rows
+        eus_buf, v_buf = proc._buf.get()
+        assert eus_buf == [10_000, 10_050] and v_buf == [7, 3]
 
 
 class TestNoveltyIngest:
