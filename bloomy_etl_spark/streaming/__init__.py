@@ -23,7 +23,11 @@ from bloomy_etl_spark.streaming.windows import (
     stream_dedup,
     windowed_event_stats,
 )
-from bloomy_etl_spark.streaming.stateful import streaming_detect_events
+from bloomy_etl_spark.streaming.stateful import (
+    streaming_detect_events,
+    streaming_trailing_range,
+    streaming_trailing_range_tws,
+)
 
 __all__ = [
     "read_events_stream",
@@ -32,4 +36,6 @@ __all__ = [
     "sessionized_user_activity",
     "stream_dedup",
     "streaming_detect_events",
+    "streaming_trailing_range",
+    "streaming_trailing_range_tws",
 ]
