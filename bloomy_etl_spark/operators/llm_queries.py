@@ -1076,6 +1076,47 @@ def q133_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.first_seen_novelty(docs, n=2).transform(_psort, "doc_id")
 
 
+def q136_boilerplate_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional boilerplate profile — the diagnostic a de-templating
+    pass reads before stripping crawl-template prefixes: for each
+    source and each of the first 5 token positions, the MODAL token
+    and its exact share of the source's documents (a position whose
+    share approaches 1 is template, not content; a flat profile like
+    this fixture's ~16% is organic text). Ties to the lexicographically
+    first token so the mode is deterministic.
+
+    Shape: one hash-agg keyed (source, pos, token) — cardinality
+    bounded by positions × vocab, not corpus rows — a rank window over
+    each (source, pos)'s token frame, and a broadcast join of the
+    G-row per-source doc counts. Exact integer shares."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    n_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = docs.select(
+        "source",
+        F.posexplode(F.slice(T.tokens(F.col("text")), 1, 5)).alias(
+            "pos0", "tok"
+        ),
+    ).select("source", (F.col("pos0") + 1).alias("pos"), "tok")
+    counts = toks.groupBy("source", "pos", "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("source", "pos").orderBy(
+        F.col("n").desc(), F.col("tok").asc()
+    )
+    num = F.lit(1_000_000) * F.col("n")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(n_src), "source")
+        .select(
+            "source", "pos", F.col("tok").alias("top_token"), "n",
+            ((num - num % F.col("n_docs")) / F.col("n_docs"))
+            .cast("long").alias("share_e6"),
+        )
+        .transform(_psort, "source", "pos")
+    )
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -1138,6 +1179,7 @@ LLM_QUERIES = {
     "q130_quality_percentile_gate": q130_quality_percentile_gate,
     "q132_temperature_mixture": q132_temperature_mixture,
     "q133_novelty_profile": q133_novelty_profile,
+    "q136_boilerplate_positions": q136_boilerplate_positions,
 }
 
 
@@ -2846,4 +2888,30 @@ LLM_ORACLE_SQL["q133_novelty_profile"] = r"""
                 AS BIGINT) AS novelty_e6
     FROM nd LEFT JOIN nv ON nd.doc_id = nv.doc_id
     ORDER BY nd.doc_id
+"""
+
+# q136: the mode per (source, pos) breaks count ties by token ASC in
+# both engines; shares are exact integer floor divisions.
+LLM_ORACLE_SQL["q136_boilerplate_positions"] = r"""
+    WITH t AS (SELECT source, string_split_regex(text, '\s+') AS ws
+               FROM documents),
+    nsrc AS (SELECT source, COUNT(*) AS n_docs FROM t GROUP BY source),
+    toks AS (
+        SELECT source, u.pos, u.tok
+        FROM (SELECT source,
+                     unnest([{'pos': i, 'tok': ws[i]}
+                             for i in range(1, least(len(ws), 5) + 1)]) AS u
+              FROM t)
+    ),
+    c AS (SELECT source, pos, tok, COUNT(*) AS n
+          FROM toks GROUP BY source, pos, tok),
+    r AS (SELECT source, pos, tok, n,
+                 ROW_NUMBER() OVER (PARTITION BY source, pos
+                                    ORDER BY n DESC, tok ASC) AS rn
+          FROM c)
+    SELECT r.source, CAST(r.pos AS BIGINT) AS pos, r.tok AS top_token, r.n,
+           CAST((1000000 * r.n) // nsrc.n_docs AS BIGINT) AS share_e6
+    FROM r JOIN nsrc ON r.source = nsrc.source
+    WHERE r.rn = 1
+    ORDER BY r.source, r.pos
 """
