@@ -1485,7 +1485,8 @@ def first_seen_novelty(docs: DataFrame, n: int = 2, scale: int = 1_000_000,
 
 def strip_template_prefix(docs: DataFrame, min_share_e6: int = 800_000,
                           max_prefix: int = 16, group_col: str = "source",
-                          text_col: str = "text") -> DataFrame:
+                          text_col: str = "text",
+                          side: str = "prefix") -> DataFrame:
     """De-templating: detect and REMOVE the per-group boilerplate token
     prefix (crawl templates, scraped headers, licence banners) — the
     transform downstream of the q136 positional profile. A position
@@ -1499,23 +1500,37 @@ def strip_template_prefix(docs: DataFrame, min_share_e6: int = 800_000,
     still leaves 20% non-template openers). Exact integer share
     arithmetic throughout.
 
+    ``side='suffix'`` runs the identical detection/cut on the REVERSED
+    token arrays — footers and trailing licence banners are the same
+    problem from the other end — and reports ``suffix_len`` instead.
+
     Shape: one (group, pos, token)-keyed hash-agg (positions × vocab
     bounded), a rank window per (group, pos) frame, a G-row prefix
     reduction, then ONE in-row pass over the corpus with the ≤
     ``max_prefix``-token template arrays broadcast — the corpus never
     shuffles.
 
-    Returns every document: ``(…docs columns…, prefix_len, cleaned)``.
+    Returns every document: ``(…docs columns…, {side}_len, cleaned)``.
     """
     if not 0 < min_share_e6 <= 1_000_000:
         raise ValueError(f"min_share_e6 must be in (0, 1e6], got {min_share_e6}")
     if max_prefix < 1:
         raise ValueError(f"max_prefix must be >= 1, got {max_prefix}")
+    if side not in ("prefix", "suffix"):
+        raise ValueError(f"side must be 'prefix' or 'suffix', got {side!r}")
+    # suffix templates (footers, licence banners at the END) are the
+    # same problem on the reversed token array: profile, run-detect and
+    # cut in reversed space, then flip the survivors back
+    rev = side == "suffix"
+
+    def _dir(ws_col):
+        return F.reverse(ws_col) if rev else ws_col
+
     n_grp = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     toks = docs.select(
         group_col,
         F.posexplode(
-            F.slice(T.tokens(F.col(text_col)), 1, max_prefix)
+            F.slice(_dir(T.tokens(F.col(text_col))), 1, max_prefix)
         ).alias("__p0", "__tok"),
     ).select(group_col, (F.col("__p0") + 1).alias("__pos"), "__tok")
     counts = toks.groupBy(group_col, "__pos", "__tok").agg(
@@ -1551,10 +1566,11 @@ def strip_template_prefix(docs: DataFrame, min_share_e6: int = 800_000,
             " s -> s.__tok)"
         ).alias("__template"),
     )
-    ws = T.tokens(F.col(text_col))
-    # match test: the doc's first prefix_len tokens equal the template's
-    # (slice lengths come from a column, so expression-form slice)
+    ws = _dir(T.tokens(F.col(text_col)))  # reversed space when suffix
+    # match test: the doc's first prefix_len directed tokens equal the
+    # template's (slice lengths come from a column → expression form)
     eq = F.expr("slice(__ws, 1, prefix_len) == slice(__template, 1, prefix_len)")
+    kept = F.expr("slice(__ws, __cut + 1, greatest(size(__ws) - __cut, 0))")
     return (
         docs.join(F.broadcast(tmpl), group_col, "left")
         .na.fill({"prefix_len": 0})
@@ -1566,13 +1582,9 @@ def strip_template_prefix(docs: DataFrame, min_share_e6: int = 800_000,
         )
         .withColumn(
             "cleaned",
-            F.array_join(
-                F.expr(
-                    "slice(__ws, __cut + 1, greatest(size(__ws) - __cut, 0))"
-                ),
-                " ",
-            ),
+            F.array_join(F.reverse(kept) if rev else kept, " "),
         )
-        .withColumn("prefix_len", F.col("__cut"))
-        .drop("__template", "__cut", "__ws")
+        .withColumn(side + "_len", F.col("__cut"))
+        .drop("__template", "__cut", "__ws",
+              *(["prefix_len"] if rev else []))
     )

@@ -850,3 +850,25 @@ class TestStripTemplatePrefix:
             C.strip_template_prefix(df, min_share_e6=0)
         with pytest.raises(ValueError):
             C.strip_template_prefix(df, max_prefix=0)
+
+    def test_suffix_side_cuts_footers(self, spark):
+        rows = []
+        for i in range(9):
+            rows.append((i, "A", f"body{i} unique{i} all rights reserved"))
+        rows.append((9, "A", "body9 unique9 organic ending here"))
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        out = {
+            r["doc_id"]: (r["suffix_len"], r["cleaned"])
+            for r in C.strip_template_prefix(
+                df, min_share_e6=800_000, side="suffix"
+            ).collect()
+        }
+        for i in range(9):
+            assert out[i] == (3, f"body{i} unique{i}")
+        assert out[9] == (0, "body9 unique9 organic ending here")
+        import pytest
+
+        with pytest.raises(ValueError):
+            C.strip_template_prefix(df, side="middle")
