@@ -126,3 +126,89 @@ def kmeans_summary(embs: DataFrame, k: int = 8, iters: int = 2,
             "cluster", "n_vecs", "inertia", F.round("centroid_norm", 4).alias("centroid_norm")
         )
     )
+
+
+def kcenter_greedy(embs: DataFrame, k: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   scale: int = 1_000_000) -> DataFrame:
+    """Greedy k-center / farthest-point-traversal coreset selection —
+    the diversity-sampling primitive behind coreset curation (pick the
+    k vectors that COVER embedding space, not the k densest): seed at
+    the smallest id, then k−1 rounds of "take the point farthest from
+    everything selected so far" (2-approximation to the optimal
+    k-center cover, Gonzalez 1985).
+
+    Determinism / oracle-replayability: every pairwise squared-L2
+    distance is quantized to ``floor(scale·d²)`` int64 the moment it is
+    computed (the fold runs in index order in both engines, the q54
+    convention), so the per-point min over selected centers, the
+    argmax-with-min-id tie-break, and the final nearest-center
+    assignment (ties to the earlier round) are all exact integer
+    decisions.
+
+    Scale shape: each round is ONE corpus map (distances to ≤ k literal
+    centers, no join, no shuffle) plus a TakeOrdered(1) — the classic
+    k-pass pattern with O(k·d) driver state; the only shuffle in the
+    whole operator is the final k-key coverage count. At a 100 TB
+    corpus you run the identical plan; rounds cost k scans, which is
+    why production k stays small (coresets, seed pools) — for large k
+    you switch to k-means++ oversampling (q54's family).
+
+    Returns one row per selected center: ``(round, vec_id, radius_e6,
+    n_assigned)`` where ``radius_e6`` is the point's min squared
+    distance to the previously selected set at selection time (the
+    non-increasing coverage-radius curve; 0 for the seed) and
+    ``n_assigned`` the corpus points nearest to this center.
+    """
+    first = embs.select(id_col, vec_col).orderBy(id_col).limit(1).collect()
+    if not first:
+        raise ValueError("kcenter_greedy: empty corpus")
+    centers = [(0, first[0][id_col],
+                [float(x) for x in first[0][vec_col]], 0)]
+
+    def _d2_e6(c):
+        return F.floor(_dist2(F.col(vec_col), c) * F.lit(float(scale))) \
+                .cast("long")
+
+    for r in range(1, k):
+        mind = F.array_min(F.array(*[_d2_e6(c) for _, _, c, _ in centers]))
+        pick = (
+            embs.filter(
+                ~F.col(id_col).isin([i for _, i, _, _ in centers])
+            )
+            .select(id_col, vec_col, mind.alias("__mind"))
+            .orderBy(F.col("__mind").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        row = pick[0]
+        centers.append(
+            (r, row[id_col], [float(x) for x in row[vec_col]],
+             int(row["__mind"]))
+        )
+
+    nearest = F.array_min(
+        F.array(*[
+            F.struct(_d2_e6(c).alias("d"), F.lit(r).alias("r"))
+            for r, _, c, _ in centers
+        ])
+    )
+    cover = (
+        embs.select(nearest["r"].alias("round"))
+        .groupBy("round")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+    )
+    spark = embs.sparkSession
+    cdf = spark.createDataFrame(
+        [(r, i, rad) for r, i, _, rad in centers],
+        "round int, vec_id long, radius_e6 long",
+    )
+    return (
+        F.broadcast(cdf)
+        .join(cover, "round", "left")
+        .na.fill({"n_assigned": 0})
+        .select("round", "vec_id", "radius_e6",
+                F.col("n_assigned").cast("long").alias("n_assigned"))
+    )

@@ -1588,3 +1588,119 @@ def strip_template_prefix(docs: DataFrame, min_share_e6: int = 800_000,
         .drop("__template", "__cut", "__ws",
               *(["prefix_len"] if rev else []))
     )
+
+
+def gopher_repetition(docs: DataFrame, scale: int = 1_000_000,
+                      top2_max_e6: int = 200_000,
+                      dup3_max_e6: int = 600_000,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Within-document repetition quality signals (the Gopher/MassiveText
+    repetition-removal rules, Rae et al. 2021 §A1.1, adapted to token
+    fractions): the share of a document's bigram occurrences taken by
+    its single most frequent bigram, and the share of trigram
+    occurrences whose trigram appears more than once. Boilerplate,
+    keyword-stuffed, and generation-loop text light up both; organic
+    prose stays low. ``keep`` applies the two thresholds.
+
+    Grams follow the corpus-wide ``word_ngrams`` convention (documents
+    shorter than ``n`` tokens collapse to one whole-text gram — such a
+    doc has a 100% top-gram share and is rejected, matching Gopher's
+    separate minimum-length rule). Shares are exact integer
+    ``floor(scale·part/whole)``.
+
+    Shape: ONE explode of tagged bigram+trigram streams into one
+    hash-agg keyed (doc, n, gram) — cardinality ≤ 2× corpus token
+    count, map-side combinable — then a doc-grain conditional rollup.
+    No joins, no windows; the plan is two agg stages over one shuffle
+    each and survives any corpus size.
+    """
+    g2 = docs.select(
+        F.col(id_col), F.lit(2).alias("__n"),
+        F.explode(T.word_ngrams(F.col(text_col), 2)).alias("__g"),
+    )
+    g3 = docs.select(
+        F.col(id_col), F.lit(3).alias("__n"),
+        F.explode(T.word_ngrams(F.col(text_col), 3)).alias("__g"),
+    )
+    c = (
+        g2.unionByName(g3)
+        .groupBy(id_col, "__n", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    is2 = F.col("__n") == 2
+    is3 = F.col("__n") == 3
+    cc = F.col("__c")
+    per = c.groupBy(id_col).agg(
+        F.sum(F.when(is2, cc).otherwise(F.lit(0))).alias("n_bigrams"),
+        F.max(F.when(is2, cc)).alias("top_bigram_n"),
+        F.sum(F.when(is3, cc).otherwise(F.lit(0))).alias("n_trigrams"),
+        F.sum(F.when(is3 & (cc >= 2), cc).otherwise(F.lit(0))).alias(
+            "dup_trigram_n"
+        ),
+    )
+
+    def _share(part, whole):
+        num = F.lit(scale) * part
+        return ((num - num % whole) / whole).cast("long")
+
+    return per.select(
+        id_col, "n_bigrams", "top_bigram_n",
+        _share(F.col("top_bigram_n"), F.col("n_bigrams")).alias(
+            "top_share_e6"
+        ),
+        "n_trigrams", "dup_trigram_n",
+        _share(F.col("dup_trigram_n"), F.col("n_trigrams")).alias(
+            "dup_share_e6"
+        ),
+    ).withColumn(
+        "keep",
+        (F.col("top_share_e6") <= F.lit(top2_max_e6))
+        & (F.col("dup_share_e6") <= F.lit(dup3_max_e6)),
+    )
+
+
+def char_entropy(docs: DataFrame, scale: int = 1_000_000,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy (nats, ×10⁶) — the
+    compression-proxy quality signal: near-zero entropy is repeated
+    filler or padding, unusually high entropy is hash spam / minified
+    blobs, organic text sits in a mid band. Whitespace is excluded so
+    the signal reads content, not formatting.
+
+    Exactness across engines: with per-char counts c and total N,
+    H = ln N − (Σ c·ln c)/N. Each ``ln`` term is quantized FIRST —
+    R(c) = round(scale·ln c) as int64 — and everything after is exact
+    integer arithmetic (Σ c·R(c), then a floor division by N), so the
+    non-associativity of float summation can never straddle engines.
+    A 1-ulp cross-engine difference in ``ln`` itself cannot flip the
+    rounding: the closest any round(scale·ln c) input for c ≤ 3·10⁵
+    comes to a .5 boundary is 3.6·10⁻⁷ (unit-scanned), ~100× the ulp.
+
+    Shape: one hash-agg keyed (doc, char) — cardinality ≤ docs ×
+    alphabet — then a doc-grain rollup; map-side combinable, no joins.
+    """
+    ch = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\S"), 0)
+        ).alias("__ch"),
+    )
+    c = ch.groupBy(id_col, "__ch").agg(F.count(F.lit(1)).alias("__c"))
+
+    def _rln(col):
+        return F.round(F.log(col.cast("double")) * F.lit(float(scale)),
+                       0).cast("long")
+
+    per = c.groupBy(id_col).agg(
+        F.sum("__c").alias("n_chars_ns"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(_rln(F.col("__c")) * F.col("__c")).alias("sum_clnc_e6"),
+    )
+    n = F.col("n_chars_ns")
+    s = F.col("sum_clnc_e6")
+    return per.select(
+        id_col, "n_chars_ns", "n_distinct_chars", "sum_clnc_e6",
+        (_rln(n) - ((s - s % n) / n).cast("long")).alias("entropy_e6"),
+    )

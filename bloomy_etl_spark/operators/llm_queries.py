@@ -1117,6 +1117,40 @@ def q136_boilerplate_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q137_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality gates (the Gopher/MassiveText
+    repetition rules adapted to token fractions — corpus.
+    gopher_repetition): top-bigram occupancy and duplicated-trigram
+    mass per document, plus the keep decision at the 20%/60%
+    thresholds. One tagged gram explode, two hash-agg stages, exact
+    integer shares."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return C.gopher_repetition(docs).transform(_psort, "doc_id")
+
+
+def q138_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (corpus.char_entropy): per-doc
+    Shannon entropy in quantized nats over non-whitespace characters —
+    the compression-proxy filter (low = filler/padding, high = hash
+    spam). ln terms are quantized BEFORE summation so both engines do
+    exact integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return C.char_entropy(docs).transform(_psort, "doc_id")
+
+
+def q139_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus (clustering.
+    kcenter_greedy, Gonzalez farthest-point traversal): the 8 selected
+    centers with their coverage-radius curve and nearest-center
+    assignment counts. All distance decisions are floor-quantized
+    int64, so the DuckDB oracle replays the traversal as an unrolled
+    CTE chain (the q54 iterative-replay pattern)."""
+    from bloomy_etl_spark.operators.clustering import kcenter_greedy
+
+    embs = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    return kcenter_greedy(embs, k=8).transform(_psort, "round")
+
+
 LLM_QUERIES = {
     "q26_dedup_exact": q26_dedup_exact,
     "q27_token_stats": q27_token_stats,
@@ -1180,6 +1214,10 @@ LLM_QUERIES = {
     "q132_temperature_mixture": q132_temperature_mixture,
     "q133_novelty_profile": q133_novelty_profile,
     "q136_boilerplate_positions": q136_boilerplate_positions,
+    # r9 additions: repetition gates, entropy signal, coreset selection
+    "q137_gopher_repetition": q137_gopher_repetition,
+    "q138_char_entropy": q138_char_entropy,
+    "q139_kcenter_coreset": q139_kcenter_coreset,
 }
 
 
@@ -2915,3 +2953,113 @@ LLM_ORACLE_SQL["q136_boilerplate_positions"] = r"""
     WHERE r.rn = 1
     ORDER BY r.source, r.pos
 """
+
+# q137: both gram streams follow the word_ngrams short-doc fallback
+# (len < n collapses to one whole-text gram); counts are CAST to
+# BIGINT before the integer shares (the §2.10 HUGEINT rule); keep
+# replays the same floor-division comparisons.
+LLM_ORACLE_SQL["q137_gopher_repetition"] = r"""
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+               FROM documents),
+    g2 AS (SELECT doc_id,
+                  unnest(CASE WHEN len(ws) >= 2
+                       THEN [ws[i] || ' ' || ws[i+1]
+                             for i in range(1, len(ws))]
+                       ELSE [array_to_string(ws, ' ')] END) AS g
+           FROM t),
+    g3 AS (SELECT doc_id,
+                  unnest(CASE WHEN len(ws) >= 3
+                       THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             for i in range(1, len(ws) - 1)]
+                       ELSE [array_to_string(ws, ' ')] END) AS g
+           FROM t),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+    a2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                  CAST(MAX(c) AS BIGINT) AS top_bigram_n
+           FROM c2 GROUP BY doc_id),
+    a3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+                  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                      AS dup_trigram_n
+           FROM c3 GROUP BY doc_id)
+    SELECT a2.doc_id, n_bigrams, top_bigram_n,
+           (1000000 * top_bigram_n) // n_bigrams AS top_share_e6,
+           n_trigrams, dup_trigram_n,
+           (1000000 * dup_trigram_n) // n_trigrams AS dup_share_e6,
+           ((1000000 * top_bigram_n) // n_bigrams <= 200000
+            AND (1000000 * dup_trigram_n) // n_trigrams <= 600000) AS keep
+    FROM a2 JOIN a3 USING (doc_id) ORDER BY a2.doc_id
+"""
+
+# q138: each ln term is quantized to round(1e6·ln c) BEFORE the per-doc
+# sum (unit-scanned: no such input sits within 1e-7 of a .5 boundary
+# for c ≤ 3e5, so a 1-ulp cross-engine ln difference cannot flip it);
+# everything downstream is exact BIGINT arithmetic.
+LLM_ORACLE_SQL["q138_char_entropy"] = r"""
+    WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S')) AS ch
+                FROM documents),
+    c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+    p AS (SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_chars_ns,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+                 CAST(SUM(CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000, 0)
+                               AS BIGINT) * c) AS BIGINT) AS sum_clnc_e6
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, n_chars_ns, n_distinct_chars, sum_clnc_e6,
+           CAST(ROUND(LN(CAST(n_chars_ns AS DOUBLE)) * 1000000, 0) AS BIGINT)
+               - sum_clnc_e6 // n_chars_ns AS entropy_e6
+    FROM p ORDER BY doc_id
+"""
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled greedy k-center replay (the q54 pattern): seed at the
+    min id, then k−1 rounds of quantized farthest-point argmax, then
+    the nearest-center assignment with ties to the earlier round.
+    Every chained CTE is MATERIALIZED — DuckDB inlines plain CTEs at
+    each reference, which turns the sel0→sel{k-1} chain (each level
+    referenced three times) into exponential re-evaluation (measured:
+    >120 s inlined vs 0.15 s materialized at sf0.01)."""
+    d2 = ("CAST(FLOOR(1000000.0 * list_sum(list_transform("
+          "list_zip(e.v, s.v), x -> (x[1] - x[2]) * (x[1] - x[2])))) "
+          "AS BIGINT)")
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "sel0 AS MATERIALIZED (SELECT 0 AS r, vec_id, v, "
+        "CAST(0 AS BIGINT) AS radius FROM e ORDER BY vec_id LIMIT 1)",
+    ]
+    for i in range(1, k):
+        prev = f"sel{i - 1}"
+        parts.append(f"""m{i} AS MATERIALIZED (
+            SELECT e.vec_id, MIN({d2}) AS md
+            FROM e CROSS JOIN {prev} s
+            WHERE e.vec_id NOT IN (SELECT vec_id FROM {prev})
+            GROUP BY e.vec_id)""")
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT {i} AS r, m.vec_id, e.v, "
+            f"m.md AS radius FROM m{i} m JOIN e USING (vec_id) "
+            f"ORDER BY m.md DESC, m.vec_id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"sel{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL "
+            f"SELECT * FROM s{i})"
+        )
+    fin = f"sel{k - 1}"
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    asn AS (
+        SELECT vec_id, r FROM (
+            SELECT e.vec_id, s.r,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {d2} ASC, s.r ASC) AS rn
+            FROM e CROSS JOIN {fin} s) WHERE rn = 1),
+    cov AS (SELECT r, COUNT(*) AS n FROM asn GROUP BY r)
+    SELECT CAST(s.r AS INT) AS round, s.vec_id, s.radius AS radius_e6,
+           CAST(COALESCE(cov.n, 0) AS BIGINT) AS n_assigned
+    FROM {fin} s LEFT JOIN cov ON s.r = cov.r ORDER BY round
+"""
+
+
+LLM_ORACLE_SQL["q139_kcenter_coreset"] = _kcenter_oracle()

@@ -872,3 +872,132 @@ class TestStripTemplatePrefix:
 
         with pytest.raises(ValueError):
             C.strip_template_prefix(df, side="middle")
+
+
+class TestGopherRepetition:
+    """Repetition-rule semantics (corpus.gopher_repetition) beyond the
+    q137 oracle gate."""
+
+    def test_hand_checked_shares(self, spark):
+        rows = [
+            # bigrams: "a b","b a","a b","b a","a b" → top "a b"=3 of 5
+            # trigrams: "a b a","b a b","a b a","b a b" → all dup (4 of 4)
+            (0, "a b a b a b"),
+            # fully varied: top bigram 1/4, no dup trigram
+            (1, "v w x y z"),
+            (2, "solo"),  # fallback: one whole-text gram at both sizes
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in
+               C.gopher_repetition(df).collect()}
+        assert got[0]["n_bigrams"] == 5 and got[0]["top_bigram_n"] == 3
+        assert got[0]["top_share_e6"] == 600_000
+        assert got[0]["n_trigrams"] == 4 and got[0]["dup_trigram_n"] == 4
+        assert got[0]["dup_share_e6"] == 1_000_000
+        assert got[0]["keep"] is False
+        assert got[1]["top_share_e6"] == 250_000  # 1/4
+        assert got[1]["dup_share_e6"] == 0
+        assert got[1]["keep"] is False  # top bigram 25% > 20%
+        # the fallback gram occupies 100% of both streams
+        assert got[2]["n_bigrams"] == 1 and got[2]["top_share_e6"] == 1_000_000
+        assert got[2]["keep"] is False
+
+    def test_organic_corpus_mostly_kept(self, spark):
+        from bloomy_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_ORACLE, "documents", fan_out=True)
+        out = C.gopher_repetition(docs)
+        n = out.count()
+        kept = out.filter("keep").count()
+        assert n == docs.count()
+        assert kept > 0  # thresholds must not reject everything
+        # shares are valid fractions
+        bad = out.filter(
+            (F.col("top_share_e6") < 0) | (F.col("top_share_e6") > 1_000_000)
+            | (F.col("dup_share_e6") < 0)
+            | (F.col("dup_share_e6") > 1_000_000)
+        ).count()
+        assert bad == 0
+
+
+class TestCharEntropy:
+    """Entropy-signal semantics (corpus.char_entropy) beyond the q138
+    oracle gate."""
+
+    def test_hand_checked_values(self, spark):
+        import math
+
+        rows = [
+            (0, "aaaa"),        # one symbol → H = 0 exactly
+            (1, "ab ab"),       # two symbols, equal mass → H = ln 2
+            (2, "abcd"),        # four distinct → H = ln 4
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in
+               C.char_entropy(df).collect()}
+        assert got[0]["entropy_e6"] == 0
+        assert got[0]["n_chars_ns"] == 4 and got[0]["n_distinct_chars"] == 1
+        # quantized replay: R(N) − floor(Σ c·R(c) / N)
+        def q(n, counts):
+            R = lambda c: round(1e6 * math.log(c))
+            return R(n) - (sum(c * R(c) for c in counts) // n)
+        assert got[1]["entropy_e6"] == q(4, [2, 2])
+        assert got[2]["entropy_e6"] == q(4, [1, 1, 1, 1])
+        # and they sit within a quantum of the true entropies
+        assert abs(got[1]["entropy_e6"] - 1e6 * math.log(2)) <= 2
+        assert abs(got[2]["entropy_e6"] - 1e6 * math.log(4)) <= 2
+
+    def test_round_boundary_margin(self):
+        """The cross-engine safety argument: no round(1e6·ln c) input
+        for any count this corpus can produce sits near enough a .5
+        boundary for a 1-ulp ln() difference to flip the quantization
+        (worst distance 3.6e-7 at c=132979 vs ~2e-9 ulp)."""
+        import math
+
+        worst = min(
+            abs((1e6 * math.log(c)) % 1.0 - 0.5)
+            for c in range(2, 300_001)
+        )
+        assert worst > 1e-7
+
+    def test_whitespace_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b"), (1, "ab")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r.asDict() for r in C.char_entropy(df).collect()}
+        assert got[0] == got[1] | {"doc_id": 0}
+
+
+class TestKCenterGreedy:
+    """Coreset-selection semantics (clustering.kcenter_greedy) beyond
+    the q139 oracle gate."""
+
+    def test_picks_farthest_and_radius_monotone(self, spark):
+        from bloomy_etl_spark.operators.clustering import kcenter_greedy
+
+        # 1-d line: seed=0 (min id), farthest is 100, then 50, then 25/75
+        pts = [(0, [0.0]), (1, [1.0]), (2, [50.0]), (3, [100.0]),
+               (4, [25.0]), (5, [75.0])]
+        df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+        out = {r["round"]: r.asDict()
+               for r in kcenter_greedy(df, k=4).collect()}
+        assert out[0]["vec_id"] == 0 and out[0]["radius_e6"] == 0
+        assert out[1]["vec_id"] == 3          # d²=10000
+        assert out[1]["radius_e6"] == 10_000 * 1_000_000
+        assert out[2]["vec_id"] == 2          # mid point, d²=2500
+        assert out[3]["vec_id"] in (4, 5)     # both at d²=625 → min id
+        assert out[3]["vec_id"] == 4
+        radii = [out[r]["radius_e6"] for r in range(1, 4)]
+        assert radii == sorted(radii, reverse=True)
+        # coverage partitions the corpus
+        assert sum(out[r]["n_assigned"] for r in out) == len(pts)
+
+    def test_k_larger_than_corpus_truncates(self, spark):
+        from bloomy_etl_spark.operators.clustering import kcenter_greedy
+
+        df = spark.createDataFrame(
+            [(0, [0.0]), (1, [9.0])], "vec_id long, embedding array<float>"
+        )
+        out = kcenter_greedy(df, k=5).collect()
+        assert len(out) == 2
+        assert {r["vec_id"] for r in out} == {0, 1}
