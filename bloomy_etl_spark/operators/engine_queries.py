@@ -1235,6 +1235,111 @@ def q131_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+def funnel_stages(ev: DataFrame, stages: list[str]) -> DataFrame:
+    """Per-user furthest funnel stage reached (0 = none): collect each
+    user's events into ONE sorted in-row array and walk it with a
+    single ``aggregate`` fold advancing a (stage, last-µs) accumulator
+    on strict time increase. Input columns: ``user_id``, ``eus``
+    (epoch µs), ``event_id``, ``event_type``. One user-keyed shuffle;
+    the array is bounded by per-actor activity (q84's bounded-actor
+    assumption)."""
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("eus", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    acc0 = F.struct(
+        F.lit(0).alias("s"), F.lit(-1).cast("long").alias("t")
+    )
+
+    def _step(acc, e):
+        out = None
+        for k, st in enumerate(stages, start=1):
+            cond = (
+                (acc["s"] == k - 1)
+                & (e["event_type"] == st)
+                & (e["eus"] > acc["t"])
+            )
+            nxt = F.struct(F.lit(k).alias("s"), e["eus"].alias("t"))
+            out = F.when(cond, nxt) if out is None else out.when(cond, nxt)
+        return out.otherwise(acc)
+
+    return seq.select(
+        "user_id",
+        F.aggregate(F.col("seq"), acc0, _step)["s"].alias("stage"),
+    )
+
+
+def q140_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → view → click → purchase,
+    each stage strictly AFTER the previous one in event time): users
+    reaching each stage, plus exact integer conversion rates from the
+    funnel top and from the previous stage. The sequential-pattern
+    primitive clickstream analytics runs everywhere; the reference's
+    event detector (core/quality.py:105-181) is the fixed-window
+    cousin.
+
+    Shape: ONE user-keyed shuffle — each user's events collect into a
+    sorted in-row array (bounded by per-actor activity, the same
+    bounded-actor assumption as q84's day sets) and a single
+    ``aggregate`` fold walks it once, advancing a (stage, last-µs)
+    accumulator on strict time increase. Equal-timestamp ties cannot
+    double-advance (strict >), so the fold is order-independent within
+    a tie and replays exactly as the oracle's MIN-after-MIN CTE chain.
+    The stage histogram is ≤ 5 rows; everything after it is literal-
+    bounded (4-row theta join + window).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("eus"),
+        "event_id",
+        "event_type",
+    )
+    per_user = funnel_stages(ev, _FUNNEL_STAGES)
+    hist = per_user.groupBy("stage").agg(F.count(F.lit(1)).alias("n"))
+    stage_lit = spark.createDataFrame(
+        [(k, s) for k, s in enumerate(_FUNNEL_STAGES, start=1)],
+        "stage int, stage_name string",
+    )
+    reached = (
+        stage_lit.join(
+            F.broadcast(hist.withColumnRenamed("stage", "h_stage")),
+            F.col("h_stage") >= F.col("stage"),
+            "left",
+        )
+        .groupBy("stage", "stage_name")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_users"))
+    )
+    w = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    top = F.first("n_users").over(w)
+    prev = F.lag("n_users").over(Window.orderBy("stage"))
+
+    def _conv(num_col, den):
+        num = F.lit(1_000_000) * num_col
+        return ((num - num % den) / den).cast("long")
+
+    return (
+        reached.withColumn(
+            "conv_top_e6",
+            F.when(top > 0, _conv(F.col("n_users"), top)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .withColumn(
+            "conv_prev_e6",
+            F.when(F.col("stage") == 1, F.lit(1_000_000).cast("long"))
+            .when(prev > 0, _conv(F.col("n_users"), prev))
+            .otherwise(F.lit(0).cast("long")),
+        )
+        .transform(_psort, "stage")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -1275,6 +1380,7 @@ ENGINE_QUERIES = {
     "q131_gdpr_delete": q131_gdpr_delete,
     "q134_skew_profile": q134_skew_profile,
     "q135_calibration_bins": q135_calibration_bins,
+    "q140_conversion_funnel": q140_conversion_funnel,
 }
 
 
@@ -2211,4 +2317,48 @@ ENGINE_ORACLE_SQL["q119_hll_registers"] = """
     UNION ALL
     SELECT event_type, CAST(bucket AS BIGINT) AS bucket, r FROM allr
     ORDER BY event_type, bucket
+"""
+
+# q140: the oracle replays the funnel as a MIN-after-MIN CTE chain —
+# stage k's timestamp is the earliest event of that type STRICTLY
+# after the user's stage-(k-1) timestamp, which is exactly what the
+# engine's sorted-array fold computes (strict µs increase, so
+# equal-timestamp ties cannot double-advance in either form). Counts
+# carry explicit BIGINT casts; conversions are exact floor divisions
+# with the stage-1 / zero-denominator conventions inlined.
+ENGINE_ORACLE_SQL["q140_conversion_funnel"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS eus, event_type
+               FROM events),
+    s1 AS (SELECT user_id, MIN(eus) AS t FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.eus) AS t FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view' AND e.eus > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.eus) AS t FROM e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'click' AND e.eus > s2.t GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, MIN(e.eus) AS t FROM e JOIN s3 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.eus > s3.t
+           GROUP BY e.user_id),
+    n AS (
+        SELECT 1 AS stage, 'signup' AS stage_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+        UNION ALL SELECT 2, 'view',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+        UNION ALL SELECT 3, 'click',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+        UNION ALL SELECT 4, 'purchase',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s4)
+    ),
+    x AS (
+        SELECT stage, stage_name, n_users,
+               FIRST_VALUE(n_users) OVER (ORDER BY stage) AS top,
+               LAG(n_users) OVER (ORDER BY stage) AS prev
+        FROM n
+    )
+    SELECT CAST(stage AS INT) AS stage, stage_name, n_users,
+           CASE WHEN top > 0 THEN (1000000 * n_users) // top
+                ELSE 0 END AS conv_top_e6,
+           CASE WHEN stage = 1 THEN 1000000
+                WHEN prev > 0 THEN (1000000 * n_users) // prev
+                ELSE 0 END AS conv_prev_e6
+    FROM x ORDER BY stage
 """

@@ -644,3 +644,56 @@ class TestLogregGd:
             logreg_score(sep, ["x0", "x1"], [0.1])
         with pytest.raises(ValueError):
             logreg_gd_train(sep.filter("id < 0"), ["x0"], "y")
+
+
+class TestConversionFunnel:
+    """Hand-checked semantics for q140's sorted-array funnel fold
+    (the sf0.01 oracle gate runs in test_r5_operators)."""
+
+    def _run(self, spark, rows):
+        import datetime
+
+        from bloomy_etl_spark.operators.engine_queries import (
+            _FUNNEL_STAGES,
+            funnel_stages,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                (i, base + datetime.timedelta(seconds=sec), uid, et)
+                for i, (uid, sec, et) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+        ev = df.select(
+            "user_id", F.unix_micros("ts").alias("eus"),
+            "event_id", "event_type",
+        )
+        return {
+            r["user_id"]: r["stage"]
+            for r in funnel_stages(ev, _FUNNEL_STAGES).collect()
+        }
+
+    def test_order_and_strictness(self, spark):
+        got = self._run(spark, [
+            # u1 completes the funnel in order
+            (1, 0, "signup"), (1, 10, "view"), (1, 20, "click"),
+            (1, 30, "purchase"),
+            # u2: view BEFORE signup doesn't count; no later view → stage 1
+            (2, 0, "view"), (2, 10, "signup"), (2, 20, "click"),
+            # u3: view at the SAME second as signup — strict > rejects it
+            (3, 5, "signup"), (3, 5, "view"),
+            # u4: never signs up
+            (4, 0, "view"), (4, 1, "click"), (4, 2, "purchase"),
+            # u5: skips click → stuck at view
+            (5, 0, "signup"), (5, 1, "view"), (5, 2, "purchase"),
+        ])
+        assert got == {1: 4, 2: 1, 3: 1, 4: 0, 5: 2}
+
+    def test_repeated_events_advance_once(self, spark):
+        got = self._run(spark, [
+            (1, 0, "signup"), (1, 1, "signup"), (1, 2, "view"),
+            (1, 3, "view"), (1, 4, "click"), (1, 5, "purchase"),
+        ])
+        assert got == {1: 4}
