@@ -675,3 +675,168 @@ def read_novelty_store(spark: SparkSession, gram_dir: str, doc_dir: str,
             .cast("long").alias("novelty_e6"),
         )
     )
+
+
+def streaming_kcenter_ingest(
+    embs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 8,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Online k-center maintenance (the doubling algorithm, Charikar
+    et al. 1997) — the streaming half of
+    :func:`bloomy_etl_spark.operators.clustering.kcenter_greedy`'s
+    batch coreset: keep ≤ ``k`` centers covering everything ingested so
+    far, growing the coverage threshold geometrically when the budget
+    overflows.
+
+    Per micro-batch, against the driver-resident O(k·d) center set:
+
+    1. quantized min-distance² of every batch point to the current
+       centers (one corpus map, the q139 convention — all decisions on
+       ``floor(scale·d²)`` int64, so replays are deterministic);
+    2. points beyond the threshold join greedily (farthest-first, ties
+       to the smaller id) — one TakeOrdered(1) scan per admitted
+       center, exactly the batch operator's round shape;
+    3. when a (k+1)-th center would be admitted, the threshold DOUBLES
+       (τ² ×4; seeded at the min pairwise center distance when still
+       0) and the center set is re-thinned to a greedy subset pairwise
+       farther than the new threshold — a driver-side O(k²·d) pass over
+       ≤ k+1 vectors, never over corpus rows.
+
+    Every dropped center sits within the new τ of a kept one, so
+    ingested points stay covered within the telescoping sum ≤ 2·τ_final
+    (the classic 8×OPT guarantee; pinned by the invariant test rather
+    than a batch-equivalence test — online k-center is a different
+    algorithm from greedy k-center, and no arrival order reproduces the
+    batch result exactly).
+
+    Durability/replay: the full (tiny) center snapshot is APPENDED per
+    batch keyed ``batch_id`` — an at-least-once replay recomputes from
+    the PREVIOUS snapshot (reads exclude its own ``batch_id``) and
+    appends identical rows, so :func:`read_kcenter_state`'s
+    latest-snapshot read is replay-stable, like every durable ingest
+    here.
+    """
+    from bloomy_etl_spark.operators.clustering import _dist2
+
+    def _d2_e6(vec, c):
+        return F.floor(
+            _dist2(vec, c) * F.lit(float(scale))
+        ).cast("long")
+
+    def _pairwise_d2_e6(a: list[float], b: list[float]) -> int:
+        # the same index-order fold as _dist2, replayed driver-side
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = float(x) - float(y)
+            acc += d * d
+        import math
+
+        return int(math.floor(acc * scale))
+
+    def _thin(centers: list, tau2: int) -> list:
+        """Greedy subset pairwise > tau2, scanning in admission order
+        (stable: earlier centers win), driver-side over ≤ k+1 rows."""
+        kept: list = []
+        for cid, vec in centers:
+            if all(_pairwise_d2_e6(vec, kv) > tau2 for _, kv in kept):
+                kept.append((cid, vec))
+        return kept
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        state = _read_or_empty(
+            spark,
+            state_dir,
+            spark.createDataFrame(
+                [],
+                f"batch_id long, center_id long, {vec_col} array<double>, "
+                "tau2_e6 long",
+            ),
+        ).filter(F.col("batch_id") != batch_id)
+        last = state.agg(F.max("batch_id")).collect()[0][0]
+        if last is None:
+            centers, tau2 = [], 0
+        else:
+            rows = state.filter(F.col("batch_id") == last).collect()
+            tau2 = int(rows[0]["tau2_e6"])
+            # replay-duplicated snapshots collapse per center_id
+            centers = sorted(
+                {
+                    int(r["center_id"]): [float(x) for x in r[vec_col]]
+                    for r in rows
+                }.items()
+            )
+
+        pts = pin(batch.select(id_col, vec_col), eager=True)
+        while True:
+            if centers:
+                mind = F.array_min(
+                    F.array(*[_d2_e6(F.col(vec_col), c)
+                              for _, c in centers])
+                )
+                cand = pts.filter(
+                    ~F.col(id_col).isin([i for i, _ in centers])
+                ).select(id_col, vec_col, mind.alias("__mind"))
+                far = (
+                    cand.filter(F.col("__mind") > F.lit(tau2))
+                    .orderBy(F.col("__mind").desc(), F.col(id_col).asc())
+                    .limit(1)
+                    .collect()
+                )
+            else:
+                far = (
+                    pts.orderBy(F.col(id_col).asc()).limit(1).collect()
+                )
+            if not far:
+                break
+            row = far[0]
+            centers.append(
+                (int(row[id_col]), [float(x) for x in row[vec_col]])
+            )
+            while len(centers) > k:
+                # one doubling may not separate far-apart centers —
+                # repeat until the thinned set fits the budget
+                if tau2 == 0:
+                    pair_min = min(
+                        _pairwise_d2_e6(a, b)
+                        for i, (_, a) in enumerate(centers)
+                        for _, b in centers[i + 1:]
+                    )
+                    tau2 = max(pair_min, 1)
+                else:
+                    tau2 *= 4
+                centers = _thin(centers, tau2)
+
+        snap = spark.createDataFrame(
+            [(batch_id, cid, vec, tau2) for cid, vec in centers],
+            f"batch_id long, center_id long, {vec_col} array<double>, "
+            "tau2_e6 long",
+        )
+        snap.write.mode("append").parquet(state_dir)
+
+    return (
+        embs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kcenter_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The latest center snapshot ``(center_id, embedding, tau2_e6)``
+    from the doubling-ingest store — ≤ k rows; earlier snapshots remain
+    for audit (the τ growth curve) and replay stability."""
+    st = spark.read.parquet(state_dir)
+    last = st.agg(F.max("batch_id")).collect()[0][0]
+    # an at-least-once replay appends the IDENTICAL snapshot again under
+    # the same batch_id — collapse per center like the delta stores
+    return (
+        st.filter(F.col("batch_id") == last)
+        .dropDuplicates(["center_id"])
+        .drop("batch_id")
+    )

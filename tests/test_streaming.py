@@ -1604,3 +1604,110 @@ class TestNoveltyIngest:
         assert got.count() == 40
         want = {tuple(r) for r in first_seen_novelty(docs, n=2).collect()}
         assert {tuple(r) for r in got.collect()} == want
+
+
+class TestKCenterIngest:
+    """Online k-center maintenance (streaming/ingest.py::
+    streaming_kcenter_ingest, the doubling algorithm) — the streaming
+    half of q139's batch coreset. Online k-center is a DIFFERENT
+    algorithm from greedy k-center (no arrival order reproduces the
+    batch result), so the contract here is its invariants: the center
+    budget, threshold growth, and the telescoped coverage guarantee."""
+
+    def _ingest(self, spark, tmp_path, pts, k=4, batches=3):
+        import math
+
+        from bloomy_etl_spark.streaming.ingest import (
+            read_kcenter_state,
+            streaming_kcenter_ingest,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+            "vec_id long, embedding array<double>",
+        )
+        replay = tmp_path / "replay"
+        replay.mkdir(exist_ok=True)
+        per = math.ceil(len(pts) / batches)
+        for bi in range(batches):
+            df.filter(
+                f"vec_id >= {bi * per} and vec_id < {(bi + 1) * per}"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                str(replay / f"b{bi}")
+            )
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay / "b*"))
+        )
+        q = streaming_kcenter_ingest(
+            stream, str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"), k=k,
+        )
+        q.awaitTermination(120)
+        state = read_kcenter_state(spark, str(tmp_path / "state"))
+        return df, state.collect()
+
+    def test_budget_threshold_and_coverage(self, spark, tmp_path):
+        """8 well-separated 2-d sites force doubling at k=4; the final
+        ≤4 centers must cover EVERY ingested point within 2·τ (the
+        telescoping-merge guarantee), with τ > 0 after overflow."""
+        import math
+
+        sites = [(0, 0), (100, 0), (0, 100), (100, 100),
+                 (50, 0), (0, 50), (100, 50), (50, 100)]
+        pts = []
+        for sx, sy in sites:
+            for j in range(3):  # a small cloud at each site
+                pts.append((sx + j * 0.25, sy - j * 0.25))
+        df, centers = self._ingest(spark, tmp_path, pts, k=4)
+
+        assert 1 <= len(centers) <= 4
+        tau2 = {int(r["tau2_e6"]) for r in centers}
+        assert len(tau2) == 1  # one threshold per snapshot
+        tau = math.sqrt(tau2.pop() / 1e6)
+        assert tau > 0
+        cvecs = [r["embedding"] for r in centers]
+        for row in df.collect():
+            d = min(
+                math.dist(row["embedding"], c) for c in cvecs
+            )
+            assert d <= 2 * tau + 1e-6, (row["vec_id"], d, tau)
+
+    def test_no_overflow_keeps_all_distinct_points(self, spark, tmp_path):
+        """Fewer distinct points than k: every point becomes a center
+        and the threshold never leaves 0."""
+        pts = [(0, 0), (10, 0), (0, 10)]
+        _, centers = self._ingest(spark, tmp_path, pts, k=4, batches=2)
+        assert {int(r["center_id"]) for r in centers} == {0, 1, 2}
+        assert all(int(r["tau2_e6"]) == 0 for r in centers)
+
+    def test_replayed_snapshot_collapses(self, spark, tmp_path):
+        """At-least-once retry: appending the identical latest snapshot
+        again must not change what the reader returns."""
+        from bloomy_etl_spark.streaming.ingest import read_kcenter_state
+
+        pts = [(0, 0), (100, 0), (0, 100), (100, 100), (50, 50)]
+        df, centers = self._ingest(spark, tmp_path, pts, k=2, batches=2)
+        state_dir = str(tmp_path / "state")
+        st = spark.read.parquet(state_dir)
+        last = st.agg(F.max("batch_id")).collect()[0][0]
+        st.filter(F.col("batch_id") == last).write.mode("append").parquet(
+            state_dir
+        )  # the replay
+        again = read_kcenter_state(spark, state_dir).collect()
+        key = lambda r: (r["center_id"], tuple(r["embedding"]),
+                         r["tau2_e6"])
+        assert sorted(map(key, again)) == sorted(map(key, centers))
+
+    def test_deterministic_across_reruns(self, spark, tmp_path):
+        """Same arrival order twice (fresh dirs) → identical state:
+        every admission/doubling decision is quantized-integer."""
+        pts = [(i * 7 % 50, i * 13 % 50) for i in range(30)]
+        (a := tmp_path / "a").mkdir()
+        (b := tmp_path / "b").mkdir()
+        _, c1 = self._ingest(spark, a, pts, k=4)
+        _, c2 = self._ingest(spark, b, pts, k=4)
+        key = lambda r: (r["center_id"], tuple(r["embedding"]),
+                         r["tau2_e6"])
+        assert sorted(map(key, c1)) == sorted(map(key, c2))
