@@ -162,3 +162,54 @@ def test_temperature_quotas_shuffle_bounded_by_groups(spark):
     # count partials: ≤ groups × map tasks; window frames: ≤ 3 G-row
     # passes (rem sort + two unbounded windows share one frame)
     assert 0 < p["shuffle_records_written"] <= n_groups * (n_parts + 4)
+
+
+def test_gopher_repetition_one_gram_shuffle_then_doc_grain(spark):
+    """q137's shape claim, measured: the tagged bigram+trigram stream
+    aggregates through ONE (doc, n, gram)-keyed exchange whose record
+    count never exceeds the gram-occurrence stream (map-side combine
+    can only shrink it), and the result lands back at document grain."""
+    from bloomy_etl_spark.functions.text import word_ngrams
+    from bloomy_etl_spark.operators.corpus import gopher_repetition
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_grams = docs.select(
+        F.explode(word_ngrams(F.col("text"), 2)).alias("g")
+    ).count() + docs.select(
+        F.explode(word_ngrams(F.col("text"), 3)).alias("g")
+    ).count()
+    p = run_profile(gopher_repetition(docs))
+    assert p["output_rows"] == docs.count()
+    assert 0 < p["shuffle_records_written"] <= 2 * n_grams
+
+
+def test_char_entropy_shuffle_bounded_by_alphabet_not_chars(spark):
+    """q138's bound, measured: the (doc, char) partials cap the
+    exchange at docs × alphabet, far below the character stream the
+    explode produces."""
+    from bloomy_etl_spark.operators.corpus import char_entropy
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_chars = docs.select(
+        F.sum(F.length(F.regexp_replace("text", r"\s", "")))
+    ).collect()[0][0]
+    alphabet = 128  # the fixture is ASCII; the bound is docs × |Σ|
+    p = run_profile(char_entropy(docs))
+    assert p["output_rows"] == docs.count()
+    assert 0 < p["shuffle_records_written"] < n_chars
+    assert p["shuffle_records_written"] <= docs.count() * alphabet
+
+
+def test_kcenter_corpus_rows_never_shuffle(spark):
+    """q139's coverage rollup is the operator's ONLY exchange: k-key
+    count partials plus the k-row broadcast join — corpus rows never
+    enter an exchange (the selection rounds are TakeOrdered maps)."""
+    from bloomy_etl_spark.operators.clustering import kcenter_greedy
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    k = 8
+    n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    p = run_profile(kcenter_greedy(embs, k=k))
+    assert p["output_rows"] == k
+    assert p["shuffle_records_written"] <= k * (n_parts + 1)
+    assert p["shuffle_records_written"] < embs.count()
