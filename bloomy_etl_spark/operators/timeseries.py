@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["time_bucket", "gapfill"]
+__all__ = ["time_bucket", "gapfill", "ewma_last"]
 
 
 def time_bucket(step: int, t: Column | str) -> Column:
@@ -130,3 +130,53 @@ def gapfill(
         )
     return g.select(*keys, d.alias(time_col), filled.alias(out),
                     observed.alias("observed"))
+
+
+def ewma_last(series: DataFrame, alpha_den: int = 4,
+              key_col: str = "user_id", ts_col: str = "eus",
+              order_col: str = "event_id",
+              val_col: str = "v") -> DataFrame:
+    """Per-key exponential moving average (α = 1/``alpha_den``) in
+    EXACT integer arithmetic — the standard stream-smoothing signal
+    (load baselines, rate smoothing, anomaly references), computed so a
+    sequential engine replays it bit-identically.
+
+    The recurrence is the non-negative form ``s₁ = v₁;
+    sᵢ = (αd−1)·sᵢ₋₁ + vᵢ) div αd`` (truncating division — numerator
+    never negative for non-negative inputs, so truncation ≡ floor in
+    every engine; the subtraction form ``s + (v−s)/αd`` would hit the
+    engines' divergent negative-division conventions). Values must be
+    pre-quantized integers (the ``v_e4`` convention).
+
+    Shape: ONE key-keyed shuffle; each key's observations collect into
+    a sorted in-row array (bounded-actor assumption, q84/q140) and a
+    single ``aggregate`` fold walks it. EWMA is order-sensitive by
+    definition — no associative decomposition exists — so the fold IS
+    the distributed form: keys parallelize, the per-key walk is
+    sequential exactly like the semantics.
+
+    Returns ``(key, n_obs, last_v, ewma)`` — all int64.
+    """
+    if alpha_den < 2:
+        raise ValueError("alpha_den must be ≥ 2 (α = 1/alpha_den < 1)")
+    seq = series.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(ts_col, order_col, val_col))
+        ).alias("__seq")
+    )
+    init = F.lit(-1).cast("long")
+    m = F.lit(alpha_den - 1).cast("long")
+    d = F.lit(alpha_den).cast("long")
+
+    def _step(acc, e):
+        v = e[val_col]
+        nxt = (m * acc + v) - (m * acc + v) % d
+        return F.when(acc < 0, v).otherwise((nxt / d).cast("long"))
+
+    last = F.element_at(F.col("__seq"), -1)[val_col]
+    return seq.select(
+        key_col,
+        F.size("__seq").cast("long").alias("n_obs"),
+        last.alias("last_v"),
+        F.aggregate(F.col("__seq"), init, _step).alias("ewma"),
+    )

@@ -697,3 +697,96 @@ class TestConversionFunnel:
             (1, 3, "view"), (1, 4, "click"), (1, 5, "purchase"),
         ])
         assert got == {1: 4}
+
+
+class TestTriangleCounts:
+    """Hand-checked degree-ordered triangle counting
+    (graph.triangle_counts; the sf0.01 oracle gate runs in
+    test_r5_operators)."""
+
+    def _tri(self, spark, edges):
+        from bloomy_etl_spark.operators.graph import triangle_counts
+
+        df = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], "x long, y long"
+        ).distinct()
+        return {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(df).collect()
+        }
+
+    def test_k4_and_star(self, spark):
+        # K4: C(4,3)=4 triangles, every node in exactly 3
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        assert self._tri(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+        # star: the skew shape the degree orientation exists for — no
+        # triangles, and the hub's wedges are never materialized as hits
+        star = [(0, i) for i in range(1, 8)]
+        assert self._tri(spark, star) == {}
+
+    def test_two_sharing_an_edge(self, spark):
+        # triangles (0,1,2) and (1,2,3) share edge (1,2)
+        got = self._tri(spark, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)])
+        assert got == {0: 1, 1: 2, 2: 2, 3: 1}
+
+    def test_matches_brute_force_on_random_graph(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(7)
+        nodes = range(20)
+        edges = {
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.3
+        }
+        want: dict[int, int] = {}
+        es = set(edges)
+        for a, b, c in itertools.combinations(nodes, 3):
+            if {(a, b), (a, c), (b, c)} <= es:
+                for n in (a, b, c):
+                    want[n] = want.get(n, 0) + 1
+        assert self._tri(spark, edges) == want
+
+
+class TestEwmaLast:
+    """Hand-checked integer EWMA fold (timeseries.ewma_last; the
+    sf0.01 oracle gate runs in test_r5_operators)."""
+
+    def _run(self, spark, rows, alpha_den=4):
+        from bloomy_etl_spark.operators.timeseries import ewma_last
+
+        df = spark.createDataFrame(
+            rows, "user_id long, eus long, event_id long, v long"
+        )
+        return {
+            r["user_id"]: (r["n_obs"], r["last_v"], r["ewma"])
+            for r in ewma_last(df, alpha_den=alpha_den).collect()
+        }
+
+    def test_recurrence_replay(self, spark):
+        vals = [100, 0, 40, 200]
+        rows = [(1, i, i, v) for i, v in enumerate(vals)]
+        s = vals[0]
+        for v in vals[1:]:
+            s = (3 * s + v) // 4
+        assert self._run(spark, rows) == {1: (4, 200, s)}
+
+    def test_order_comes_from_timestamps_not_input(self, spark):
+        rows = [(1, 30, 2, 8), (1, 10, 0, 100), (1, 20, 1, 0)]
+        # time order: 100, 0, 8 → s = ((3·100+0)//4 → 75; (3·75+8)//4 → 58
+        assert self._run(spark, rows) == {1: (3, 8, 58)}
+
+    def test_single_observation_and_validation(self, spark):
+        import pytest as _pt
+
+        from bloomy_etl_spark.operators.timeseries import ewma_last
+
+        assert self._run(spark, [(5, 0, 0, 42)]) == {5: (1, 42, 42)}
+        with _pt.raises(ValueError):
+            ewma_last(
+                spark.createDataFrame(
+                    [], "user_id long, eus long, event_id long, v long"
+                ),
+                alpha_den=1,
+            )
