@@ -840,3 +840,111 @@ def read_kcenter_state(spark: SparkSession, state_dir: str) -> DataFrame:
         .dropDuplicates(["center_id"])
         .drop("batch_id")
     )
+
+
+def streaming_ewma_ingest(
+    events_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    alpha_den: int = 4,
+    key_col: str = "user_id",
+    ts_col: str = "eus",
+    order_col: str = "event_id",
+    val_col: str = "v",
+):
+    """Incremental per-key EWMA
+    (:func:`bloomy_etl_spark.operators.timeseries.ewma_last` on a
+    stream): the live smoothing baseline. The integer recurrence
+    ``s ← ((αd−1)·s + v) div αd`` composes EXACTLY across batches —
+    folding batch B from batch A's final state equals folding A∥B —
+    so under the ordered-arrival contract (event time per key is
+    monotone across micro-batches, the SemDeDup ingest's contract)
+    the streaming state is BIT-IDENTICAL to the batch operator over
+    the union, and the equivalence test pins that, not an
+    approximation.
+
+    Per batch: one key-keyed fold over the batch's sorted in-row
+    arrays, initialized from each key's stored accumulator (a
+    broadcast-sized left join against the latest state). The store is
+    an append-only per-batch delta ``(key, n_obs, last_v, ewma,
+    batch_id)``; the reader takes each key's row from its latest
+    batch. At-least-once replays recompute from batches ``< own
+    batch_id`` and append identical rows; the reader collapses per
+    (batch_id, key).
+    """
+    from bloomy_etl_spark.operators.timeseries import ewma_last
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        like_schema = (
+            f"{key_col} long, n_obs long, last_v long, ewma long, "
+            "batch_id long"
+        )
+        prior = (
+            _read_or_empty(
+                spark, state_dir, spark.createDataFrame([], like_schema)
+            )
+            .filter(F.col("batch_id") != batch_id)
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(key_col).orderBy(
+                        F.col("batch_id").desc()
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select(key_col, F.col("n_obs").alias("__pn"),
+                    F.col("ewma").alias("__ps"))
+        )
+        seq = batch.groupBy(key_col).agg(
+            F.array_sort(
+                F.collect_list(F.struct(ts_col, order_col, val_col))
+            ).alias("__seq")
+        )
+        m = F.lit(alpha_den - 1).cast("long")
+        d = F.lit(alpha_den).cast("long")
+
+        def _step(acc, e):
+            v = e[val_col]
+            num = m * acc + v
+            return F.when(acc < 0, v).otherwise(
+                ((num - num % d) / d).cast("long")
+            )
+
+        init = F.coalesce(F.col("__ps"), F.lit(-1).cast("long"))
+        out = (
+            seq.join(prior, key_col, "left")
+            .select(
+                key_col,
+                (F.coalesce(F.col("__pn"), F.lit(0))
+                 + F.size("__seq")).cast("long").alias("n_obs"),
+                F.element_at(F.col("__seq"), -1)[val_col].alias("last_v"),
+                F.aggregate(F.col("__seq"), init, _step).alias("ewma"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+        )
+        out.write.mode("append").parquet(state_dir)
+
+    return (
+        events_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ewma_state(spark: SparkSession, state_dir: str,
+                    key_col: str = "user_id") -> DataFrame:
+    """Each key's latest ``(key, n_obs, last_v, ewma)`` from the
+    delta store — replay-duplicated batches collapse per (batch_id,
+    key) before the per-key latest is taken."""
+    st = spark.read.parquet(state_dir).dropDuplicates(
+        ["batch_id", key_col]
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col("batch_id").desc())
+    return (
+        st.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, "n_obs", "last_v", "ewma")
+    )

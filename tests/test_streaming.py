@@ -1711,3 +1711,75 @@ class TestKCenterIngest:
         key = lambda r: (r["center_id"], tuple(r["embedding"]),
                          r["tau2_e6"])
         assert sorted(map(key, c1)) == sorted(map(key, c2))
+
+
+class TestEwmaIngest:
+    """Incremental EWMA (streaming/ingest.py::streaming_ewma_ingest):
+    the integer recurrence composes exactly across batches, so under
+    ordered arrival the streaming state is BIT-IDENTICAL to the batch
+    operator over the union — pinned here, plus replay collapse."""
+
+    def _stream_events(self, spark, tmp_path, n_files=3):
+        from bloomy_etl_spark.streaming.ingest import (
+            read_ewma_state,
+            streaming_ewma_ingest,
+        )
+        from bloomy_etl_spark.streaming.sources import replay_dir
+
+        replay = replay_dir(
+            spark, SF_SMOKE, str(tmp_path / "replay"), n_files=n_files
+        )
+        schema = spark.read.parquet(replay).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        stream = raw.select(
+            "user_id",
+            F.unix_micros("ts").alias("eus"),
+            "event_id",
+            F.floor(F.col("value") * 10000).cast("long").alias("v"),
+        )
+        q = streaming_ewma_ingest(
+            stream, str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        return read_ewma_state(spark, str(tmp_path / "state"))
+
+    def test_stream_equals_batch_bit_identical(self, spark, tmp_path):
+        from bloomy_etl_spark.operators.timeseries import ewma_last
+        from bloomy_etl_spark.sources.tables import load_table
+
+        got = {
+            tuple(r)
+            for r in self._stream_events(spark, tmp_path).collect()
+        }
+        ev = load_table(spark, SF_SMOKE, "events").select(
+            "user_id",
+            F.unix_micros("ts").alias("eus"),
+            "event_id",
+            F.floor(F.col("value") * 10000).cast("long").alias("v"),
+        )
+        want = {tuple(r) for r in ewma_last(ev, alpha_den=4).collect()}
+        assert got == want
+
+    def test_replayed_delta_collapses(self, spark, tmp_path):
+        from bloomy_etl_spark.streaming.ingest import read_ewma_state
+
+        before = {
+            tuple(r)
+            for r in self._stream_events(spark, tmp_path).collect()
+        }
+        state_dir = str(tmp_path / "state")
+        st = spark.read.parquet(state_dir)
+        last = st.agg(F.max("batch_id")).collect()[0][0]
+        st.filter(F.col("batch_id") == last).write.mode("append").parquet(
+            state_dir
+        )  # the at-least-once replay
+        after = {
+            tuple(r)
+            for r in read_ewma_state(spark, state_dir).collect()
+        }
+        assert after == before
