@@ -370,3 +370,38 @@ def test_kmv_build_bounded_collect_list(spark):
     if i_agg == -1:
         i_agg = plan.find("SortAggregate")
     assert i_agg != -1, plan
+
+
+def test_triangle_query_all_joins_are_equi(spark):
+    """q141: every join in the triangle pipeline (degree attach, wedge
+    self-join, closing-edge probe) must be an equi join — a nested-loop
+    anywhere here is the all-pairs cliff the degree orientation exists
+    to avoid."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = plan_string(ENGINE_QUERIES["q141_triangle_parts"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ewma_query_single_user_shuffle(spark):
+    """q142: one user-keyed exchange for the fold (plus the
+    presentation sort) — no joins, no windows, nothing global."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = plan_string(ENGINE_QUERIES["q142_ewma_baseline"](spark, SF_SMOKE))
+    assert "Join" not in p
+    # hashpartitioning exchange for the groupBy + rangepartitioning for
+    # the presentation sort — and nothing else
+    assert p.count("Exchange (") <= 2
+
+
+def test_repetition_and_entropy_plans_are_agg_only(spark):
+    """q137/q138: explode → two agg stages; no joins or windows (the
+    doc-grain rollup reads everything off the gram/char exchange)."""
+    from bloomy_etl_spark.operators.llm_queries import LLM_QUERIES
+
+    for name in ("q137_gopher_repetition", "q138_char_entropy"):
+        p = plan_string(LLM_QUERIES[name](spark, SF_SMOKE))
+        assert "Join" not in p, name
+        assert "Window" not in p, name
