@@ -1407,6 +1407,63 @@ def q142_ewma_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_last(ev, alpha_den=4).transform(_psort, "user_id")
 
 
+def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
+    """2-D Pareto skyline (maximize both dims): every row not dominated
+    by another row that is ≥ in both dimensions and strictly greater in
+    at least one. Duplicates of a skyline point are all skyline (no
+    strict improvement exists). The classic multi-criteria OLAP
+    operator (BÖRZSÖNYI et al.'s SKYLINE OF), absent from SQL engines.
+
+    Shape — the window never touches corpus grain: one x-keyed hash-agg
+    reduces the corpus to the DISTINCT-x frame (map-side combinable),
+    a prefix-max window over that frame finds the x-values whose best y
+    beats every strictly-larger x (survivor ⟺ ymax(x) > max ymax over
+    x' > x, and a row survives ⟺ its y equals its x's ymax), and the
+    O(log n)-expected skyline x-table broadcasts back onto the corpus.
+    The single-partition window is bounded by the x-DOMAIN (distinct
+    values), not rows — for an unbounded domain, two-phase it like the
+    q129 prefix sum. All decisions are exact comparisons on the input
+    columns (integers in the declared q143 form)."""
+    gx = df.groupBy(x).agg(F.max(y).alias("__ymax"))
+    w = Window.orderBy(F.col(x).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky_x = (
+        gx.withColumn("__pm", F.max("__ymax").over(w))
+        .filter(F.col("__pm").isNull() | (F.col("__ymax") > F.col("__pm")))
+        .drop("__pm")
+    )
+    return (
+        df.join(F.broadcast(sky_x), x)
+        .filter(F.col(y) == F.col("__ymax"))
+        .drop("__ymax")
+    )
+
+
+def q143_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal documents by (token count ↑, type-token ratio ↑)
+    — the two naturally conflicting document virtues (long documents
+    repeat more), so the skyline is the "best of both" frontier a
+    curation pass reads instead of a single blended score. Both
+    dimensions are exact integers computed in-row (no extra shuffle
+    before the skyline's distinct-x agg)."""
+    from bloomy_etl_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents", fan_out=True)
+    toks = T.tokens(F.col("text"))
+    num = F.lit(1_000_000) * F.size(F.array_distinct(toks))
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        ((num - num % F.size(toks)) / F.size(toks))
+        .cast("long")
+        .alias("ttr_e6"),
+    )
+    return skyline_2d(scored, "n_tokens", "ttr_e6").transform(
+        _psort, "doc_id"
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -1450,6 +1507,7 @@ ENGINE_QUERIES = {
     "q140_conversion_funnel": q140_conversion_funnel,
     "q141_triangle_parts": q141_triangle_parts,
     "q142_ewma_baseline": q142_ewma_baseline,
+    "q143_pareto_frontier": q143_pareto_frontier,
 }
 
 
@@ -2502,4 +2560,29 @@ ENGINE_ORACLE_SQL["q142_ewma_baseline"] = """
            CAST(list_reduce(vs, (s, x) -> (3 * s + x) // 4) AS BIGINT)
                AS ewma
     FROM s ORDER BY user_id
+"""
+
+# q143: the oracle replays the distinct-x skyline formulation — grouped
+# ymax per x, prefix max over strictly-larger x, survivors where the
+# row's y is its x's ymax and that ymax beats the prefix — all exact
+# integer comparisons (the tokenizer and the e6 floor division follow
+# the corpus conventions).
+ENGINE_ORACLE_SQL["q143_pareto_frontier"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_tokens,
+               (1000000 * CAST(len(list_distinct(ws)) AS BIGINT))
+                   // CAST(len(ws) AS BIGINT) AS ttr_e6
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+              FROM documents)),
+    gx AS (SELECT n_tokens, MAX(ttr_e6) AS ymax FROM t GROUP BY n_tokens),
+    s AS (SELECT n_tokens, ymax,
+                 MAX(ymax) OVER (ORDER BY n_tokens DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS pm
+          FROM gx)
+    SELECT t.doc_id, t.n_tokens, t.ttr_e6
+    FROM t JOIN s USING (n_tokens)
+    WHERE t.ttr_e6 = s.ymax AND (s.pm IS NULL OR s.ymax > s.pm)
+    ORDER BY t.doc_id
 """

@@ -790,3 +790,49 @@ class TestEwmaLast:
                 ),
                 alpha_den=1,
             )
+
+
+class TestSkyline2d:
+    """Hand-checked 2-D Pareto skyline (engine_queries.skyline_2d; the
+    sf0.01 oracle gate runs in test_r5_operators)."""
+
+    def _sky(self, spark, rows):
+        from bloomy_etl_spark.operators.engine_queries import skyline_2d
+
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        return {r["id"] for r in skyline_2d(df, "x", "y").collect()}
+
+    def test_dominance_and_duplicates(self, spark):
+        rows = [
+            (0, 10, 10),   # dominated by 1 (both strictly better)
+            (1, 20, 20),   # skyline
+            (2, 30, 5),    # skyline (best x among y<20)
+            (3, 20, 20),   # duplicate of 1 → also skyline
+            (4, 20, 15),   # same x as 1, lower y → dominated
+            (5, 25, 20),   # dominates 1/3? x>20, y=20 → yes, skyline
+            (6, 5, 50),    # skyline (best y)
+        ]
+        # 5 dominates 1 and 3 (x strictly greater, y equal)
+        assert self._sky(spark, rows) == {2, 5, 6}
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [(i, rng.randrange(20), rng.randrange(20))
+                for i in range(200)]
+        want = {
+            i
+            for i, x, y in rows
+            if not any(
+                qx >= x and qy >= y and (qx > x or qy > y)
+                for _, qx, qy in rows
+            )
+        }
+        assert self._sky(spark, rows) == want
+
+    def test_single_row_and_monotone_chain(self, spark):
+        assert self._sky(spark, [(7, 1, 1)]) == {7}
+        # strictly anti-correlated chain: everything is skyline
+        chain = [(i, i, 100 - i) for i in range(10)]
+        assert self._sky(spark, chain) == set(range(10))
