@@ -164,6 +164,11 @@ class _CatalogReader(DataSourceReader):
         self.page_size = int(options.get("page_size", "1000"))
         self.max_retries = int(options.get("max_retries", "3"))
         self.retry_backoff_s = float(options.get("retry_backoff_s", "0.05"))
+        # 429 handling honors the server's Retry-After up to this cap —
+        # a hostile/misconfigured header must not park an executor task
+        # for minutes; past the cap the server's pacing intent is kept
+        # (we still wait the cap, longer than the exponential default).
+        self.retry_after_cap_s = float(options.get("retry_after_cap_s", "2"))
         self.timeout_s = float(options.get("timeout_s", "30"))
         self.params: dict[str, str] = {}
         self._aoi: dict[str, float] = {}  # filter-derived bbox edges
@@ -246,26 +251,37 @@ class _CatalogReader(DataSourceReader):
 
     def _fetch(self, path: str, params: dict[str, str],
                token: TokenProvider) -> Any:
-        """GET with bounded retry (5xx / connection errors) and one
-        forced token refresh on 401 per attempt loop — the
-        ``core/processor.py:96-163`` retry discipline."""
+        """GET with bounded retry (5xx / connection errors / 429 rate
+        limits) and one forced token refresh on 401 per attempt loop —
+        the ``core/processor.py:96-163`` retry discipline. A 429's
+        ``Retry-After`` (seconds form) is honored up to
+        ``retry_after_cap_s``; the HTTP-date form and a missing header
+        fall back to the exponential backoff."""
         qs = urllib.parse.urlencode(params)
         url = f"{self.endpoint}{path}?{qs}" if qs else f"{self.endpoint}{path}"
         last: Exception | None = None
         for attempt in range(self.max_retries + 1):
             token.refresh_if_needed()
+            delay = self.retry_backoff_s * (2 ** attempt)
             try:
                 return _http_json(url, token.get_headers(), self.timeout_s)
             except urllib.error.HTTPError as e:
                 last = e
                 if e.code == 401:
                     token.force_refresh()  # expiry raced us; retry fresh
+                elif e.code == 429:
+                    try:
+                        ra = float(e.headers.get("Retry-After"))
+                    except (TypeError, ValueError):
+                        ra = None
+                    if ra is not None and ra >= 0:
+                        delay = min(ra, self.retry_after_cap_s)
                 elif not (500 <= e.code < 600):
-                    raise  # 4xx other than auth: not retryable
+                    raise  # 4xx other than auth/rate-limit: not retryable
             except urllib.error.URLError as e:
                 last = e
             if attempt < self.max_retries:  # no pointless terminal sleep
-                time.sleep(self.retry_backoff_s * (2 ** attempt))
+                time.sleep(delay)
         raise RuntimeError(
             f"catalog fetch failed after {self.max_retries + 1} attempts: "
             f"{url}"

@@ -44,6 +44,9 @@ class _State:
         self.valid_tokens: set[str] = set()  # all unexpired tokens
         self.expire_current_token = False  # revoke issued tokens once
         self.fail_next = 0                 # next N data requests 500
+        self.rate_limit_next = 0           # next N data requests 429
+        self.rate_limit_header = "0.05"    # Retry-After value (None=omit)
+        self.rate_limited_served = 0
         self.requests: list[dict] = []     # query params per data request
         self.granules = list(GRANULES)     # live (mutable) catalog
         self.snapshot_mode = False         # count returns a snapshot id
@@ -76,11 +79,13 @@ def _make_handler(state: _State):
         def log_message(self, *a):  # silence
             pass
 
-        def _send(self, code: int, body: dict):
+        def _send(self, code: int, body: dict, headers: dict | None = None):
             data = json.dumps(body).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(data)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(data)
 
@@ -113,6 +118,15 @@ def _make_handler(state: _State):
                 if state.fail_next > 0:
                     state.fail_next -= 1
                     self._send(503, {"error": "try later"})
+                    return
+                if state.rate_limit_next > 0:
+                    state.rate_limit_next -= 1
+                    state.rate_limited_served += 1
+                    hdr = (
+                        {"Retry-After": state.rate_limit_header}
+                        if state.rate_limit_header is not None else {}
+                    )
+                    self._send(429, {"error": "slow down"}, hdr)
                     return
                 state.requests.append(dict(qp))
                 # page reads carrying a snapshot id see that frozen
@@ -251,6 +265,21 @@ class TestResilience:
         rows = df.collect()
         assert len(rows) == len(GRANULES)
         assert state.token_serial >= 2  # a refresh happened
+
+    def test_429_honors_retry_after_and_recovers(self, catalog):
+        df, state = catalog
+        state.rate_limit_next = 2
+        rows = df.collect()
+        assert len(rows) == len(GRANULES)
+        assert state.rate_limited_served == 2  # both 429s were retried
+
+    def test_429_without_header_uses_backoff(self, catalog):
+        df, state = catalog
+        state.rate_limit_next = 1
+        state.rate_limit_header = None  # no Retry-After → exponential
+        rows = df.collect()
+        assert len(rows) == len(GRANULES)
+        assert state.rate_limited_served == 1
 
 
 class TestPageConsistency:
