@@ -156,6 +156,15 @@ def scale_cases():
         # ONE exploded gram stream, doc-grain join only — the exchange
         # must stay linear in the gram stream (no gram-grain join back)
         "q133_novelty_profile",
+        # r9 repetition gates: one tagged (doc, n, gram) exchange —
+        # linear in the gram stream, map-side combinable
+        "q137_gopher_repetition",
+        # r9 char entropy: (doc, char) partials — docs × alphabet, far
+        # below the char stream; must stay linear in docs
+        "q138_char_entropy",
+        # r9 Pareto skyline: the x-keyed agg is the only corpus-bounded
+        # exchange; the window frame is the distinct-x DOMAIN
+        "q143_pareto_frontier",
     ]
     cases = [(n, entry.ALL_QUERIES[n]) for n in names if n in entry.ALL_QUERIES]
     # SemDeDup's scale contract holds under its PRESCRIBED sizing
