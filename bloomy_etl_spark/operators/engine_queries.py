@@ -1254,6 +1254,19 @@ def funnel_stages(ev: DataFrame, stages: list[str]) -> DataFrame:
     acc0 = F.struct(
         F.lit(0).alias("s"), F.lit(-1).cast("long").alias("t")
     )
+    return seq.select(
+        "user_id",
+        F.aggregate(F.col("seq"), acc0, funnel_step(stages))["s"]
+        .alias("stage"),
+    )
+
+
+def funnel_step(stages: list[str]):
+    """The funnel fold's transition function over a (s=stage, t=last-µs)
+    struct accumulator — shared by the batch operator above and the
+    streaming continuation fold (the accumulator composes exactly
+    across ordered batches: stepping batch B from A's final state ≡
+    stepping A∥B)."""
 
     def _step(acc, e):
         out = None
@@ -1267,10 +1280,7 @@ def funnel_stages(ev: DataFrame, stages: list[str]) -> DataFrame:
             out = F.when(cond, nxt) if out is None else out.when(cond, nxt)
         return out.otherwise(acc)
 
-    return seq.select(
-        "user_id",
-        F.aggregate(F.col("seq"), acc0, _step)["s"].alias("stage"),
-    )
+    return _step
 
 
 def q140_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

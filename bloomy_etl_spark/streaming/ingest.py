@@ -135,6 +135,21 @@ def streaming_dedup_ingest(
     )
 
 
+def _order_mtimes(out_dir: str) -> None:
+    """Bump part-file mtimes in name (= range-slice) order: the file
+    stream source orders batches by modification time, and one parquet
+    write's N part files can share an mtime — tie order is arbitrary,
+    which would silently break the monotone-arrival contracts the
+    order-sensitive ingest tests (SemDeDup, EWMA, funnel) assume."""
+    import glob
+    import os
+
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*")))
+    base = os.stat(parts[0]).st_mtime if parts else 0
+    for i, pth in enumerate(parts):
+        os.utime(pth, (base + i, base + i))
+
+
 def replay_docs_dir(spark: SparkSession, sf_dir: str, out_dir: str,
                     n_files: int = 4) -> str:
     """Materialize the ``documents`` fixture as ``n_files`` id-ordered
@@ -150,6 +165,7 @@ def replay_docs_dir(spark: SparkSession, sf_dir: str, out_dir: str,
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+    _order_mtimes(out_dir)
     return out_dir
 
 
@@ -181,6 +197,7 @@ def replay_embs_dir(spark: SparkSession, sf_dir: str, out_dir: str,
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+    _order_mtimes(out_dir)
     return out_dir
 
 
@@ -947,4 +964,99 @@ def read_ewma_state(spark: SparkSession, state_dir: str,
         st.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(key_col, "n_obs", "last_v", "ewma")
+    )
+
+
+def streaming_funnel_ingest(
+    events_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    stages: list[str] | None = None,
+    key_col: str = "user_id",
+):
+    """Incremental conversion-funnel state (q140's
+    ``engine_queries.funnel_stages`` on a stream): each key's live
+    (furthest stage, last-advance µs). The funnel accumulator composes
+    exactly across batches — stepping batch B from A's final (stage,
+    t) equals stepping A∥B — so under ordered arrival the streaming
+    state is BIT-IDENTICAL to the batch fold over the union (the EWMA
+    ingest's contract, pinned by the same equivalence test shape).
+
+    Input columns: ``user_id``/``key_col``, ``eus`` (epoch µs),
+    ``event_id``, ``event_type``. Per batch: one key-keyed sorted-array
+    fold seeded from the stored accumulator; append-only per-batch
+    deltas keyed ``batch_id`` (replays recompute from ``< own id`` and
+    append identical rows; :func:`read_funnel_state` collapses per
+    (batch_id, key) then takes each key's latest).
+    """
+    from bloomy_etl_spark.operators.engine_queries import (
+        _FUNNEL_STAGES,
+        funnel_step,
+    )
+
+    stages = list(stages) if stages is not None else list(_FUNNEL_STAGES)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        like_schema = (
+            f"{key_col} long, stage int, t long, batch_id long"
+        )
+        prior = (
+            _read_or_empty(
+                spark, state_dir, spark.createDataFrame([], like_schema)
+            )
+            .filter(F.col("batch_id") != batch_id)
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(key_col).orderBy(
+                        F.col("batch_id").desc()
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select(key_col, F.col("stage").alias("__ps"),
+                    F.col("t").alias("__pt"))
+        )
+        seq = batch.groupBy(key_col).agg(
+            F.array_sort(
+                F.collect_list(F.struct("eus", "event_id", "event_type"))
+            ).alias("__seq")
+        )
+        init = F.struct(
+            F.coalesce(F.col("__ps"), F.lit(0)).alias("s"),
+            F.coalesce(F.col("__pt"), F.lit(-1).cast("long")).alias("t"),
+        )
+        acc = F.aggregate(F.col("__seq"), init, funnel_step(stages))
+        (
+            seq.join(prior, key_col, "left")
+            .select(
+                key_col,
+                acc["s"].alias("stage"),
+                acc["t"].alias("t"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+            .write.mode("append").parquet(state_dir)
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_funnel_state(spark: SparkSession, state_dir: str,
+                      key_col: str = "user_id") -> DataFrame:
+    """Each key's latest ``(key, stage, t)`` from the funnel delta
+    store, replay-collapsed per (batch_id, key)."""
+    st = spark.read.parquet(state_dir).dropDuplicates(
+        ["batch_id", key_col]
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col("batch_id").desc())
+    return (
+        st.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, "stage", "t")
     )

@@ -68,3 +68,24 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)
+
+
+def replay_dir_ordered(spark: SparkSession, sf_dir: str, out_dir: str,
+                       n_files: int = 8) -> str:
+    """:func:`replay_dir` with DETERMINISTIC arrival order: the file
+    stream source picks batches by modification time, and the N part
+    files of one parquet write can share an mtime — tie order is
+    arbitrary, which silently breaks the ordered-arrival contract the
+    continuation-fold ingests (EWMA, funnel) are tested under. This
+    helper bumps each part file's mtime in time-slice order (1 s
+    apart), so ``maxFilesPerTrigger=1`` replays the slices exactly in
+    event-time order."""
+    import glob
+    import os
+
+    replay_dir(spark, sf_dir, out_dir, n_files=n_files)
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*")))
+    base = os.stat(parts[0]).st_mtime if parts else 0
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
+    return out_dir

@@ -1724,9 +1724,9 @@ class TestEwmaIngest:
             read_ewma_state,
             streaming_ewma_ingest,
         )
-        from bloomy_etl_spark.streaming.sources import replay_dir
+        from bloomy_etl_spark.streaming.sources import replay_dir_ordered
 
-        replay = replay_dir(
+        replay = replay_dir_ordered(
             spark, SF_SMOKE, str(tmp_path / "replay"), n_files=n_files
         )
         schema = spark.read.parquet(replay).schema
@@ -1781,5 +1781,80 @@ class TestEwmaIngest:
         after = {
             tuple(r)
             for r in read_ewma_state(spark, state_dir).collect()
+        }
+        assert after == before
+
+
+class TestFunnelIngest:
+    """Incremental funnel state (streaming/ingest.py::
+    streaming_funnel_ingest): the (stage, last-µs) accumulator composes
+    exactly across ordered batches, so the streaming state must equal
+    the batch fold bit-for-bit — same contract shape as the EWMA
+    ingest."""
+
+    def _ingest(self, spark, tmp_path):
+        from bloomy_etl_spark.streaming.ingest import (
+            read_funnel_state,
+            streaming_funnel_ingest,
+        )
+        from bloomy_etl_spark.streaming.sources import replay_dir_ordered
+
+        replay = replay_dir_ordered(
+            spark, SF_SMOKE, str(tmp_path / "replay"), n_files=3
+        )
+        schema = spark.read.parquet(replay).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .select(
+                "user_id", F.unix_micros("ts").alias("eus"),
+                "event_id", "event_type",
+            )
+        )
+        q = streaming_funnel_ingest(
+            stream, str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        return read_funnel_state(spark, str(tmp_path / "state"))
+
+    def test_stream_equals_batch_bit_identical(self, spark, tmp_path):
+        from bloomy_etl_spark.operators.engine_queries import (
+            _FUNNEL_STAGES,
+            funnel_stages,
+        )
+        from bloomy_etl_spark.sources.tables import load_table
+
+        got = {
+            r["user_id"]: r["stage"]
+            for r in self._ingest(spark, tmp_path).collect()
+        }
+        ev = load_table(spark, SF_SMOKE, "events").select(
+            "user_id", F.unix_micros("ts").alias("eus"),
+            "event_id", "event_type",
+        )
+        want = {
+            r["user_id"]: r["stage"]
+            for r in funnel_stages(ev, _FUNNEL_STAGES).collect()
+        }
+        assert got == want
+        assert any(s > 0 for s in want.values())  # fixture exercises it
+
+    def test_replayed_delta_collapses(self, spark, tmp_path):
+        from bloomy_etl_spark.streaming.ingest import read_funnel_state
+
+        before = {
+            tuple(r) for r in self._ingest(spark, tmp_path).collect()
+        }
+        state_dir = str(tmp_path / "state")
+        st = spark.read.parquet(state_dir)
+        last = st.agg(F.max("batch_id")).collect()[0][0]
+        st.filter(F.col("batch_id") == last).write.mode("append").parquet(
+            state_dir
+        )
+        after = {
+            tuple(r)
+            for r in read_funnel_state(spark, state_dir).collect()
         }
         assert after == before
