@@ -1474,6 +1474,86 @@ def q143_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_MEMO: dict[tuple, str] = {}
+
+
+def _cleanup_stream_dirs() -> None:
+    import shutil
+
+    for d in _STREAM_MEMO.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STREAM_MEMO.clear()
+
+
+atexit.register(_cleanup_stream_dirs)
+
+
+def q144_streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first STREAMING flow under the driver hash gate (the q131
+    capstone pattern applied to Structured Streaming): replay the
+    events fixture as three time-ordered micro-batches through
+    ``streaming_ewma_ingest`` (foreachBatch continuation folds over a
+    durable per-batch delta store) and return the final per-user state.
+    The oracle is the PLAIN BATCH list_reduce replay (q142's SQL
+    shape) — the hash match IS the stream ≡ batch bit-identity
+    contract, driver-checked end-to-end rather than only unit-pinned.
+
+    Scratch build (replay slices → availableNow query → state store) is
+    memoized per (session, fixture mtime) like q131's GDPR build, so
+    repeated driver calls read stable files; dirs are cleaned at exit.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bloomy_etl_spark.streaming.ingest import (
+        read_ewma_state,
+        streaming_ewma_ingest,
+    )
+    from bloomy_etl_spark.streaming.sources import replay_dir_ordered
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = (id(spark), sf_dir, os.stat(src).st_mtime_ns)
+    base = _STREAM_MEMO.get(key)
+    if base is None or not os.path.isfile(os.path.join(base, "_BUILD_OK")):
+        base = os.path.join(
+            tempfile.gettempdir(), "bloomy_stream",
+            f"{os.getpid()}-"
+            + hashlib.md5(repr(key).encode()).hexdigest()[:12],
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        replay = replay_dir_ordered(
+            spark, sf_dir, os.path.join(base, "replay"), n_files=3
+        )
+        schema = spark.read.parquet(replay).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("eus"),
+                "event_id",
+                F.floor(F.col("value") * 10000).cast("long").alias("v"),
+            )
+        )
+        q = streaming_ewma_ingest(
+            stream,
+            os.path.join(base, "state"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("q144 replay stream did not finish")
+        with open(os.path.join(base, "_BUILD_OK"), "w") as f:
+            f.write("ok")
+        _STREAM_MEMO[key] = base
+    return read_ewma_state(spark, os.path.join(base, "state")).transform(
+        _psort, "user_id"
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -1518,6 +1598,7 @@ ENGINE_QUERIES = {
     "q141_triangle_parts": q141_triangle_parts,
     "q142_ewma_baseline": q142_ewma_baseline,
     "q143_pareto_frontier": q143_pareto_frontier,
+    "q144_streaming_ewma_state": q144_streaming_ewma_state,
 }
 
 
@@ -2595,4 +2676,24 @@ ENGINE_ORACLE_SQL["q143_pareto_frontier"] = r"""
     FROM t JOIN s USING (n_tokens)
     WHERE t.ttr_e6 = s.ymax AND (s.pm IS NULL OR s.ymax > s.pm)
     ORDER BY t.doc_id
+"""
+
+# q144: the oracle is the plain BATCH replay of the same integer EWMA
+# (q142's list_reduce shape) — the hash match against the STREAMED
+# per-batch continuation folds is the stream ≡ batch contract itself.
+ENGINE_ORACLE_SQL["q144_streaming_ewma_state"] = """
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) AS eus, event_id,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v
+        FROM events),
+    s AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               list(v ORDER BY eus, event_id) AS vs
+        FROM v GROUP BY user_id)
+    SELECT user_id, n_obs,
+           vs[len(vs)] AS last_v,
+           CAST(list_reduce(vs, (s, x) -> (3 * s + x) // 4) AS BIGINT)
+               AS ewma
+    FROM s ORDER BY user_id
 """
