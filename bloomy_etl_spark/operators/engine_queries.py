@@ -1554,6 +1554,103 @@ def q144_streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q145_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier communities by synchronous label propagation
+    (graph.label_propagation, 3 rounds, min-label ties) over the
+    STRONG co-purchase graph — suppliers that co-fulfil ≥ 2 distinct
+    orders share an edge (q141's support gate on the q82 supplier
+    graph).  Completes the graph-analytics family: q42 connectivity,
+    q82 centrality, q97 reachability, q141 local density, q145
+    community structure.  All label decisions are exact integer
+    majority votes, replayed by the oracle as one unrolled
+    MATERIALIZED CTE per round."""
+    from bloomy_etl_spark.operators.graph import label_propagation
+
+    os_ = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        os_.select("o", F.col("s").alias("x"))
+        .join(os_.select("o", F.col("s").alias("y")), "o")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .drop("w")
+    )
+    return (
+        label_propagation(edges, rounds=3)
+        .select(F.col("node").cast("long").alias("supp_key"),
+                F.col("label").cast("long").alias("community"))
+        .transform(_psort, "supp_key")
+    )
+
+
+def q146_mg_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ = 1/150 frequent users via two-phase Misra-Gries
+    (sketches.frequent_items_exact): per-partition bounded-state MG
+    summaries prune the user domain to a provable candidate superset,
+    then an exact broadcast-pruned recount keeps ``n * 150 >= N``.
+    The oracle is the PLAIN full-domain GROUP BY ... HAVING — the hash
+    match proves the bounded-state pruning lossless (the q113
+    pattern). The deterministic frequent-set counterpart to q65's
+    probabilistic CMS point estimates: at 100 TB the full-domain agg
+    shuffles a row per distinct key, MG shuffles O(partitions ×
+    capacity)."""
+    from bloomy_etl_spark.operators.sketches import frequent_items_exact
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return (
+        frequent_items_exact(ev, "user_id", k=150, capacity=256)
+        .withColumnRenamed("n_items", "n_events")
+        .transform(_psort, "user_id")
+    )
+
+
+def q147_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: count non-overlapping occurrences of the
+    row pattern ``view → click → purchase`` (no purchase in between)
+    in each user's time-ordered event stream, by encoding the stream
+    as a code string (one char per event, initials are distinct) and
+    scanning it with ``v[^p]*c[^p]*p`` — leftmost-first regex
+    semantics ARE the SQL:2016 row-pattern scan (skip past last row of
+    match), shared by Java regex and RE2 for this pattern class.
+    Complements q140's stage-fold funnel (earliest single traversal)
+    with repeated-match counting, the piece of MATCH_RECOGNIZE an
+    event engine needs most. One user-keyed shuffle builds the code
+    strings (sorted-struct fold, the q142 shape); the scan is
+    per-row JVM regex, no second shuffle."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("eus"),
+            F.col("event_id").alias("eid"),
+            F.substring("event_type", 1, 1).alias("code"),
+        ).alias("s"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("s")),
+                        lambda r: r["code"]),
+            "",
+        ).alias("seq"),
+    )
+    return (
+        seq.select(
+            "user_id",
+            "n_events",
+            F.size(F.regexp_extract_all(
+                F.col("seq"), F.lit(r"v[^p]*c[^p]*p"), F.lit(0)
+            )).cast("long").alias("n_conversions"),
+        )
+        .filter(F.col("n_conversions") >= 1)
+        .transform(_psort, "user_id")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -1599,6 +1696,9 @@ ENGINE_QUERIES = {
     "q142_ewma_baseline": q142_ewma_baseline,
     "q143_pareto_frontier": q143_pareto_frontier,
     "q144_streaming_ewma_state": q144_streaming_ewma_state,
+    "q145_supplier_communities": q145_supplier_communities,
+    "q146_mg_frequent_users": q146_mg_frequent_users,
+    "q147_sequence_pattern": q147_sequence_pattern,
 }
 
 
@@ -2696,4 +2796,88 @@ ENGINE_ORACLE_SQL["q144_streaming_ewma_state"] = """
            CAST(list_reduce(vs, (s, x) -> (3 * s + x) // 4) AS BIGINT)
                AS ewma
     FROM s ORDER BY user_id
+"""
+
+# q145: one unrolled CTE per synchronous LPA round (the q97/q139
+# fixed-round replay shape). und is referenced by every round, so it is
+# MATERIALIZED (the q139 lesson: DuckDB re-inlines plain CTEs per
+# reference); per-round labels are MATERIALIZED too so the
+# window-over-aggregate nesting never stacks. Majority label with
+# smallest-label ties = ROW_NUMBER(cnt DESC, label ASC) = 1, exactly
+# the Spark window.
+ENGINE_ORACLE_SQL["q145_supplier_communities"] = """
+    WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    e AS MATERIALIZED (
+        SELECT a.s AS x, b.s AS y
+        FROM op a JOIN op b ON a.o = b.o AND a.s < b.s
+        GROUP BY a.s, b.s HAVING COUNT(*) >= 2),
+    und AS MATERIALIZED (
+        SELECT x AS node, y AS nbr FROM e
+        UNION ALL SELECT y AS node, x AS nbr FROM e),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT node, node AS label FROM und),
+    l1 AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT u.node, l.label, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY u.node
+                                      ORDER BY COUNT(*) DESC, l.label ASC)
+                       AS rn
+            FROM und u JOIN l0 l ON u.nbr = l.node
+            GROUP BY u.node, l.label)
+        WHERE rn = 1),
+    l2 AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT u.node, l.label, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY u.node
+                                      ORDER BY COUNT(*) DESC, l.label ASC)
+                       AS rn
+            FROM und u JOIN l1 l ON u.nbr = l.node
+            GROUP BY u.node, l.label)
+        WHERE rn = 1),
+    l3 AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT u.node, l.label, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY u.node
+                                      ORDER BY COUNT(*) DESC, l.label ASC)
+                       AS rn
+            FROM und u JOIN l2 l ON u.nbr = l.node
+            GROUP BY u.node, l.label)
+        WHERE rn = 1)
+    SELECT CAST(node AS BIGINT) AS supp_key,
+           CAST(label AS BIGINT) AS community
+    FROM l3 ORDER BY supp_key
+"""
+
+
+# q146: the oracle is the straight full-domain aggregate — identical
+# output proves the MG candidate pruning lossless end-to-end.
+ENGINE_ORACLE_SQL["q146_mg_frequent_users"] = """
+    WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events GROUP BY user_id),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events)
+    SELECT user_id, n_events FROM c, t
+    WHERE n_events * 150 >= total
+    ORDER BY user_id
+"""
+
+
+# q147: the oracle rebuilds the same per-user code string with an
+# ordered list aggregate and scans it with RE2's regexp_extract_all —
+# leftmost-first non-overlapping semantics match Java's for this
+# pattern (no alternation, classes exclude the terminator).
+ENGINE_ORACLE_SQL["q147_sequence_pattern"] = """
+    WITH s AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               array_to_string(
+                   list(substr(event_type, 1, 1)
+                        ORDER BY epoch_us(ts), event_id), '') AS seq
+        FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p'))
+                AS BIGINT) AS n_conversions
+    FROM s
+    WHERE len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) >= 1
+    ORDER BY user_id
 """

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from bloomy_etl_spark.session import pin
 
-__all__ = ["pagerank", "bfs_hops", "triangle_counts"]
+__all__ = ["pagerank", "bfs_hops", "triangle_counts", "label_propagation"]
 
 
 def bfs_hops(
@@ -149,6 +149,66 @@ def pagerank(
             .transform(pin, eager=False)
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    *,
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    deterministic tie-break — the COMMUNITY view of a graph, between
+    connected components (q42's equivalence classes) and triangles
+    (q141's local density): labels flow along edges and stabilize on
+    densely connected clusters, splitting a single component into its
+    communities.
+
+    Input: canonical undirected edges (``x < y``, distinct).  Every
+    node starts labeled with itself; each round, every node
+    simultaneously adopts the most frequent label among its neighbors,
+    ties broken by the SMALLEST label.  Both rules are exact integer
+    comparisons, so a fixed-round run is replayed bit-identically by a
+    sequential engine via one unrolled CTE per round (the q139/q97
+    oracle shape) — no quantization needed.  Asynchronous LPA is
+    faster to converge but schedule-dependent; the synchronous variant
+    is the one with a replayable semantics, and fixed ``rounds`` keeps
+    it bounded exactly like ``pagerank``.
+
+    Scale: each round is one nbr-keyed join (labels ⋈ undirected
+    edges) + one (node, label) hash-agg + one node-keyed window over
+    the per-node label histogram — all keyed by node, no global
+    barrier, state is one row per node.  Lineage is cut per round with
+    ``session.pin`` so plans stay O(1) regardless of ``rounds``.
+    Returns ``(node, label)`` for every vertex of the edge table.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    from pyspark.sql import Window
+
+    und = edges.select(F.col(x).alias("node"), F.col(y).alias("nbr")).unionAll(
+        edges.select(F.col(y).alias("node"), F.col(x).alias("nbr"))
+    ).transform(pin, eager=True)
+    labels = und.select("node").distinct().withColumn(
+        "label", F.col("node")
+    ).transform(pin, eager=False)
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        labels = (
+            und.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .transform(pin, eager=False)
+        )
+    return labels
 
 
 def triangle_counts(edges: DataFrame, x: str = "x", y: str = "y",

@@ -576,3 +576,89 @@ def hist_quantile(sketch: DataFrame, qs: list[float],
     return base.select(*keys, F.explode(packed).alias("__e")).select(
         *keys, F.col("__e.q").alias("q"), F.col("__e.est").alias("est")
     )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries frequent items: the DETERMINISTIC bounded-state counterpart
+# to the CM sketch above. An MG summary with capacity c undercounts any
+# item by at most N/(c+1) (Misra & Gries 1982), and summaries of disjoint
+# slices MERGE with the same bound (Agarwal et al. 2012, "Mergeable
+# Summaries": add counters, subtract the (c+1)-th largest, drop <= 0) —
+# so per-partition summaries + one merge give a candidate set that
+# PROVABLY contains every item with global frequency >= N/k whenever
+# c >= k. A second exact pass recounts only the candidates, making the
+# two-phase output EXACT: at 100 TB with billions of distinct keys the
+# full-domain hash-agg shuffles a row per key, while this shuffles
+# O(partitions * c) candidate rows plus the recount of a tiny
+# broadcast-pruned subset. CMS answers point queries probabilistically;
+# MG enumerates the frequent set deterministically.
+# --------------------------------------------------------------------------
+def mg_summary(df: DataFrame, item_col: str, *,
+               capacity: int = 256) -> DataFrame:
+    """Per-partition mergeable Misra-Gries summaries.
+
+    Returns ``(item_col, mg_wt)`` — the union of every partition's
+    summary (≤ capacity rows each, so the result is bounded by
+    partitions × capacity regardless of data size). Arrow-batched:
+    each batch is reduced with a vectorized ``value_counts`` (an exact
+    summary of the batch) and merged into the running partition
+    summary with the Agarwal et al. decrement, so no Python loop ever
+    touches individual rows.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    import pandas as pd
+
+    field = df.schema[item_col]
+    spark_type = field.dataType.simpleString()
+
+    def gen(batches):
+        acc = None
+        for pdf in batches:
+            vc = pdf[item_col].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > capacity:
+                kth = acc.nlargest(capacity + 1).iloc[-1]
+                acc = acc[acc > kth] - kth
+        if acc is None or acc.empty:
+            yield pd.DataFrame({item_col: pd.Series([], dtype=object),
+                                "mg_wt": pd.Series([], dtype="int64")})
+        else:
+            yield pd.DataFrame({item_col: acc.index.to_numpy(),
+                                "mg_wt": acc.to_numpy().astype("int64")})
+
+    return df.select(item_col).mapInPandas(
+        gen, schema=f"{item_col} {spark_type}, mg_wt long"
+    )
+
+
+def frequent_items_exact(df: DataFrame, item_col: str, *, k: int,
+                         capacity: int | None = None) -> DataFrame:
+    """EXACT φ = 1/k frequent items via MG candidates + recount.
+
+    Phase 1 (bounded state): per-partition MG summaries with
+    ``capacity >= k`` — their union is a candidate superset of every
+    item with frequency ≥ N/k (merge bound above). Phase 2 (exact):
+    broadcast the candidate set, recount only matching rows, keep
+    ``count * k >= N``. Output ``(item_col, n_items)`` is exactly the
+    plain GROUP BY ... HAVING answer — the driver oracle proves the
+    pruning lossless, the same pattern as q113's PPJoin-vs-brute-force
+    gate.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    capacity = max(capacity or 2 * k, k)
+    cands = (
+        mg_summary(df, item_col, capacity=capacity)
+        .select(item_col)
+        .distinct()
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        df.join(F.broadcast(cands), item_col)
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_items") * F.lit(k) >= F.col("__n"))
+        .select(item_col, "n_items")
+    )

@@ -836,3 +836,59 @@ class TestSkyline2d:
         # strictly anti-correlated chain: everything is skyline
         chain = [(i, i, 100 - i) for i in range(10)]
         assert self._sky(spark, chain) == set(range(10))
+
+
+class TestLabelPropagation:
+    """Synchronous LPA (graph.label_propagation): hand-traced rounds on
+    a two-clique bridge graph, determinism of the min-label tie-break,
+    and the zero-round identity."""
+
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, ["x", "y"])
+
+    def test_two_cliques_split_into_two_communities(self, spark):
+        from bloomy_etl_spark.operators.graph import label_propagation
+
+        pairs = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12),
+                 (3, 10)]
+        got = {r["node"]: r["label"]
+               for r in label_propagation(
+                   self._edges(spark, pairs), rounds=3).collect()}
+        comms = {}
+        for n, lbl in got.items():
+            comms.setdefault(lbl, set()).add(n)
+        assert sorted(map(frozenset, comms.values()), key=min) == [
+            frozenset({1, 2, 3}), frozenset({10, 11, 12})]
+
+    def test_hand_traced_first_round_min_label_ties(self, spark):
+        from bloomy_etl_spark.operators.graph import label_propagation
+
+        # node 1's neighbors {2, 3} tie at count 1 → smallest label 2
+        pairs = [(1, 2), (1, 3), (2, 3)]
+        got = {r["node"]: r["label"]
+               for r in label_propagation(
+                   self._edges(spark, pairs), rounds=1).collect()}
+        assert got == {1: 2, 2: 1, 3: 1}
+
+    def test_zero_rounds_is_identity_and_negative_rejected(self, spark):
+        import pytest
+
+        from bloomy_etl_spark.operators.graph import label_propagation
+
+        e = self._edges(spark, [(1, 2), (2, 3)])
+        got = {r["node"]: r["label"]
+               for r in label_propagation(e, rounds=0).collect()}
+        assert got == {1: 1, 2: 2, 3: 3}
+        with pytest.raises(ValueError):
+            label_propagation(e, rounds=-1)
+
+    def test_deterministic_across_partitioning(self, spark):
+        from bloomy_etl_spark.operators.graph import label_propagation
+
+        pairs = [(i, j) for i in range(12) for j in range(i + 1, 12)
+                 if (i * 7 + j * 3) % 4 != 0]
+        a = sorted(map(tuple, label_propagation(
+            self._edges(spark, pairs).repartition(1), rounds=3).collect()))
+        b = sorted(map(tuple, label_propagation(
+            self._edges(spark, pairs).repartition(16), rounds=3).collect()))
+        assert a == b

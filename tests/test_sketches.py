@@ -139,3 +139,79 @@ class TestHistQuantile:
             hist_quantile(sk, [], 0.0, 1000.0)
         with pytest.raises(ValueError, match="out of"):
             hist_quantile(sk, [1.5], 0.0, 1000.0)
+
+
+class TestMisraGries:
+    """Two-phase exact frequent items (sketches.mg_summary /
+    frequent_items_exact): eviction actually exercised (domain ≫
+    capacity), candidate supersets provable, final output exactly the
+    full-domain answer, state bounded by partitions × capacity."""
+
+    def _zipf_df(self, spark):
+        # 2 true heavy hitters over a 3000-item tail: domain 3002 ≫
+        # capacity 16, so per-partition summaries must evict.
+        rows = ([(100000,)] * 3000 + [(100001,)] * 1500
+                + [(i,) for i in range(3000)]
+                + [(i,) for i in range(1500)])
+        return spark.createDataFrame(rows, ["item"]).repartition(8)
+
+    def test_exact_output_matches_full_domain_answer(self, spark):
+        from pyspark.sql import functions as F
+
+        from bloomy_etl_spark.operators.sketches import frequent_items_exact
+
+        df = self._zipf_df(spark)
+        n = df.count()
+        k = 10
+        want = {
+            (r["item"], r["n"])
+            for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") * k >= n).collect()
+        }
+        got = {
+            (r["item"], r["n_items"])
+            for r in frequent_items_exact(df, "item", k=k,
+                                          capacity=16).collect()
+        }
+        assert got == want
+        assert {i for i, _ in got} == {100000, 100001}
+
+    def test_summary_bounded_and_undercounts_only(self, spark):
+        from pyspark.sql import functions as F
+
+        from bloomy_etl_spark.operators.sketches import mg_summary
+
+        df = self._zipf_df(spark)
+        parts = df.rdd.getNumPartitions()
+        cap = 16
+        summ = mg_summary(df, "item", capacity=cap).collect()
+        assert len(summ) <= parts * cap
+        true = {r["item"]: r["n"]
+                for r in df.groupBy("item")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        merged = {}
+        for r in summ:
+            assert r["mg_wt"] >= 1
+            merged[r["item"]] = merged.get(r["item"], 0) + r["mg_wt"]
+        for item, wt in merged.items():
+            assert wt <= true[item], f"MG over-counted {item}"
+
+    def test_capacity_one_and_validation(self, spark):
+        import pytest
+
+        from bloomy_etl_spark.operators.sketches import (
+            frequent_items_exact,
+            mg_summary,
+        )
+
+        df = spark.createDataFrame([(1,)] * 9 + [(2,)], ["item"]) \
+            .repartition(1)
+        # capacity 1 keeps only the majority candidate; recount is exact
+        got = {(r["item"], r["n_items"])
+               for r in frequent_items_exact(df, "item", k=2,
+                                             capacity=1).collect()}
+        assert got == {(1, 9)}
+        with pytest.raises(ValueError):
+            mg_summary(df, "item", capacity=0)
+        with pytest.raises(ValueError):
+            frequent_items_exact(df, "item", k=0)
