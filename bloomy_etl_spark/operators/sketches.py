@@ -593,8 +593,8 @@ def hist_quantile(sketch: DataFrame, qs: list[float],
 # broadcast-pruned subset. CMS answers point queries probabilistically;
 # MG enumerates the frequent set deterministically.
 # --------------------------------------------------------------------------
-def mg_summary(df: DataFrame, item_col: str, *,
-               capacity: int = 256) -> DataFrame:
+def mg_summary(df: DataFrame, item_col: str, *, capacity: int = 256,
+               with_part_totals: bool = False) -> DataFrame:
     """Per-partition mergeable Misra-Gries summaries.
 
     Returns ``(item_col, mg_wt)`` — the union of every partition's
@@ -604,31 +604,57 @@ def mg_summary(df: DataFrame, item_col: str, *,
     summary of the batch) and merged into the running partition
     summary with the Agarwal et al. decrement, so no Python loop ever
     touches individual rows.
+
+    ``with_part_totals=True`` appends ``(part_id, n_part)`` — the
+    partition index and its exact row count — so a consumer (the
+    streaming ingest) can recover the stream's total item count from
+    the summary store alone, without rescanning the data.  Because a
+    near-uniform partition can legitimately evict EVERY counter (all
+    values ≤ the (capacity+1)-th largest), each partition also emits
+    one sentinel row (``item = NULL, mg_wt = 0``) so its ``n_part`` is
+    never lost; candidate readers drop ``mg_wt = 0`` rows.
     """
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
     import pandas as pd
+    from pyspark import TaskContext
 
     field = df.schema[item_col]
     spark_type = field.dataType.simpleString()
+    totals_ddl = ", part_id int, n_part long" if with_part_totals else ""
 
     def gen(batches):
         acc = None
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             vc = pdf[item_col].value_counts()
             acc = vc if acc is None else acc.add(vc, fill_value=0)
             if len(acc) > capacity:
                 kth = acc.nlargest(capacity + 1).iloc[-1]
                 acc = acc[acc > kth] - kth
         if acc is None or acc.empty:
-            yield pd.DataFrame({item_col: pd.Series([], dtype=object),
+            out = pd.DataFrame({item_col: pd.Series([], dtype=object),
                                 "mg_wt": pd.Series([], dtype="int64")})
         else:
-            yield pd.DataFrame({item_col: acc.index.to_numpy(),
-                                "mg_wt": acc.to_numpy().astype("int64")})
+            out = pd.DataFrame(
+                {item_col: pd.Series(acc.index.to_numpy(), dtype=object),
+                 "mg_wt": acc.to_numpy().astype("int64")})
+        if with_part_totals:
+            # sentinel row: totals survive even a fully-evicted summary
+            out = pd.concat(
+                [out, pd.DataFrame({item_col: pd.Series([None],
+                                                        dtype=object),
+                                    "mg_wt": [0]})],
+                ignore_index=True,
+            )
+            ctx = TaskContext.get()
+            out["part_id"] = ctx.partitionId() if ctx is not None else -1
+            out["n_part"] = n_part
+        yield out
 
     return df.select(item_col).mapInPandas(
-        gen, schema=f"{item_col} {spark_type}, mg_wt long"
+        gen, schema=f"{item_col} {spark_type}, mg_wt long{totals_ddl}"
     )
 
 

@@ -1060,3 +1060,83 @@ def read_funnel_state(spark: SparkSession, state_dir: str,
         .filter(F.col("__rn") == 1)
         .select(key_col, "stage", "t")
     )
+
+
+def streaming_mg_ingest(
+    items_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    item_col: str,
+    capacity: int = 256,
+):
+    """Streaming DETERMINISTIC heavy-hitter candidates: fold every
+    micro-batch into a durable Misra-Gries summary store and return
+    the started ``StreamingQuery`` — the exact-enumeration counterpart
+    to :func:`streaming_cms_ingest`'s probabilistic point estimates.
+
+    Per batch: one bounded ``mg_summary`` pass (≤ partitions × capacity
+    rows out, with per-partition exact totals) appended tagged with
+    ``batch_id`` — history is never rewritten, and an at-least-once
+    replay re-appends rows identical by determinism of the summary, so
+    the read side collapses duplicates per (batch_id, part_id).
+
+    Contract (the q146 guarantee, sliced by batch×partition instead of
+    partition): any item with total stream frequency ≥ N/k, k ≤
+    capacity, appears in SOME slice with local frequency > N_s/(cap+1)
+    (averaging), hence survives that slice's summary — the union read
+    back by :func:`read_mg_candidates` is a provable candidate
+    superset, and an exact recount against the corpus store yields
+    exactly the batch answer (asserted stream ≡ batch in
+    tests/test_streaming.py).
+    """
+    from bloomy_etl_spark.operators.sketches import mg_summary
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        delta = mg_summary(
+            batch.select(item_col), item_col, capacity=capacity,
+            with_part_totals=True,
+        )
+        delta.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(store_dir)
+
+    return (
+        items_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_mg_candidates(
+    spark: SparkSession, store_dir: str, item_col: str
+) -> DataFrame:
+    """Collapse the per-batch MG deltas into the merged candidate
+    summary ``(item_col, mg_wt)``. Replayed appends are identical per
+    (batch_id, part_id) by construction, so ``max`` per
+    (batch_id, part_id, item) keeps exactly one before the cross-slice
+    sum; weights remain undercounts of true stream frequency.  The
+    ``mg_wt = 0`` sentinel rows exist only to carry partition totals
+    and are dropped here."""
+    return (
+        spark.read.parquet(store_dir)
+        .filter(F.col("mg_wt") > 0)
+        .groupBy("batch_id", "part_id", item_col)
+        .agg(F.max("mg_wt").alias("mg_wt"))
+        .groupBy(item_col)
+        .agg(F.sum("mg_wt").alias("mg_wt"))
+    )
+
+
+def read_mg_total(spark: SparkSession, store_dir: str) -> int:
+    """Exact total item count of the ingested stream, recovered from
+    the summary store's per-(batch, partition) totals (one bounded
+    aggregate; replays collapse on the slice key)."""
+    row = (
+        spark.read.parquet(store_dir)
+        .select("batch_id", "part_id", "n_part")
+        .distinct()
+        .agg(F.coalesce(F.sum("n_part"), F.lit(0)).alias("n"))
+        .collect()[0]
+    )
+    return int(row["n"])

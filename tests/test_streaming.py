@@ -1858,3 +1858,111 @@ class TestFunnelIngest:
             for r in read_funnel_state(spark, state_dir).collect()
         }
         assert after == before
+
+
+class TestMgIngest:
+    """Streaming Misra-Gries ingest (streaming/ingest.py::
+    streaming_mg_ingest): after replaying all micro-batches, an exact
+    recount of the stored candidates equals the plain full-domain
+    frequent-items answer (stream ≡ batch on the FINAL output — the
+    summaries themselves are slice-dependent by design), the recovered
+    total is exact, and the store is bounded."""
+
+    def _corpus(self, spark):
+        # 2 heavy items over a 300-item tail; capacity 16 << domain
+        # forces eviction inside every micro-batch.
+        rows = ([(9000,)] * 120 + [(9001,)] * 90
+                + [(i,) for i in range(300)]
+                + [(i,) for i in range(90)])
+        return spark.createDataFrame(rows, "item long")
+
+    def test_recounted_candidates_equal_batch_answer(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from bloomy_etl_spark.streaming.ingest import (
+            read_mg_candidates,
+            read_mg_total,
+            streaming_mg_ingest,
+        )
+
+        df = self._corpus(spark).withColumn(
+            "i", F.monotonically_increasing_id()
+        )
+        replay = tmp_path / "replay"
+        replay.mkdir()
+        parts = df.collect()
+        slices = [parts[:200], parts[200:450], parts[450:]]
+        for bi, rows in enumerate(slices):
+            spark.createDataFrame(
+                [(r["item"],) for r in rows], "item long"
+            ).coalesce(1).write.parquet(str(replay / f"b{bi}"))
+        stream = (
+            spark.readStream.schema("item long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay / "b*"))
+        )
+        q = streaming_mg_ingest(
+            stream, str(tmp_path / "store"), str(tmp_path / "ckpt"),
+            item_col="item", capacity=16,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        data = self._corpus(spark)
+        n = data.count()
+        assert read_mg_total(spark, str(tmp_path / "store")) == n
+
+        k = 7  # threshold 600/7 ≈ 85.7 → exactly the two heavy items
+        cands = read_mg_candidates(
+            spark, str(tmp_path / "store"), "item"
+        ).select("item")
+        got = {
+            (r["item"], r["n"])
+            for r in data.join(F.broadcast(cands), "item")
+            .groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") * k >= n).collect()
+        }
+        want = {
+            (r["item"], r["n"])
+            for r in data.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") * k >= n).collect()
+        }
+        assert got == want and {i for i, _ in got} == {9000, 9001}
+        # candidate weights undercount true stream frequency
+        true = {r["item"]: r["n"]
+                for r in data.groupBy("item")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        for r in read_mg_candidates(
+                spark, str(tmp_path / "store"), "item").collect():
+            assert r["mg_wt"] <= true[r["item"]]
+
+    def test_replayed_batch_collapses(self, spark, tmp_path):
+        """At-least-once retry: re-appending one batch's identical
+        delta must change neither candidates nor the exact total."""
+        from pyspark.sql import functions as F
+
+        from bloomy_etl_spark.operators.sketches import mg_summary
+        from bloomy_etl_spark.streaming.ingest import (
+            read_mg_candidates,
+            read_mg_total,
+        )
+
+        df = spark.createDataFrame(
+            [(i % 7,) for i in range(140)], "item long"
+        ).repartition(2)
+        delta = mg_summary(df, "item", capacity=4,
+                           with_part_totals=True).withColumn(
+            "batch_id", F.lit(0)
+        )
+        path = str(tmp_path / "store")
+        delta.write.mode("append").parquet(path)
+        delta.write.mode("append").parquet(path)  # the replay
+        assert read_mg_total(spark, path) == 140
+        merged = {r["item"]: r["mg_wt"]
+                  for r in read_mg_candidates(spark, path, "item").collect()}
+        once = {r["item"]: r["mg_wt"]
+                for r in mg_summary(df, "item", capacity=4)
+                .groupBy("item").agg(F.sum("mg_wt").alias("mg_wt"))
+                .withColumnRenamed("mg_wt", "mg_wt").collect()}
+        assert merged == once
