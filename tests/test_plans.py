@@ -405,3 +405,44 @@ def test_repetition_and_entropy_plans_are_agg_only(spark):
         p = plan_string(LLM_QUERIES[name](spark, SF_SMOKE))
         assert "Join" not in p, name
         assert "Window" not in p, name
+
+
+def test_lpa_round_plans_stay_bounded_and_equi(spark):
+    """q145: LPA's per-round lineage is cut by session.pin, so the
+    FINAL plan must not grow with rounds (it reads the last pinned
+    round), and no round may degenerate to a nested-loop join."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = plan_string(ENGINE_QUERIES["q145_supplier_communities"](
+        spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # the last round: nbr join + (node,label) agg + node window — the
+    # pinned scan means earlier rounds contribute NO operators here
+    assert p.count("Window") <= 1
+
+
+def test_mg_query_shuffles_candidates_not_domain(spark):
+    """q146: the recount joins a BROADCAST candidate set (bounded by
+    partitions × capacity) — the full user domain must never be the
+    build side of a shuffle join, and no cartesian anywhere (the 1-row
+    total attaches via broadcast)."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = plan_string(ENGINE_QUERIES["q146_mg_frequent_users"](
+        spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_sequence_pattern_single_user_shuffle(spark):
+    """q147: one user-keyed exchange builds the code strings; the
+    regex scan is a per-row projection — no joins, no windows."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = plan_string(ENGINE_QUERIES["q147_sequence_pattern"](
+        spark, SF_SMOKE))
+    assert "Join" not in p
+    assert "Window" not in p
+    assert p.count("Exchange (") <= 2
