@@ -213,3 +213,47 @@ def test_kcenter_corpus_rows_never_shuffle(spark):
     assert p["output_rows"] == k
     assert p["shuffle_records_written"] <= k * (n_parts + 1)
     assert p["shuffle_records_written"] < embs.count()
+
+
+def test_mg_shuffle_bounded_by_summaries_not_domain(spark):
+    """q146's entire point at 100 TB: the frequent-set pass must not
+    shuffle a row per distinct key. Measured on the MG phase: shuffle
+    records are bounded by input partitions × (capacity + sentinel) —
+    the recount joins a broadcast candidate set, so the only other
+    shuffle is candidate-sized, never domain-sized."""
+    from bloomy_etl_spark.operators.sketches import mg_summary
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id")
+    n_rows = ev.count()
+    cap = 8
+    summ = mg_summary(ev, "user_id", capacity=cap, with_part_totals=True)
+    in_parts = ev.rdd.getNumPartitions()
+    p = run_profile(summ.groupBy("user_id").agg(F.sum("mg_wt").alias("w")))
+    assert p["shuffle_records_written"] <= in_parts * (cap + 1)
+    assert p["shuffle_records_written"] < n_rows
+
+
+def test_lpa_round_shuffle_linear_in_edges(spark):
+    """One LPA round's shuffles are bounded by the directed edge list
+    (the nbr join + the (node, label) histogram) — no quadratic blowup
+    at any round. Measured at rounds=1 on the smoke supplier graph."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+    from bloomy_etl_spark.operators.graph import label_propagation
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    os_ = li.select(F.col("l_orderkey").alias("o"),
+                    F.col("l_suppkey").alias("s")).distinct()
+    edges = (
+        os_.select("o", F.col("s").alias("x"))
+        .join(os_.select("o", F.col("s").alias("y")), "o")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y").agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2).drop("w")
+    )
+    m = edges.count()  # undirected edges; directed stream is 2m
+    p = run_profile(label_propagation(edges, rounds=1))
+    # per round: ≤ 2m rows into the nbr join, ≤ 2m partial (node,label)
+    # cells into the histogram agg, ≤ n window rows — all linear in m
+    assert p["shuffle_records_written"] <= 6 * (2 * m) + 4
+    # regression canary: ENGINE_QUERIES wiring still builds the same graph
+    assert ENGINE_QUERIES["q145_supplier_communities"] is not None
