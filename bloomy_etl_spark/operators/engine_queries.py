@@ -1651,6 +1651,76 @@ def q147_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q148_streaming_cluster_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-cluster MAINTENANCE under the driver hash gate
+    (the q144 pattern applied to graph state): the exact n-gram
+    Jaccard near-dup pairs (q42's edge set) are replayed as three
+    hash-sliced micro-batches through ``streaming_cc_ingest`` — each
+    batch updates a durable (node, min-label) snapshot by running
+    converged components over NEW edges ∪ the prior snapshot as star
+    edges — and the final state is hashed against the one-shot
+    recursive-CTE oracle.  Connected components is confluent, so the
+    incremental answer equals the batch answer for ANY arrival order;
+    the hash match IS that soundness contract, end-to-end.  This is
+    how a 100 TB corpus keeps its duplicate clusters current as dumps
+    arrive, without re-reading prior pair history (per-batch cost is
+    bounded by the batch graph + one star per live component)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bloomy_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from bloomy_etl_spark.streaming.ingest import (
+        read_cc_state,
+        streaming_cc_ingest,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (id(spark), "q148", sf_dir, os.stat(src).st_mtime_ns)
+    base = _STREAM_MEMO.get(key)
+    if base is None or not os.path.isfile(os.path.join(base, "_BUILD_OK")):
+        base = os.path.join(
+            tempfile.gettempdir(), "bloomy_stream",
+            f"{os.getpid()}-"
+            + hashlib.md5(repr(key).encode()).hexdigest()[:12],
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        docs = _t(spark, sf_dir, "documents", fan_out=True)
+        pairs = ngram_jaccard_pairs(docs).select("i", "j")
+        replay = os.path.join(base, "replay")
+        # hash-sliced batches: arrival order is provably irrelevant
+        # (confluence), so no mtime choreography is needed here
+        for bi in range(3):
+            pairs.filter(
+                F.pmod(F.xxhash64("i", "j"), F.lit(3)) == bi
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(replay, f"b{bi}")
+            )
+        stream = (
+            spark.readStream.schema("i long, j long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(replay, "b*"))
+        )
+        q = streaming_cc_ingest(
+            stream,
+            os.path.join(base, "state"),
+            os.path.join(base, "ckpt"),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("q148 replay stream did not finish")
+        with open(os.path.join(base, "_BUILD_OK"), "w") as f:
+            f.write("ok")
+        _STREAM_MEMO[key] = base
+    return (
+        read_cc_state(spark, os.path.join(base, "state"))
+        .select(F.col("node").cast("long").alias("doc_id"),
+                F.col("label").cast("long").alias("cluster"))
+        .transform(_psort, "doc_id")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -1699,6 +1769,7 @@ ENGINE_QUERIES = {
     "q145_supplier_communities": q145_supplier_communities,
     "q146_mg_frequent_users": q146_mg_frequent_users,
     "q147_sequence_pattern": q147_sequence_pattern,
+    "q148_streaming_cluster_state": q148_streaming_cluster_state,
 }
 
 
@@ -2881,3 +2952,30 @@ ENGINE_ORACLE_SQL["q147_sequence_pattern"] = """
     WHERE len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) >= 1
     ORDER BY user_id
 """
+
+
+# q148: the oracle is the ONE-SHOT recursive-CTE components over the
+# same exact-Jaccard pair set (q42's reach CTE, membership grain) — the
+# hash match proves the incremental star-compressed maintenance sound.
+def _q148_oracle() -> str:
+    from bloomy_etl_spark.operators.llm_queries import _SHINGLES_CTE
+
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE.strip()},
+    p AS (SELECT i, j FROM jac WHERE jaccard >= 0.8),
+    e AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+    reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+        WHERE e2.b <> r.a
+    ),
+    lbl AS (SELECT a AS node, LEAST(a, MIN(b)) AS label
+            FROM reach GROUP BY a)
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(label AS BIGINT) AS cluster
+    FROM lbl ORDER BY doc_id
+    """
+
+
+ENGINE_ORACLE_SQL["q148_streaming_cluster_state"] = _q148_oracle()

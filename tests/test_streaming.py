@@ -1966,3 +1966,93 @@ class TestMgIngest:
                 .groupBy("item").agg(F.sum("mg_wt").alias("mg_wt"))
                 .withColumnRenamed("mg_wt", "mg_wt").collect()}
         assert merged == once
+
+
+class TestCcIngest:
+    """Incremental connected components (streaming/ingest.py::
+    streaming_cc_ingest): the final snapshot equals one-shot batch CC
+    over all edges, components MERGE across batches (the case star
+    compression must get right), arrival order doesn't matter
+    (confluence), and a replayed batch is idempotent."""
+
+    # batch 1 and 2 build two separate components; batch 3 bridges
+    # them — the final answer must relabel 10..12 down to 1.
+    B1 = [(1, 2), (2, 3)]
+    B2 = [(10, 11), (11, 12)]
+    B3 = [(3, 10), (20, 21)]
+
+    def _run(self, spark, tmp_path, batches, tag):
+        root = tmp_path / tag
+        replay = root / "replay"
+        replay.mkdir(parents=True)
+        for bi, edges in enumerate(batches):
+            spark.createDataFrame(edges, "i long, j long") \
+                .coalesce(1).write.parquet(str(replay / f"b{bi}"))
+        stream = (
+            spark.readStream.schema("i long, j long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay / "b*"))
+        )
+        from bloomy_etl_spark.streaming.ingest import streaming_cc_ingest
+
+        q = streaming_cc_ingest(
+            stream, str(root / "state"), str(root / "ckpt")
+        )
+        q.processAllAvailable()
+        q.stop()
+        return str(root / "state")
+
+    def _labels(self, spark, state_dir):
+        from bloomy_etl_spark.streaming.ingest import read_cc_state
+
+        return {r["node"]: r["label"]
+                for r in read_cc_state(spark, state_dir).collect()}
+
+    def test_stream_equals_batch_cc_with_cross_batch_merge(
+            self, spark, tmp_path):
+        from bloomy_etl_spark.operators.dedup import connected_components
+
+        state = self._run(spark, tmp_path, [self.B1, self.B2, self.B3],
+                          "fwd")
+        got = self._labels(spark, state)
+        want = {
+            r["node"]: r["label"]
+            for r in connected_components(
+                spark.createDataFrame(self.B1 + self.B2 + self.B3,
+                                      "i long, j long"),
+                converge=True).collect()
+        }
+        assert got == want
+        assert {got[n] for n in (1, 2, 3, 10, 11, 12)} == {1}
+        assert got[20] == got[21] == 20
+
+    def test_arrival_order_is_irrelevant(self, spark, tmp_path):
+        a = self._labels(spark, self._run(
+            spark, tmp_path, [self.B1, self.B2, self.B3], "o1"))
+        b = self._labels(spark, self._run(
+            spark, tmp_path, [self.B3, self.B1, self.B2], "o2"))
+        assert a == b
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        """Simulated at-least-once retry: re-running a batch against
+        the prior snapshot rewrites identical state."""
+        import os
+
+        from bloomy_etl_spark.streaming.ingest import read_cc_state
+
+        state = self._run(spark, tmp_path, [self.B1, self.B2, self.B3],
+                          "rp")
+        before = self._labels(spark, state)
+        # replay batch 2 by hand: same inputs, same snapshot dir
+        from bloomy_etl_spark.operators.dedup import connected_components
+        from pyspark.sql import functions as F
+
+        prior = spark.read.parquet(os.path.join(state, "b1"))
+        star = prior.select(F.col("node").alias("i"),
+                            F.col("label").alias("j")) \
+            .filter(F.col("i") != F.col("j"))
+        edges = spark.createDataFrame(self.B3, "i long, j long") \
+            .unionByName(star)
+        connected_components(edges, converge=True).write.mode(
+            "overwrite").parquet(os.path.join(state, "b2"))
+        assert self._labels(spark, state) == before
