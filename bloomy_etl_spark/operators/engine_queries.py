@@ -1721,6 +1721,105 @@ def q148_streaming_cluster_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q149_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM burst detection (timeseries.cusum_alerts,
+    drift 70.0, threshold 300.0 in v_e4 units) — Page's sequential
+    change detector over the event values: the monitoring triad's
+    third leg (q142 EWMA smooths the level, q86 rolling-z flags point
+    outliers, CUSUM detects SUSTAINED shifts with bounded delay).
+    Exact packed-int64 fold per user (one shuffle, q142's shape); a
+    sequential engine replays the identical alert/reset walk via
+    list_reduce."""
+    from bloomy_etl_spark.operators.timeseries import cusum_alerts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("eus"),
+        "event_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    return cusum_alerts(
+        ev, drift=700_000, threshold=3_000_000
+    ).transform(_psort, "user_id")
+
+
+def q150_zorder_zonemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout rewrite + the zone maps it earns
+    (zorder.zorder_files / zone_maps): events are laid out along the
+    Morton curve of (user bucket, day bucket), cut into 500-row
+    files, and the file-grain min/max skipping index is returned with
+    a `scanned` audit flag for the rectangle x∈[32,47] × y∈[8,15] —
+    the OPTIMIZE-ZORDER capability a 100 TB lake runs so that
+    two-dimensional predicates prune files instead of reading the
+    world. The global rank is the exact two-phase distributed scan
+    (q129's shape) — no single-task window; the z-value is pure
+    codegen bit arithmetic the oracle replays as the same shift/mask
+    sum."""
+    from bloomy_etl_spark.operators.zorder import zone_maps, zorder_files
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(256)).cast("long").alias("xb"),
+        F.pmod(
+            F.datediff(F.col("ts").cast("date"),
+                       F.lit("2024-01-01").cast("date")),
+            F.lit(256),
+        ).cast("long").alias("yb"),
+    )
+    laid = zorder_files(ev, "xb", "yb", "event_id",
+                        bits=8, rows_per_file=500)
+    return (
+        zone_maps(laid, "xb", "yb")
+        .withColumn(
+            "scanned",
+            (
+                (F.col("x_min") <= 47) & (F.col("x_max") >= 32)
+                & (F.col("y_min") <= 15) & (F.col("y_max") >= 8)
+            ).cast("long"),
+        )
+        .transform(_psort, "file_id")
+    )
+
+
+def q151_vote_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote label aggregation (labels.majority_vote): each
+    user's events vote for a behavioural label (their event types),
+    and the consensus step emits the winning label, exact agreement
+    share in millionths, and a 40%-share abstain flag — the
+    annotation-aggregation operator every preference / classification
+    dataset build runs before training. One map-side-combinable
+    hash-agg to (item,label) counts, then a window over the bounded
+    label frame; ties break to the smallest label in both engines."""
+    from bloomy_etl_spark.operators.labels import majority_vote
+
+    votes = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("item"),
+        F.col("event_type").alias("label"),
+    )
+    return majority_vote(votes, min_share_e6=400_000).transform(
+        _psort, "item"
+    )
+
+
+def q152_state_run_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history COMPACTION (history.scd2_compact): the per-user
+    event-type log collapses into half-open [valid_from, valid_to)
+    validity runs with version numbers — the backfill/bootstrap path
+    that rebuilds a dimension from its raw log in one pass, the
+    ground truth q75's incremental scd2_apply upserts must converge
+    to. Gaps-and-islands with all three passes on the SAME user
+    partitioning — Catalyst plans one exchange (plan-pinned)."""
+    from bloomy_etl_spark.operators.history import scd2_compact
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("eus"),
+        "event_id",
+        F.col("event_type").alias("state"),
+    )
+    return scd2_compact(ev).transform(_psort, "user_id", "version")
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -1770,6 +1869,10 @@ ENGINE_QUERIES = {
     "q146_mg_frequent_users": q146_mg_frequent_users,
     "q147_sequence_pattern": q147_sequence_pattern,
     "q148_streaming_cluster_state": q148_streaming_cluster_state,
+    "q149_cusum_changepoints": q149_cusum_changepoints,
+    "q150_zorder_zonemaps": q150_zorder_zonemaps,
+    "q151_vote_consensus": q151_vote_consensus,
+    "q152_state_run_history": q152_state_run_history,
 }
 
 
@@ -2979,3 +3082,131 @@ def _q148_oracle() -> str:
 
 
 ENGINE_ORACLE_SQL["q148_streaming_cluster_state"] = _q148_oracle()
+
+
+# q149: the oracle replays the identical packed-state CUSUM fold via
+# list_reduce with a prepended 0 seed (list_reduce seeds from the first
+# element; the prepend gives the engine's explicit zero init). All
+# operands stay non-negative BIGINTs, so %, greatest and // agree with
+# Spark's %, greatest and DIV bit-for-bit.
+ENGINE_ORACLE_SQL["q149_cusum_changepoints"] = """
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) AS eus, event_id,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v
+        FROM events),
+    s AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+               list(v ORDER BY eus, event_id) AS vs
+        FROM v GROUP BY user_id),
+    f AS (
+        SELECT user_id, n_obs,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT), vs),
+                   (acc, x) -> CASE
+                       WHEN greatest(acc % 1000000000000 + x - 700000,
+                                     0) >= 3000000
+                       THEN acc - (acc % 1000000000000) + 1000000000000
+                       ELSE acc - (acc % 1000000000000)
+                            + greatest(acc % 1000000000000 + x - 700000,
+                                       0)
+                   END) AS st
+        FROM s)
+    SELECT user_id, n_obs,
+           CAST(st // 1000000000000 AS BIGINT) AS n_alerts,
+           CAST(st % 1000000000000 AS BIGINT) AS resid
+    FROM f ORDER BY user_id
+"""
+
+
+# q150: the oracle spells the same Morton shift/mask sum, ranks with
+# one global ROW_NUMBER (fine sequentially; the engine's two-phase
+# scan must equal it exactly), cuts files at 500 rows, and re-derives
+# the zone maps + scanned flag.
+def _q150_oracle() -> str:
+    z_terms = " + ".join(
+        f"(((xb >> {k}) & 1) << {2 * k + 1}) + (((yb >> {k}) & 1) << {2 * k})"
+        for k in range(8)
+    )
+    return f"""
+    WITH e AS (
+        SELECT event_id,
+               CAST(user_id % 256 AS BIGINT) AS xb,
+               CAST(DATEDIFF('day', DATE '2024-01-01',
+                             CAST(ts AS DATE)) % 256 AS BIGINT) AS yb
+        FROM events),
+    z AS (
+        SELECT event_id, xb, yb, CAST({z_terms} AS BIGINT) AS z
+        FROM e),
+    r AS (
+        SELECT *, (ROW_NUMBER() OVER (ORDER BY z, event_id) - 1) // 500
+                   AS file_id
+        FROM z),
+    g AS (
+        SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(xb) AS x_min, MAX(xb) AS x_max,
+               MIN(yb) AS y_min, MAX(yb) AS y_max,
+               MIN(z) AS z_min, MAX(z) AS z_max
+        FROM r GROUP BY file_id)
+    SELECT file_id, n_rows, x_min, x_max, y_min, y_max, z_min, z_max,
+           CAST(CASE WHEN x_min <= 47 AND x_max >= 32
+                      AND y_min <= 15 AND y_max >= 8
+                THEN 1 ELSE 0 END AS BIGINT) AS scanned
+    FROM g ORDER BY file_id
+    """
+
+
+ENGINE_ORACLE_SQL["q150_zorder_zonemaps"] = _q150_oracle()
+
+
+# q151: plain window replay — counts, per-item total, winner by
+# (n_wins DESC, label ASC), integer-millionth share.
+ENGINE_ORACLE_SQL["q151_vote_consensus"] = """
+    WITH c AS (
+        SELECT user_id AS item, event_type AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_wins
+        FROM events GROUP BY user_id, event_type),
+    t AS (
+        SELECT item, label, n_wins,
+               CAST(SUM(n_wins) OVER (PARTITION BY item) AS BIGINT)
+                   AS n_votes,
+               ROW_NUMBER() OVER (PARTITION BY item
+                                  ORDER BY n_wins DESC, label ASC) AS rn
+        FROM c)
+    SELECT item, label, n_votes, n_wins,
+           (n_wins * 1000000) // n_votes AS share_e6,
+           ((n_wins * 1000000) // n_votes) >= 400000 AS decided
+    FROM t WHERE rn = 1 ORDER BY item
+"""
+
+
+# q152: the same gaps-and-islands — lag change flag, running-sum run
+# number, run-grain aggregate, lead for the exclusive upper bound.
+# MIN(state) within a run equals the engine's first(): runs are
+# constant in state by construction.
+ENGINE_ORACLE_SQL["q152_state_run_history"] = """
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) AS eus, event_id,
+               event_type AS state
+        FROM events),
+    f AS (
+        SELECT *, CASE WHEN LAG(state) OVER w IS NULL
+                         OR LAG(state) OVER w <> state
+                  THEN 1 ELSE 0 END AS chg
+        FROM v WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id)),
+    r AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                                 ORDER BY eus, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS ver
+        FROM f),
+    g AS (
+        SELECT user_id, ver, MIN(state) AS state,
+               MIN(eus) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM r GROUP BY user_id, ver)
+    SELECT user_id, CAST(ver AS BIGINT) AS version, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY ver)
+               AS valid_to,
+           n_rows
+    FROM g ORDER BY user_id, version
+"""

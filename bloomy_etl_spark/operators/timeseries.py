@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["time_bucket", "gapfill", "ewma_last"]
+__all__ = ["time_bucket", "gapfill", "ewma_last", "cusum_alerts"]
 
 
 def time_bucket(step: int, t: Column | str) -> Column:
@@ -179,4 +179,74 @@ def ewma_last(series: DataFrame, alpha_den: int = 4,
         F.size("__seq").cast("long").alias("n_obs"),
         last.alias("last_v"),
         F.aggregate(F.col("__seq"), init, _step).alias("ewma"),
+    )
+
+
+def cusum_alerts(series: DataFrame, drift: int, threshold: int,
+                 key_col: str = "user_id", ts_col: str = "eus",
+                 order_col: str = "event_id",
+                 val_col: str = "v",
+                 enc: int = 10 ** 12) -> DataFrame:
+    """Per-key one-sided CUSUM change detection in EXACT integer
+    arithmetic — the classic sequential drift detector (Page 1954):
+    ``s ← max(0, s + (v − drift))``, and every time ``s`` reaches
+    ``threshold`` an alert fires and the accumulator resets.  The
+    monitoring counterpart to :func:`ewma_last`: EWMA smooths the
+    level, CUSUM *detects sustained upward shifts* (traffic bursts,
+    cost regressions, abuse spikes) with provably bounded detection
+    delay.
+
+    The fold state packs ``(n_alerts, s)`` into ONE int64 —
+    ``state = n_alerts·enc + s`` — so the recurrence stays a plain
+    integer ``aggregate`` fold that a sequential engine (the DuckDB
+    oracle's ``list_reduce``) replays bit-identically.  Requires
+    ``threshold + max(v) < enc`` and ``n_alerts < 2⁶³/enc`` (9.2 M at
+    the default), both loose at the v_e4 quantization this corpus
+    uses.
+
+    Shape: identical to :func:`ewma_last` — ONE key-keyed shuffle,
+    per-key sorted in-row array, one fold.  CUSUM is order-sensitive
+    by definition (no associative decomposition), so keys parallelize
+    and the per-key walk is sequential exactly like the semantics.
+    The recurrence composes across batches (fold B from A's final
+    state ≡ fold A∥B), which is what the streaming ingest
+    (``streaming/ingest.py::streaming_cusum_ingest``) relies on.
+
+    Returns ``(key, n_obs, n_alerts, resid)`` — all int64; ``resid``
+    is the accumulator value after the last observation (distance
+    already travelled toward the next alert).
+    """
+    if drift < 0 or threshold <= 0:
+        raise ValueError("drift must be ≥ 0 and threshold > 0")
+    if threshold >= enc:
+        raise ValueError("threshold must be < enc (state packing)")
+    seq = series.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(ts_col, order_col, val_col))
+        ).alias("__seq")
+    )
+    k = F.lit(drift).cast("long")
+    h = F.lit(threshold).cast("long")
+    m = F.lit(enc).cast("long")
+
+    def _step(acc, e):
+        s = acc % m
+        t = F.greatest(s + e[val_col] - k, F.lit(0).cast("long"))
+        return F.when(t >= h, acc - s + m).otherwise(acc - s + t)
+
+    state = F.aggregate(F.col("__seq"), F.lit(0).cast("long"), _step)
+    # Unpack with integer DIV/%, never float division — alerts·enc can
+    # exceed 2⁵³ where a double round-trip would silently drift.
+    return (
+        seq.select(
+            key_col,
+            F.size("__seq").cast("long").alias("n_obs"),
+            state.alias("__st"),
+        )
+        .select(
+            key_col,
+            "n_obs",
+            F.expr(f"__st DIV CAST({enc} AS BIGINT)").alias("n_alerts"),
+            (F.col("__st") % m).alias("resid"),
+        )
     )

@@ -1,0 +1,368 @@
+"""Round-9b operators: CUSUM change detection, Z-order layout +
+zone maps, majority-vote label aggregation, SCD2 log compaction.
+
+Each class hand-checks the operator's exact integer semantics on
+fixtures small enough to verify by eye, plus the scale contracts
+(plan shapes live in test_plans.py style pins at the bottom)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# CUSUM
+# ---------------------------------------------------------------------------
+class TestCusumAlerts:
+    def _run(self, spark, rows, drift, threshold):
+        from bloomy_etl_spark.operators.timeseries import cusum_alerts
+
+        df = spark.createDataFrame(
+            rows, "user_id long, eus long, event_id long, v long"
+        )
+        return {
+            r["user_id"]: (r["n_obs"], r["n_alerts"], r["resid"])
+            for r in cusum_alerts(df, drift=drift,
+                                  threshold=threshold).collect()
+        }
+
+    def test_hand_checked_walk(self, spark):
+        # drift 10, threshold 12:
+        #   u1: 5  -> max(0, 5-10)  = 0
+        #       20 -> 0+20-10       = 10   (< 12)
+        #       1  -> 10+1-10       = 1    -> 0 alerts, resid 1
+        #   u2: 30 -> max(0, 30-10) = 20   (>= 12) -> alert, reset
+        rows = [(1, 10, 1, 5), (1, 20, 2, 20), (1, 30, 3, 1),
+                (2, 10, 1, 30)]
+        out = self._run(spark, rows, drift=10, threshold=12)
+        assert out[1] == (3, 0, 1)
+        assert out[2] == (1, 1, 0)
+
+    def test_every_step_alerts_and_resets(self, spark):
+        rows = [(1, t, t, 25) for t in range(1, 4)]
+        out = self._run(spark, rows, drift=10, threshold=12)
+        assert out[1] == (3, 3, 0)
+
+    def test_slow_accumulation_no_alert(self, spark):
+        rows = [(1, t, t, 11) for t in range(1, 4)]
+        out = self._run(spark, rows, drift=10, threshold=12)
+        assert out[1] == (3, 0, 3)
+
+    def test_negative_excursions_clamp_at_zero(self, spark):
+        # a deep dip must not bank "credit" against the next burst
+        rows = [(1, 1, 1, 0), (1, 2, 2, 0), (1, 3, 3, 21)]
+        out = self._run(spark, rows, drift=10, threshold=12)
+        # s: 0, 0 (clamped, not -20), then 0+21-10 = 11 < 12
+        assert out[1] == (3, 0, 11)
+
+    def test_input_row_order_irrelevant(self, spark):
+        rows = [(1, t, t, v) for t, v in
+                enumerate([3, 17, 0, 40, 2, 2, 29, 5], start=1)]
+        a = self._run(spark, rows, drift=8, threshold=20)
+        b = self._run(spark, list(reversed(rows)), drift=8, threshold=20)
+        assert a == b
+
+    def test_ties_break_on_order_col(self, spark):
+        # same eus, different event_id: the (15 then 0) order alerts,
+        # the packed fold must follow event_id ascending
+        rows = [(1, 5, 2, 0), (1, 5, 1, 15)]
+        out = self._run(spark, rows, drift=1, threshold=14)
+        # order: v=15 (s=14 >= 14, alert+reset), then v=0 (s=0)
+        assert out[1] == (2, 1, 0)
+
+    def test_parameter_validation(self, spark):
+        from bloomy_etl_spark.operators.timeseries import cusum_alerts
+
+        df = spark.createDataFrame(
+            [(1, 1, 1, 1)], "user_id long, eus long, event_id long, v long"
+        )
+        with pytest.raises(ValueError):
+            cusum_alerts(df, drift=-1, threshold=10)
+        with pytest.raises(ValueError):
+            cusum_alerts(df, drift=1, threshold=0)
+        with pytest.raises(ValueError):
+            cusum_alerts(df, drift=1, threshold=10, enc=5)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 compaction
+# ---------------------------------------------------------------------------
+class TestScd2Compact:
+    def _run(self, spark, rows):
+        from bloomy_etl_spark.operators.history import scd2_compact
+
+        df = spark.createDataFrame(
+            rows, "user_id long, eus long, event_id long, state string"
+        )
+        return sorted(
+            (
+                (r["user_id"], r["version"], r["state"], r["valid_from"],
+                 r["valid_to"], r["n_rows"])
+                for r in scd2_compact(df).collect()
+            )
+        )
+
+    def test_runs_collapse_with_interval_chain(self, spark):
+        rows = [(1, 10, 1, "a"), (1, 20, 2, "a"), (1, 30, 3, "b"),
+                (1, 40, 4, "a")]
+        assert self._run(spark, rows) == [
+            (1, 1, "a", 10, 30, 2),
+            (1, 2, "b", 30, 40, 1),
+            (1, 3, "a", 40, None, 1),
+        ]
+
+    def test_single_run_is_open_ended(self, spark):
+        rows = [(7, 5, 1, "x"), (7, 9, 2, "x")]
+        assert self._run(spark, rows) == [(7, 1, "x", 5, None, 2)]
+
+    def test_equal_timestamps_ordered_by_tiebreak(self, spark):
+        # both at eus=10: event_id 1 is 'a', 2 is 'b' -> two runs
+        rows = [(1, 10, 2, "b"), (1, 10, 1, "a")]
+        assert self._run(spark, rows) == [
+            (1, 1, "a", 10, 10, 1),
+            (1, 2, "b", 10, None, 1),
+        ]
+
+    def test_audit_identities_on_fixture(self, spark):
+        """Per user: n_rows sums to the log count, exactly one open
+        run, intervals chain (valid_to == next valid_from)."""
+        from bloomy_etl_spark.operators.history import scd2_compact
+
+        ev = (
+            spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .select(
+                "user_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("eus"),
+                "event_id",
+                F.col("event_type").alias("state"),
+            )
+        )
+        hist = scd2_compact(ev).collect()
+        log_counts = {
+            r["user_id"]: r["n"]
+            for r in ev.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n")).collect()
+        }
+        per_user: dict[int, list] = {}
+        for r in hist:
+            per_user.setdefault(r["user_id"], []).append(r)
+        assert set(per_user) == set(log_counts)
+        for uid, rs in per_user.items():
+            rs.sort(key=lambda r: r["version"])
+            assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+            assert sum(r["n_rows"] for r in rs) == log_counts[uid]
+            assert [r for r in rs if r["valid_to"] is None] == [rs[-1]]
+            for a, b in zip(rs, rs[1:]):
+                assert a["valid_to"] == b["valid_from"]
+                assert a["state"] != b["state"]
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+def _py_morton(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for k in range(bits):
+        z |= ((x >> k) & 1) << (2 * k + 1)
+        z |= ((y >> k) & 1) << (2 * k)
+    return z
+
+
+class TestZorder:
+    def test_zvalue_matches_python_interleave(self, spark):
+        from bloomy_etl_spark.operators.zorder import zvalue
+
+        pts = [(x, y) for x in (0, 1, 5, 127, 255) for y in
+               (0, 2, 31, 200, 255)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {
+            (r["x"], r["y"]): r["z"]
+            for r in df.select("x", "y",
+                               zvalue(F.col("x"), F.col("y")).alias("z")
+                               ).collect()
+        }
+        for (x, y), z in got.items():
+            assert z == _py_morton(x, y), (x, y)
+
+    def test_zvalue_locality_beats_linear_on_y(self, spark):
+        # neighbors along y differ by 1 in z when y is even -- the
+        # curve property that gives the second dimension locality at all
+        assert _py_morton(3, 4) + 1 == _py_morton(3, 5)
+
+    def test_file_assignment_equals_global_sort(self, spark):
+        from bloomy_etl_spark.operators.zorder import zorder_files
+
+        rows = [(i, (i * 37) % 256, (i * 101) % 256)
+                for i in range(1000)]
+        df = spark.createDataFrame(rows, "id long, xb long, yb long")
+        out = zorder_files(df, "xb", "yb", "id",
+                           rows_per_file=64).collect()
+        expect = sorted(
+            ((_py_morton(x, y), i) for i, x, y in rows)
+        )
+        rank_of = {i: r for r, (_, i) in enumerate(expect)}
+        for r in out:
+            assert r["z"] == _py_morton(r["xb"], r["yb"])
+            assert r["file_id"] == rank_of[r["id"]] // 64, r
+
+    def test_zone_maps_partition_the_rank_space(self, spark):
+        from bloomy_etl_spark.operators.zorder import (
+            zone_maps,
+            zorder_files,
+        )
+
+        rows = [(i, (i * 7) % 64, (i * 13) % 64) for i in range(512)]
+        df = spark.createDataFrame(rows, "id long, xb long, yb long")
+        zm = sorted(
+            zone_maps(
+                zorder_files(df, "xb", "yb", "id", rows_per_file=100),
+                "xb", "yb",
+            ).collect(),
+            key=lambda r: r["file_id"],
+        )
+        assert [r["file_id"] for r in zm] == list(range(len(zm)))
+        assert sum(r["n_rows"] for r in zm) == 512
+        assert all(r["n_rows"] == 100 for r in zm[:-1])
+        for a, b in zip(zm, zm[1:]):
+            assert a["z_max"] <= b["z_min"]
+
+    def test_zone_maps_actually_prune_a_rectangle(self, spark):
+        """On a uniform 64x64 grid with 256-row files, the 16x16 query
+        rectangle must skip most files — the point of the layout."""
+        from bloomy_etl_spark.operators.zorder import (
+            zone_maps,
+            zorder_files,
+        )
+
+        rows = [(64 * x + y, x, y) for x in range(64) for y in range(64)]
+        df = spark.createDataFrame(rows, "id long, xb long, yb long")
+        zm = zone_maps(
+            zorder_files(df, "xb", "yb", "id", rows_per_file=256),
+            "xb", "yb",
+        ).collect()
+        scanned = [
+            r for r in zm
+            if r["x_min"] <= 23 and r["x_max"] >= 8
+            and r["y_min"] <= 23 and r["y_max"] >= 8
+        ]
+        assert len(zm) == 16
+        # perfect z layout of a power-of-two grid boxes each file into
+        # a 16x16 tile: the 16x16 off-grid query rectangle overlaps at
+        # most 4 tiles; any row-major layout would scan all 16
+        assert len(scanned) <= 4
+
+    def test_rows_per_file_validation(self, spark):
+        from bloomy_etl_spark.operators.zorder import zorder_files, zvalue
+
+        df = spark.createDataFrame([(1, 1, 1)], "id long, xb long, yb long")
+        with pytest.raises(ValueError):
+            zorder_files(df, "xb", "yb", "id", rows_per_file=0)
+        with pytest.raises(ValueError):
+            zvalue(F.col("xb"), F.col("yb"), bits=0)
+
+
+# ---------------------------------------------------------------------------
+# Majority vote
+# ---------------------------------------------------------------------------
+class TestMajorityVote:
+    def _run(self, spark, rows, min_share_e6=0):
+        from bloomy_etl_spark.operators.labels import majority_vote
+
+        df = spark.createDataFrame(rows, "item long, label string")
+        return {
+            r["item"]: (r["label"], r["n_votes"], r["n_wins"],
+                        r["share_e6"], r["decided"])
+            for r in majority_vote(df,
+                                   min_share_e6=min_share_e6).collect()
+        }
+
+    def test_majority_and_share(self, spark):
+        rows = [(1, "a"), (1, "a"), (1, "b"),
+                (2, "x")]
+        out = self._run(spark, rows, min_share_e6=500_000)
+        assert out[1] == ("a", 3, 2, 666_666, True)
+        assert out[2] == ("x", 1, 1, 1_000_000, True)
+
+    def test_tie_breaks_to_smallest_label(self, spark):
+        rows = [(1, "b"), (1, "a")]
+        out = self._run(spark, rows)
+        assert out[1][0] == "a"
+        assert out[1][3] == 500_000
+
+    def test_abstain_below_threshold(self, spark):
+        rows = [(1, "a"), (1, "b"), (1, "c")]
+        out = self._run(spark, rows, min_share_e6=400_000)
+        label, n_votes, n_wins, share, decided = out[1]
+        assert (n_votes, n_wins, share) == (3, 1, 333_333)
+        assert decided is False
+
+    def test_one_row_per_item_always(self, spark):
+        rows = [(i, l) for i in range(20)
+                for l in ["a", "b", "b", "c"][: (i % 4) + 1]]
+        out = self._run(spark, rows)
+        assert len(out) == 20
+
+
+# ---------------------------------------------------------------------------
+# Plan pins
+# ---------------------------------------------------------------------------
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+
+
+def test_cusum_query_plan_is_one_fold_shuffle(spark):
+    """q149: the q142 shape — one user-keyed exchange plus the
+    presentation sort; no joins, no windows."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = _plan(ENGINE_QUERIES["q149_cusum_changepoints"](spark, SF_SMOKE))
+    assert "Join" not in p
+    assert p.count(") Exchange") <= 2
+
+
+def test_scd2_query_plan_reuses_one_partitioning(spark):
+    """q152: lag + running sum + run aggregate + lead all ride ONE
+    user-keyed exchange (plus the presentation sort)."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = _plan(ENGINE_QUERIES["q152_state_run_history"](spark, SF_SMOKE))
+    assert "Join" not in p
+    assert p.count(") Exchange") <= 2
+
+
+def test_zorder_query_plan_has_no_global_window(spark):
+    """q150: the corpus-grain rank must come from the two-phase scan —
+    a bucket-PARTITIONED window plus a broadcast of the 256-row offset
+    frame; the only unpartitioned window may be over bucket totals.
+    No cartesian, no sort-merge join of corpus-grain sides."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = _plan(ENGINE_QUERIES["q150_zorder_zonemaps"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    # AQE's formatted string can render the join in both the initial
+    # and final plan — require presence, forbid shuffled alternatives
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "ShuffledHashJoin" not in p
+
+
+def test_vote_query_plan_windows_are_item_partitioned(spark):
+    """q151: the consensus windows run on the (item,label) count frame,
+    partitioned by item — never an unpartitioned corpus window."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = _plan(ENGINE_QUERIES["q151_vote_consensus"](spark, SF_SMOKE))
+    assert "Join" not in p
+    # window partition spec present on every Window node
+    import re
+
+    for m in re.finditer(r"\(\d+\) Window\n(?:[^\n]*\n){0,4}", p):
+        block = m.group(0)
+        assert "item" in block, block
