@@ -1820,6 +1820,68 @@ def q152_state_run_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_compact(ev).transform(_psort, "user_id", "version")
 
 
+def q153_streaming_cusum_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM monitoring under the driver hash gate (the
+    q144 pattern applied to q149): the events fixture replays as
+    three time-ordered micro-batches through
+    ``streaming_cusum_ingest`` — continuation folds seeded from each
+    key's durable packed state — and the final per-user (n_obs,
+    n_alerts, resid) is hashed against the one-shot batch oracle.
+    The packed recurrence composes exactly across batches, so the
+    hash match IS the stream ≡ batch bit-identity contract for the
+    alerting path, end-to-end."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bloomy_etl_spark.streaming.ingest import (
+        read_cusum_state,
+        streaming_cusum_ingest,
+    )
+    from bloomy_etl_spark.streaming.sources import replay_dir_ordered
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = (id(spark), "q153", sf_dir, os.stat(src).st_mtime_ns)
+    base = _STREAM_MEMO.get(key)
+    if base is None or not os.path.isfile(os.path.join(base, "_BUILD_OK")):
+        base = os.path.join(
+            tempfile.gettempdir(), "bloomy_stream",
+            f"{os.getpid()}-"
+            + hashlib.md5(repr(key).encode()).hexdigest()[:12],
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        replay = replay_dir_ordered(
+            spark, sf_dir, os.path.join(base, "replay"), n_files=3
+        )
+        schema = spark.read.parquet(replay).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("eus"),
+                "event_id",
+                F.floor(F.col("value") * 10000).cast("long").alias("v"),
+            )
+        )
+        q = streaming_cusum_ingest(
+            stream,
+            os.path.join(base, "state"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("q153 replay stream did not finish")
+        with open(os.path.join(base, "_BUILD_OK"), "w") as f:
+            f.write("ok")
+        _STREAM_MEMO[key] = base
+    return read_cusum_state(spark, os.path.join(base, "state")).transform(
+        _psort, "user_id"
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -1873,6 +1935,7 @@ ENGINE_QUERIES = {
     "q150_zorder_zonemaps": q150_zorder_zonemaps,
     "q151_vote_consensus": q151_vote_consensus,
     "q152_state_run_history": q152_state_run_history,
+    "q153_streaming_cusum_state": q153_streaming_cusum_state,
 }
 
 
@@ -3210,3 +3273,11 @@ ENGINE_ORACLE_SQL["q152_state_run_history"] = """
            n_rows
     FROM g ORDER BY user_id, version
 """
+
+
+# q153: the oracle is the plain BATCH replay of the q149 packed CUSUM
+# fold — hashing the STREAMED continuation-fold state against it is
+# the stream ≡ batch contract for the alerting path.
+ENGINE_ORACLE_SQL["q153_streaming_cusum_state"] = (
+    ENGINE_ORACLE_SQL["q149_cusum_changepoints"]
+)

@@ -967,6 +967,123 @@ def read_ewma_state(spark: SparkSession, state_dir: str,
     )
 
 
+def streaming_cusum_ingest(
+    events_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    drift: int = 700_000,
+    threshold: int = 3_000_000,
+    enc: int = 10 ** 12,
+    key_col: str = "user_id",
+    ts_col: str = "eus",
+    order_col: str = "event_id",
+    val_col: str = "v",
+):
+    """Live CUSUM burst monitoring
+    (:func:`bloomy_etl_spark.operators.timeseries.cusum_alerts` on a
+    stream): per-key alert counts and the residual accumulator stay
+    current as events arrive — the use-case CUSUM exists for.  The
+    packed-int64 recurrence composes EXACTLY across batches (folding
+    batch B from A's final packed state equals folding A∥B — the
+    recurrence only ever reads the running state), so under the
+    ordered-arrival contract the streaming state is BIT-IDENTICAL to
+    the batch operator over the union; the equivalence test pins that.
+
+    Per batch: one key-keyed fold over the batch's sorted in-row
+    arrays, seeded from each key's stored ``n_alerts·enc + resid``.
+    Durable store/replay semantics are the EWMA ingest's: append-only
+    per-batch deltas, reader collapses per (batch_id, key), replays
+    rewrite identical rows.
+    """
+    if threshold >= enc:
+        raise ValueError("threshold must be < enc (state packing)")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        like_schema = (
+            f"{key_col} long, n_obs long, n_alerts long, resid long, "
+            "batch_id long"
+        )
+        prior = (
+            _read_or_empty(
+                spark, state_dir, spark.createDataFrame([], like_schema)
+            )
+            .filter(F.col("batch_id") != batch_id)
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(key_col).orderBy(
+                        F.col("batch_id").desc()
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select(
+                key_col,
+                F.col("n_obs").alias("__pn"),
+                (F.col("n_alerts") * F.lit(enc) + F.col("resid"))
+                .alias("__ps"),
+            )
+        )
+        seq = batch.groupBy(key_col).agg(
+            F.array_sort(
+                F.collect_list(F.struct(ts_col, order_col, val_col))
+            ).alias("__seq")
+        )
+        k = F.lit(drift).cast("long")
+        h = F.lit(threshold).cast("long")
+        m = F.lit(enc).cast("long")
+
+        def _step(acc, e):
+            s = acc % m
+            t = F.greatest(s + e[val_col] - k, F.lit(0).cast("long"))
+            return F.when(t >= h, acc - s + m).otherwise(acc - s + t)
+
+        init = F.coalesce(F.col("__ps"), F.lit(0).cast("long"))
+        state = F.aggregate(F.col("__seq"), init, _step)
+        out = (
+            seq.join(prior, key_col, "left")
+            .select(
+                key_col,
+                (F.coalesce(F.col("__pn"), F.lit(0))
+                 + F.size("__seq")).cast("long").alias("n_obs"),
+                state.alias("__st"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+            .select(
+                key_col,
+                "n_obs",
+                F.expr(f"__st DIV CAST({enc} AS BIGINT)").alias("n_alerts"),
+                (F.col("__st") % F.lit(enc)).alias("resid"),
+                "batch_id",
+            )
+        )
+        out.write.mode("append").parquet(state_dir)
+
+    return (
+        events_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cusum_state(spark: SparkSession, state_dir: str,
+                     key_col: str = "user_id") -> DataFrame:
+    """Each key's latest ``(key, n_obs, n_alerts, resid)`` from the
+    delta store — replay-duplicated batches collapse per (batch_id,
+    key) before the per-key latest is taken."""
+    st = spark.read.parquet(state_dir).dropDuplicates(
+        ["batch_id", key_col]
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col("batch_id").desc())
+    return (
+        st.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, "n_obs", "n_alerts", "resid")
+    )
+
+
 def streaming_funnel_ingest(
     events_stream: DataFrame,
     state_dir: str,

@@ -1785,6 +1785,117 @@ class TestEwmaIngest:
         assert after == before
 
 
+class TestCusumIngest:
+    """Incremental CUSUM (streaming/ingest.py::streaming_cusum_ingest):
+    the packed (alerts, residual) recurrence composes exactly across
+    batches, so under ordered arrival the streaming state is
+    BIT-IDENTICAL to the batch operator over the union — pinned here,
+    plus replay collapse and a cross-batch alert case."""
+
+    def _ingest(self, spark, tmp_path, n_files=3):
+        from bloomy_etl_spark.streaming.ingest import (
+            read_cusum_state,
+            streaming_cusum_ingest,
+        )
+        from bloomy_etl_spark.streaming.sources import replay_dir_ordered
+
+        replay = replay_dir_ordered(
+            spark, SF_SMOKE, str(tmp_path / "replay"), n_files=n_files
+        )
+        schema = spark.read.parquet(replay).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("eus"),
+                "event_id",
+                F.floor(F.col("value") * 10000).cast("long").alias("v"),
+            )
+        )
+        q = streaming_cusum_ingest(
+            stream, str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        return read_cusum_state(spark, str(tmp_path / "state"))
+
+    def test_stream_equals_batch_bit_identical(self, spark, tmp_path):
+        from bloomy_etl_spark.operators.timeseries import cusum_alerts
+        from bloomy_etl_spark.sources.tables import load_table
+
+        got = {tuple(r) for r in self._ingest(spark, tmp_path).collect()}
+        ev = load_table(spark, SF_SMOKE, "events").select(
+            "user_id",
+            F.unix_micros("ts").alias("eus"),
+            "event_id",
+            F.floor(F.col("value") * 10000).cast("long").alias("v"),
+        )
+        want = {
+            tuple(r)
+            for r in cusum_alerts(
+                ev, drift=700_000, threshold=3_000_000
+            ).collect()
+        }
+        assert got == want
+
+    def test_alert_spanning_a_batch_boundary(self, spark, tmp_path):
+        """The accumulator must CARRY across batches: two sub-threshold
+        contributions in different micro-batches fire one alert that
+        neither batch alone would."""
+        from bloomy_etl_spark.streaming.ingest import (
+            read_cusum_state,
+            streaming_cusum_ingest,
+        )
+
+        import glob
+        import os
+
+        b0 = [(1, 10, 1, 18)]          # s = 18-10 = 8   (< 12)
+        b1 = [(1, 20, 2, 15)]          # s = 8+15-10 = 13 >= 12 -> alert
+        replay = tmp_path / "replay"
+        for i, rows in enumerate([b0, b1]):
+            spark.createDataFrame(
+                rows, "user_id long, eus long, event_id long, v long"
+            ).coalesce(1).write.parquet(str(replay / f"b{i}"))
+        # pin arrival order: the file source orders by mtime and the two
+        # writes can tie (the replay_dir_ordered lesson)
+        for i, p in enumerate(
+            sorted(glob.glob(str(replay / "b*" / "part-*")))
+        ):
+            os.utime(p, (1_000_000 + 10 * i, 1_000_000 + 10 * i))
+        stream = (
+            spark.readStream
+            .schema("user_id long, eus long, event_id long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay / "b*"))
+        )
+        q = streaming_cusum_ingest(
+            stream, str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            drift=10, threshold=12,
+        )
+        q.awaitTermination(120)
+        got = read_cusum_state(spark, str(tmp_path / "state")).collect()
+        assert [tuple(r) for r in got] == [(1, 2, 1, 0)]
+
+    def test_replayed_delta_collapses(self, spark, tmp_path):
+        from bloomy_etl_spark.streaming.ingest import read_cusum_state
+
+        before = {tuple(r) for r in self._ingest(spark, tmp_path).collect()}
+        state_dir = str(tmp_path / "state")
+        st = spark.read.parquet(state_dir)
+        last = st.agg(F.max("batch_id")).collect()[0][0]
+        st.filter(F.col("batch_id") == last).write.mode("append").parquet(
+            state_dir
+        )
+        after = {
+            tuple(r) for r in read_cusum_state(spark, state_dir).collect()
+        }
+        assert after == before
+
+
 class TestFunnelIngest:
     """Incremental funnel state (streaming/ingest.py::
     streaming_funnel_ingest): the (stage, last-µs) accumulator composes
