@@ -1882,6 +1882,44 @@ def q153_streaming_cusum_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q154_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry brand strengths (preference.bradley_terry, 3 MM
+    rounds, all-integer e6 arithmetic): within each order, a brand
+    "beats" every other brand it out-ships (order-grain quantity
+    duels), and the MM fit turns ~12 duels/order into one calibrated
+    strength per brand — the pairwise-preference model behind RLHF
+    reward data and arena leaderboards.  The duel log is reduced by
+    two map-side-combinable aggs before any iteration; rounds run on
+    the 300-row pair table.  The oracle unrolls the identical integer
+    rounds — floor divisions on non-negative operands, so both
+    engines walk the same sequence exactly (no q82-style float
+    rounding anywhere)."""
+    from bloomy_etl_spark.operators.preference import bradley_terry
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), "l_partkey", "l_quantity"
+    )
+    pt = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    lb = (
+        li.join(pt, "l_partkey")
+        .groupBy("ok", "brand")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    a, b = lb.alias("a"), lb.alias("b")
+    duels = a.join(
+        b,
+        (F.col("a.ok") == F.col("b.ok"))
+        & (F.col("a.brand") != F.col("b.brand"))
+        & (F.col("a.q") > F.col("b.q")),
+    ).select(
+        F.col("a.brand").alias("winner"), F.col("b.brand").alias("loser")
+    )
+    return bradley_terry(duels, rounds=3).transform(_psort, "item")
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -1936,6 +1974,7 @@ ENGINE_QUERIES = {
     "q151_vote_consensus": q151_vote_consensus,
     "q152_state_run_history": q152_state_run_history,
     "q153_streaming_cusum_state": q153_streaming_cusum_state,
+    "q154_bradley_terry": q154_bradley_terry,
 }
 
 
@@ -3281,3 +3320,60 @@ ENGINE_ORACLE_SQL["q152_state_run_history"] = """
 ENGINE_ORACLE_SQL["q153_streaming_cusum_state"] = (
     ENGINE_ORACLE_SQL["q149_cusum_changepoints"]
 )
+
+
+# q154: the oracle unrolls the SAME integer MM rounds — e6 strengths,
+# e12 per-pair reciprocal terms, floor division on non-negative
+# operands everywhere (DuckDB // ≡ Spark DIV there), GREATEST(...,1)
+# winless floor. MATERIALIZED per round (the q145 lesson).
+def _q154_oracle(rounds: int = 3, scale: int = 1_000_000) -> str:
+    sq = scale * scale
+    steps = []
+    prev = "w0"
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+    d{r} AS MATERIALIZED (
+        SELECT s.i, SUM((s.g * {sq}) // (wi.w + wj.w)) AS den
+        FROM sym s
+        JOIN {prev} wi ON s.i = wi.i
+        JOIN {prev} wj ON s.j = wj.i
+        GROUP BY s.i),
+    w{r} AS MATERIALIZED (
+        SELECT it.i, GREATEST((it.n_wins * {sq}) // d{r}.den,
+                              CAST(1 AS BIGINT)) AS w
+        FROM items it JOIN d{r} ON it.i = d{r}.i)""")
+        prev = f"w{r}"
+    return f"""
+    WITH lb AS MATERIALIZED (
+        SELECT l_orderkey AS ok, p_brand AS brand, SUM(l_quantity) AS q
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY l_orderkey, p_brand),
+    d AS MATERIALIZED (
+        SELECT a.brand AS i, b.brand AS j
+        FROM lb a JOIN lb b
+          ON a.ok = b.ok AND a.brand <> b.brand AND a.q > b.q),
+    wins AS (
+        SELECT i, CAST(COUNT(*) AS BIGINT) AS n_wins FROM d GROUP BY i),
+    g AS (
+        SELECT LEAST(i, j) AS a, GREATEST(i, j) AS b,
+               CAST(COUNT(*) AS BIGINT) AS g
+        FROM d GROUP BY LEAST(i, j), GREATEST(i, j)),
+    sym AS MATERIALIZED (
+        SELECT a AS i, b AS j, g FROM g
+        UNION ALL SELECT b AS i, a AS j, g FROM g),
+    items AS MATERIALIZED (
+        SELECT s.i, CAST(COALESCE(w.n_wins, 0) AS BIGINT) AS n_wins
+        FROM (SELECT DISTINCT i FROM sym) s LEFT JOIN wins w USING (i)),
+    w0 AS MATERIALIZED (
+        SELECT i, CAST({scale} AS BIGINT) AS w FROM items),{",".join(steps)}
+    SELECT it.i AS item, it.n_wins,
+           gg.n_games, {prev}.w AS strength_e6
+    FROM items it
+    JOIN (SELECT i, CAST(SUM(g) AS BIGINT) AS n_games
+          FROM sym GROUP BY i) gg ON it.i = gg.i
+    JOIN {prev} ON it.i = {prev}.i
+    ORDER BY item
+    """
+
+
+ENGINE_ORACLE_SQL["q154_bradley_terry"] = _q154_oracle()

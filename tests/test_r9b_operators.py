@@ -366,3 +366,66 @@ def test_vote_query_plan_windows_are_item_partitioned(spark):
     for m in re.finditer(r"\(\d+\) Window\n(?:[^\n]*\n){0,4}", p):
         block = m.group(0)
         assert "item" in block, block
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry
+# ---------------------------------------------------------------------------
+class TestBradleyTerry:
+    def _fit(self, spark, duels, rounds=3):
+        from bloomy_etl_spark.operators.preference import bradley_terry
+
+        df = spark.createDataFrame(duels, "winner string, loser string")
+        return {
+            r["item"]: (r["n_wins"], r["n_games"], r["strength_e6"])
+            for r in bradley_terry(df, rounds=rounds).collect()
+        }
+
+    def test_two_item_analytic_fixed_point(self, spark):
+        # A beats B twice, B beats A once: the MLE ratio is 2:1, and at
+        # mean strength 1e6 the integer MM lands on 1333333 / 666666
+        # after one round and stays there (hand-walked)
+        duels = [("A", "B"), ("A", "B"), ("B", "A")]
+        out = self._fit(spark, duels)
+        assert out["A"] == (2, 3, 1_333_333)
+        assert out["B"] == (1, 3, 666_666)
+
+    def test_winless_item_floors_at_one(self, spark):
+        duels = [("A", "B")] * 3
+        out = self._fit(spark, duels)
+        assert out["B"][0] == 0 and out["B"][2] == 1
+        assert out["A"][2] >= 1_900_000
+
+    def test_chain_orders_strengths(self, spark):
+        # A > B > C with clean sweeps: strengths strictly ordered
+        duels = ([("A", "B")] * 4 + [("B", "C")] * 4 + [("A", "C")] * 4)
+        out = self._fit(spark, duels)
+        assert out["A"][2] > out["B"][2] > out["C"][2]
+
+    def test_duplicate_log_is_strength_invariant(self, spark):
+        # doubling every duel doubles W and g: the MM update is
+        # scale-invariant in the counts, so strengths must not move
+        duels = [("A", "B"), ("A", "B"), ("B", "C"), ("C", "A"),
+                 ("B", "A"), ("A", "C")]
+        one = self._fit(spark, duels)
+        two = self._fit(spark, duels * 2)
+        for item in one:
+            assert one[item][2] == two[item][2]
+            assert two[item][0] == 2 * one[item][0]
+
+    def test_rounds_validation(self, spark):
+        from bloomy_etl_spark.operators.preference import bradley_terry
+
+        df = spark.createDataFrame([("A", "B")], "winner string, loser string")
+        with pytest.raises(ValueError):
+            bradley_terry(df, rounds=0)
+
+
+def test_bradley_terry_query_plan_no_cartesian(spark):
+    """q154: the duel self-join is equi on the order key; rounds join
+    item-grain tables — no cartesian or nested-loop anywhere."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = _plan(ENGINE_QUERIES["q154_bradley_terry"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
