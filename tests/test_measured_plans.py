@@ -257,3 +257,97 @@ def test_lpa_round_shuffle_linear_in_edges(spark):
     assert p["shuffle_records_written"] <= 6 * (2 * m) + 4
     # regression canary: ENGINE_QUERIES wiring still builds the same graph
     assert ENGINE_QUERIES["q145_supplier_communities"] is not None
+
+
+def test_cusum_shuffle_records_bounded_by_keys(spark):
+    """q149's fold shuffles the VALUES once (inherent: every
+    observation reaches its key's fold), but as per-partition partial
+    collect_list rows — the record count is bounded by keys × map
+    partitions, never by observations."""
+    from bloomy_etl_spark.operators.timeseries import cusum_alerts
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("eus"),
+        "event_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    n_events = ev.count()
+    n_keys = ev.select("user_id").distinct().count()
+    n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    p = run_profile(cusum_alerts(ev, drift=700_000, threshold=3_000_000))
+    # partial-agg rows (+ the presentation-sort re-exchange of the
+    # key-grain result), never the raw event rows
+    assert 0 < p["shuffle_records_written"] <= 2 * n_keys * n_parts
+    assert p["shuffle_records_written"] < n_events
+
+
+def test_majority_vote_shuffle_is_count_grain_not_vote_grain(spark):
+    """q151's shuffle carries (item, label) partial counts — bounded by
+    item×label domain × partitions, far below the raw vote count."""
+    from bloomy_etl_spark.operators.labels import majority_vote
+
+    votes = load_table(spark, SF_SMOKE, "events").select(
+        F.col("user_id").alias("item"),
+        F.col("event_type").alias("label"),
+    )
+    n_votes = votes.count()
+    n_cells = votes.distinct().count()
+    n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    p = run_profile(majority_vote(votes, min_share_e6=400_000))
+    assert 0 < p["shuffle_records_written"] <= 2 * n_cells * n_parts
+    assert p["shuffle_records_written"] < n_votes
+
+
+def test_zorder_ships_the_corpus_once_plus_bounded_frames(spark):
+    """q150's layout rewrite must move each row to its rank bucket
+    exactly ONCE; everything else it exchanges is the 256-row offset
+    frame and file-grain aggregate partials. Measured: total shuffle
+    records stay under corpus + bounded terms — no second corpus
+    pass, no join-back of rank tables."""
+    from bloomy_etl_spark.operators.zorder import zone_maps, zorder_files
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(256)).cast("long").alias("xb"),
+        F.pmod(F.datediff(F.col("ts").cast("date"),
+                          F.lit("2024-01-01").cast("date")),
+               F.lit(256)).cast("long").alias("yb"),
+    )
+    n_rows = ev.count()
+    n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    buckets, files = 256, n_rows // 500 + 1
+    laid = zorder_files(ev, "xb", "yb", "event_id", rows_per_file=500)
+    p = run_profile(zone_maps(laid, "xb", "yb"))
+    bound = n_rows + n_parts * (buckets + files) + buckets
+    assert 0 < p["shuffle_records_written"] <= bound
+
+
+def test_bradley_terry_duel_log_never_shuffles(spark):
+    """q154's rounds iterate over the item/pair tables only: the raw
+    duel log is reduced by partial aggregation before the exchange, so
+    total shuffle records across ALL rounds stay below the duel
+    count."""
+    from bloomy_etl_spark.operators.preference import bradley_terry
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    duels = (
+        ev.alias("a")
+        .join(ev.alias("b"), "user_id")
+        .filter(F.col("a.event_id") < F.col("b.event_id"))
+        .select(
+            F.col("a.event_type").alias("winner"),
+            F.col("b.event_type").alias("loser"),
+        )
+        .filter(F.col("winner") != F.col("loser"))
+        .limit(20000)
+    )
+    duels = duels.localCheckpoint()  # freeze: profile only the fit
+    n_duels = duels.count()
+    p = run_profile(bradley_terry(duels, rounds=3))
+    assert n_duels == 20000
+    # the wins/pairs reductions are pinned at construction and the
+    # item-grain round tables broadcast under AQE — the profiled fit
+    # can legitimately measure ZERO shuffle records; the contract is
+    # only that it never re-ships the duel log
+    assert 0 <= p["shuffle_records_written"] < n_duels
