@@ -1920,6 +1920,101 @@ def q154_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bradley_terry(duels, rounds=3).transform(_psort, "item")
 
 
+def q155_supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the strong co-purchase supplier graph (graph.k_core,
+    6 synchronous peel rounds over q141's support-≥2 edge set) — the
+    COHESION backbone: suppliers that stay connected to ≥ 3 strong
+    partners even after the cascade removes everyone who doesn't.
+    Every decision is an integer degree comparison; the oracle unrolls
+    the same rounds as MATERIALIZED CTEs, and the `converged` flag
+    certifies the peel reached its fixed point (the result IS the
+    3-core, not an intermediate state)."""
+    from bloomy_etl_spark.operators.graph import k_core
+
+    os_ = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        os_.select("o", F.col("s").alias("x"))
+        .join(os_.select("o", F.col("s").alias("y")), "o")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .drop("w")
+    )
+    return (
+        k_core(edges, k=3, rounds=6)
+        .select(F.col("node").cast("long").alias("supp_key"),
+                "degree", "converged")
+        .transform(_psort, "supp_key")
+    )
+
+
+def q156_streaming_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension maintenance under the driver hash
+    gate (the q144/q153 pattern applied to q152): the events fixture
+    replays as three time-ordered micro-batches through
+    ``streaming_scd2_ingest`` — per-batch self-compaction merged
+    against each key's open run — and the reader's interval table is
+    hashed against the one-shot batch compaction oracle.  Runs that
+    SPAN batch boundaries are the hard case (independent per-batch
+    compaction splits them); the hash match proves the open-run merge
+    heals every seam."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bloomy_etl_spark.streaming.ingest import (
+        read_scd2_state,
+        streaming_scd2_ingest,
+    )
+    from bloomy_etl_spark.streaming.sources import replay_dir_ordered
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = (id(spark), "q156", sf_dir, os.stat(src).st_mtime_ns)
+    base = _STREAM_MEMO.get(key)
+    if base is None or not os.path.isfile(os.path.join(base, "_BUILD_OK")):
+        base = os.path.join(
+            tempfile.gettempdir(), "bloomy_stream",
+            f"{os.getpid()}-"
+            + hashlib.md5(repr(key).encode()).hexdigest()[:12],
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        replay = replay_dir_ordered(
+            spark, sf_dir, os.path.join(base, "replay"), n_files=3
+        )
+        schema = spark.read.parquet(replay).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("eus"),
+                "event_id",
+                F.col("event_type").alias("state"),
+            )
+        )
+        q = streaming_scd2_ingest(
+            stream,
+            os.path.join(base, "state"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("q156 replay stream did not finish")
+        with open(os.path.join(base, "_BUILD_OK"), "w") as f:
+            f.write("ok")
+        _STREAM_MEMO[key] = base
+    return read_scd2_state(spark, os.path.join(base, "state")).transform(
+        _psort, "user_id", "version"
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -1975,6 +2070,8 @@ ENGINE_QUERIES = {
     "q152_state_run_history": q152_state_run_history,
     "q153_streaming_cusum_state": q153_streaming_cusum_state,
     "q154_bradley_terry": q154_bradley_terry,
+    "q155_supplier_kcore": q155_supplier_kcore,
+    "q156_streaming_scd2_state": q156_streaming_scd2_state,
 }
 
 
@@ -3377,3 +3474,53 @@ def _q154_oracle(rounds: int = 3, scale: int = 1_000_000) -> str:
 
 
 ENGINE_ORACLE_SQL["q154_bradley_terry"] = _q154_oracle()
+
+
+# q155: one unrolled MATERIALIZED CTE pair per peel round (survivors,
+# pruned edges) — the q145 shape; converged certifies the fixed point
+# via a scalar min-degree subquery.
+def _q155_oracle(k: int = 3, rounds: int = 6) -> str:
+    steps = []
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+    s{r} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT node, COUNT(*) AS deg
+            FROM (SELECT x AS node FROM {prev}
+                  UNION ALL SELECT y AS node FROM {prev})
+            GROUP BY node)
+        WHERE deg >= {k}),
+    e{r} AS MATERIALIZED (
+        SELECT x, y FROM {prev}
+        WHERE x IN (SELECT node FROM s{r})
+          AND y IN (SELECT node FROM s{r}))""")
+        prev = f"e{r}"
+    return f"""
+    WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    e0 AS MATERIALIZED (
+        SELECT a.s AS x, b.s AS y
+        FROM op a JOIN op b ON a.o = b.o AND a.s < b.s
+        GROUP BY a.s, b.s HAVING COUNT(*) >= 2),{",".join(steps)},
+    fin AS MATERIALIZED (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT x AS node FROM {prev}
+              UNION ALL SELECT y AS node FROM {prev})
+        GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS supp_key, degree,
+           (SELECT COALESCE(MIN(degree), {k}) FROM fin) >= {k}
+               AS converged
+    FROM fin ORDER BY supp_key
+    """
+
+
+ENGINE_ORACLE_SQL["q155_supplier_kcore"] = _q155_oracle()
+
+
+# q156: the oracle is the plain batch gaps-and-islands compaction
+# (q152's SQL) — hashing the streamed open-run-merged interval table
+# against it is the stream ≡ batch contract for dimension maintenance.
+ENGINE_ORACLE_SQL["q156_streaming_scd2_state"] = (
+    ENGINE_ORACLE_SQL["q152_state_run_history"]
+)

@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 from bloomy_etl_spark.session import pin
 
-__all__ = ["pagerank", "bfs_hops", "triangle_counts", "label_propagation"]
+__all__ = ["pagerank", "bfs_hops", "triangle_counts", "label_propagation",
+           "k_core"]
 
 
 def bfs_hops(
@@ -209,6 +210,72 @@ def label_propagation(
             .transform(pin, eager=False)
         )
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    x: str = "x",
+    y: str = "y",
+    *,
+    rounds: int = 8,
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node keeps degree
+    ≥ k — the COHESION view completing the graph family (q42
+    components, q82 centrality, q97 reachability, q141 local density,
+    q145 communities): cores survive the cascade where removing one
+    weak node strips its neighbors below threshold too, which is why
+    k-core is the standard backbone/spam-tail filter for web and
+    citation graphs before expensive downstream analytics.
+
+    Synchronous peel, fixed ``rounds``: each round deletes ALL nodes
+    of current degree < k simultaneously, then recounts.  Every
+    decision is an exact integer degree comparison, so a fixed-round
+    run is replayed bit-identically by one unrolled CTE per round (the
+    LPA oracle shape).  The peel converges in at most |V| rounds but
+    in practice a handful — callers that need a certificate check
+    ``converged`` (no node below k in the final survivor set; the
+    fixed-point guarantee that the result IS the k-core rather than an
+    intermediate peel state).
+
+    Returns ``(node, degree, converged)`` for surviving nodes —
+    ``degree`` is the node's degree WITHIN the core.
+
+    Scale: each round is one node-keyed degree agg over the live edge
+    table + two semi joins pruning the edge list — all keyed by node,
+    edge state only ever shrinks, lineage cut per round with
+    ``session.pin``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    live = edges.select(F.col(x).alias("x"), F.col(y).alias("y")).transform(
+        pin, eager=True
+    )
+    for _ in range(rounds):
+        deg = (
+            live.select(F.col("x").alias("node"))
+            .unionAll(live.select(F.col("y").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        live = (
+            live.join(keep.withColumnRenamed("node", "x"), "x", "semi")
+            .join(keep.withColumnRenamed("node", "y"), "y", "semi")
+            .select("x", "y")
+            .transform(pin, eager=False)
+        )
+    deg = (
+        live.select(F.col("x").alias("node"))
+        .unionAll(live.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .transform(pin, eager=True)
+    )
+    n_below = deg.filter(F.col("degree") < k).count()
+    return deg.withColumn("converged", F.lit(n_below == 0))
 
 
 def triangle_counts(edges: DataFrame, x: str = "x", y: str = "y",

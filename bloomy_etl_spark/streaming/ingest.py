@@ -1084,6 +1084,131 @@ def read_cusum_state(spark: SparkSession, state_dir: str,
     )
 
 
+def streaming_scd2_ingest(
+    events_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    ts_col: str = "eus",
+    order_col: str = "event_id",
+    attr_col: str = "state",
+):
+    """Live SCD2 dimension maintenance
+    (:func:`bloomy_etl_spark.operators.history.scd2_compact` on a
+    stream): validity intervals stay current as the change log
+    arrives, without ever re-reading prior log history.  Each batch
+    compacts ITSELF (the batch operator), then merges against each
+    key's OPEN run only: same attribute across the boundary → the
+    open run extends (the case independent per-batch compaction gets
+    wrong); different → the open run closes at the batch's first
+    timestamp and versions continue from it.  Under ordered arrival
+    the reader's view is BIT-IDENTICAL to ``scd2_compact`` over the
+    full log — the equivalence test pins that.
+
+    Store: append-only run rows keyed (key, version, batch_id);
+    closed historical runs are never rewritten — a batch appends only
+    its own runs plus at most one closing update per key.  Replays
+    append identical rows; the reader collapses per (key, version) by
+    latest batch.
+    """
+    from bloomy_etl_spark.operators.history import scd2_compact
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        like_schema = (
+            f"{key_col} long, version long, {attr_col} string, "
+            "valid_from long, valid_to long, n_rows long, batch_id long"
+        )
+        w_ver = Window.partitionBy(key_col, "version").orderBy(
+            F.col("batch_id").desc()
+        )
+        prior = (
+            _read_or_empty(
+                spark, state_dir, spark.createDataFrame([], like_schema)
+            )
+            .filter(F.col("batch_id") != batch_id)
+            .withColumn("__rn", F.row_number().over(w_ver))
+            .filter(F.col("__rn") == 1)
+        )
+        open_run = prior.filter(F.col("valid_to").isNull()).select(
+            key_col,
+            F.col("version").alias("__over"),
+            F.col(attr_col).alias("__ostate"),
+            F.col("valid_from").alias("__ofrom"),
+            F.col("n_rows").alias("__on"),
+        )
+        bruns = scd2_compact(
+            batch, key_col=key_col, ts_col=ts_col,
+            order_col=order_col, attr_col=attr_col,
+        ).withColumnRenamed("version", "__bver")
+        first = bruns.filter(F.col("__bver") == 1).join(
+            open_run, key_col, "left"
+        )
+        merged = F.col("__ostate") == F.col(attr_col)
+        offs = first.select(
+            key_col,
+            F.when(F.col("__over").isNull(), F.lit(0).cast("long"))
+            .when(merged, F.col("__over") - 1)
+            .otherwise(F.col("__over"))
+            .alias("__off"),
+            F.coalesce(merged, F.lit(False)).alias("__merged"),
+            F.col("__ofrom"),
+            F.col("__on"),
+            F.col("__over"),
+            F.col("valid_from").alias("__bfrom"),
+            F.col("__ostate"),
+        )
+        is_m1 = (F.col("__bver") == 1) & F.col("__merged")
+        out_runs = bruns.join(offs, key_col).select(
+            F.col(key_col),
+            (F.col("__bver") + F.col("__off")).cast("long").alias("version"),
+            F.col(attr_col),
+            F.when(is_m1, F.col("__ofrom"))
+            .otherwise(F.col("valid_from")).alias("valid_from"),
+            F.col("valid_to"),
+            F.when(is_m1, F.col("__on") + F.col("n_rows"))
+            .otherwise(F.col("n_rows")).cast("long").alias("n_rows"),
+        )
+        closed = offs.filter(
+            (~F.col("__merged")) & F.col("__over").isNotNull()
+        ).select(
+            F.col(key_col),
+            F.col("__over").cast("long").alias("version"),
+            F.col("__ostate").alias(attr_col),
+            F.col("__ofrom").alias("valid_from"),
+            F.col("__bfrom").alias("valid_to"),
+            F.col("__on").cast("long").alias("n_rows"),
+        )
+        out = out_runs.unionByName(closed).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        out.write.mode("append").parquet(state_dir)
+
+    return (
+        events_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_scd2_state(spark: SparkSession, state_dir: str,
+                    key_col: str = "user_id") -> DataFrame:
+    """The current interval table from the run store: latest row per
+    (key, version), replay duplicates collapsed first."""
+    st = spark.read.parquet(state_dir).dropDuplicates(
+        ["batch_id", key_col, "version"]
+    )
+    w = Window.partitionBy(key_col, "version").orderBy(
+        F.col("batch_id").desc()
+    )
+    return (
+        st.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "batch_id")
+    )
+
+
 def streaming_funnel_ingest(
     events_stream: DataFrame,
     state_dir: str,

@@ -429,3 +429,46 @@ def test_bradley_terry_query_plan_no_cartesian(spark):
     p = _plan(ENGINE_QUERIES["q154_bradley_terry"](spark, SF_SMOKE))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+class TestKCore:
+    def _run(self, spark, edges, k, rounds=8):
+        from bloomy_etl_spark.operators.graph import k_core
+
+        df = spark.createDataFrame(edges, "x long, y long")
+        rows = k_core(df, k=k, rounds=rounds).collect()
+        return (
+            {r["node"]: r["degree"] for r in rows},
+            all(r["converged"] for r in rows) if rows else None,
+        )
+
+    def test_pendant_peels_triangle_survives(self, spark):
+        deg, conv = self._run(spark, [(1, 2), (2, 3), (1, 3), (1, 4)], k=2)
+        assert deg == {1: 2, 2: 2, 3: 2}
+        assert conv is True
+
+    def test_path_cascades_to_empty(self, spark):
+        # every peel re-exposes a new endpoint: the 2-core of a path is
+        # empty, which only a CASCADING peel finds
+        deg, conv = self._run(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], k=2)
+        assert deg == {}
+
+    def test_unconverged_peel_is_flagged(self, spark):
+        deg, conv = self._run(
+            spark, [(1, 2), (2, 3), (3, 4), (4, 5)], k=2, rounds=1
+        )
+        # one round removes only the original endpoints; the surviving
+        # path 2-3-4 still has degree-1 nodes -> not the 2-core yet
+        assert deg and conv is False
+
+    def test_validation(self, spark):
+        from bloomy_etl_spark.operators.graph import k_core
+
+        df = spark.createDataFrame([(1, 2)], "x long, y long")
+        with pytest.raises(ValueError):
+            k_core(df, k=0)
+        with pytest.raises(ValueError):
+            k_core(df, k=1, rounds=0)

@@ -1896,6 +1896,117 @@ class TestCusumIngest:
         assert after == before
 
 
+class TestScd2Ingest:
+    """Live SCD2 maintenance (streaming/ingest.py::
+    streaming_scd2_ingest): per-batch self-compaction + open-run merge
+    must equal the batch compaction of the full log bit-for-bit under
+    ordered arrival — including the run that SPANS a batch boundary,
+    which independent per-batch compaction would split in two."""
+
+    def _ingest(self, spark, tmp_path, n_files=3):
+        from bloomy_etl_spark.streaming.ingest import (
+            read_scd2_state,
+            streaming_scd2_ingest,
+        )
+        from bloomy_etl_spark.streaming.sources import replay_dir_ordered
+
+        replay = replay_dir_ordered(
+            spark, SF_SMOKE, str(tmp_path / "replay"), n_files=n_files
+        )
+        schema = spark.read.parquet(replay).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("eus"),
+                "event_id",
+                F.col("event_type").alias("state"),
+            )
+        )
+        q = streaming_scd2_ingest(
+            stream, str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        return read_scd2_state(spark, str(tmp_path / "state"))
+
+    def test_stream_equals_batch_bit_identical(self, spark, tmp_path):
+        from bloomy_etl_spark.operators.history import scd2_compact
+        from bloomy_etl_spark.sources.tables import load_table
+
+        got = {tuple(r) for r in self._ingest(spark, tmp_path).collect()}
+        ev = load_table(spark, SF_SMOKE, "events").select(
+            "user_id",
+            F.unix_micros("ts").alias("eus"),
+            "event_id",
+            F.col("event_type").alias("state"),
+        )
+        want = {tuple(r) for r in scd2_compact(ev).collect()}
+        assert got == want
+
+    def test_run_spanning_batch_boundary_merges(self, spark, tmp_path):
+        import glob
+        import os
+
+        from bloomy_etl_spark.streaming.ingest import (
+            read_scd2_state,
+            streaming_scd2_ingest,
+        )
+
+        # batch 0 ends in state 'a'; batch 1 continues 'a' then flips:
+        # the boundary run must come back as ONE interval (v2, 3 rows)
+        b0 = [(1, 10, 1, "b"), (1, 20, 2, "a")]
+        b1 = [(1, 30, 3, "a"), (1, 40, 4, "a"), (1, 50, 5, "c")]
+        replay = tmp_path / "replay"
+        for i, rows in enumerate([b0, b1]):
+            spark.createDataFrame(
+                rows, "user_id long, eus long, event_id long, state string"
+            ).coalesce(1).write.parquet(str(replay / f"b{i}"))
+        for i, p in enumerate(
+            sorted(glob.glob(str(replay / "b*" / "part-*")))
+        ):
+            os.utime(p, (1_000_000 + 10 * i, 1_000_000 + 10 * i))
+        stream = (
+            spark.readStream
+            .schema("user_id long, eus long, event_id long, state string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay / "b*"))
+        )
+        q = streaming_scd2_ingest(
+            stream, str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            tuple(r)
+            for r in read_scd2_state(
+                spark, str(tmp_path / "state")
+            ).collect()
+        )
+        assert got == [
+            (1, 1, "b", 10, 20, 1),
+            (1, 2, "a", 20, 50, 3),
+            (1, 3, "c", 50, None, 1),
+        ]
+
+    def test_replayed_delta_collapses(self, spark, tmp_path):
+        from bloomy_etl_spark.streaming.ingest import read_scd2_state
+
+        before = {tuple(r) for r in self._ingest(spark, tmp_path).collect()}
+        state_dir = str(tmp_path / "state")
+        st = spark.read.parquet(state_dir)
+        last = st.agg(F.max("batch_id")).collect()[0][0]
+        st.filter(F.col("batch_id") == last).write.mode("append").parquet(
+            state_dir
+        )
+        after = {
+            tuple(r) for r in read_scd2_state(spark, state_dir).collect()
+        }
+        assert after == before
+
+
 class TestFunnelIngest:
     """Incremental funnel state (streaming/ingest.py::
     streaming_funnel_ingest): the (stage, last-µs) accumulator composes
