@@ -472,3 +472,13 @@ class TestKCore:
             k_core(df, k=0)
         with pytest.raises(ValueError):
             k_core(df, k=1, rounds=0)
+
+
+def test_kcore_query_plan_no_cartesian(spark):
+    """q155: every peel round is a node-keyed agg + two semi joins;
+    nothing nested-loop, nothing cartesian, at any round."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = _plan(ENGINE_QUERIES["q155_supplier_kcore"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
