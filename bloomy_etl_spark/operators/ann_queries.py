@@ -1206,3 +1206,117 @@ ANN_ORACLE_SQL["q126_ann_recall"] = f"""
            COALESCE(ROUND(1.0 / first_hit, 6), 0.0) AS rr
     FROM per ORDER BY query_id
 """
+
+
+def q157_judged_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-judged IR quality of exact cosine retrieval
+    (evals.judged_retrieval_metrics): every 100th vector queries the
+    corpus (q33's top-10, self excluded); a neighbor is RELEVANT when
+    it shares the query's class label. Emits per-query nDCG@10 / MRR /
+    recall@10 in exact integer millionths with the e9-quantized
+    log₂ discount table shared verbatim with the oracle — the
+    label-based companion to q126's recall-vs-exact audit, i.e. "is
+    the embedding space good", measured in-engine where the corpus
+    lives."""
+    from bloomy_etl_spark.operators.evals import judged_retrieval_metrics
+    from bloomy_etl_spark.operators.similarity import cosine_topk
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    ranked = cosine_topk(
+        embs, embs.filter(F.col("vec_id") % 100 == 0), k=10
+    )
+    lab = embs.select("vec_id", "label")
+    lc = lab.groupBy("label").agg(F.count(F.lit(1)).alias("__lc"))
+    q_side = (
+        lab.withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(lc), "label")
+        .select(
+            "query_id",
+            F.col("label").alias("__ql"),
+            (F.col("__lc") - 1).cast("long").alias("n_relevant"),
+        )
+    )
+    n_side = lab.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__nl")
+    )
+    rels = (
+        ranked.join(q_side, "query_id")
+        .join(n_side, "neighbor_id")
+        .select(
+            "query_id",
+            "rank",
+            (F.col("__ql") == F.col("__nl")).cast("long").alias("rel"),
+            "n_relevant",
+        )
+    )
+    return judged_retrieval_metrics(rels, k=10).transform(
+        _psort, "query_id"
+    )
+
+
+ANN_QUERIES["q157_judged_retrieval_quality"] = q157_judged_retrieval_quality
+
+
+def _q157_oracle() -> str:
+    from bloomy_etl_spark.operators.evals import (
+        dcg_weights_e9,
+        idcg_prefix_e9,
+    )
+
+    wv = ", ".join(
+        f"({r + 1}, {w})" for r, w in enumerate(dcg_weights_e9(10))
+    )
+    pv = ", ".join(
+        f"({m + 1}, {p})" for m, p in enumerate(idcg_prefix_e9(10))
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (
+        SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl
+        FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, ql, nl,
+               {_COS.format(a='qv', b='cv')} AS cos_sim
+        FROM q, c WHERE query_id <> neighbor_id),
+    ranked AS (
+        SELECT query_id, ql, nl,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored),
+    lc AS (
+        SELECT label, CAST(COUNT(*) - 1 AS BIGINT) AS n_rel
+        FROM embeddings GROUP BY label),
+    w(r, wt) AS (VALUES {wv}),
+    p(m, pw) AS (VALUES {pv}),
+    j AS (
+        SELECT r.query_id, r.rank,
+               CASE WHEN r.ql = r.nl THEN 1 ELSE 0 END AS rel,
+               lc.n_rel
+        FROM ranked r JOIN lc ON r.ql = lc.label
+        WHERE r.rank <= 10),
+    agg AS (
+        SELECT query_id,
+               CAST(MAX(n_rel) AS BIGINT) AS n_relevant,
+               CAST(SUM(rel) AS BIGINT) AS hits,
+               CAST(SUM(rel * w.wt) AS BIGINT) AS dcg_e9,
+               MIN(CASE WHEN rel = 1 THEN rank END) AS fr
+        FROM j JOIN w ON j.rank = w.r
+        GROUP BY query_id)
+    SELECT query_id, n_relevant, hits, dcg_e9,
+           CAST(COALESCE(p.pw, 0) AS BIGINT) AS idcg_e9,
+           CAST(CASE WHEN COALESCE(p.pw, 0) > 0
+                THEN (dcg_e9 * 1000000) // p.pw ELSE 0 END AS BIGINT)
+               AS ndcg_e6,
+           CAST(CASE WHEN fr IS NOT NULL
+                THEN 1000000 // fr ELSE 0 END AS BIGINT) AS mrr_e6,
+           CAST(CASE WHEN n_relevant > 0
+                THEN (hits * 1000000) // n_relevant ELSE 0 END AS BIGINT)
+               AS recall_e6
+    FROM agg LEFT JOIN p ON p.m = LEAST(n_relevant, 10)
+    ORDER BY query_id
+    """
+
+
+ANN_ORACLE_SQL["q157_judged_retrieval_quality"] = _q157_oracle()

@@ -482,3 +482,73 @@ def test_kcore_query_plan_no_cartesian(spark):
     p = _plan(ENGINE_QUERIES["q155_supplier_kcore"](spark, SF_SMOKE))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# Judged retrieval metrics
+# ---------------------------------------------------------------------------
+class TestJudgedRetrievalMetrics:
+    def _run(self, spark, rows, k):
+        from bloomy_etl_spark.operators.evals import judged_retrieval_metrics
+
+        df = spark.createDataFrame(
+            rows, "query_id long, rank long, rel long, n_relevant long"
+        )
+        return {
+            r["query_id"]: r.asDict()
+            for r in judged_retrieval_metrics(df, k=k).collect()
+        }
+
+    def test_hand_checked_against_shared_weight_table(self, spark):
+        from bloomy_etl_spark.operators.evals import (
+            dcg_weights_e9,
+            idcg_prefix_e9,
+        )
+
+        w, p = dcg_weights_e9(3), idcg_prefix_e9(3)
+        rows = [
+            (1, 1, 1, 5), (1, 2, 0, 5), (1, 3, 1, 5),   # hits at 1, 3
+            (2, 1, 0, 4), (2, 2, 1, 4), (2, 3, 0, 4),   # first hit at 2
+            (3, 1, 0, 7), (3, 2, 0, 7), (3, 3, 0, 7),   # no hits
+        ]
+        out = self._run(spark, rows, k=3)
+        dcg1 = w[0] + w[2]
+        assert out[1]["hits"] == 2 and out[1]["dcg_e9"] == dcg1
+        assert out[1]["idcg_e9"] == p[2]                  # min(5, 3) = 3
+        assert out[1]["ndcg_e6"] == dcg1 * 1_000_000 // p[2]
+        assert out[1]["mrr_e6"] == 1_000_000
+        assert out[1]["recall_e6"] == 2 * 1_000_000 // 5
+        assert out[2]["mrr_e6"] == 500_000
+        assert out[2]["ndcg_e6"] == w[1] * 1_000_000 // p[2]  # min(4,3)=3
+        assert out[3] == {
+            "query_id": 3, "n_relevant": 7, "hits": 0, "dcg_e9": 0,
+            "idcg_e9": p[2], "ndcg_e6": 0, "mrr_e6": 0, "recall_e6": 0,
+        }
+
+    def test_zero_relevant_query_is_all_zero(self, spark):
+        out = self._run(spark, [(9, 1, 0, 0), (9, 2, 0, 0)], k=2)
+        assert out[9] == {
+            "query_id": 9, "n_relevant": 0, "hits": 0, "dcg_e9": 0,
+            "idcg_e9": 0, "ndcg_e6": 0, "mrr_e6": 0, "recall_e6": 0,
+        }
+
+    def test_perfect_ranking_scores_unity(self, spark):
+        rows = [(5, r, 1, 2) for r in (1, 2)]
+        out = self._run(spark, rows, k=2)
+        assert out[5]["ndcg_e6"] == 1_000_000
+        assert out[5]["recall_e6"] == 1_000_000
+        assert out[5]["mrr_e6"] == 1_000_000
+
+    def test_rows_beyond_k_ignored(self, spark):
+        rows = [(1, 1, 0, 3), (1, 2, 1, 3), (1, 7, 1, 3)]
+        out = self._run(spark, rows, k=2)
+        assert out[1]["hits"] == 1
+
+    def test_k_validation(self, spark):
+        from bloomy_etl_spark.operators.evals import judged_retrieval_metrics
+
+        df = spark.createDataFrame(
+            [(1, 1, 1, 1)], "query_id long, rank long, rel long, n_relevant long"
+        )
+        with pytest.raises(ValueError):
+            judged_retrieval_metrics(df, k=0)
