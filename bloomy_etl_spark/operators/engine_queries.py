@@ -2015,6 +2015,92 @@ def q156_streaming_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q158_streaming_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live Bradley-Terry leaderboard under the driver hash gate: the
+    q154 brand-duel log replays as three hash-sliced micro-batches
+    through ``streaming_duel_ingest`` (directional-count deltas —
+    additive, hence CONFLUENT: any arrival order), and the read-side
+    re-fit over the merged counts is hashed against q154's one-shot
+    oracle.  The contract this gates: a leaderboard maintained
+    incrementally forever equals the batch fit over all history, with
+    per-batch cost that never grows with that history."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bloomy_etl_spark.operators.preference import (
+        bradley_terry_from_counts,
+    )
+    from bloomy_etl_spark.streaming.ingest import (
+        read_duel_counts,
+        streaming_duel_ingest,
+    )
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    key = (id(spark), "q158", sf_dir, os.stat(src).st_mtime_ns)
+    base = _STREAM_MEMO.get(key)
+    if base is None or not os.path.isfile(os.path.join(base, "_BUILD_OK")):
+        base = os.path.join(
+            tempfile.gettempdir(), "bloomy_stream",
+            f"{os.getpid()}-"
+            + hashlib.md5(repr(key).encode()).hexdigest()[:12],
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ok"), "l_partkey", "l_quantity"
+        )
+        pt = _t(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("l_partkey"),
+            F.col("p_brand").alias("brand"),
+        )
+        lb = (
+            li.join(pt, "l_partkey")
+            .groupBy("ok", "brand")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        a, b = lb.alias("a"), lb.alias("b")
+        duels = a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.brand") != F.col("b.brand"))
+            & (F.col("a.q") > F.col("b.q")),
+        ).select(
+            F.col("a.brand").alias("winner"),
+            F.col("b.brand").alias("loser"),
+            F.col("a.ok").alias("ok"),
+        )
+        replay = os.path.join(base, "replay")
+        # hash-sliced batches: counts are additive, arrival order is
+        # provably irrelevant (the q148 confluence argument)
+        for bi in range(3):
+            duels.filter(
+                F.pmod(F.xxhash64("winner", "loser", "ok"), F.lit(3)) == bi
+            ).select("winner", "loser").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(replay, f"b{bi}"))
+        stream = (
+            spark.readStream.schema("winner string, loser string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(replay, "b*"))
+        )
+        q = streaming_duel_ingest(
+            stream,
+            os.path.join(base, "state"),
+            os.path.join(base, "ckpt"),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("q158 replay stream did not finish")
+        with open(os.path.join(base, "_BUILD_OK"), "w") as f:
+            f.write("ok")
+        _STREAM_MEMO[key] = base
+    counts = read_duel_counts(spark, os.path.join(base, "state"))
+    return bradley_terry_from_counts(counts, rounds=3).transform(
+        _psort, "item"
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -2072,6 +2158,7 @@ ENGINE_QUERIES = {
     "q154_bradley_terry": q154_bradley_terry,
     "q155_supplier_kcore": q155_supplier_kcore,
     "q156_streaming_scd2_state": q156_streaming_scd2_state,
+    "q158_streaming_leaderboard": q158_streaming_leaderboard,
 }
 
 
@@ -3523,4 +3610,13 @@ ENGINE_ORACLE_SQL["q155_supplier_kcore"] = _q155_oracle()
 # against it is the stream ≡ batch contract for dimension maintenance.
 ENGINE_ORACLE_SQL["q156_streaming_scd2_state"] = (
     ENGINE_ORACLE_SQL["q152_state_run_history"]
+)
+
+
+# q158: the oracle is q154's one-shot integer MM fit — hashing the
+# leaderboard re-fit from STREAMED count deltas against it is the
+# stream ≡ batch contract (counts are additive, so any batch slicing
+# must land on the identical fit).
+ENGINE_ORACLE_SQL["q158_streaming_leaderboard"] = (
+    ENGINE_ORACLE_SQL["q154_bradley_terry"]
 )

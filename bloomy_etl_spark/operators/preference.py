@@ -36,7 +36,21 @@ from pyspark.sql import functions as F
 
 from bloomy_etl_spark.session import pin
 
-__all__ = ["bradley_terry"]
+__all__ = ["bradley_terry", "bradley_terry_from_counts", "duel_counts"]
+
+
+def duel_counts(duels: DataFrame, winner: str = "winner",
+                loser: str = "loser") -> DataFrame:
+    """Reduce a duel log to directional counts ``(i, j, n)`` — i beat
+    j ``n`` times.  The ONLY corpus-grain touch of the whole fit, one
+    map-side-combinable hash-agg; counts are plain sums, so they
+    compose across any partition of the log (the streaming ingest's
+    soundness in one line)."""
+    return (
+        duels.select(F.col(winner).alias("i"), F.col(loser).alias("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
 
 
 def bradley_terry(duels: DataFrame, winner: str = "winner",
@@ -58,17 +72,28 @@ def bradley_terry(duels: DataFrame, winner: str = "winner",
     million at the default, loose for any label/brand/model domain;
     a larger domain calls for a smaller ``scale``.
     """
+    return bradley_terry_from_counts(
+        duel_counts(duels, winner, loser), rounds=rounds, scale=scale
+    )
+
+
+def bradley_terry_from_counts(counts: DataFrame, *, rounds: int = 3,
+                              scale: int = 1_000_000) -> DataFrame:
+    """The MM fit from directional counts ``(i, j, n)`` — the entry
+    point the streaming duel ingest re-fits from (counts are additive
+    across batches, so the streamed fit is bit-identical to the batch
+    fit by construction).  Semantics and return shape exactly as
+    :func:`bradley_terry`."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    d = duels.select(F.col(winner).alias("i"), F.col(loser).alias("j"))
-    wins = d.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("n_wins"))
+    wins = counts.groupBy("i").agg(F.sum("n").cast("long").alias("n_wins"))
     # unordered pair game counts, emitted in both directions so each
     # side's denominator groups over its own key
     g = (
-        d.select(F.least("i", "j").alias("a"),
-                 F.greatest("i", "j").alias("b"))
+        counts.select(F.least("i", "j").alias("a"),
+                      F.greatest("i", "j").alias("b"), "n")
         .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("g"))
+        .agg(F.sum("n").cast("long").alias("g"))
     )
     sym = pin(
         g.select(F.col("a").alias("i"), F.col("b").alias("j"), "g").union(

@@ -1209,6 +1209,53 @@ def read_scd2_state(spark: SparkSession, state_dir: str,
     )
 
 
+def streaming_duel_ingest(
+    duels_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    winner: str = "winner",
+    loser: str = "loser",
+):
+    """Live preference-leaderboard maintenance: duel outcomes stream
+    in, the durable state is the directional count table
+    (:func:`bloomy_etl_spark.operators.preference.duel_counts` per
+    batch, appended as deltas), and the leaderboard is re-fit on read
+    with ``bradley_terry_from_counts`` over the merged counts.  Counts
+    are plain sums — CONFLUENT, so arrival order is provably
+    irrelevant (the q148 connected-components argument) and the
+    streamed fit is bit-identical to the batch fit over the union by
+    construction; the equivalence test still pins it end-to-end.
+
+    Per-batch cost is one hash-agg of the batch + an append; the fit
+    itself runs on the item-pair table at read time (bounded by the
+    item domain, not by duel history).  Replays append identical
+    deltas; the reader collapses per (batch_id, i, j).
+    """
+    from bloomy_etl_spark.operators.preference import duel_counts
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        out = duel_counts(batch, winner, loser).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        out.write.mode("append").parquet(state_dir)
+
+    return (
+        duels_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_duel_counts(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged directional counts from the delta store — replay
+    duplicates collapse per (batch_id, i, j) before summation."""
+    st = spark.read.parquet(state_dir).dropDuplicates(
+        ["batch_id", "i", "j"]
+    )
+    return st.groupBy("i", "j").agg(F.sum("n").cast("long").alias("n"))
+
+
 def streaming_funnel_ingest(
     events_stream: DataFrame,
     state_dir: str,

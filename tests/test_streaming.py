@@ -2007,6 +2007,84 @@ class TestScd2Ingest:
         assert after == before
 
 
+class TestDuelIngest:
+    """Live leaderboard (streaming/ingest.py::streaming_duel_ingest):
+    directional counts are additive, so the read-side Bradley-Terry
+    re-fit must be bit-identical to the batch fit regardless of how
+    duels were sliced into batches."""
+
+    def _duels(self):
+        return ([("A", "B")] * 5 + [("B", "A")] * 2 + [("B", "C")] * 4
+                + [("C", "A")] * 3 + [("A", "C")] * 6)
+
+    def _ingest(self, spark, tmp_path, slices):
+        from bloomy_etl_spark.streaming.ingest import (
+            read_duel_counts,
+            streaming_duel_ingest,
+        )
+
+        replay = tmp_path / "replay"
+        for i, rows in enumerate(slices):
+            spark.createDataFrame(
+                rows, "winner string, loser string"
+            ).coalesce(1).write.parquet(str(replay / f"b{i}"))
+        stream = (
+            spark.readStream.schema("winner string, loser string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay / "b*"))
+        )
+        q = streaming_duel_ingest(
+            stream, str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        return read_duel_counts(spark, str(tmp_path / "state"))
+
+    def test_streamed_fit_equals_batch_fit(self, spark, tmp_path):
+        from bloomy_etl_spark.operators.preference import (
+            bradley_terry,
+            bradley_terry_from_counts,
+        )
+
+        duels = self._duels()
+        # adversarial slicing: duplicates split across batches
+        slices = [duels[0::3], duels[1::3], duels[2::3]]
+        counts = self._ingest(spark, tmp_path, slices)
+        got = {
+            tuple(r)
+            for r in bradley_terry_from_counts(counts, rounds=3).collect()
+        }
+        want = {
+            tuple(r)
+            for r in bradley_terry(
+                spark.createDataFrame(
+                    duels, "winner string, loser string"
+                ),
+                rounds=3,
+            ).collect()
+        }
+        assert got == want
+
+    def test_replayed_delta_collapses(self, spark, tmp_path):
+        from bloomy_etl_spark.streaming.ingest import read_duel_counts
+
+        duels = self._duels()
+        counts = self._ingest(
+            spark, tmp_path, [duels[:7], duels[7:]]
+        )
+        before = {tuple(r) for r in counts.collect()}
+        state_dir = str(tmp_path / "state")
+        st = spark.read.parquet(state_dir)
+        last = st.agg(F.max("batch_id")).collect()[0][0]
+        st.filter(F.col("batch_id") == last).write.mode("append").parquet(
+            state_dir
+        )
+        after = {
+            tuple(r) for r in read_duel_counts(spark, state_dir).collect()
+        }
+        assert after == before
+
+
 class TestFunnelIngest:
     """Incremental funnel state (streaming/ingest.py::
     streaming_funnel_ingest): the (stage, last-µs) accumulator composes
