@@ -2101,6 +2101,53 @@ def q158_streaming_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q159_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI MERGE INTO (upsert.merge_into): reconcile a partial user
+    dimension (first-half aggregates, even user ids only) with a
+    source batch (second-half aggregates) in the standard three
+    clauses — WHEN MATCHED UPDATE (counters add), WHEN MATCHED AND
+    s.n_events < 5 DELETE (churn), WHEN NOT MATCHED INSERT.  One
+    full-outer hash join on the key; every clause a row-local
+    projection.  The oracle replays the same FULL OUTER JOIN + CASE —
+    the general lakehouse write primitive next to the specialized
+    SCD1/SCD2 paths (q75/q152)."""
+    from bloomy_etl_spark.operators.upsert import merge_into
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.floor(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    cut = F.lit("2024-01-16").cast("date")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v").cast("long").alias("v_sum_e4"),
+        )
+
+    target = agg(
+        ev.filter((F.col("d") < cut) & (F.col("user_id") % 2 == 0))
+    )
+    source = agg(ev.filter(F.col("d") >= cut))
+    out = merge_into(
+        target,
+        source,
+        ["user_id"],
+        update_set={
+            "n_events": F.col("t.n_events") + F.col("s.n_events"),
+            "v_sum_e4": F.col("t.v_sum_e4") + F.col("s.v_sum_e4"),
+        },
+        delete_where=F.col("s.n_events") < 5,
+        insert_values={
+            "n_events": F.col("s.n_events"),
+            "v_sum_e4": F.col("s.v_sum_e4"),
+        },
+        check_unique=True,
+    )
+    return out.transform(_psort, "user_id")
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -2159,6 +2206,7 @@ ENGINE_QUERIES = {
     "q155_supplier_kcore": q155_supplier_kcore,
     "q156_streaming_scd2_state": q156_streaming_scd2_state,
     "q158_streaming_leaderboard": q158_streaming_leaderboard,
+    "q159_merge_upsert": q159_merge_upsert,
 }
 
 
@@ -3620,3 +3668,38 @@ ENGINE_ORACLE_SQL["q156_streaming_scd2_state"] = (
 ENGINE_ORACLE_SQL["q158_streaming_leaderboard"] = (
     ENGINE_ORACLE_SQL["q154_bradley_terry"]
 )
+
+
+# q159: the oracle replays MERGE as the textbook FULL OUTER JOIN +
+# CASE — delete clause first (matched & sn < 5 rows drop), counters
+# add on match, source-only rows insert, target-only pass through.
+ENGINE_ORACLE_SQL["q159_merge_upsert"] = """
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v
+        FROM events),
+    t AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(v) AS BIGINT) AS v_sum_e4
+        FROM ev WHERE d < DATE '2024-01-16' AND user_id % 2 = 0
+        GROUP BY user_id),
+    s AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(v) AS BIGINT) AS v_sum_e4
+        FROM ev WHERE d >= DATE '2024-01-16'
+        GROUP BY user_id),
+    j AS (
+        SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+               t.user_id IS NOT NULL AS te, s.user_id IS NOT NULL AS se,
+               t.n_events AS tn, t.v_sum_e4 AS tv,
+               s.n_events AS sn, s.v_sum_e4 AS sv
+        FROM t FULL OUTER JOIN s ON t.user_id = s.user_id)
+    SELECT user_id,
+           CAST(CASE WHEN te AND se THEN tn + sn
+                     WHEN te THEN tn ELSE sn END AS BIGINT) AS n_events,
+           CAST(CASE WHEN te AND se THEN tv + sv
+                     WHEN te THEN tv ELSE sv END AS BIGINT) AS v_sum_e4
+    FROM j
+    WHERE NOT (te AND se AND sn < 5)
+    ORDER BY user_id
+"""

@@ -552,3 +552,87 @@ class TestJudgedRetrievalMetrics:
         )
         with pytest.raises(ValueError):
             judged_retrieval_metrics(df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO
+# ---------------------------------------------------------------------------
+class TestMergeInto:
+    def _merge(self, spark, target, source, **kw):
+        from bloomy_etl_spark.operators.upsert import merge_into
+
+        t = spark.createDataFrame(target, "k long, v long, tag string")
+        s = spark.createDataFrame(source, "k long, d long")
+        out = merge_into(t, s, ["k"], **kw)
+        return sorted(tuple(r) for r in out.collect())
+
+    def test_three_clause_semantics(self, spark):
+        got = self._merge(
+            spark,
+            target=[(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            source=[(1, 5), (3, -99), (4, 40)],
+            update_set={"v": F.col("t.v") + F.col("s.d")},
+            delete_where=F.col("s.d") < 0,
+            insert_values={"v": F.col("s.d"), "tag": F.lit("new")},
+        )
+        # 1 updated, 2 untouched, 3 deleted, 4 inserted
+        assert got == [(1, 15, "a"), (2, 20, "b"), (4, 40, "new")]
+
+    def test_delete_wins_over_update(self, spark):
+        got = self._merge(
+            spark,
+            target=[(1, 10, "a")],
+            source=[(1, -1)],
+            update_set={"v": F.lit(999)},
+            delete_where=F.col("s.d") < 0,
+            insert_values={"v": F.col("s.d"), "tag": F.lit("new")},
+        )
+        assert got == []
+
+    def test_no_insert_clause_ignores_unmatched_source(self, spark):
+        got = self._merge(
+            spark,
+            target=[(1, 10, "a")],
+            source=[(1, 5), (9, 90)],
+            update_set={"v": F.col("t.v") + F.col("s.d")},
+        )
+        assert got == [(1, 15, "a")]
+
+    def test_update_only_mentioned_columns(self, spark):
+        got = self._merge(
+            spark,
+            target=[(1, 10, "keepme")],
+            source=[(1, 7)],
+            update_set={"v": F.col("s.d")},
+        )
+        assert got == [(1, 7, "keepme")]
+
+    def test_missing_insert_column_raises(self, spark):
+        with pytest.raises(ValueError, match="insert_values missing"):
+            self._merge(
+                spark,
+                target=[(1, 10, "a")],
+                source=[(2, 5)],
+                insert_values={"v": F.col("s.d")},  # no 'tag'
+            )
+
+    def test_cardinality_violation_raises(self, spark):
+        with pytest.raises(ValueError, match="cardinality"):
+            self._merge(
+                spark,
+                target=[(1, 10, "a")],
+                source=[(1, 5), (1, 6)],
+                update_set={"v": F.col("s.d")},
+                check_unique=True,
+            )
+
+
+def test_merge_query_plan_is_one_fullouter_join(spark):
+    """q159: two aggs + ONE full-outer SortMergeJoin on the key; the
+    clauses are codegen projections — no second join, no window."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = _plan(ENGINE_QUERIES["q159_merge_upsert"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
