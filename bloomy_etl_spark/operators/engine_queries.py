@@ -2148,6 +2148,25 @@ def q159_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.transform(_psort, "user_id")
 
 
+def q160_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average load
+    (timeseries.time_weighted_avg) — the hypertable aggregate a plain
+    AVG gets wrong on irregular sampling: each event's v_e4 holds
+    (LOCF) until the next event, the integral divides by total held
+    time.  Exact integers end-to-end (ms-quantized widths; see the
+    operator's overflow posture); the oracle replays the identical
+    lead-window weighting."""
+    from bloomy_etl_spark.operators.timeseries import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("eus"),
+        "event_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    return time_weighted_avg(ev).transform(_psort, "user_id")
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -2207,6 +2226,7 @@ ENGINE_QUERIES = {
     "q156_streaming_scd2_state": q156_streaming_scd2_state,
     "q158_streaming_leaderboard": q158_streaming_leaderboard,
     "q159_merge_upsert": q159_merge_upsert,
+    "q160_time_weighted_avg": q160_time_weighted_avg,
 }
 
 
@@ -3702,4 +3722,32 @@ ENGINE_ORACLE_SQL["q159_merge_upsert"] = """
     FROM j
     WHERE NOT (te AND se AND sn < 5)
     ORDER BY user_id
+"""
+
+
+# q160: identical lead-window LOCF weighting — widths quantized to ms
+# by floor division (non-negative, so // ≡ DIV), area and width sums
+# exact BIGINTs, zero-width keys fall back to the last value in order.
+ENGINE_ORACLE_SQL["q160_time_weighted_avg"] = """
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) AS eus, event_id,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v
+        FROM events),
+    led AS (
+        SELECT user_id, eus, event_id, v,
+               COALESCE(LEAD(eus) OVER w - eus, 0) // 1000 AS wms
+        FROM v WINDOW w AS (PARTITION BY user_id
+                            ORDER BY eus, event_id)),
+    g AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(MAX(eus) - MIN(eus) AS BIGINT) AS span_us,
+               CAST(SUM(wms) AS BIGINT) AS wsum,
+               CAST(SUM(v * wms) AS BIGINT) AS area,
+               CAST(LAST(v ORDER BY eus, event_id) AS BIGINT) AS lastv
+        FROM led GROUP BY user_id)
+    SELECT user_id, n_obs, span_us,
+           CAST(CASE WHEN wsum > 0 THEN area // wsum
+                ELSE lastv END AS BIGINT) AS twa
+    FROM g ORDER BY user_id
 """

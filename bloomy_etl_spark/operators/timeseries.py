@@ -31,7 +31,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["time_bucket", "gapfill", "ewma_last", "cusum_alerts"]
+__all__ = ["time_bucket", "gapfill", "ewma_last", "cusum_alerts",
+           "time_weighted_avg"]
 
 
 def time_bucket(step: int, t: Column | str) -> Column:
@@ -249,4 +250,59 @@ def cusum_alerts(series: DataFrame, drift: int, threshold: int,
             F.expr(f"__st DIV CAST({enc} AS BIGINT)").alias("n_alerts"),
             (F.col("__st") % m).alias("resid"),
         )
+    )
+
+
+def time_weighted_avg(series: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "eus", order_col: str = "event_id",
+                      val_col: str = "v") -> DataFrame:
+    """Per-key time-weighted average over an IRREGULAR series — the
+    hypertable aggregate (TimescaleDB's ``time_weight('LOCF', …)``)
+    that a plain AVG gets wrong whenever sampling is uneven: a sensor
+    that reports 100 all day and 0 for one second averages ~100, not
+    50.  Each observation holds (LOCF) until the next one; the result
+    is ``∫v dt / (t_last − t_first)`` in exact integer arithmetic:
+    ``twa = Σ vᵢ·(tᵢ₊₁−tᵢ) DIV span``.
+
+    Overflow posture: interval widths are quantized from µs to
+    MILLISECONDS before the multiply (``(tᵢ₊₁−tᵢ) DIV 1000``, floor on
+    non-negative — identical in every engine), because µs widths times
+    e4-quantized values can exceed 2⁶³ on a month-long span; at ms
+    grain the headroom is ~700×.  The denominator is the SUM of the
+    quantized widths (not the raw span), so the ratio stays an exact
+    integer identity.
+
+    Degenerate keys (zero total quantized width: one observation, one
+    instant, or all gaps under 1 ms) fall back to the LAST value in
+    order — the LOCF limit of the integral.  Ties in ``ts_col`` order
+    by ``order_col``; earlier tie rows carry zero width, so both
+    engines walk the identical weighting.
+
+    Shape: one key-keyed shuffle; the ``lead`` window and the final
+    aggregate ride the SAME partitioning (plan-pinned ≤ 2 exchanges
+    with the presentation sort).  Returns
+    ``(key, n_obs, span_us, twa)`` — all int64.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_col).asc()
+    )
+    gap = F.coalesce(F.lead(ts_col).over(w) - F.col(ts_col), F.lit(0))
+    led = series.select(key_col, ts_col, order_col, val_col).withColumn(
+        "__w", ((gap - gap % 1000) / 1000).cast("long")
+    )
+    g = led.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        (F.max(ts_col) - F.min(ts_col)).cast("long").alias("span_us"),
+        F.sum(F.col("__w")).cast("long").alias("__wsum"),
+        F.sum(F.col(val_col) * F.col("__w")).cast("long").alias("__area"),
+        F.max_by(
+            F.col(val_col), F.struct(F.col(ts_col), F.col(order_col))
+        ).alias("__last"),
+    )
+    return g.select(
+        key_col,
+        "n_obs",
+        "span_us",
+        F.when(F.col("__wsum") > 0, F.expr("__area DIV __wsum"))
+        .otherwise(F.col("__last")).cast("long").alias("twa"),
     )

@@ -636,3 +636,49 @@ def test_merge_query_plan_is_one_fullouter_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Window" not in p
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average
+# ---------------------------------------------------------------------------
+class TestTimeWeightedAvg:
+    def _run(self, spark, rows):
+        from bloomy_etl_spark.operators.timeseries import time_weighted_avg
+
+        df = spark.createDataFrame(
+            rows, "user_id long, eus long, event_id long, v long"
+        )
+        return {
+            r["user_id"]: (r["n_obs"], r["span_us"], r["twa"])
+            for r in time_weighted_avg(df).collect()
+        }
+
+    def test_uneven_sampling_weights_by_held_time(self, spark):
+        # v=100 held for 9 ms, v=0 held for 1 ms, final obs holds 0:
+        # TWA = (100*9 + 0*1) / 10 = 90 — a plain AVG says 40
+        rows = [(1, 0, 1, 100), (1, 9_000, 2, 0), (1, 10_000, 3, 20)]
+        out = self._run(spark, rows)
+        assert out[1] == (3, 10_000, 90)
+
+    def test_single_observation_falls_back_to_value(self, spark):
+        out = self._run(spark, [(2, 5, 1, 42)])
+        assert out[2] == (1, 0, 42)
+
+    def test_sub_ms_gaps_fall_back_to_last(self, spark):
+        # all gaps under 1 ms quantize to zero width -> LOCF limit is
+        # the last value in (eus, event_id) order
+        rows = [(3, 0, 1, 7), (3, 500, 2, 9), (3, 900, 3, 11)]
+        out = self._run(spark, rows)
+        assert out[3] == (3, 900, 11)
+
+    def test_constant_series_is_exact(self, spark):
+        rows = [(4, t * 1000, t, 1234) for t in range(10)]
+        out = self._run(spark, rows)
+        assert out[4][2] == 1234
+
+    def test_tie_rows_carry_zero_width(self, spark):
+        # two obs at the same instant: the earlier (by event_id) has
+        # zero width, so only the later one is ever "held"
+        rows = [(5, 0, 1, 999), (5, 0, 2, 10), (5, 2000, 3, 10)]
+        out = self._run(spark, rows)
+        assert out[5] == (3, 2000, 10)
