@@ -2167,6 +2167,77 @@ def q160_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(ev).transform(_psort, "user_id")
 
 
+def q161_streaming_zonemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental layout maintenance under the driver hash gate: the
+    events fixture replays as three micro-batches (sliced by
+    ``event_id % 3`` — replayable in SQL, unlike a hash slice), each
+    batch gets its own exact Z-layout, and the durable zone-map index
+    is hashed against an oracle that re-derives every batch's file
+    cuts with a per-slice sequential rank.  This gates the real lake
+    write path between OPTIMIZE runs: per-batch layout + an O(files)
+    skipping index, with q150 as the full-rewrite endpoint."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bloomy_etl_spark.streaming.ingest import (
+        read_zonemap_state,
+        streaming_zonemap_ingest,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = (id(spark), "q161", sf_dir, os.stat(src).st_mtime_ns)
+    base = _STREAM_MEMO.get(key)
+    if base is None or not os.path.isfile(os.path.join(base, "_BUILD_OK")):
+        base = os.path.join(
+            tempfile.gettempdir(), "bloomy_stream",
+            f"{os.getpid()}-"
+            + hashlib.md5(repr(key).encode()).hexdigest()[:12],
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            F.pmod(F.col("user_id"), F.lit(256)).cast("long").alias("xb"),
+            F.pmod(
+                F.datediff(F.col("ts").cast("date"),
+                           F.lit("2024-01-01").cast("date")),
+                F.lit(256),
+            ).cast("long").alias("yb"),
+        )
+        replay = os.path.join(base, "replay")
+        for bi in range(3):
+            ev.filter(F.col("event_id") % 3 == bi).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(replay, f"b{bi}"))
+        # pin arrival order so foreachBatch batch_id b == slice b
+        import glob
+
+        for i, p in enumerate(
+            sorted(glob.glob(os.path.join(replay, "b*", "part-*")))
+        ):
+            os.utime(p, (1_000_000 + 10 * i, 1_000_000 + 10 * i))
+        stream = (
+            spark.readStream.schema("event_id long, xb long, yb long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(replay, "b*"))
+        )
+        q = streaming_zonemap_ingest(
+            stream,
+            os.path.join(base, "state"),
+            os.path.join(base, "ckpt"),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("q161 replay stream did not finish")
+        with open(os.path.join(base, "_BUILD_OK"), "w") as f:
+            f.write("ok")
+        _STREAM_MEMO[key] = base
+    return read_zonemap_state(spark, os.path.join(base, "state")).transform(
+        _psort, "batch_id", "file_id"
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -2227,6 +2298,7 @@ ENGINE_QUERIES = {
     "q158_streaming_leaderboard": q158_streaming_leaderboard,
     "q159_merge_upsert": q159_merge_upsert,
     "q160_time_weighted_avg": q160_time_weighted_avg,
+    "q161_streaming_zonemaps": q161_streaming_zonemaps,
 }
 
 
@@ -3751,3 +3823,42 @@ ENGINE_ORACLE_SQL["q160_time_weighted_avg"] = """
                 ELSE lastv END AS BIGINT) AS twa
     FROM g ORDER BY user_id
 """
+
+
+# q161: per-slice replay of the q150 Morton sum + sequential rank
+# partitioned by slice (batch), 500-row cuts, file-grain min/max.
+def _q161_oracle() -> str:
+    z_terms = " + ".join(
+        f"(((xb >> {k}) & 1) << {2 * k + 1}) + (((yb >> {k}) & 1) << {2 * k})"
+        for k in range(8)
+    )
+    return f"""
+    WITH e AS (
+        SELECT event_id, event_id % 3 AS batch_id,
+               CAST(user_id % 256 AS BIGINT) AS xb,
+               CAST(DATEDIFF('day', DATE '2024-01-01',
+                             CAST(ts AS DATE)) % 256 AS BIGINT) AS yb
+        FROM events),
+    z AS (
+        SELECT event_id, batch_id, xb, yb,
+               CAST({z_terms} AS BIGINT) AS z
+        FROM e),
+    r AS (
+        SELECT *, (ROW_NUMBER() OVER (PARTITION BY batch_id
+                                      ORDER BY z, event_id) - 1) // 500
+                   AS file_id
+        FROM z),
+    g AS (
+        SELECT CAST(batch_id AS BIGINT) AS batch_id, file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(xb) AS x_min, MAX(xb) AS x_max,
+               MIN(yb) AS y_min, MAX(yb) AS y_max,
+               MIN(z) AS z_min, MAX(z) AS z_max
+        FROM r GROUP BY batch_id, file_id)
+    SELECT file_id, n_rows, x_min, x_max, y_min, y_max, z_min, z_max,
+           batch_id
+    FROM g ORDER BY batch_id, file_id
+    """
+
+
+ENGINE_ORACLE_SQL["q161_streaming_zonemaps"] = _q161_oracle()

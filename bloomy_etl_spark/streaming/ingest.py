@@ -1256,6 +1256,82 @@ def read_duel_counts(spark: SparkSession, state_dir: str) -> DataFrame:
     return st.groupBy("i", "j").agg(F.sum("n").cast("long").alias("n"))
 
 
+def streaming_zonemap_ingest(
+    rows_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    x_col: str = "xb",
+    y_col: str = "yb",
+    order_col: str = "event_id",
+    rows_per_file: int = 500,
+    bits: int = 8,
+):
+    """Incremental data-layout maintenance: between OPTIMIZE runs a
+    lake keeps ingesting — each micro-batch gets its OWN Z-ordered
+    file set (``operators/zorder.py``), and the durable state is the
+    zone-map index over every file written so far.  Readers prune with
+    the same min/max tests as after a full rewrite; what degrades with
+    batch count is only HOW MANY files overlap a predicate (batches
+    overlap in z-space), which is exactly the signal
+    :func:`compaction_candidates` turns into an OPTIMIZE trigger —
+    the real lakehouse write path, end to end.
+
+    Per batch: one batch-local exact z-rank (the two-phase scan) + one
+    file-grain agg; the appended state is O(files), never row grain.
+    Zone maps of disjoint batches are independent, so replays append
+    identical rows and the reader collapses per (batch_id, file_id).
+    """
+
+    from bloomy_etl_spark.operators.zorder import zone_maps, zorder_files
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        laid = zorder_files(
+            batch, x_col, y_col, order_col,
+            bits=bits, rows_per_file=rows_per_file,
+        )
+        out = zone_maps(laid, x_col, y_col).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        out.write.mode("append").parquet(state_dir)
+
+    return (
+        rows_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_zonemap_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The live zone-map index: one row per (batch_id, file_id),
+    replay duplicates collapsed."""
+    return spark.read.parquet(state_dir).dropDuplicates(
+        ["batch_id", "file_id"]
+    )
+
+
+def compaction_candidates(zonemaps: DataFrame, min_files: int = 2,
+                          bits: int = 8) -> DataFrame:
+    """Z-ranges whose data is scattered across ≥ ``min_files`` files —
+    the OPTIMIZE trigger: a query touching that range opens every one
+    of them, so co-locating the range pays.  Ranges are the aligned
+    256-wide z-blocks (``z >> 8`` at the default bits); the candidate
+    list is range-grain, tiny by construction."""
+    zr = zonemaps.select(
+        F.col("batch_id"), F.col("file_id"),
+        F.shiftright(F.col("z_min"), bits).alias("r_lo"),
+        F.shiftright(F.col("z_max"), bits).alias("r_hi"),
+    ).select(
+        "batch_id", "file_id",
+        F.explode(F.sequence("r_lo", "r_hi")).alias("z_range"),
+    )
+    return (
+        zr.groupBy("z_range")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+        .filter(F.col("n_files") >= min_files)
+    )
+
+
 def streaming_funnel_ingest(
     events_stream: DataFrame,
     state_dir: str,

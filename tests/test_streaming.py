@@ -2085,6 +2085,115 @@ class TestDuelIngest:
         assert after == before
 
 
+class TestZonemapIngest:
+    """Incremental layout (streaming/ingest.py::
+    streaming_zonemap_ingest): per-batch Z-layouts with a durable
+    zone-map index. The load-bearing property is SOUNDNESS — a file
+    skipped by the zone-map test contains no matching row — plus the
+    compaction trigger that fires when batches scatter a z-range."""
+
+    def _ingest(self, spark, tmp_path, slices):
+        from bloomy_etl_spark.streaming.ingest import (
+            read_zonemap_state,
+            streaming_zonemap_ingest,
+        )
+
+        replay = tmp_path / "replay"
+        for i, rows in enumerate(slices):
+            spark.createDataFrame(
+                rows, "event_id long, xb long, yb long"
+            ).coalesce(1).write.parquet(str(replay / f"b{i}"))
+        stream = (
+            spark.readStream.schema("event_id long, xb long, yb long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay / "b*"))
+        )
+        q = streaming_zonemap_ingest(
+            stream, str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            rows_per_file=64,
+        )
+        q.awaitTermination(120)
+        return read_zonemap_state(spark, str(tmp_path / "state"))
+
+    def test_pruning_is_sound_across_batches(self, spark, tmp_path):
+        """Every row matching the rectangle lives in a file whose zone
+        map overlaps it — scanning only flagged (batch, file) pairs
+        loses nothing, no matter how the batches interleaved."""
+        from bloomy_etl_spark.operators.zorder import zorder_files
+
+        rows = [(i, (i * 37) % 64, (i * 101) % 64) for i in range(600)]
+        slices = [rows[0::2], rows[1::2]]
+        zm = self._ingest(spark, tmp_path, slices).collect()
+        lo, hi = 8, 23
+        scanned = {
+            (r["batch_id"], r["file_id"])
+            for r in zm
+            if r["x_min"] <= hi and r["x_max"] >= lo
+            and r["y_min"] <= hi and r["y_max"] >= lo
+        }
+        assert 0 < len(scanned) < len(zm)
+        # recompute each batch's layout to learn row -> file placement
+        for b, rows_b in enumerate(slices):
+            df = spark.createDataFrame(
+                rows_b, "event_id long, xb long, yb long"
+            )
+            placed = zorder_files(
+                df, "xb", "yb", "event_id", rows_per_file=64
+            ).collect()
+            for r in placed:
+                if lo <= r["xb"] <= hi and lo <= r["yb"] <= hi:
+                    assert (b, r["file_id"]) in scanned, r
+
+    def test_compaction_trigger_fires_on_scattered_ranges(
+        self, spark, tmp_path
+    ):
+        """Two batches covering the SAME z-space must scatter ranges
+        across ≥ 2 files; a single batch must not trigger."""
+        from bloomy_etl_spark.streaming.ingest import compaction_candidates
+
+        rows = [(i, i % 16, (i // 16) % 16) for i in range(512)]
+        zm = self._ingest(spark, tmp_path, [rows[0::2], rows[1::2]])
+        both = {
+            r["z_range"]: r["n_files"]
+            for r in compaction_candidates(zm, min_files=2).collect()
+        }
+        assert both, "interleaved batches must scatter some z-range"
+        one = {
+            r["z_range"]: r["n_files"]
+            for r in compaction_candidates(
+                zm.filter(F.col("batch_id") == 0), min_files=1
+            ).collect()
+        }
+        # every batch re-covers the same z-space, so the full store
+        # counts strictly more files per scattered range than batch 0
+        # alone — the growth that IS the OPTIMIZE signal
+        for zr, n in both.items():
+            assert n > one.get(zr, 0), (zr, n, one.get(zr))
+
+    def test_replayed_delta_collapses(self, spark, tmp_path):
+        from bloomy_etl_spark.streaming.ingest import read_zonemap_state
+
+        rows = [(i, (i * 7) % 32, (i * 11) % 32) for i in range(300)]
+        before = {
+            tuple(r)
+            for r in self._ingest(
+                spark, tmp_path, [rows[:150], rows[150:]]
+            ).collect()
+        }
+        state_dir = str(tmp_path / "state")
+        st = spark.read.parquet(state_dir)
+        last = st.agg(F.max("batch_id")).collect()[0][0]
+        st.filter(F.col("batch_id") == last).write.mode("append").parquet(
+            state_dir
+        )
+        after = {
+            tuple(r)
+            for r in read_zonemap_state(spark, state_dir).collect()
+        }
+        assert after == before
+
+
 class TestFunnelIngest:
     """Incremental funnel state (streaming/ingest.py::
     streaming_funnel_ingest): the (stage, last-µs) accumulator composes
