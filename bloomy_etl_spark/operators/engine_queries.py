@@ -2238,6 +2238,95 @@ def q161_streaming_zonemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q162_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution with a 7-day lookback — the marketing /
+    growth-analytics primitive: every purchase credits the user's most
+    recent preceding view or click (ties at one instant prefer click,
+    the deeper intent).  One user-keyed window pass: the running last
+    touch is a MAX over ``eus·10 + code`` (eus is monotone in the
+    frame, so MAX ≡ latest; the ×10 packing keeps type without a
+    second column and stays < 2⁶³ by 8 orders) — portable to any
+    engine, no IGNORE NULLS dependence.  Purchases with no touch in
+    window attribute to 'direct'."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("eus"),
+        "event_id",
+        "event_type",
+    )
+    code = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(None)
+        .cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("eus").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = ev.withColumn(
+        "__lt", F.max(F.col("eus") * 10 + code).over(w)
+    )
+    lookback = 7 * 86_400_000_000
+    t_eus = F.expr("__lt DIV 10")
+    in_window = F.col("__lt").isNotNull() & (
+        F.col("eus") - t_eus <= lookback
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("eus").alias("purchase_eus"),
+            F.when(in_window, t_eus).alias("touch_eus"),
+            F.when(
+                in_window,
+                F.when(F.col("__lt") % 10 == 2, "click").otherwise("view"),
+            )
+            .otherwise("direct")
+            .alias("channel"),
+            F.when(in_window, F.col("eus") - t_eus)
+            .cast("long")
+            .alias("lag_us"),
+        )
+        .transform(_psort, "purchase_id")
+    )
+
+
+def q163_weighted_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-weighted proximity to seed suppliers (graph.weighted_sssp,
+    4 Bellman-Ford rounds): the co-purchase graph's edges cost
+    ``10⁶ DIV support`` (strong ties are cheap), seeds are every
+    20th supplier, and the answer is each reachable supplier's exact
+    min path cost within 4 edges — weighted reachability next to
+    q97's hop-count BFS.  All-integer relaxations; the oracle unrolls
+    the identical rounds."""
+    from bloomy_etl_spark.operators.graph import weighted_sssp
+
+    os_ = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    und = (
+        os_.select("o", F.col("s").alias("x"))
+        .join(os_.select("o", F.col("s").alias("y")), "o")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.expr("CAST(1000000 AS BIGINT) DIV n"))
+    )
+    sym = und.select(F.col("x").alias("src"), F.col("y").alias("dst"), "w").unionByName(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"), "w")
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.filter(F.col("node") % 20 == 0)
+    return (
+        weighted_sssp(sym, seeds, rounds=4)
+        .select(F.col("node").cast("long").alias("supp_key"), "dist")
+        .transform(_psort, "supp_key")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -2299,6 +2388,8 @@ ENGINE_QUERIES = {
     "q159_merge_upsert": q159_merge_upsert,
     "q160_time_weighted_avg": q160_time_weighted_avg,
     "q161_streaming_zonemaps": q161_streaming_zonemaps,
+    "q162_touch_attribution": q162_touch_attribution,
+    "q163_weighted_proximity": q163_weighted_proximity,
 }
 
 
@@ -3862,3 +3953,72 @@ def _q161_oracle() -> str:
 
 
 ENGINE_ORACLE_SQL["q161_streaming_zonemaps"] = _q161_oracle()
+
+
+# q162: identical packed-MAX LOCF — eus·10+code over the user frame,
+# 7-day window test, click-over-view at an instant via the code order.
+ENGINE_ORACLE_SQL["q162_touch_attribution"] = """
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) AS eus, event_id, event_type
+        FROM events),
+    t AS (
+        SELECT *,
+               MAX(CASE WHEN event_type = 'view' THEN eus * 10 + 1
+                        WHEN event_type = 'click' THEN eus * 10 + 2
+                   END) OVER (PARTITION BY user_id
+                              ORDER BY eus, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS lt
+        FROM v)
+    SELECT event_id AS purchase_id, user_id, eus AS purchase_eus,
+           CASE WHEN lt IS NOT NULL
+                 AND eus - lt // 10 <= 604800000000
+                THEN lt // 10 END AS touch_eus,
+           CASE WHEN lt IS NOT NULL
+                 AND eus - lt // 10 <= 604800000000
+                THEN (CASE WHEN lt % 10 = 2 THEN 'click' ELSE 'view' END)
+                ELSE 'direct' END AS channel,
+           CAST(CASE WHEN lt IS NOT NULL
+                      AND eus - lt // 10 <= 604800000000
+                THEN eus - lt // 10 END AS BIGINT) AS lag_us
+    FROM t
+    WHERE event_type = 'purchase'
+    ORDER BY purchase_id
+"""
+
+
+# q163: one unrolled relaxation CTE per round over the symmetric
+# weighted edges — integer min path costs, the k-core/LPA replay shape.
+def _q163_oracle(rounds: int = 4) -> str:
+    steps = []
+    prev = "d0"
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+    d{r} AS MATERIALIZED (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.w AS dist
+            FROM {prev} d JOIN sym e ON d.node = e.src)
+        GROUP BY node)""")
+        prev = f"d{r}"
+    return f"""
+    WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    und AS MATERIALIZED (
+        SELECT a.s AS x, b.s AS y,
+               CAST(1000000 AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS w
+        FROM op a JOIN op b ON a.o = b.o AND a.s < b.s
+        GROUP BY a.s, b.s),
+    sym AS MATERIALIZED (
+        SELECT x AS src, y AS dst, w FROM und
+        UNION ALL SELECT y AS src, x AS dst, w FROM und),
+    d0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+        FROM sym WHERE src % 20 = 0),{",".join(steps)}
+    SELECT CAST(node AS BIGINT) AS supp_key, CAST(dist AS BIGINT) AS dist
+    FROM {prev} ORDER BY supp_key
+    """
+
+
+ENGINE_ORACLE_SQL["q163_weighted_proximity"] = _q163_oracle()

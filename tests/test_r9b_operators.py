@@ -682,3 +682,85 @@ class TestTimeWeightedAvg:
         rows = [(5, 0, 1, 999), (5, 0, 2, 10), (5, 2000, 3, 10)]
         out = self._run(spark, rows)
         assert out[5] == (3, 2000, 10)
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP
+# ---------------------------------------------------------------------------
+class TestWeightedSssp:
+    def _run(self, spark, edges, sources, rounds):
+        from bloomy_etl_spark.operators.graph import weighted_sssp
+
+        sym = edges + [(d, s, w) for s, d, w in edges]
+        e = spark.createDataFrame(sym, "src long, dst long, w long")
+        src = spark.createDataFrame([(s,) for s in sources], "node long")
+        return {
+            r["node"]: r["dist"]
+            for r in weighted_sssp(e, src, rounds=rounds).collect()
+        }
+
+    def test_two_hop_beats_direct_edge(self, spark):
+        edges = [(1, 2, 5), (2, 3, 5), (1, 3, 20)]
+        assert self._run(spark, edges, [1], rounds=2) == {1: 0, 2: 5, 3: 10}
+
+    def test_one_round_sees_only_direct(self, spark):
+        edges = [(1, 2, 5), (2, 3, 5), (1, 3, 20)]
+        assert self._run(spark, edges, [1], rounds=1) == {1: 0, 2: 5, 3: 20}
+
+    def test_unreached_nodes_absent(self, spark):
+        edges = [(1, 2, 1), (8, 9, 1)]
+        out = self._run(spark, edges, [1], rounds=3)
+        assert out == {1: 0, 2: 1}
+
+    def test_multi_source_takes_min(self, spark):
+        edges = [(1, 2, 10), (3, 2, 1)]
+        assert self._run(spark, edges, [1, 3], rounds=1)[2] == 1
+
+    def test_zero_rounds_is_sources_only(self, spark):
+        edges = [(1, 2, 1)]
+        assert self._run(spark, edges, [1], rounds=0) == {1: 0}
+
+
+# ---------------------------------------------------------------------------
+# Touch attribution (query-level unit; the oracle gates it end-to-end)
+# ---------------------------------------------------------------------------
+def test_attribution_hand_case(spark, tmp_path):
+    import datetime
+
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(days, secs=0):
+        return t0 + datetime.timedelta(days=days, seconds=secs)
+
+    rows = [
+        # user 1: view then (same instant) click -> purchase credits click
+        (1, ts(0), 1, "view", 1.0, "{}"),
+        (2, ts(0), 1, "click", 1.0, "{}"),
+        (3, ts(1), 1, "purchase", 1.0, "{}"),
+        # user 2: view, purchase inside 7d, second purchase outside
+        (4, ts(0), 2, "view", 1.0, "{}"),
+        (5, ts(3), 2, "purchase", 1.0, "{}"),
+        (6, ts(20), 2, "purchase", 1.0, "{}"),
+        # user 3: purchase with no touch at all
+        (7, ts(0), 3, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/events.parquet")  # q162 reads events only
+    out = {
+        r["purchase_id"]: (r["channel"], r["lag_us"])
+        for r in ENGINE_QUERIES["q162_touch_attribution"](
+            spark, sf
+        ).collect()
+    }
+    day_us = 86_400_000_000
+    assert out[3] == ("click", day_us)
+    assert out[5] == ("view", 3 * day_us)
+    assert out[6] == ("direct", None)
+    assert out[7] == ("direct", None)
