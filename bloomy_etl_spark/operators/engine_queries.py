@@ -2327,6 +2327,109 @@ def q163_weighted_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q164_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mixture diversity — the corpus-composition
+    audit a data-mixing pass reads before setting quotas: Simpson
+    concentration ``Σ shareᵢ²``, its Gini-impurity complement, and the
+    inverse-Simpson EFFECTIVE language count, all EXACT integer
+    rationals (``S·10⁶ DIV n²`` — no per-term flooring, one division,
+    so both engines compute the identical millionths; bound: needs
+    n ≤ ~10⁷ docs per source for the e6 numerator to stay in int64 —
+    beyond that, shard by source first).  Entropy-based diversity
+    needs ln of data-dependent ratios (not portable); Simpson/Gini is
+    the exact-arithmetic diversity pair.  Two map-side-combinable
+    hash-aggs, group grain throughout."""
+    docs = _t(spark, sf_dir, "documents", fan_out=True)
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    g = sl.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("__s"),
+    )
+    return (
+        g.select(
+            "source",
+            "n_docs",
+            "n_langs",
+            F.expr("(__s * 1000000) DIV (n_docs * n_docs)")
+            .alias("simpson_e6"),
+            (F.lit(1_000_000)
+             - F.expr("(__s * 1000000) DIV (n_docs * n_docs)"))
+            .cast("long").alias("gini_e6"),
+            F.expr("(n_docs * n_docs * 1000) DIV __s")
+            .alias("eff_langs_e3"),
+        )
+        .transform(_psort, "source")
+    )
+
+
+
+
+def q165_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-touch attribution under the driver hash gate
+    (the q144 pattern applied to q162, and the first FACT-STREAM
+    gate): events replay as three time-ordered micro-batches through
+    ``streaming_attribution_ingest`` — per-batch packed-MAX LOCF
+    seeded from durable per-user last-touch state — and the emitted
+    attributed-purchase log is hashed against the one-shot batch
+    oracle.  Facts are final on emission (the monotone-touch
+    argument); the hash match proves no purchase was attributed
+    differently than the batch pass would, across every batch seam."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bloomy_etl_spark.streaming.ingest import (
+        read_attributed_facts,
+        streaming_attribution_ingest,
+    )
+    from bloomy_etl_spark.streaming.sources import replay_dir_ordered
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = (id(spark), "q165", sf_dir, os.stat(src).st_mtime_ns)
+    base = _STREAM_MEMO.get(key)
+    if base is None or not os.path.isfile(os.path.join(base, "_BUILD_OK")):
+        base = os.path.join(
+            tempfile.gettempdir(), "bloomy_stream",
+            f"{os.getpid()}-"
+            + hashlib.md5(repr(key).encode()).hexdigest()[:12],
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        replay = replay_dir_ordered(
+            spark, sf_dir, os.path.join(base, "replay"), n_files=3
+        )
+        schema = spark.read.parquet(replay).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("eus"),
+                "event_id",
+                "event_type",
+            )
+        )
+        q = streaming_attribution_ingest(
+            stream,
+            os.path.join(base, "facts"),
+            os.path.join(base, "state"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("q165 replay stream did not finish")
+        with open(os.path.join(base, "_BUILD_OK"), "w") as f:
+            f.write("ok")
+        _STREAM_MEMO[key] = base
+    return read_attributed_facts(
+        spark, os.path.join(base, "facts")
+    ).transform(_psort, "purchase_id")
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -2390,6 +2493,8 @@ ENGINE_QUERIES = {
     "q161_streaming_zonemaps": q161_streaming_zonemaps,
     "q162_touch_attribution": q162_touch_attribution,
     "q163_weighted_proximity": q163_weighted_proximity,
+    "q164_mixture_diversity": q164_mixture_diversity,
+    "q165_streaming_attribution": q165_streaming_attribution,
 }
 
 
@@ -4022,3 +4127,30 @@ def _q163_oracle(rounds: int = 4) -> str:
 
 
 ENGINE_ORACLE_SQL["q163_weighted_proximity"] = _q163_oracle()
+
+
+# q164: same two aggs, same single-division exact rationals.
+ENGINE_ORACLE_SQL["q164_mixture_diversity"] = """
+    WITH sl AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, lang),
+    g AS (
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_langs,
+               CAST(SUM(n * n) AS BIGINT) AS s
+        FROM sl GROUP BY source)
+    SELECT source, n_docs, n_langs,
+           (s * 1000000) // (n_docs * n_docs) AS simpson_e6,
+           CAST(1000000 - (s * 1000000) // (n_docs * n_docs) AS BIGINT)
+               AS gini_e6,
+           (n_docs * n_docs * 1000) // s AS eff_langs_e3
+    FROM g ORDER BY source
+"""
+
+
+# q165: the oracle is the one-shot batch attribution (q162's SQL) —
+# the hash match is the emitted-facts-are-final contract across seams.
+ENGINE_ORACLE_SQL["q165_streaming_attribution"] = (
+    ENGINE_ORACLE_SQL["q162_touch_attribution"]
+)

@@ -1332,6 +1332,96 @@ def compaction_candidates(zonemaps: DataFrame, min_files: int = 2,
     )
 
 
+def streaming_attribution_ingest(
+    events_stream: DataFrame,
+    facts_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    lookback_us: int = 7 * 86_400_000_000,
+):
+    """Streaming FACT ENRICHMENT (a different ingest shape from the
+    state-fold family): purchases are attributed to the user's most
+    recent view/click AS THEY ARRIVE — q162's packed-MAX LOCF run per
+    batch, seeded from each user's durable last-touch state.  Because
+    the packed value ``eus·10+code`` is MONOTONE under ordered
+    arrival, the cross-batch merge is a plain ``greatest`` with the
+    stored state — so the emitted fact stream is BIT-IDENTICAL to the
+    batch attribution over the union, and an emitted fact is final
+    (never revised), which is what makes it safe to feed downstream
+    aggregates incrementally.
+
+    Two durable stores: an append-only attributed-purchase FACT log
+    (collapse per (batch_id, purchase_id) on read) and a per-user
+    last-touch state delta (latest batch wins — the touch value is
+    monotone, so replays and late reads agree).
+    """
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prior = (
+            _read_or_empty(
+                spark, state_dir,
+                spark.createDataFrame([], "user_id long, lt long, "
+                                          "batch_id long"),
+            )
+            .filter(F.col("batch_id") != batch_id)
+            .groupBy("user_id")
+            .agg(F.max("lt").alias("__plt"))
+        )
+        code = (
+            F.when(F.col("event_type") == "view", 1)
+            .when(F.col("event_type") == "click", 2)
+            .otherwise(None)
+            .cast("long")
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("eus").asc(), F.col("event_id").asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged = (
+            batch.withColumn("__blt", F.max(F.col("eus") * 10 + code).over(w))
+            .join(prior, "user_id", "left")
+            .withColumn("__lt", F.greatest("__blt", "__plt"))
+        )
+        t_eus = F.expr("__lt DIV 10")
+        in_w = F.col("__lt").isNotNull() & (
+            F.col("eus") - t_eus <= F.lit(lookback_us)
+        )
+        facts = tagged.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("eus").alias("purchase_eus"),
+            F.when(in_w, t_eus).alias("touch_eus"),
+            F.when(
+                in_w,
+                F.when(F.col("__lt") % 10 == 2, "click").otherwise("view"),
+            ).otherwise("direct").alias("channel"),
+            F.when(in_w, F.col("eus") - t_eus).cast("long").alias("lag_us"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        facts.write.mode("append").parquet(facts_dir)
+        state = tagged.groupBy("user_id").agg(
+            F.max("__lt").alias("lt")
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        state.write.mode("append").parquet(state_dir)
+
+    return (
+        events_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_attributed_facts(spark: SparkSession, facts_dir: str) -> DataFrame:
+    """The attributed-purchase fact log, replay duplicates collapsed
+    per (batch_id, purchase_id)."""
+    return (
+        spark.read.parquet(facts_dir)
+        .dropDuplicates(["batch_id", "purchase_id"])
+        .drop("batch_id")
+    )
+
+
 def streaming_funnel_ingest(
     events_stream: DataFrame,
     state_dir: str,

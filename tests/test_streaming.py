@@ -2194,6 +2194,59 @@ class TestZonemapIngest:
         assert after == before
 
 
+class TestAttributionIngest:
+    """Streaming fact enrichment (streaming/ingest.py::
+    streaming_attribution_ingest): the touch that credits a purchase
+    can live in an EARLIER batch — the durable last-touch state must
+    carry it across the seam, and emitted facts must equal the batch
+    attribution exactly."""
+
+    def test_touch_in_prior_batch_credits_purchase(self, spark, tmp_path):
+        import glob
+        import os
+
+        from bloomy_etl_spark.streaming.ingest import (
+            read_attributed_facts,
+            streaming_attribution_ingest,
+        )
+
+        day = 86_400_000_000
+        b0 = [(1, 0, 1, "click"), (2, 1 * day, 2, "view")]
+        b1 = [(1, 2 * day, 3, "purchase"),      # credits b0's click
+              (2, 10 * day, 4, "purchase")]     # view too old -> direct
+        replay = tmp_path / "replay"
+        for i, rows in enumerate([b0, b1]):
+            spark.createDataFrame(
+                rows,
+                "user_id long, eus long, event_id long, event_type string",
+            ).coalesce(1).write.parquet(str(replay / f"b{i}"))
+        for i, p in enumerate(
+            sorted(glob.glob(str(replay / "b*" / "part-*")))
+        ):
+            os.utime(p, (1_000_000 + 10 * i, 1_000_000 + 10 * i))
+        stream = (
+            spark.readStream
+            .schema("user_id long, eus long, event_id long, "
+                    "event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay / "b*"))
+        )
+        q = streaming_attribution_ingest(
+            stream,
+            str(tmp_path / "facts"),
+            str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        got = {
+            r["purchase_id"]: (r["channel"], r["lag_us"])
+            for r in read_attributed_facts(
+                spark, str(tmp_path / "facts")
+            ).collect()
+        }
+        assert got == {3: ("click", 2 * day), 4: ("direct", None)}
+
+
 class TestFunnelIngest:
     """Incremental funnel state (streaming/ingest.py::
     streaming_funnel_ingest): the (stage, last-µs) accumulator composes
