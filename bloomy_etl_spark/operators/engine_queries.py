@@ -2430,6 +2430,117 @@ def q165_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_psort, "purchase_id")
 
 
+def q166_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine sketch-accuracy audit (the q126/q157 pattern applied
+    to cardinality sketches): per event type, a k=64 KMV estimate of
+    distinct users over the PORTABLE md5 hash — deliberately in the
+    estimation regime (k < the ~150-user domain) — against the exact
+    COUNT DISTINCT, with the relative error in exact millionths.  The
+    whole audit is integer arithmetic: the 32-bit hash keeps
+    ``(k−1)·2³² DIV h_k`` inside int64, the exact-regime fallback
+    (fewer distincts than k) returns the count itself, and the error
+    is a single integer division — so the measured accuracy of the
+    probabilistic tier is itself driver-hash-gated, not a notebook
+    claim."""
+    k, H = 64, 1 << 32
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long").alias("__h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("__h").asc())
+    sk = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__sz"),
+            F.max("__h").alias("__hk"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.when(F.col("__sz") < k, F.col("__sz"))
+            .otherwise(
+                F.expr(f"({k - 1} * CAST({H} AS BIGINT)) "
+                       "DIV GREATEST(__hk, CAST(1 AS BIGINT))")
+            )
+            .cast("long")
+            .alias("n_est"),
+        )
+        .withColumn(
+            "err_e6",
+            F.expr("ABS(n_est - n_exact) * 1000000 DIV n_exact"),
+        )
+        .transform(_psort, "event_type")
+    )
+
+
+def q167_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PEAK concurrent sessions — the capacity-planning sweep
+    line: sessionize (30-min gap), explode each session into +1/−1
+    boundary events (half-open [start, end): ends sort before starts
+    at one instant), and run an EXACT global running balance with the
+    two-phase distributed scan at day grain — within-day prefix sums
+    ride a day-partitioned window, cross-day offsets come from the
+    bounded day-grain net table (the q129/q150 shape at a third
+    granularity; no single-task timeline anywhere).  All integers; the
+    oracle replays the identical sweep with one sequential window."""
+    from bloomy_etl_spark.operators.corpus import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev, gap_s=1800)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_eus"),
+            (F.max(F.unix_micros("ts")) + 1).alias("e_eus"),
+        )
+    )
+    bounds = sess.select(
+        F.col("s_eus").alias("eus"), F.lit(1).cast("long").alias("delta")
+    ).unionByName(
+        sess.select(
+            F.col("e_eus").alias("eus"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    ).withColumn("day", F.expr("eus DIV 86400000000"))
+    w_day = Window.partitionBy("day").orderBy(
+        F.col("eus").asc(), F.col("delta").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = bounds.withColumn("__run", F.sum("delta").over(w_day))
+    net = bounds.groupBy("day").agg(F.sum("delta").alias("__net"))
+    w_off = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = net.select(
+        "day", F.coalesce(F.sum("__net").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        run.join(F.broadcast(offs), "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_boundaries"),
+            F.max(F.col("__off") + F.col("__run")).cast("long")
+            .alias("peak_sessions"),
+        )
+        .transform(_psort, "day")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -2495,6 +2606,8 @@ ENGINE_QUERIES = {
     "q163_weighted_proximity": q163_weighted_proximity,
     "q164_mixture_diversity": q164_mixture_diversity,
     "q165_streaming_attribution": q165_streaming_attribution,
+    "q166_sketch_accuracy": q166_sketch_accuracy,
+    "q167_peak_concurrency": q167_peak_concurrency,
 }
 
 
@@ -4154,3 +4267,75 @@ ENGINE_ORACLE_SQL["q164_mixture_diversity"] = """
 ENGINE_ORACLE_SQL["q165_streaming_attribution"] = (
     ENGINE_ORACLE_SQL["q162_touch_attribution"]
 )
+
+
+# q166: same portable hash, same k-min ranking, same integer
+# estimator and error division.
+ENGINE_ORACLE_SQL["q166_sketch_accuracy"] = """
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   AS hv
+        FROM events WHERE user_id IS NOT NULL),
+    r AS (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY hv) AS rn
+        FROM h),
+    sk AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sz,
+               MAX(hv) AS hk
+        FROM r WHERE rn <= 64 GROUP BY event_type),
+    ex AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type)
+    SELECT s.event_type, e.n_exact,
+           CAST(CASE WHEN s.sz < 64 THEN s.sz
+                ELSE (63 * 4294967296) // GREATEST(s.hk, 1)
+                END AS BIGINT) AS n_est,
+           CAST(ABS(CASE WHEN s.sz < 64 THEN s.sz
+                    ELSE (63 * 4294967296) // GREATEST(s.hk, 1) END
+                    - e.n_exact) * 1000000 // e.n_exact AS BIGINT)
+               AS err_e6
+    FROM sk s JOIN ex e ON s.event_type = e.event_type
+    ORDER BY s.event_type
+"""
+
+
+# q167: one sequential window replays the sweep (fine for an oracle);
+# the engine's two-phase day-bucketed scan must land on the identical
+# running balance, peaks grouped per day.
+ENGINE_ORACLE_SQL["q167_peak_concurrency"] = """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS eus FROM events),
+    f AS (
+        SELECT *, CASE WHEN LAG(eus) OVER w IS NULL
+                         OR eus - LAG(eus) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id
+                            ORDER BY eus, event_id)),
+    r AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                 ORDER BY eus, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sess
+        FROM f),
+    sess AS (
+        SELECT user_id, sess, MIN(eus) AS s_eus, MAX(eus) + 1 AS e_eus
+        FROM r GROUP BY user_id, sess),
+    b AS (
+        SELECT s_eus AS eus, CAST(1 AS BIGINT) AS delta FROM sess
+        UNION ALL
+        SELECT e_eus AS eus, CAST(-1 AS BIGINT) AS delta FROM sess),
+    sweep AS (
+        SELECT eus // 86400000000 AS day,
+               SUM(delta) OVER (ORDER BY eus, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS conc
+        FROM b)
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_boundaries,
+           CAST(MAX(conc) AS BIGINT) AS peak_sessions
+    FROM sweep GROUP BY day ORDER BY day
+"""

@@ -764,3 +764,34 @@ def test_attribution_hand_case(spark, tmp_path):
     assert out[5] == ("view", 3 * day_us)
     assert out[6] == ("direct", None)
     assert out[7] == ("direct", None)
+
+
+def test_concurrency_query_plan_has_no_global_window(spark):
+    """q167: the sweep's running balance must come from the day-
+    partitioned window + the bounded day-grain offset frame — the only
+    unpartitioned window may be over day totals, and the offsets reach
+    the corpus through a broadcast join."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = _plan(ENGINE_QUERIES["q167_peak_concurrency"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 1
+
+
+def test_sketch_accuracy_in_estimation_regime(spark):
+    """q166 must actually exercise ESTIMATION (k=64 < distinct users):
+    at least one group's estimate differs from exact — otherwise the
+    audit silently collapses to the exact regime and proves nothing."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    from tests.conftest import SF_ORACLE
+
+    rows = ENGINE_QUERIES["q166_sketch_accuracy"](
+        spark, SF_ORACLE
+    ).collect()
+    assert rows
+    assert any(r["n_est"] != r["n_exact"] for r in rows)
+    # and the estimator should still be in the right ballpark
+    for r in rows:
+        assert r["err_e6"] < 500_000, r  # < 50% relative error
