@@ -2541,6 +2541,78 @@ def q167_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q168_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: per day, DAU, trailing-7-day WAU, and the
+    DAU/WAU stickiness ratio in exact millionths.  The sliding
+    DISTINCT is computed at the (day, user) grain — dedupe first (the
+    bounded frame: days × users), then each active day map-side
+    emits the ≤ 7 window days it contributes to, and one hash-agg
+    counts distinct users per window end.  Shuffle is bounded by
+    days × users × 7, never by raw events; no self-join of the event
+    table, no window over corpus rows.  Days with no 7-day history
+    still report (the window only needs the day to exist)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"), "user_id"
+    )
+    du = ev.distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("wday"),
+        "user_id",
+    )
+    wau = contrib.groupBy("wday").agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    dau = du.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("dau")
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["wday"])
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("(dau * 1000000) DIV wau").alias("stickiness_e6"),
+        )
+        .transform(_psort, "day")
+    )
+
+
+def q169_percentile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank percentile grid (P10/P50/P90) of v_e4 per
+    event type — the quantile FUNCTION surface next to q117's
+    interpolated median/MAD and q100's sketch tier: nearest-rank
+    (``value at ceil(p·n/100)`` in sorted order) is the
+    integer-exact convention, so every grid cell is a value that
+    actually occurs and both engines index the identical sorted
+    list.  One hash-agg to sorted in-row arrays (the q140/q142
+    bounded-group shape), indexing in codegen."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.array_sort(F.collect_list("v")).alias("__vs"),
+    )
+    def pick(p: int):
+        # ceil(p·n/100) as (p·n + 99) DIV 100: all operands positive,
+        # so Spark's truncating DIV and DuckDB's flooring // agree
+        idx = F.expr(f"CAST(({p} * n + 99) DIV 100 AS INT)")
+        return F.element_at(F.col("__vs"), idx)
+    return (
+        g.select(
+            "event_type",
+            "n",
+            pick(10).alias("p10_e4"),
+            pick(50).alias("p50_e4"),
+            pick(90).alias("p90_e4"),
+        )
+        .transform(_psort, "event_type")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -2608,6 +2680,8 @@ ENGINE_QUERIES = {
     "q165_streaming_attribution": q165_streaming_attribution,
     "q166_sketch_accuracy": q166_sketch_accuracy,
     "q167_peak_concurrency": q167_peak_concurrency,
+    "q168_rolling_actives": q168_rolling_actives,
+    "q169_percentile_grid": q169_percentile_grid,
 }
 
 
@@ -4338,4 +4412,43 @@ ENGINE_ORACLE_SQL["q167_peak_concurrency"] = """
            CAST(COUNT(*) AS BIGINT) AS n_boundaries,
            CAST(MAX(conc) AS BIGINT) AS peak_sessions
     FROM sweep GROUP BY day ORDER BY day
+"""
+
+
+# q168: same day-user dedupe + window-contribution explode; the
+# stickiness division is a single integer DIV.
+ENGINE_ORACLE_SQL["q168_rolling_actives"] = """
+    WITH du AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        FROM events),
+    c AS (
+        SELECT day + d AS wday, user_id
+        FROM du, (SELECT UNNEST(range(0, 7)) AS d)),
+    wau AS (
+        SELECT wday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM c GROUP BY wday),
+    dau AS (
+        SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM du GROUP BY day)
+    SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.wau,
+           (dau.dau * 1000000) // wau.wau AS stickiness_e6
+    FROM dau JOIN wau ON dau.day = wau.wday
+    ORDER BY day
+"""
+
+# q169: identical sorted list + nearest-rank ceil indexing (1-based
+# in both engines).
+ENGINE_ORACLE_SQL["q169_percentile_grid"] = """
+    WITH v AS (
+        SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS v
+        FROM events),
+    g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               list(v ORDER BY v) AS vs
+        FROM v GROUP BY event_type)
+    SELECT event_type, n,
+           vs[CAST((10 * n + 99) // 100 AS INT)] AS p10_e4,
+           vs[CAST((50 * n + 99) // 100 AS INT)] AS p50_e4,
+           vs[CAST((90 * n + 99) // 100 AS INT)] AS p90_e4
+    FROM g ORDER BY event_type
 """

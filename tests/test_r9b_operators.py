@@ -795,3 +795,57 @@ def test_sketch_accuracy_in_estimation_regime(spark):
     # and the estimator should still be in the right ballpark
     for r in rows:
         assert r["err_e6"] < 500_000, r  # < 50% relative error
+
+
+def test_percentile_grid_nearest_rank_hand_case(spark, tmp_path):
+    """Nearest-rank on a 1..10 value list: P10 = 1st value, P50 = 5th,
+    P90 = 9th — and every grid cell is a value that actually occurs."""
+    import datetime
+
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "view", i / 10000, "{}") for i in range(1, 11)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/events.parquet")
+    out = ENGINE_QUERIES["q169_percentile_grid"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n"], r["p10_e4"], r["p50_e4"], r["p90_e4"]) == (10, 1, 5, 9)
+
+
+def test_rolling_actives_window_identity(spark):
+    """WAU(day) must equal the union of DAU sets over the trailing 7
+    days — checked directly on the fixture."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    out = {
+        r["day"]: (r["dau"], r["wau"])
+        for r in ENGINE_QUERIES["q168_rolling_actives"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+            .alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .collect()
+    )
+    by_day: dict[int, set] = {}
+    for r in ev:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    for day, (dau, wau) in out.items():
+        assert dau == len(by_day.get(day, set()))
+        expect = set()
+        for d in range(day - 6, day + 1):
+            expect |= by_day.get(d, set())
+        assert wau == len(expect), day
