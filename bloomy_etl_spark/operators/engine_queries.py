@@ -2613,6 +2613,65 @@ def q169_percentile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE SQL text, run verbatim by BOTH engines: q170 is the SQL entry
+# path (spark.sql over registered views) — correlated scalar
+# subqueries (decorrelated by Catalyst into aggregated joins),
+# EXISTS / NOT EXISTS (semi/anti joins), and null-safe COALESCE
+# margins. The balance test cross-multiplies (cents·n > Σcents)
+# so the "above nation average" predicate is exact integers — no
+# float average ever computed.
+_Q170_SQL = """
+    WITH cust AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer),
+    rich AS (
+        SELECT c.c_nationkey, COUNT(*) AS n_rich
+        FROM cust c
+        WHERE c.cents * (SELECT COUNT(*) FROM cust x
+                         WHERE x.c_nationkey = c.c_nationkey)
+              > (SELECT SUM(x.cents) FROM cust x
+                 WHERE x.c_nationkey = c.c_nationkey)
+        GROUP BY c.c_nationkey),
+    idle AS (
+        SELECT s.s_nationkey AS nk, COUNT(*) AS n_idle
+        FROM supplier s
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_suppkey = s.s_suppkey)
+        GROUP BY s.s_nationkey),
+    od AS (
+        SELECT c.c_nationkey, COUNT(*) AS n_with_orders
+        FROM cust c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c.c_nationkey)
+    SELECT n.n_name,
+           CAST(COALESCE(r.n_rich, 0) AS BIGINT) AS n_rich,
+           CAST(COALESCE(i.n_idle, 0) AS BIGINT) AS n_idle_supp,
+           CAST(COALESCE(od.n_with_orders, 0) AS BIGINT) AS n_with_orders
+    FROM nation n
+    LEFT JOIN rich r ON r.c_nationkey = n.n_nationkey
+    LEFT JOIN idle i ON i.nk = n.n_nationkey
+    LEFT JOIN od ON od.c_nationkey = n.n_nationkey
+    ORDER BY n.n_name
+"""
+
+
+def q170_subquery_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ENTRY PATH: q170 registers the fixture tables as temp
+    views and runs ONE ANSI SQL text — the identical string the
+    DuckDB oracle runs — through ``spark.sql``: correlated scalar
+    subqueries (Catalyst decorrelates them into aggregate joins; the
+    plan pin asserts no nested-loop fallback), EXISTS → semi join,
+    NOT EXISTS → anti join, and COALESCE margins.  Every predicate is
+    exact integer arithmetic (the nation-average balance test
+    cross-multiplies instead of averaging), so the SQL surface is
+    hash-gated like every DataFrame query."""
+    for t in ["customer", "supplier", "lineitem", "orders", "nation"]:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q170_SQL)
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -2682,6 +2741,7 @@ ENGINE_QUERIES = {
     "q167_peak_concurrency": q167_peak_concurrency,
     "q168_rolling_actives": q168_rolling_actives,
     "q169_percentile_grid": q169_percentile_grid,
+    "q170_subquery_pack": q170_subquery_pack,
 }
 
 
@@ -4452,3 +4512,7 @@ ENGINE_ORACLE_SQL["q169_percentile_grid"] = """
            vs[CAST((90 * n + 99) // 100 AS INT)] AS p90_e4
     FROM g ORDER BY event_type
 """
+
+
+# q170: the oracle IS the same SQL text — one source of truth.
+ENGINE_ORACLE_SQL["q170_subquery_pack"] = _Q170_SQL

@@ -849,3 +849,16 @@ def test_rolling_actives_window_identity(spark):
         for d in range(day - 6, day + 1):
             expect |= by_day.get(d, set())
         assert wau == len(expect), day
+
+
+def test_subquery_pack_decorrelates_to_joins(spark):
+    """q170: Catalyst must decorrelate the scalar subqueries and
+    EXISTS/NOT EXISTS into aggregate/semi/anti joins — a
+    BroadcastNestedLoopJoin or CartesianProduct in the plan means a
+    per-row subquery re-execution, which dies at scale."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = _plan(ENGINE_QUERIES["q170_subquery_pack"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Semi" in p or "Anti" in p  # the EXISTS family became joins
