@@ -2672,6 +2672,42 @@ def q170_subquery_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q170_SQL)
 
 
+def q171_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test CONTAMINATION audit — the leakage check every
+    eval-trustworthy corpus build runs and almost none gate: near-dup
+    pairs (the exact n-gram Jaccard edge set, q42's input) whose
+    endpoints landed in DIFFERENT splits (q47's deterministic
+    hash-split, 60/20/20 here so the audit has teeth at fixture
+    scale).  A pair crossing train→test means the test set leaks
+    training content; the output is the pair-grain evidence table a
+    release review reads.  Composition of two already-gated operators
+    — the audit itself adds two broadcast-size joins on the pair
+    list."""
+    from bloomy_etl_spark.operators import corpus as C
+    from bloomy_etl_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents", fan_out=True)
+    pairs = D.ngram_jaccard_pairs(docs).select("i", "j")
+    sp = C.assign_split(docs, train_pct=60, val_pct=20).select(
+        "doc_id", "split"
+    )
+    return (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("i"),
+                      F.col("split").alias("split_i")),
+            "i",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("j"),
+                      F.col("split").alias("split_j")),
+            "j",
+        )
+        .filter(F.col("split_i") != F.col("split_j"))
+        .select("i", "j", "split_i", "split_j")
+        .transform(_psort, "i", "j")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -2742,6 +2778,7 @@ ENGINE_QUERIES = {
     "q168_rolling_actives": q168_rolling_actives,
     "q169_percentile_grid": q169_percentile_grid,
     "q170_subquery_pack": q170_subquery_pack,
+    "q171_split_leakage": q171_split_leakage,
 }
 
 
@@ -4516,3 +4553,32 @@ ENGINE_ORACLE_SQL["q169_percentile_grid"] = """
 
 # q170: the oracle IS the same SQL text — one source of truth.
 ENGINE_ORACLE_SQL["q170_subquery_pack"] = _Q170_SQL
+
+
+# q171: the q148 pair CTE joined to the q47 split replay; only
+# cross-split pairs survive.
+def _q171_oracle() -> str:
+    from bloomy_etl_spark.operators.llm_queries import _SHINGLES_CTE
+
+    return f"""
+    WITH {_SHINGLES_CTE.strip()},
+    p AS (SELECT i, j FROM jac WHERE jaccard >= 0.8),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5('split:'
+                          || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 100 < 60 THEN 'train'
+                    WHEN ('0x' || substr(md5('split:'
+                          || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 100 < 80 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+    SELECT p.i, p.j, a.split AS split_i, b.split AS split_j
+    FROM p JOIN sp a ON p.i = a.doc_id
+           JOIN sp b ON p.j = b.doc_id
+    WHERE a.split <> b.split
+    ORDER BY p.i, p.j
+    """
+
+
+ENGINE_ORACLE_SQL["q171_split_leakage"] = _q171_oracle()
