@@ -2708,6 +2708,54 @@ def q171_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q172_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the FK health check a
+    warehouse runs before trusting joins: for every foreign-key edge
+    of the schema, the child row count, the orphan count (left-anti
+    against the parent), and the DISTINCT orphan key count.  Each edge
+    is one anti-join that Catalyst executes broadcast (parents are
+    dimension-sized) — the whole audit reads each child table once.
+    Complements q72's single-table column checks with the BETWEEN-
+    tables contract."""
+    edges = [
+        ("orders.o_custkey", "orders", "o_custkey", "customer",
+         "c_custkey"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey", "orders",
+         "o_orderkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey", "part",
+         "p_partkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey", "supplier",
+         "s_suppkey"),
+        ("customer.c_nationkey", "customer", "c_nationkey", "nation",
+         "n_nationkey"),
+        ("supplier.s_nationkey", "supplier", "s_nationkey", "nation",
+         "n_nationkey"),
+        ("nation.n_regionkey", "nation", "n_regionkey", "region",
+         "r_regionkey"),
+    ]
+    outs = []
+    for name, child, ck, parent, pk in edges:
+        c = _t(spark, sf_dir, child).select(F.col(ck).alias("__k"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("__k"))
+        orphans = c.join(p, "__k", "left_anti")
+        outs.append(
+            c.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orphans"),
+                    F.count_distinct("__k").cast("long")
+                    .alias("n_orphan_keys"),
+                )
+            )
+            .select(F.lit(name).alias("fk"), "n_child", "n_orphans",
+                    "n_orphan_keys")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.transform(_psort, "fk")
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -2779,6 +2827,7 @@ ENGINE_QUERIES = {
     "q169_percentile_grid": q169_percentile_grid,
     "q170_subquery_pack": q170_subquery_pack,
     "q171_split_leakage": q171_split_leakage,
+    "q172_referential_audit": q172_referential_audit,
 }
 
 
@@ -4582,3 +4631,71 @@ def _q171_oracle() -> str:
 
 
 ENGINE_ORACLE_SQL["q171_split_leakage"] = _q171_oracle()
+
+
+# q172: per-edge NOT EXISTS replays of the same anti-joins.
+ENGINE_ORACLE_SQL["q172_referential_audit"] = """
+    SELECT 'orders.o_custkey' AS fk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders c
+            WHERE NOT EXISTS (SELECT 1 FROM customer p
+                              WHERE p.c_custkey = c.o_custkey)) AS n_orphans,
+           (SELECT CAST(COUNT(DISTINCT c.o_custkey) AS BIGINT) FROM orders c
+            WHERE NOT EXISTS (SELECT 1 FROM customer p
+                              WHERE p.c_custkey = c.o_custkey)) AS n_orphan_keys
+    UNION ALL
+    SELECT 'lineitem.l_orderkey' AS fk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem c
+            WHERE NOT EXISTS (SELECT 1 FROM orders p
+                              WHERE p.o_orderkey = c.l_orderkey)) AS n_orphans,
+           (SELECT CAST(COUNT(DISTINCT c.l_orderkey) AS BIGINT) FROM lineitem c
+            WHERE NOT EXISTS (SELECT 1 FROM orders p
+                              WHERE p.o_orderkey = c.l_orderkey)) AS n_orphan_keys
+    UNION ALL
+    SELECT 'lineitem.l_partkey' AS fk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem c
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = c.l_partkey)) AS n_orphans,
+           (SELECT CAST(COUNT(DISTINCT c.l_partkey) AS BIGINT) FROM lineitem c
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = c.l_partkey)) AS n_orphan_keys
+    UNION ALL
+    SELECT 'lineitem.l_suppkey' AS fk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem c
+            WHERE NOT EXISTS (SELECT 1 FROM supplier p
+                              WHERE p.s_suppkey = c.l_suppkey)) AS n_orphans,
+           (SELECT CAST(COUNT(DISTINCT c.l_suppkey) AS BIGINT) FROM lineitem c
+            WHERE NOT EXISTS (SELECT 1 FROM supplier p
+                              WHERE p.s_suppkey = c.l_suppkey)) AS n_orphan_keys
+    UNION ALL
+    SELECT 'customer.c_nationkey' AS fk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation p
+                              WHERE p.n_nationkey = c.c_nationkey)) AS n_orphans,
+           (SELECT CAST(COUNT(DISTINCT c.c_nationkey) AS BIGINT) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation p
+                              WHERE p.n_nationkey = c.c_nationkey)) AS n_orphan_keys
+    UNION ALL
+    SELECT 'supplier.s_nationkey' AS fk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier c
+            WHERE NOT EXISTS (SELECT 1 FROM nation p
+                              WHERE p.n_nationkey = c.s_nationkey)) AS n_orphans,
+           (SELECT CAST(COUNT(DISTINCT c.s_nationkey) AS BIGINT) FROM supplier c
+            WHERE NOT EXISTS (SELECT 1 FROM nation p
+                              WHERE p.n_nationkey = c.s_nationkey)) AS n_orphan_keys
+    UNION ALL
+    SELECT 'nation.n_regionkey' AS fk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation c
+            WHERE NOT EXISTS (SELECT 1 FROM region p
+                              WHERE p.r_regionkey = c.n_regionkey)) AS n_orphans,
+           (SELECT CAST(COUNT(DISTINCT c.n_regionkey) AS BIGINT) FROM nation c
+            WHERE NOT EXISTS (SELECT 1 FROM region p
+                              WHERE p.r_regionkey = c.n_regionkey)) AS n_orphan_keys
+    ORDER BY fk
+"""
