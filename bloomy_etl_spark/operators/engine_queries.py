@@ -2756,6 +2756,87 @@ def q172_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.transform(_psort, "fk")
 
 
+def q173_streaming_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live engagement under the driver hash gate: events replay as
+    three hash-sliced micro-batches through ``streaming_active_ingest``
+    (distinct (day, user) deltas — set union is confluent, any
+    slicing), and the DAU/WAU/stickiness readout recomputed from the
+    merged store is hashed against q168's batch oracle.  The live
+    dashboard equals the batch report, forever, at domain-sized
+    per-batch cost."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bloomy_etl_spark.streaming.ingest import (
+        read_active_pairs,
+        streaming_active_ingest,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = (id(spark), "q173", sf_dir, os.stat(src).st_mtime_ns)
+    base = _STREAM_MEMO.get(key)
+    if base is None or not os.path.isfile(os.path.join(base, "_BUILD_OK")):
+        base = os.path.join(
+            tempfile.gettempdir(), "bloomy_stream",
+            f"{os.getpid()}-"
+            + hashlib.md5(repr(key).encode()).hexdigest()[:12],
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+            "user_id",
+            "event_id",
+        )
+        replay = os.path.join(base, "replay")
+        for bi in range(3):
+            ev.filter(
+                F.pmod(F.xxhash64("event_id"), F.lit(3)) == bi
+            ).select("day", "user_id").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(replay, f"b{bi}"))
+        stream = (
+            spark.readStream.schema("day long, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(replay, "b*"))
+        )
+        q = streaming_active_ingest(
+            stream,
+            os.path.join(base, "state"),
+            os.path.join(base, "ckpt"),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("q173 replay stream did not finish")
+        with open(os.path.join(base, "_BUILD_OK"), "w") as f:
+            f.write("ok")
+        _STREAM_MEMO[key] = base
+    du = read_active_pairs(spark, os.path.join(base, "state"))
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("wday"),
+        "user_id",
+    )
+    wau = contrib.groupBy("wday").agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    dau = du.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("dau")
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["wday"])
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("(dau * 1000000) DIV wau").alias("stickiness_e6"),
+        )
+        .transform(_psort, "day")
+    )
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -2828,6 +2909,7 @@ ENGINE_QUERIES = {
     "q170_subquery_pack": q170_subquery_pack,
     "q171_split_leakage": q171_split_leakage,
     "q172_referential_audit": q172_referential_audit,
+    "q173_streaming_engagement": q173_streaming_engagement,
 }
 
 
@@ -4699,3 +4781,11 @@ ENGINE_ORACLE_SQL["q172_referential_audit"] = """
                               WHERE p.r_regionkey = c.n_regionkey)) AS n_orphan_keys
     ORDER BY fk
 """
+
+
+# q173: the oracle is q168's batch engagement SQL — set-union
+# confluence makes the streamed readout provably identical; the hash
+# gate checks it anyway.
+ENGINE_ORACLE_SQL["q173_streaming_engagement"] = (
+    ENGINE_ORACLE_SQL["q168_rolling_actives"]
+)

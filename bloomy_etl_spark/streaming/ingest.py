@@ -1422,6 +1422,46 @@ def read_attributed_facts(spark: SparkSession, facts_dir: str) -> DataFrame:
     )
 
 
+def streaming_active_ingest(
+    events_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Live engagement state: the durable store is per-batch DISTINCT
+    (day, user) activity deltas — set union is CONFLUENT (any arrival
+    order, any slicing), so every rolling-engagement readout (DAU,
+    trailing-window WAU, stickiness — q168) recomputed from the merged
+    store is bit-identical to the batch answer over the union.  The
+    active-pair grain is bounded by days × users regardless of event
+    volume, so per-batch appends are domain-sized, never event-sized.
+    Replays append identical rows; the reader collapses per
+    (batch_id, day, user)."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        out = (
+            batch.select("day", "user_id")
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        out.write.mode("append").parquet(state_dir)
+
+    return (
+        events_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_active_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged distinct (day, user) activity from the delta store."""
+    return (
+        spark.read.parquet(state_dir)
+        .select("day", "user_id")
+        .distinct()
+    )
+
+
 def streaming_funnel_ingest(
     events_stream: DataFrame,
     state_dir: str,
