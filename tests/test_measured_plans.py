@@ -351,3 +351,35 @@ def test_bradley_terry_duel_log_never_shuffles(spark):
     # can legitimately measure ZERO shuffle records; the contract is
     # only that it never re-ships the duel log
     assert 0 <= p["shuffle_records_written"] < n_duels
+
+
+def test_twa_shuffle_records_bounded_by_keys(spark):
+    """q160's lead window and aggregate ride one key partitioning: the
+    exchange carries event rows once to their key, and the aggregate's
+    partials are key-grain."""
+    from bloomy_etl_spark.operators.timeseries import time_weighted_avg
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("eus"),
+        "event_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    n_events = ev.count()
+    p = run_profile(time_weighted_avg(ev))
+    # one corpus move to the window partitioning + key-grain partials;
+    # never a second corpus pass
+    assert 0 < p["shuffle_records_written"] <= n_events + 4 * 150
+
+
+def test_attribution_is_one_window_pass(spark):
+    """q162: no join against a touches table — the packed-MAX LOCF
+    means the only exchange is the one user partitioning (plus the
+    purchase-grain presentation sort)."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    out = ENGINE_QUERIES["q162_touch_attribution"](spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_events = ev.count()
+    p = run_profile(out)
+    assert 0 < p["shuffle_records_written"] <= 2 * n_events
