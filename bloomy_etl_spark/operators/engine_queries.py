@@ -2837,6 +2837,81 @@ def q173_streaming_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q174_contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-cause contribution analysis — the "WHY did the metric
+    move" step after q86/q149 flag THAT it moved: for every day whose
+    event volume shifted ≥ 2% day-over-day, find the event type whose
+    volume SHARE shifted most (exact e6 shares, shift = |share −
+    prev_share|, ties to the smallest type name).  All integer
+    millionths; windows run at day- and (day, type)-grain — domain
+    frames, never event grain."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        "event_type",
+    )
+    dt = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    d = dt.groupBy("day").agg(F.sum("n").cast("long").alias("n_total"))
+    w_d = Window.orderBy("day")
+    days = d.withColumn("__prev", F.lag("n_total").over(w_d)).filter(
+        F.col("__prev").isNotNull()
+    ).withColumn(
+        "delta_e6",
+        F.expr("((n_total - __prev) * 1000000) DIV __prev"),
+    ).filter(F.abs(F.col("delta_e6")) >= 20_000)
+    shares = dt.join(d, "day").withColumn(
+        "share_e6", F.expr("(n * 1000000) DIV n_total")
+    )
+    w_t = Window.partitionBy("event_type").orderBy("day")
+    shifts = shares.withColumn(
+        "__ps", F.lag("share_e6").over(w_t)
+    ).filter(F.col("__ps").isNotNull()).withColumn(
+        "shift_e6", F.abs(F.col("share_e6") - F.col("__ps"))
+    )
+    w_rank = Window.partitionBy("day").orderBy(
+        F.col("shift_e6").desc(), F.col("event_type").asc()
+    )
+    top = shifts.withColumn("__rn", F.row_number().over(w_rank)).filter(
+        F.col("__rn") == 1
+    ).select("day", F.col("event_type").alias("top_type"), "shift_e6")
+    return (
+        days.join(top, "day")
+        .select("day", "n_total", "delta_e6", "top_type", "shift_e6")
+        .transform(_psort, "day")
+    )
+
+
+def q175_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style catalog statistics — the table profile a
+    cost-based optimizer (and q56's join-order advisor) feeds on: one
+    row per table with row count, exact key-column NDV, and the key
+    min/max zone. Each table is one hash-agg; the report is the
+    10-row union."""
+    keys = {
+        "region": "r_regionkey", "nation": "n_nationkey",
+        "customer": "c_custkey", "supplier": "s_suppkey",
+        "part": "p_partkey", "orders": "o_orderkey",
+        "lineitem": "l_orderkey", "events": "event_id",
+        "documents": "doc_id", "embeddings": "vec_id",
+    }
+    outs = []
+    for t, k in keys.items():
+        outs.append(
+            _t(spark, sf_dir, t).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count_distinct(F.col(k)).cast("long").alias("key_ndv"),
+                F.min(F.col(k)).cast("long").alias("key_min"),
+                F.max(F.col(k)).cast("long").alias("key_max"),
+            ).select(F.lit(t).alias("tbl"), "n_rows", "key_ndv",
+                     "key_min", "key_max")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.transform(_psort, "tbl")
+
+
 ENGINE_QUERIES = {
     "q70_binned_range_join": q70_binned_range_join,
     "q71_salted_join": q71_salted_join,
@@ -2910,6 +2985,8 @@ ENGINE_QUERIES = {
     "q171_split_leakage": q171_split_leakage,
     "q172_referential_audit": q172_referential_audit,
     "q173_streaming_engagement": q173_streaming_engagement,
+    "q174_contribution_analysis": q174_contribution_analysis,
+    "q175_catalog_stats": q175_catalog_stats,
 }
 
 
@@ -4789,3 +4866,111 @@ ENGINE_ORACLE_SQL["q172_referential_audit"] = """
 ENGINE_ORACLE_SQL["q173_streaming_engagement"] = (
     ENGINE_ORACLE_SQL["q168_rolling_actives"]
 )
+
+
+# q174: identical day/type-grain windows and integer shares.
+ENGINE_ORACLE_SQL["q174_contribution_analysis"] = """
+    WITH dt AS (
+        SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY day, event_type),
+    d AS (
+        SELECT day, CAST(SUM(n) AS BIGINT) AS n_total
+        FROM dt GROUP BY day),
+    days AS (
+        SELECT day, n_total,
+               ((n_total - pv) * 1000000) // pv AS delta_e6
+        FROM (SELECT day, n_total,
+                     LAG(n_total) OVER (ORDER BY day) AS pv
+              FROM d)
+        WHERE pv IS NOT NULL
+          AND ABS((n_total - pv) * 1000000 // pv) >= 20000),
+    sh AS (
+        SELECT dt.day, dt.event_type,
+               (dt.n * 1000000) // d.n_total AS share_e6
+        FROM dt JOIN d ON dt.day = d.day),
+    sf AS (
+        SELECT day, event_type,
+               ABS(share_e6 - ps) AS shift_e6
+        FROM (SELECT day, event_type, share_e6,
+                     LAG(share_e6) OVER (PARTITION BY event_type
+                                         ORDER BY day) AS ps
+              FROM sh)
+        WHERE ps IS NOT NULL),
+    top AS (
+        SELECT day, event_type AS top_type, shift_e6
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+                       ORDER BY shift_e6 DESC, event_type ASC) AS rn
+              FROM sf)
+        WHERE rn = 1)
+    SELECT CAST(days.day AS BIGINT) AS day, days.n_total,
+           CAST(days.delta_e6 AS BIGINT) AS delta_e6,
+           top.top_type, CAST(top.shift_e6 AS BIGINT) AS shift_e6
+    FROM days JOIN top ON days.day = top.day
+    ORDER BY day
+"""
+
+
+# q175: per-table one-agg replays.
+ENGINE_ORACLE_SQL["q175_catalog_stats"] = """
+    SELECT 'region' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT r_regionkey) AS BIGINT) AS key_ndv,
+           CAST(MIN(r_regionkey) AS BIGINT) AS key_min,
+           CAST(MAX(r_regionkey) AS BIGINT) AS key_max
+    FROM region
+    UNION ALL
+    SELECT 'nation' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS key_ndv,
+           CAST(MIN(n_nationkey) AS BIGINT) AS key_min,
+           CAST(MAX(n_nationkey) AS BIGINT) AS key_max
+    FROM nation
+    UNION ALL
+    SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS key_ndv,
+           CAST(MIN(c_custkey) AS BIGINT) AS key_min,
+           CAST(MAX(c_custkey) AS BIGINT) AS key_max
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS key_ndv,
+           CAST(MIN(s_suppkey) AS BIGINT) AS key_min,
+           CAST(MAX(s_suppkey) AS BIGINT) AS key_max
+    FROM supplier
+    UNION ALL
+    SELECT 'part' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS key_ndv,
+           CAST(MIN(p_partkey) AS BIGINT) AS key_min,
+           CAST(MAX(p_partkey) AS BIGINT) AS key_max
+    FROM part
+    UNION ALL
+    SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS key_ndv,
+           CAST(MIN(o_orderkey) AS BIGINT) AS key_min,
+           CAST(MAX(o_orderkey) AS BIGINT) AS key_max
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS key_ndv,
+           CAST(MIN(l_orderkey) AS BIGINT) AS key_min,
+           CAST(MAX(l_orderkey) AS BIGINT) AS key_max
+    FROM lineitem
+    UNION ALL
+    SELECT 'events' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS key_ndv,
+           CAST(MIN(event_id) AS BIGINT) AS key_min,
+           CAST(MAX(event_id) AS BIGINT) AS key_max
+    FROM events
+    UNION ALL
+    SELECT 'documents' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS key_ndv,
+           CAST(MIN(doc_id) AS BIGINT) AS key_min,
+           CAST(MAX(doc_id) AS BIGINT) AS key_max
+    FROM documents
+    UNION ALL
+    SELECT 'embeddings' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS key_ndv,
+           CAST(MIN(vec_id) AS BIGINT) AS key_min,
+           CAST(MAX(vec_id) AS BIGINT) AS key_max
+    FROM embeddings
+    ORDER BY tbl
+"""
