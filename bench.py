@@ -153,17 +153,34 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
-    # The driver keeps only the LAST ~2000 chars of stdout and JSON-parses
+    # The driver keeps only the LAST 2000 chars of stdout and JSON-parses
     # them: BENCH_r02–r04 all recorded "parsed": null because the full
     # detail line outgrew that window once the corpus passed ~40 queries.
     # So the final printed line is a COMPACT summary guaranteed to fit —
     # query names shortened to their leading qNN token (unique by
     # construction), per-engine per-query detail in BENCH_DETAIL.json.
+    #
+    # At 175 declared queries even 1-decimal seconds cannot fit all
+    # entries in 2000 chars (measured: 1997–2153 chars on real timings),
+    # so the printed map carries exactly the DRIVER-VISIBLE set — the
+    # 130 queries every BENCH_r1–r8 parsed map recorded (q1..q130).
+    # No key the driver has ever parsed is removed or renamed; queries
+    # added after r8 are timed identically, included in "value" /
+    # "n_queries", and reported per-query in BENCH_DETAIL.json (the
+    # "detail" pointer). Membership is static so cross-round per-query
+    # diffs stay key-stable.
+    _PRINTED_MAP_MAX_QNUM = 130
+
+    def _qnum(name: str) -> int:
+        head = name.split("_", 1)[0]
+        return int(head[1:]) if head[1:].isdigit() else 10**9
+
     compact = {
         "metric": "corpus_wallclock",
         "value": total,
         "unit": "sec",
-        "queries": {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()},
+        "queries": {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()
+                    if _qnum(n) <= _PRINTED_MAP_MAX_QNUM},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "duckdb_sec": duck_total,

@@ -78,26 +78,38 @@ def test_rotation_puts_least_recently_verified_first():
 
 
 def test_bench_compact_line_fits_the_2000_char_window():
-    """Reconstruct bench.py's compact line from the real BENCH_DETAIL
-    (or a synthetic worst case when absent) and bound its length."""
-    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
-    if os.path.exists(detail_path):
-        with open(detail_path) as f:
-            d = json.load(f)
-        timings = {n: float(t) for n, t in d["queries"].items()}
-        duck = d.get("duckdb_sec")
-    else:  # synthetic worst case: every query present, 3-digit timings
-        timings = {n: 99.99 for n in entry.ALL_QUERIES}
-        duck = 999.999
+    """Reconstruct bench.py's compact line under its worst case (every
+    query present at 3-digit timings) and bound its length.
+
+    At 175 declared queries the full per-query map cannot fit the
+    driver's 2000-char stdout window at ANY seconds precision (measured
+    1997–2153 chars), so bench.py prints exactly the driver-visible
+    q1..q130 set — every key any BENCH_r1–r8 parsed map recorded, none
+    removed or renamed — and reports the post-r8 additions per-query in
+    BENCH_DETAIL.json. This test asserts (a) the printed map still
+    carries all 130 driver-visible keys and (b) the line fits with
+    margin even at worst-case timings.
+    """
+    timings = {n: 99.99 for n in entry.ALL_QUERIES}  # worst case
+
+    def _qnum(name: str) -> int:
+        head = name.split("_", 1)[0]
+        return int(head[1:]) if head[1:].isdigit() else 10**9
+
+    printed = {n.split("_", 1)[0]: round(t, 2)
+               for n, t in timings.items() if _qnum(n) <= 130}
+    assert len(printed) == 130, (
+        f"printed map must keep every driver-visible q1..q130 key; got "
+        f"{len(printed)}"
+    )
     compact = {
         "metric": "corpus_wallclock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": {n.split("_", 1)[0]: round(t, 2)
-                    for n, t in timings.items()},
+        "queries": printed,
         "sf": 0.1,
         "n_queries": len(timings),
-        "duckdb_sec": duck,
+        "duckdb_sec": 999.999,
         "ratio": 9.99,
         "n_errors": 0,
         "errors": {},
@@ -108,10 +120,10 @@ def test_bench_compact_line_fits_the_2000_char_window():
     line = json.dumps(compact, separators=(",", ":"))
     # bench.py drops the queries map above 1800 — this asserts the
     # primary (per-query) form still fits, so the driver keeps per-query
-    # visibility
+    # visibility for every query it has ever parsed
     assert len(line) < 1800, (
         f"compact bench line is {len(line)} chars; the driver's window "
-        "keeps ~2000 — shorten keys or drop fields in bench.py"
+        "keeps 2000 — shorten keys or drop fields in bench.py"
     )
 
 
