@@ -344,19 +344,22 @@ def q81_spatial_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # out-weight normalization is exact in both engines.
 # --------------------------------------------------------------------------
 def q82_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bloomy_etl_spark.operators.graph import pagerank
+    from bloomy_etl_spark.operators.graph import basket_pairs, pagerank
 
-    os_ = (
+    # r9: in-row basket pairs (graph.basket_pairs) replace the self-join
+    # edge build (see q141); the directed graph is the ordered pairs
+    # unioned with their swap AFTER the aggregate — half the shuffle
+    # keys of the old src ≠ dst self-join, identical edge weights.
+    und = basket_pairs(
         _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    edges = (
-        os_.select("o", F.col("s").alias("src"))
-        .join(os_.select("o", F.col("s").alias("dst")), "o")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .select(F.col("l_orderkey").alias("o"),
+                F.col("l_suppkey").alias("s")),
+        key="o", item="s",
+    ).withColumn("w", F.col("w").cast("double"))
+    edges = und.select(
+        F.col("x").alias("src"), F.col("y").alias("dst"), "w"
+    ).unionByName(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"), "w")
     )
     ranks = pagerank(edges, weight="w", damping=0.85, rounds=3, quantize_dp=9)
     return ranks.select(
@@ -1363,19 +1366,18 @@ def q141_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph is near-complete over the part space (measured 1.2M edges at
     sf0.1 → 41M wedges), while the strong graph keeps ~3.5k edges; the
     same thresholding any real co-occurrence analysis applies."""
-    from bloomy_etl_spark.operators.graph import triangle_counts
+    from bloomy_etl_spark.operators.graph import basket_pairs, triangle_counts
 
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
+    # r9: in-row basket pair generation (graph.basket_pairs) replaces
+    # the op ⋈ op self-join — one exchange fewer, nothing order-grain
+    # broadcast or sort-merged (guide §2.4).
     edges = (
-        op.select("o", F.col("p").alias("x"))
-        .join(op.select("o", F.col("p").alias("y")), "o")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("w"))
+        basket_pairs(
+            _t(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("o"),
+                    F.col("l_partkey").alias("p")),
+            key="o", item="p",
+        )
         .filter(F.col("w") >= 2)
         .drop("w")
     )
@@ -1564,19 +1566,17 @@ def q145_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     community structure.  All label decisions are exact integer
     majority votes, replayed by the oracle as one unrolled
     MATERIALIZED CTE per round."""
-    from bloomy_etl_spark.operators.graph import label_propagation
+    from bloomy_etl_spark.operators.graph import basket_pairs, label_propagation
 
-    os_ = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    # r9: in-row basket pairs (graph.basket_pairs) replace the self-join
+    # edge build — see q141.
     edges = (
-        os_.select("o", F.col("s").alias("x"))
-        .join(os_.select("o", F.col("s").alias("y")), "o")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("w"))
+        basket_pairs(
+            _t(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("o"),
+                    F.col("l_suppkey").alias("s")),
+            key="o", item="s",
+        )
         .filter(F.col("w") >= 2)
         .drop("w")
     )
@@ -1929,19 +1929,17 @@ def q155_supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same rounds as MATERIALIZED CTEs, and the `converged` flag
     certifies the peel reached its fixed point (the result IS the
     3-core, not an intermediate state)."""
-    from bloomy_etl_spark.operators.graph import k_core
+    from bloomy_etl_spark.operators.graph import basket_pairs, k_core
 
-    os_ = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    # r9: in-row basket pairs (graph.basket_pairs) replace the self-join
+    # edge build — see q141.
     edges = (
-        os_.select("o", F.col("s").alias("x"))
-        .join(os_.select("o", F.col("s").alias("y")), "o")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("w"))
+        basket_pairs(
+            _t(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("o"),
+                    F.col("l_suppkey").alias("s")),
+            key="o", item="s",
+        )
         .filter(F.col("w") >= 2)
         .drop("w")
     )
@@ -2300,19 +2298,17 @@ def q163_weighted_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     min path cost within 4 edges — weighted reachability next to
     q97's hop-count BFS.  All-integer relaxations; the oracle unrolls
     the identical rounds."""
-    from bloomy_etl_spark.operators.graph import weighted_sssp
+    from bloomy_etl_spark.operators.graph import basket_pairs, weighted_sssp
 
-    os_ = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    # r9: in-row basket pairs (graph.basket_pairs) replace the self-join
+    # edge build — see q141.
     und = (
-        os_.select("o", F.col("s").alias("x"))
-        .join(os_.select("o", F.col("s").alias("y")), "o")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("n"))
+        basket_pairs(
+            _t(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("o"),
+                    F.col("l_suppkey").alias("s")),
+            key="o", item="s", weight="n",
+        )
         .withColumn("w", F.expr("CAST(1000000 AS BIGINT) DIV n"))
     )
     sym = und.select(F.col("x").alias("src"), F.col("y").alias("dst"), "w").unionByName(
@@ -2711,12 +2707,18 @@ def q171_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q172_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table referential-integrity audit — the FK health check a
     warehouse runs before trusting joins: for every foreign-key edge
-    of the schema, the child row count, the orphan count (left-anti
-    against the parent), and the DISTINCT orphan key count.  Each edge
-    is one anti-join that Catalyst executes broadcast (parents are
-    dimension-sized) — the whole audit reads each child table once.
-    Complements q72's single-table column checks with the BETWEEN-
-    tables contract."""
+    of the schema, the child row count, the orphan count (no match in
+    the parent), and the DISTINCT orphan key count.  Each edge is ONE
+    scan of the child: a broadcast LEFT join against the parent's
+    distinct keys attaches a match flag per child row and a single
+    aggregate reads off all three figures (r9: previously the child
+    was scanned twice — a bare count plus a left-anti aggregate —
+    glued by a 1-row BroadcastNestedLoopJoin; guide §2.3/§6 — this
+    halves the audit's child-table I/O at scale).  The flag equals the
+    anti-join predicate because the parent side is made distinct, so
+    no child row is multiplied; NULL child keys never match, exactly
+    like the anti join.  Complements q72's single-table column checks
+    with the BETWEEN-tables contract."""
     edges = [
         ("orders.o_custkey", "orders", "o_custkey", "customer",
          "c_custkey"),
@@ -2736,19 +2738,23 @@ def q172_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for name, child, ck, parent, pk in edges:
         c = _t(spark, sf_dir, child).select(F.col(ck).alias("__k"))
-        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("__k"))
-        orphans = c.join(p, "__k", "left_anti")
+        p = (
+            _t(spark, sf_dir, parent)
+            .select(F.col(pk).alias("__k"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        flagged = c.join(F.broadcast(p), "__k", "left")
+        orphan = F.col("__hit").isNull()
         outs.append(
-            c.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
-            .crossJoin(
-                orphans.agg(
-                    F.count(F.lit(1)).cast("long").alias("n_orphans"),
-                    F.count_distinct("__k").cast("long")
-                    .alias("n_orphan_keys"),
-                )
-            )
-            .select(F.lit(name).alias("fk"), "n_child", "n_orphans",
-                    "n_orphan_keys")
+            flagged.agg(
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.coalesce(F.sum(orphan.cast("long")), F.lit(0))
+                .cast("long").alias("n_orphans"),
+                F.count_distinct(F.when(orphan, F.col("__k")))
+                .cast("long").alias("n_orphan_keys"),
+            ).select(F.lit(name).alias("fk"), "n_child", "n_orphans",
+                     "n_orphan_keys")
         )
     out = outs[0]
     for o in outs[1:]:
@@ -4379,7 +4385,7 @@ def _q154_oracle(rounds: int = 3, scale: int = 1_000_000) -> str:
     w0 AS MATERIALIZED (
         SELECT i, CAST({scale} AS BIGINT) AS w FROM items),{",".join(steps)}
     SELECT it.i AS item, it.n_wins,
-           gg.n_games, {prev}.w AS strength_e6
+           gg.n_games, CAST({prev}.w AS BIGINT) AS strength_e6
     FROM items it
     JOIN (SELECT i, CAST(SUM(g) AS BIGINT) AS n_games
           FROM sym GROUP BY i) gg ON it.i = gg.i

@@ -31,7 +31,51 @@ from pyspark.sql import functions as F
 from bloomy_etl_spark.session import pin
 
 __all__ = ["pagerank", "bfs_hops", "triangle_counts", "label_propagation",
-           "k_core", "weighted_sssp"]
+           "k_core", "weighted_sssp", "basket_pairs"]
+
+
+def basket_pairs(df: DataFrame, key: str, item: str,
+                 weight: str = "w") -> DataFrame:
+    """Ordered co-occurrence pairs ``(x < y, w = shared-key count)`` via
+    per-key baskets and IN-ROW pair expansion — the r9 replacement for
+    the ``distinct() ⋈ distinct() ON key`` self-join every co-purchase
+    graph query used to build its edge set.
+
+    Shape: ONE key-keyed hash-agg (``collect_set``, map-side combinable)
+    and one pair-keyed count — the self-join's extra exchange and its
+    key-grain broadcast/sort-merge are gone (guide §2.4), and pair
+    expansion happens inside the row (the q112 cooccurrence shape), so
+    worst-case work per key is C(basket, 2) with nothing key-grain ever
+    shuffled twice.  ``array_sort`` fixes ``x < y`` by construction;
+    ``collect_set`` gives the distinct (key, item) grain the old
+    ``distinct()`` provided.  Callers needing a directed graph union the
+    swapped columns AFTER the aggregate (half the shuffle keys).
+
+    At 100 TB the cap that matters is basket size: per-key item counts
+    are bounded by the domain (lineitems per order), exactly the
+    bounded-actor assumption q140/q84 already rely on.
+    """
+    baskets = (
+        df.select(F.col(key).alias("__k"), F.col(item).alias("__i"))
+        .groupBy("__k")
+        .agg(F.array_sort(F.collect_set("__i")).alias("__ps"))
+    )
+    ps = F.col("__ps")
+    pairs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("__e"))
+        .select(F.col("__e.x").alias("x"), F.col("__e.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias(weight))
+    )
 
 
 def bfs_hops(

@@ -862,3 +862,63 @@ def test_subquery_pack_decorrelates_to_joins(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Semi" in p or "Anti" in p  # the EXISTS family became joins
+
+
+# ---------------------------------------------------------------------------
+# basket_pairs (r9 optimization: in-row pair expansion replaces the
+# distinct() ⋈ distinct() self-join in the co-occurrence edge builds of
+# q82/q141/q145/q155/q163)
+# ---------------------------------------------------------------------------
+class TestBasketPairs:
+    def _self_join_reference(self, df):
+        """The formulation basket_pairs replaced, verbatim."""
+        op = df.select(F.col("o"), F.col("i")).distinct()
+        return (
+            op.select("o", F.col("i").alias("x"))
+            .join(op.select("o", F.col("i").alias("y")), "o")
+            .filter(F.col("x") < F.col("y"))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+
+    def test_equivalent_to_self_join(self, spark):
+        from bloomy_etl_spark.operators.graph import basket_pairs
+
+        # duplicates inside a basket (1,10 twice), singleton basket (4),
+        # overlapping baskets, unsorted arrival order
+        rows = [(1, 10), (1, 30), (1, 20), (1, 10),
+                (2, 20), (2, 10),
+                (3, 30), (3, 10), (3, 20),
+                (4, 99)]
+        df = spark.createDataFrame(rows, "o long, i long")
+        got = {(r["x"], r["y"]): r["w"]
+               for r in basket_pairs(df, key="o", item="i").collect()}
+        ref = {(r["x"], r["y"]): r["w"]
+               for r in self._self_join_reference(df).collect()}
+        # hand check: (10,20) in baskets 1,2,3; (10,30) in 1,3; (20,30)
+        # in 1,3; singleton basket 4 contributes nothing; the in-basket
+        # duplicate (1,10) is collapsed by the set grain
+        assert ref == {(10, 20): 3, (10, 30): 2, (20, 30): 2}
+        assert got == ref
+
+    def test_weight_alias(self, spark):
+        from bloomy_etl_spark.operators.graph import basket_pairs
+
+        df = spark.createDataFrame([(1, 5), (1, 6)], "o long, i long")
+        out = basket_pairs(df, key="o", item="i", weight="n")
+        assert out.columns == ["x", "y", "n"]
+        assert out.collect()[0]["n"] == 1
+
+    def test_plan_has_no_join(self, spark):
+        """The whole point: two exchanges (basket agg, pair agg), zero
+        joins — the key-grain table is never shuffled twice."""
+        from bloomy_etl_spark.operators.graph import basket_pairs
+
+        df = spark.createDataFrame([(1, 5), (1, 6)], "o long, i long")
+        import re
+
+        p = _plan(basket_pairs(df, key="o", item="i"))
+        assert "Join" not in p
+        # formatted explain lists each operator twice (tree + detail);
+        # count the numbered detail entries only
+        assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2, p
