@@ -492,20 +492,32 @@ def q111_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(JL_DIM)
         ]).alias("pv"),
     )
-    corpus = proj.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("pv").alias("nv")
-    )
-    queries = proj.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("pv").alias("qv")
-    )
     from bloomy_etl_spark.functions import vectors as V
 
+    # Norms are per-VECTOR: fold each projected vector's norm ONCE per
+    # row before the pair join (the cosine_topk pattern) instead of
+    # re-folding both norms inside every (query, neighbor) pair —
+    # 3 array folds per pair → 1. dot/(qn·nn) multiplies in the same
+    # order as cosine()'s norm(a)·norm(b), so every double is
+    # bit-identical to the oracle's formula.
+    proj = proj.withColumn("pn", V.norm(F.col("pv")))
+    corpus = proj.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("pv").alias("nv"),
+        F.col("pn").alias("nn"),
+    )
+    queries = proj.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("pv").alias("qv"),
+        F.col("pn").alias("qn"),
+    )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("jl_cos").desc(), F.col("neighbor_id").asc()
     )
     return (
         corpus.join(F.broadcast(queries), F.lit(True))
-        .withColumn("jl_cos", V.cosine(F.col("qv"), F.col("nv")))
+        .withColumn(
+            "jl_cos",
+            V.dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")),
+        )
         .withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id",

@@ -237,13 +237,25 @@ def assign_split(docs: DataFrame, id_col: str = "doc_id",
 
     Scale: pure map-side expression — no shuffle, no state.
     """
+    return docs.withColumn(
+        "split", split_of(id_col, train_pct=train_pct, val_pct=val_pct,
+                          salt=salt)
+    )
+
+
+def split_of(id_col: str, train_pct: int = 90, val_pct: int = 5,
+             salt: str = "split") -> Column:
+    """The split-band expression :func:`assign_split` attaches, exposed
+    as a bare Column: a pure in-row function of the id, so a consumer
+    that already HAS the id (e.g. a pair list with both endpoints) can
+    compute the split directly instead of joining back to the document
+    table — no shuffle, no extra scan (guide §2.4)."""
     bucket = salted_hash_bucket(id_col, salt, 100)
-    split = (
+    return (
         F.when(bucket < train_pct, "train")
         .when(bucket < train_pct + val_pct, "val")
         .otherwise("test")
     )
-    return docs.withColumn("split", split)
 
 
 # ---------------------------------------------------------------------------

@@ -2506,19 +2506,37 @@ def q167_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max(F.unix_micros("ts")) + 1).alias("e_eus"),
         )
     )
+    # r9 opt (guide §2.4): the +1/−1 boundary events explode IN-ROW from
+    # each session instead of a two-branch union — the union evaluated
+    # the whole sessionize window chain once per branch, and its two
+    # consumers (`run`, `net`) doubled that again (plan: 4 evaluations,
+    # only the scan exchange reused). With the explode, `run` and `net`
+    # both sit above the SAME hash(day) exchange (`net` now derives from
+    # `run`'s frame, which carries delta), so exchange reuse computes
+    # sessionize exactly once. Same (eus, delta, day) multiset; the
+    # running sum's tie groups carry equal deltas, so every per-day
+    # max(off+run) is order-invariant — results identical.
     bounds = sess.select(
-        F.col("s_eus").alias("eus"), F.lit(1).cast("long").alias("delta")
-    ).unionByName(
-        sess.select(
-            F.col("e_eus").alias("eus"),
-            F.lit(-1).cast("long").alias("delta"),
-        )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_eus").alias("eus"),
+                    F.lit(1).cast("long").alias("delta"),
+                ),
+                F.struct(
+                    F.col("e_eus").alias("eus"),
+                    F.lit(-1).cast("long").alias("delta"),
+                ),
+            )
+        ).alias("be")
+    ).select(
+        F.col("be.eus").alias("eus"), F.col("be.delta").alias("delta")
     ).withColumn("day", F.expr("eus DIV 86400000000"))
     w_day = Window.partitionBy("day").orderBy(
         F.col("eus").asc(), F.col("delta").asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     run = bounds.withColumn("__run", F.sum("delta").over(w_day))
-    net = bounds.groupBy("day").agg(F.sum("delta").alias("__net"))
+    net = run.groupBy("day").agg(F.sum("delta").alias("__net"))
     w_off = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -2684,20 +2702,15 @@ def q171_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents", fan_out=True)
     pairs = D.ngram_jaccard_pairs(docs).select("i", "j")
-    sp = C.assign_split(docs, train_pct=60, val_pct=20).select(
-        "doc_id", "split"
-    )
+    # r9 opt: the split is a PURE hash of the id (corpus.split_of), so
+    # both endpoints' splits compute in-row ON the pair list — the two
+    # join-backs to the document table (each a broadcast build over a
+    # fan-out exchange) are gone; identical assignment by construction
+    # (guide §2.4: remove shuffles outright). Plan: 2 joins + 2 scans
+    # fewer; the Jaccard subtree is now the entire cost.
     return (
-        pairs.join(
-            sp.select(F.col("doc_id").alias("i"),
-                      F.col("split").alias("split_i")),
-            "i",
-        )
-        .join(
-            sp.select(F.col("doc_id").alias("j"),
-                      F.col("split").alias("split_j")),
-            "j",
-        )
+        pairs.withColumn("split_i", C.split_of("i", train_pct=60, val_pct=20))
+        .withColumn("split_j", C.split_of("j", train_pct=60, val_pct=20))
         .filter(F.col("split_i") != F.col("split_j"))
         .select("i", "j", "split_i", "split_j")
         .transform(_psort, "i", "j")
