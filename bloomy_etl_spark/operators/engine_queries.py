@@ -665,18 +665,33 @@ def q91_centroid_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fan_out: per-row in-row classification cost dominates (see q89)
     embs = _t(spark, sf_dir, "embeddings", fan_out=True)
+    # r9 opt (guide §2.3/§2.4): per-dim centroid means in ONE label-keyed
+    # hash-agg (64 avg slots per label) instead of posexplode → 64×-row
+    # (label, dim) aggregate → second label aggregate to re-assemble the
+    # array. Removes the d× row explosion ahead of the exchange and one
+    # whole aggregation level; same null-free inputs, 6-dp-rounded means.
+    # 64 explicit sums + ONE shared count (the vectors are null-free)
+    # rather than 64 avg aggregates: avg would carry 128 buffer slots,
+    # past spark.sql.codegen.maxFields (100), silently dropping the
+    # aggregate out of whole-stage codegen. sum(cast double)/count is
+    # Average's exact evaluation order, so the 6-dp means are unchanged.
+    _D = 64  # embeddings fixture dimension (JL_IN)
     cent = (
-        embs.select("label", F.posexplode("embedding").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F.round(F.avg("x"), 6).alias("m"))
-        .groupBy("label")
+        embs.groupBy("label")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                lambda s: s["m"],
-            ).alias("cv")
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.col("embedding")[d].cast("double")).alias(f"__s{d}")
+                for d in range(_D)
+            ],
         )
-        .select(F.col("label").alias("clabel"), "cv")
+        .select(
+            F.col("label").alias("clabel"),
+            F.array(*[
+                F.round(F.col(f"__s{d}") / F.col("__n"), 6)
+                for d in range(_D)
+            ]).alias("cv"),
+        )
         .withColumn("cn", norm(F.col("cv")))
     )
     crow = cent.agg(
@@ -943,12 +958,16 @@ def q100_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority",
         F.col("o_totalprice").cast("double").alias("v"),
     )
-    slices = [
-        hist_build(o.filter(F.col("o_orderkey") % 2 == k),
-                   ["o_orderpriority"], "v", 0.0, 600000.0, n_bins=60)
-        for k in range(2)
-    ]
-    est = hist_quantile(hist_merge(*slices), [0.25, 0.5, 0.9],
+    # r9 opt (guide §2.4/§6): the two disjoint half-corpus sketches come
+    # from ONE scan — the slice id is a column, built into the sketch
+    # key and dropped before the merge, so hist_merge still folds two
+    # independently-built sketch rows per group (the mergeability the
+    # query gates) while the orders table is read once instead of twice.
+    sliced = hist_build(
+        o.withColumn("__slice", F.pmod(F.col("o_orderkey"), F.lit(2))),
+        ["__slice", "o_orderpriority"], "v", 0.0, 600000.0, n_bins=60,
+    ).drop("__slice")
+    est = hist_quantile(hist_merge(sliced), [0.25, 0.5, 0.9],
                         0.0, 600000.0)
     return est.select(
         "o_orderpriority", "q", F.round("est", 4).alias("est")
@@ -1908,14 +1927,35 @@ def q154_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ok", "brand")
         .agg(F.sum("l_quantity").alias("q"))
     )
-    a, b = lb.alias("a"), lb.alias("b")
-    duels = a.join(
-        b,
-        (F.col("a.ok") == F.col("b.ok"))
-        & (F.col("a.brand") != F.col("b.brand"))
-        & (F.col("a.q") > F.col("b.q")),
-    ).select(
-        F.col("a.brand").alias("winner"), F.col("b.brand").alias("loser")
+    # r9 opt (guide §2.4, the basket_pairs shape): duels generate IN-ROW
+    # from per-order baskets instead of the lb ⋈ lb self-join — one
+    # order-keyed hash-agg replaces the join's two order-grain exchange
+    # sides. Brands are distinct within a basket by lb's grouping; a
+    # strict q comparison emits exactly one (winner, loser) row per
+    # unordered pair with distinct q — the identical duel multiset.
+    baskets = lb.groupBy("ok").agg(
+        F.collect_list(F.struct("brand", "q")).alias("__bs")
+    )
+    ps = F.col("__bs")
+    pair_structs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    up = F.col("__p.a.q") > F.col("__p.b.q")
+    duels = (
+        baskets.select(F.explode(pair_structs).alias("__p"))
+        .filter(F.col("__p.a.q") != F.col("__p.b.q"))
+        .select(
+            F.when(up, F.col("__p.a.brand"))
+            .otherwise(F.col("__p.b.brand")).alias("winner"),
+            F.when(up, F.col("__p.b.brand"))
+            .otherwise(F.col("__p.a.brand")).alias("loser"),
+        )
     )
     return bradley_terry(duels, rounds=3).transform(_psort, "item")
 

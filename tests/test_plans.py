@@ -446,3 +446,69 @@ def test_sequence_pattern_single_user_shuffle(spark):
     assert "Join" not in p
     assert "Window" not in p
     assert p.count("Exchange (") <= 2
+
+
+# ---------------------------------------------------------------------------
+# r9 optimization pins: the recomputation/scan cuts measured in
+# OPTIMIZATION_r09.md must not silently regress
+# ---------------------------------------------------------------------------
+
+
+def test_q167_boundary_explode_no_union(spark):
+    """q167: +1/−1 boundary events explode in-row from the session
+    frame — the two-branch union evaluated the sessionize window chain
+    once per branch (and its two consumers doubled that again)."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = plan_string(ENGINE_QUERIES["q167_peak_concurrency"](
+        spark, SF_SMOKE))
+    assert "Union" not in p, p
+
+
+def test_q171_split_computed_in_row(spark):
+    """q171: split bands are a pure hash of the id computed ON the pair
+    list — the join-backs to the documents table are gone, so exactly
+    the two fingerprint-pass scans of ngram_jaccard_pairs remain."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = plan_string(ENGINE_QUERIES["q171_split_leakage"](spark, SF_SMOKE))
+    assert p.count("(1) Scan parquet") + p.count("Scan parquet  (") <= 2, p
+
+
+def test_q100_single_scan_sliced_sketches(spark):
+    """q100: the two disjoint half-corpus sketches build from ONE orders
+    scan (slice id as a sketch key, dropped before the merge)."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = plan_string(ENGINE_QUERIES["q100_hist_quantiles"](spark, SF_SMOKE))
+    assert p.count("Scan parquet  (") == 1, p
+
+
+def test_q91_centroids_without_dim_explosion(spark):
+    """q91: per-dim centroid means come from one label-keyed hash-agg
+    (64 sum slots + a shared count), not a posexplode into d× rows —
+    no Generate node may appear below the centroid aggregate."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = plan_string(ENGINE_QUERIES["q91_centroid_label_audit"](
+        spark, SF_SMOKE))
+    assert "posexplode" not in p, p
+
+
+def test_split_of_matches_assign_split(spark):
+    """corpus.split_of (the bare-Column split band q171 computes in-row)
+    must equal assign_split's attached column for any id set."""
+    from pyspark.sql import functions as F
+
+    from bloomy_etl_spark.operators.corpus import assign_split, split_of
+
+    ids = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    via_assign = assign_split(ids, train_pct=60, val_pct=20)
+    via_col = ids.withColumn(
+        "split2", split_of("doc_id", train_pct=60, val_pct=20)
+    )
+    joined = via_assign.join(via_col, "doc_id")
+    assert joined.filter(F.col("split") != F.col("split2")).count() == 0
+    # all three bands must be populated at this id range (the guard has
+    # teeth only if the split actually varies)
+    assert via_assign.select("split").distinct().count() == 3
