@@ -47,6 +47,7 @@ from bloomy_etl_spark.operators.pq import (
 )
 from bloomy_etl_spark.operators.semdedup import semantic_dedup
 from bloomy_etl_spark.output import presentation_sort as _psort
+from bloomy_etl_spark.session import pin
 from bloomy_etl_spark.sources.tables import load_table
 
 # PQ geometry for the 64-dim fixture embeddings: 4 subspaces x 16 dims,
@@ -542,10 +543,21 @@ def q126_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     embs = load_table(spark, sf_dir, "embeddings")
-    packed = embs.select(
-        "vec_id",
-        _sign_word(F.col("embedding"), 1).alias("w0"),
-        _sign_word(F.col("embedding"), 33).alias("w1"),
+    # r9: pin the packed projection (vec_id + two sign words, ~24 B/row
+    # vs the ~520 B/row raw vector) so the corpus and query legs of the
+    # Hamming tier read ONE narrow materialization instead of each
+    # re-scanning and re-packing the full embedding parquet — 4 scans
+    # → 3 overall, and both cross-join inputs are 20× narrower
+    # (guide §2.3/§2.4: decide on a lightweight proxy, build it once).
+    # eager=False: materialization happens on first use, inside the
+    # timed region.
+    packed = pin(
+        embs.select(
+            "vec_id",
+            _sign_word(F.col("embedding"), 1).alias("w0"),
+            _sign_word(F.col("embedding"), 33).alias("w1"),
+        ),
+        eager=False,
     )
     corpus = packed.select(F.col("vec_id").alias("neighbor_id"), "w0", "w1")
     queries = packed.filter(F.col("vec_id") % 100 == 0).select(
@@ -1233,33 +1245,34 @@ def q157_judged_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     from bloomy_etl_spark.operators.evals import judged_retrieval_metrics
     from bloomy_etl_spark.operators.similarity import cosine_topk
 
+    # r9: labels and the per-query relevant-total ride IN-ROW through
+    # the ranking (cosine_topk q_keep/c_keep) instead of being joined
+    # back onto the ranked pairs from two more scans of the label
+    # projection — 5 parquet scans → 3, two post-ranking joins gone
+    # (guide §2.4). rel/n_relevant are computed from the same values as
+    # before, so every metric is bit-identical.
     embs = load_table(spark, sf_dir, "embeddings")
-    ranked = cosine_topk(
-        embs, embs.filter(F.col("vec_id") % 100 == 0), k=10
-    )
-    lab = embs.select("vec_id", "label")
-    lc = lab.groupBy("label").agg(F.count(F.lit(1)).alias("__lc"))
-    q_side = (
-        lab.withColumnRenamed("vec_id", "query_id")
+    lc = embs.groupBy("label").agg(F.count(F.lit(1)).alias("__lc"))
+    q_in = (
+        embs.filter(F.col("vec_id") % 100 == 0)
         .join(F.broadcast(lc), "label")
         .select(
-            "query_id",
-            F.col("label").alias("__ql"),
+            "vec_id", "embedding", F.col("label").alias("__ql"),
             (F.col("__lc") - 1).cast("long").alias("n_relevant"),
         )
     )
-    n_side = lab.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__nl")
+    c_in = embs.select(
+        "vec_id", "embedding", F.col("label").alias("__nl")
     )
-    rels = (
-        ranked.join(q_side, "query_id")
-        .join(n_side, "neighbor_id")
-        .select(
-            "query_id",
-            "rank",
-            (F.col("__ql") == F.col("__nl")).cast("long").alias("rel"),
-            "n_relevant",
-        )
+    ranked = cosine_topk(
+        c_in, q_in, k=10,
+        q_keep=("__ql", "n_relevant"), c_keep=("__nl",),
+    )
+    rels = ranked.select(
+        "query_id",
+        "rank",
+        (F.col("__ql") == F.col("__nl")).cast("long").alias("rel"),
+        "n_relevant",
     )
     return judged_retrieval_metrics(rels, k=10).transform(
         _psort, "query_id"

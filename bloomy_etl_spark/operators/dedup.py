@@ -991,7 +991,15 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 6,
     hamming-0 pairs via the skew-safe bucket_pairs path. The doc-pair
     output is ground truth (brute-force equality is pytest-asserted); the
     expansion IS the result size, not an intermediate."""
-    groups = simhash_groups(docs, bits, text_col, id_col)
+    # r9: pin the fingerprint groups — the fp_pairs consumer prunes
+    # members/n, which makes its aggregate subtree differ from the
+    # gi/gj/within consumers' and defeats exchange reuse, so without the
+    # pin the WHOLE simhash text pass (tokenize + per-word md5 + 32 bit
+    # folds over every document) ran twice from two parquet scans. The
+    # pinned table is the narrow fingerprint proxy (simhash, member ids,
+    # n — no text), built once and read by all four consumers
+    # (guide §2.4/§8: compute the decision proxy once).
+    groups = pin(simhash_groups(docs, bits, text_col, id_col), eager=False)
     fp_pairs = simhash_fp_pairs(groups, bits, max_hamming, n_blocks)
     gi = groups.select(F.col("simhash").alias("sh_i"), F.col("members").alias("m_i"))
     gj = groups.select(F.col("simhash").alias("sh_j"), F.col("members").alias("m_j"))

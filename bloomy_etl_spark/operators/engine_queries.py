@@ -24,6 +24,7 @@ from bloomy_etl_spark.operators.incremental import (
 )
 from bloomy_etl_spark.operators.joins import binned_range_join, salted_join
 from bloomy_etl_spark.output import presentation_sort as _psort
+from bloomy_etl_spark.session import pin
 from bloomy_etl_spark.sources.tables import load_table as _load
 
 
@@ -1483,12 +1484,21 @@ def q143_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents", fan_out=True)
     toks = T.tokens(F.col("text"))
     num = F.lit(1_000_000) * F.size(F.array_distinct(toks))
-    scored = docs.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        ((num - num % F.size(toks)) / F.size(toks))
-        .cast("long")
-        .alias("ttr_e6"),
+    # r9: pin the scored frame — skyline_2d consumes it twice (the
+    # distinct-x aggregate AND the broadcast-probe side), and without
+    # the pin each consumer re-ran the tokenize + distinct-fold over the
+    # full text from its own parquet scan (plan before: 2 scans). The
+    # pinned proxy is 3 int64 columns per document (guide §2.4/§8:
+    # tokenize once, decide on the narrow frame).
+    scored = pin(
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            ((num - num % F.size(toks)) / F.size(toks))
+            .cast("long")
+            .alias("ttr_e6"),
+        ),
+        eager=False,
     )
     return skyline_2d(scored, "n_tokens", "ttr_e6").transform(
         _psort, "doc_id"

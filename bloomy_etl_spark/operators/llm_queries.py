@@ -17,6 +17,7 @@ from bloomy_etl_spark.functions import text as T
 from bloomy_etl_spark.operators import corpus as C
 from bloomy_etl_spark.operators import dedup as D
 from bloomy_etl_spark.operators.similarity import cosine_topk
+from bloomy_etl_spark.session import pin
 from bloomy_etl_spark.sources.tables import load_table
 from bloomy_etl_spark.output import presentation_sort as _psort
 
@@ -114,7 +115,13 @@ def q32_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_corpus.py; the DuckDB oracle still materializes every
     pair, so the hash gate checks the identity end-to-end."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    groups = D.simhash_groups(docs)
+    # r9: pin the fingerprint groups — fp_pairs prunes members/n, so its
+    # subtree differed from the gi/gj/within consumers' and the whole
+    # simhash text pass ran TWICE from two parquet scans (plan before:
+    # 2 scans, second one text-only feeding a duplicate simhash fold).
+    # The pin materializes the narrow (simhash, members, n) proxy once
+    # (guide §2.4/§8).
+    groups = pin(D.simhash_groups(docs), eager=False)
     fp_pairs = D.simhash_fp_pairs(groups)
     gi = groups.select(
         F.col("simhash").alias("sh_i"), F.col("members").alias("m_i"),

@@ -25,12 +25,21 @@ from bloomy_etl_spark.functions.vectors import dot, norm
 
 
 def cosine_topk(embs: DataFrame, queries: DataFrame, k: int = 5,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_keep: tuple[str, ...] = (),
+                c_keep: tuple[str, ...] = ()) -> DataFrame:
     """Exact top-k neighbors for each query vector (self excluded).
 
     ``queries`` is (id, vector) shaped like ``embs``; it is broadcast —
     the corpus never shuffles, each task scores its partition slice.
     Ties break on neighbor id for determinism.
+
+    ``q_keep`` / ``c_keep`` name extra columns of the query / corpus
+    side to carry through the ranking unchanged — callers that need
+    side metadata on the ranked pairs (labels, per-query totals) ride
+    it along IN-ROW instead of joining it back onto the ranked output,
+    which would re-scan the source (guide §2.4: one pass, not a
+    decision pass plus an attach pass).
     """
     # Norms are per-VECTOR, so evaluate them once per side before the
     # pair join — cosine(qv, cv) per pair would re-fold both norms for
@@ -40,18 +49,18 @@ def cosine_topk(embs: DataFrame, queries: DataFrame, k: int = 5,
     # list_dot_product formula.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("_nq"),
+        norm(F.col(vec_col)).alias("_nq"), *q_keep,
     )
     c = embs.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("_nc"),
+        norm(F.col(vec_col)).alias("_nc"), *c_keep,
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc"))
         )
-        .select("query_id", "neighbor_id", "cos_sim")
+        .select("query_id", "neighbor_id", "cos_sim", *q_keep, *c_keep)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

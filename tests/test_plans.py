@@ -512,3 +512,49 @@ def test_split_of_matches_assign_split(spark):
     # all three bands must be populated at this id range (the guard has
     # teeth only if the split actually varies)
     assert via_assign.select("split").distinct().count() == 3
+
+
+def test_q32_single_simhash_pass(spark):
+    """q32: the pinned fingerprint groups are the only simhash build —
+    no parquet scan may remain in the final plan (the one scan lives in
+    the checkpoint-build job; before the pin, column pruning gave the
+    fp_pairs consumer its own text-only scan and a SECOND full simhash
+    fold)."""
+    from bloomy_etl_spark.operators.llm_queries import LLM_QUERIES
+
+    p = plan_string(LLM_QUERIES["q32_simhash_neardups"](spark, SF_SMOKE))
+    assert p.count("Scan parquet  (") == 0, p
+    assert "ExistingRDD" in p, p
+
+
+def test_q143_skyline_single_tokenize(spark):
+    """q143: skyline_2d's two consumers (distinct-x agg + probe side)
+    read the pinned 3-int64 scored frame — tokenize runs once, no
+    parquet scan remains in the final plan."""
+    from bloomy_etl_spark.operators.engine_queries import ENGINE_QUERIES
+
+    p = plan_string(ENGINE_QUERIES["q143_pareto_frontier"](spark, SF_SMOKE))
+    assert p.count("Scan parquet  (") == 0, p
+    assert "ExistingRDD" in p, p
+
+
+def test_q157_labels_ride_the_ranking(spark):
+    """q157: labels and the per-query relevant-total ride through
+    cosine_topk in-row (q_keep/c_keep) — at most 3 embedding scans
+    (corpus, query slice, label counts), no post-ranking label joins."""
+    from bloomy_etl_spark.operators.ann_queries import ANN_QUERIES
+
+    p = plan_string(
+        ANN_QUERIES["q157_judged_retrieval_quality"](spark, SF_SMOKE))
+    assert p.count("Scan parquet  (") <= 3, p
+
+
+def test_q126_hamming_reads_pinned_packed(spark):
+    """q126: both Hamming legs read ONE pinned packed projection
+    (vec_id + two sign words); only the exact-truth side still scans
+    the embeddings parquet (twice: corpus + query slice)."""
+    from bloomy_etl_spark.operators.ann_queries import ANN_QUERIES
+
+    p = plan_string(ANN_QUERIES["q126_ann_recall"](spark, SF_SMOKE))
+    assert p.count("Scan parquet  (") == 2, p
+    assert "ExistingRDD" in p, p

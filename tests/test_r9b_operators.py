@@ -922,3 +922,59 @@ class TestBasketPairs:
         # formatted explain lists each operator twice (tree + detail);
         # count the numbered detail entries only
         assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2, p
+
+
+# ---------------------------------------------------------------------------
+# cosine_topk pass-through columns (r9: q157's in-row label ride-along)
+# ---------------------------------------------------------------------------
+class TestCosineTopkKeepCols:
+    def test_keep_cols_match_join_back(self, spark):
+        """q_keep/c_keep must reproduce exactly what joining the side
+        tables back onto the ranked output produced (the pre-r9 shape),
+        for every ranked row."""
+        from bloomy_etl_spark.operators.similarity import cosine_topk
+
+        rows = [
+            (1, [1.0, 0.0, 0.0], "a"),
+            (2, [0.9, 0.1, 0.0], "b"),
+            (3, [0.0, 1.0, 0.0], "a"),
+            (4, [0.1, 0.9, 0.1], "b"),
+            (5, [0.5, 0.5, 0.0], "a"),
+        ]
+        embs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string"
+        )
+        queries = embs.filter(F.col("vec_id").isin(1, 3))
+
+        base = cosine_topk(embs, queries, k=2)
+        joined = {
+            (r["query_id"], r["neighbor_id"]): (r["ql"], r["nl"], r["rank"])
+            for r in base.join(
+                queries.select(F.col("vec_id").alias("query_id"),
+                               F.col("label").alias("ql")), "query_id")
+            .join(embs.select(F.col("vec_id").alias("neighbor_id"),
+                              F.col("label").alias("nl")), "neighbor_id")
+            .collect()
+        }
+        kept = {
+            (r["query_id"], r["neighbor_id"]): (r["ql"], r["nl"], r["rank"])
+            for r in cosine_topk(
+                embs.select("vec_id", "embedding",
+                            F.col("label").alias("nl")),
+                queries.select("vec_id", "embedding",
+                               F.col("label").alias("ql")),
+                k=2, q_keep=("ql",), c_keep=("nl",),
+            ).collect()
+        }
+        assert kept == joined
+
+    def test_default_signature_unchanged(self, spark):
+        """No keep columns -> exactly the pre-r9 output schema."""
+        from bloomy_etl_spark.operators.similarity import cosine_topk
+
+        embs = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = cosine_topk(embs, embs.filter(F.col("vec_id") == 1), k=2)
+        assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
