@@ -390,56 +390,82 @@ def _span_fingerprint_batches(span: int, with_counts: bool = False):
                 dtype=np.uint64,
             )[0]
 
+        imult = np.uint64(0x9E3779B97F4A7C15)
         for pdf in batches:
-            toks_per_doc = pdf["text"].fillna("").map(ws_re.split)
-            flat = [t for ts in toks_per_doc for t in ts]
             ids = pdf["doc_id"].to_numpy()
-            if flat:
-                codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
-                uh = np.fromiter(
-                    (h64(u) for u in uniques),
-                    dtype=np.uint64,
-                    count=len(uniques),
-                )
-                th = uh[codes]
-            else:
-                th = np.array([], dtype=np.uint64)
-            lens = toks_per_doc.str.len().to_numpy()
-            offs = np.concatenate(([0], np.cumsum(lens)))
-            per_doc: list[np.ndarray] = []
-            imult = 0x9E3779B97F4A7C15
-            for i in range(len(ids)):
-                # re.split yields >= 1 token, so seg is never empty
-                seg = th[offs[i]:offs[i + 1]]
-                if len(seg) < span:
-                    # Python-int Horner fold: uint64 SCALAR ops would
-                    # emit RuntimeWarning on wraparound (vectorized ops
-                    # wrap silently); masked ints wrap warning-free
-                    acc = int(seg[0])
-                    for x in seg[1:]:
-                        acc = (acc * imult + int(x)) & m64
-                    fps = np.array([acc], dtype=np.uint64)
-                else:
-                    w = sliding_window_view(seg, span)
-                    fps = (w * mults).sum(axis=1, dtype=np.uint64)
-                    fps ^= fps >> np.uint64(33)
-                    fps *= mult
-                    fps ^= fps >> np.uint64(29)
-                per_doc.append(np.unique(fps))
-            counts = [len(f) for f in per_doc]
-            if not per_doc or sum(counts) == 0:
+            n = len(ids)
+            if n == 0:
                 out = {"doc_id": pdf["doc_id"].iloc[:0]}
                 if with_counts:
                     out["n_sh"] = pd.Series([], dtype="int32")
                 out["span"] = pd.Series([], dtype="int64")
                 yield pd.DataFrame(out)
                 continue
+            toks_per_doc = pdf["text"].fillna("").map(ws_re.split)
+            flat = [t for ts in toks_per_doc for t in ts]
+            # re.split yields >= 1 token per doc, so flat is non-empty
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            uh = np.fromiter(
+                (h64(u) for u in uniques),
+                dtype=np.uint64,
+                count=len(uniques),
+            )
+            th = uh[codes]
+            lens = toks_per_doc.str.len().to_numpy()
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            # Whole-batch window fold (one sliding view over the
+            # concatenated token hashes; windows that straddle a doc
+            # boundary are masked out) instead of a per-doc Python
+            # loop — the loop's ~130 µs/doc of NumPy call overhead was
+            # 78% of the pass at sf0.1 (guide §4.2: batch the native
+            # work). Arithmetic is unchanged op for op, so every
+            # fingerprint is bit-identical to the per-doc fold.
+            total = int(offs[-1])
+            if total >= span:
+                w = sliding_window_view(th, span)
+                fps_all = (w * mults).sum(axis=1, dtype=np.uint64)
+                fps_all ^= fps_all >> np.uint64(33)
+                fps_all *= mult
+                fps_all ^= fps_all >> np.uint64(29)
+                starts = np.arange(total - span + 1)
+                doc_of = np.repeat(np.arange(n), lens)
+                d_long = doc_of[starts]
+                keepw = starts + span <= offs[d_long + 1]
+                fps_long = fps_all[keepw]
+                d_long = d_long[keepw]
+            else:
+                fps_long = np.empty(0, dtype=np.uint64)
+                d_long = np.empty(0, dtype=np.int64)
+            short = np.flatnonzero(lens < span)
+            if len(short):
+                # Horner fold for < span-token docs, vectorized ACROSS
+                # the short docs (≤ span−1 masked steps). uint64
+                # vector ops wrap silently — same mod-2⁶⁴ values the
+                # old masked-Python-int fold produced.
+                sl = lens[short]
+                so = offs[short]
+                accs = th[so].copy()
+                for kstep in range(1, int(sl.max())):
+                    msk = sl > kstep
+                    accs[msk] = accs[msk] * imult + th[so[msk] + kstep]
+                d_all = np.concatenate([d_long, short])
+                fps_v = np.concatenate([fps_long, accs])
+            else:
+                d_all, fps_v = d_long, fps_long
+            # per-doc sorted distinct, docs in batch order — exactly
+            # the rows (and row order) of the old per-doc np.unique
+            order = np.lexsort((fps_v, d_all))
+            ds = d_all[order]
+            fs = fps_v[order]
+            keep = np.ones(len(ds), dtype=bool)
+            keep[1:] = (ds[1:] != ds[:-1]) | (fs[1:] != fs[:-1])
+            ds = ds[keep]
+            fs = fs[keep]
+            counts = np.bincount(ds, minlength=n)
             out = {"doc_id": np.repeat(ids, counts)}
             if with_counts:
-                out["n_sh"] = np.repeat(
-                    np.asarray(counts, dtype=np.int32), counts
-                )
-            out["span"] = np.concatenate(per_doc).view(np.int64)
+                out["n_sh"] = np.repeat(counts.astype(np.int32), counts)
+            out["span"] = fs.view(np.int64)
             yield pd.DataFrame(out)
 
     return gen
@@ -546,34 +572,8 @@ def _winnow_fp_batches(k: int, window: int):
 
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
-            per_doc: list[np.ndarray] = []
-            for txt in pdf["text"].fillna(""):
-                toks = ws_re.split(txt)
-                if len(toks) >= k:
-                    grams = [
-                        " ".join(toks[i:i + k])
-                        for i in range(len(toks) - k + 1)
-                    ]
-                else:
-                    grams = [" ".join(toks)]
-                hs = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.md5(g.encode("utf-8")).digest()[:8],
-                            "big",
-                        )
-                        for g in grams
-                    ),
-                    dtype=np.uint64,
-                    count=len(grams),
-                )
-                if len(hs) >= window:
-                    sel = sliding_window_view(hs, window).min(axis=1)
-                else:
-                    sel = hs.min(keepdims=True)
-                per_doc.append(np.unique(sel))
-            counts = [len(f) for f in per_doc]
-            if not per_doc or sum(counts) == 0:
+            n = len(ids)
+            if n == 0:
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"].iloc[:0],
@@ -581,10 +581,67 @@ def _winnow_fp_batches(k: int, window: int):
                     }
                 )
                 continue
+            # Gram strings and their md5s stay per gram (the hash ORDER
+            # is the oracle contract, and grams are near-unique so a
+            # factorize dedup does not pay); the window-min selection
+            # and per-doc distinct below are whole-batch vectorized
+            # (guide §4.2) — one sliding view over the concatenated
+            # gram hashes with doc-boundary masking, then one lexsort
+            # dedup, replacing the per-doc NumPy loop. Selection
+            # arithmetic is unchanged, so every fingerprint (and the
+            # emitted row order) is bit-identical.
+            grams_per_doc = [
+                [" ".join(ts[i:i + k]) for i in range(len(ts) - k + 1)]
+                if len(ts) >= k else [" ".join(ts)]
+                for ts in pdf["text"].fillna("").map(ws_re.split)
+            ]
+            hs_all = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(g.encode("utf-8")).digest()[:8],
+                        "big",
+                    )
+                    for gs in grams_per_doc
+                    for g in gs
+                ),
+                dtype=np.uint64,
+            )
+            glens = np.array([len(gs) for gs in grams_per_doc])
+            goffs = np.concatenate(([0], np.cumsum(glens)))
+            total = int(goffs[-1])
+            if total >= window:
+                sel_all = sliding_window_view(hs_all, window).min(axis=1)
+                starts = np.arange(total - window + 1)
+                doc_of = np.repeat(np.arange(n), glens)
+                d_long = doc_of[starts]
+                keepw = starts + window <= goffs[d_long + 1]
+                sel_long = sel_all[keepw]
+                d_long = d_long[keepw]
+            else:
+                sel_long = np.empty(0, dtype=np.uint64)
+                d_long = np.empty(0, dtype=np.int64)
+            short = np.flatnonzero(glens < window)
+            if len(short):
+                mins = np.array(
+                    [hs_all[goffs[i]:goffs[i + 1]].min() for i in short],
+                    dtype=np.uint64,
+                )
+                d_all = np.concatenate([d_long, short])
+                sel_v = np.concatenate([sel_long, mins])
+            else:
+                d_all, sel_v = d_long, sel_long
+            order = np.lexsort((sel_v, d_all))
+            ds = d_all[order]
+            fs = sel_v[order]
+            keep = np.ones(len(ds), dtype=bool)
+            keep[1:] = (ds[1:] != ds[:-1]) | (fs[1:] != fs[:-1])
+            ds = ds[keep]
+            fs = fs[keep]
+            counts = np.bincount(ds, minlength=n)
             yield pd.DataFrame(
                 {
                     "doc_id": np.repeat(ids, counts),
-                    "fp": np.concatenate(per_doc).view(np.int64),
+                    "fp": fs.view(np.int64),
                 }
             )
 
