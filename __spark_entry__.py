@@ -75,13 +75,40 @@ def _last_green_round(repo_dir: str | None = None) -> dict[str, int]:
     return last
 
 
+# Queries whose implementation changed in an optimization round AFTER
+# their most recent driver-green row (VERDICT r09 item 9): their green
+# status rests on builder self-runs until the driver re-verifies them,
+# so they must front the 50-entry window ahead of the plain LRV order.
+# Value = the round that touched them; the boost self-expires once a
+# CORRECTNESS_r*.json at or after that round records them green.
+_TOUCHED_IN_ROUND: dict[str, int] = {
+    # r9 optimization commits; last driver-green r6–r8 (pre-touch)
+    "q32_simhash_neardups": 9,
+    "q82_supplier_pagerank": 9,
+    "q91_centroid_label_audit": 9,
+    "q100_hist_quantiles": 9,
+    "q111_jl_projection_topk": 9,
+    "q126_ann_recall": 9,
+    # r10 optimization touches
+    "q133_novelty_profile": 10,
+    "q128_keep_best_survivors": 10,
+}
+
+
 def _driver_order(names) -> list[str]:
     last = _last_green_round()
-    # stable sort: least-recently-verified first, ties broken by the
-    # original declaration order so q1..qN stay in numeric order within
-    # a round cohort
+    # stable sort: queries touched after their last green round first,
+    # then least-recently-verified, ties broken by the original
+    # declaration order so q1..qN stay in numeric order within a cohort
     pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (last.get(n, 0), pos[n]))
+    return sorted(
+        names,
+        key=lambda n: (
+            0 if last.get(n, 0) < _TOUCHED_IN_ROUND.get(n, 0) else 1,
+            last.get(n, 0),
+            pos[n],
+        ),
+    )
 
 _SHIPPED: set[int] = set()
 

@@ -12,6 +12,23 @@ exhibits; a query cannot run faster than its true cost), materialized
 through the noop sink (full compute, no I/O cost, no driver collect).
 DuckDB runs the same SQL on the same parquet under the identical
 best-of-N statistic, reported as ``duckdb_sec``.
+
+PROTOCOL CHANGE (round 10, measurement-bug fix, disclosed in
+OPTIMIZATION_r10.md): the timer now starts BEFORE query construction
+(``qmap[name](spark, SF_DIR)``), not after. Through round 9 only the
+noop-sink materialization was timed, which excluded the Spark jobs that
+eagerly-pinned iterative queries (connected components, pagerank,
+k-core, Boyer–Moore rounds) execute during construction — while the
+DuckDB baseline's recursive-CTE oracles paid the equivalent work inside
+their timer (``con.execute(sql)`` parses, plans AND executes). The
+recorded per-query figure is now min over runs of
+(construction + materialization); BENCH_DETAIL.json additionally
+reports the old-style execution-only minima (``queries_exec``) and the
+construction-only minima (``queries_construct``) so round-9 numbers
+stay comparable. Known residual amortization (disclosed, unchanged
+from r9): ANN index builds are memoized per-process, so after each
+query's discarded warm-up run the timed runs see the memoized index —
+the same once-per-session amortization a real deployment gets.
 """
 
 from __future__ import annotations
@@ -68,6 +85,8 @@ def main() -> None:
     # Unrounded per-query minima — ratios are computed from these; the
     # JSON output rounds for display only.
     timings: dict[str, float] = {}
+    exec_timings: dict[str, float] = {}
+    construct_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(qmap):
         # BASELINE.md protocol: discard the first run of each query (it
@@ -75,17 +94,24 @@ def main() -> None:
         # cost that amortizes to nothing on long-running queries at real
         # scale), then record the MINIMUM of RUNS timed executions
         # (best-of-N rejects this box's periodic background-CPU bursts).
+        # Round 10: each timed run covers construction + materialization
+        # (see module docstring); the construct/exec split is recorded
+        # alongside for continuity with round-9 exec-only numbers.
         # Per-query try/except: one broken query must never erase the
         # round's perf signal for the other 37 (BENCH_r02 lesson).
         try:
             materialize(qmap[name](spark, SF_DIR))
             samples = []
             for _ in range(RUNS):
-                df = qmap[name](spark, SF_DIR)
                 t0 = time.perf_counter()
+                df = qmap[name](spark, SF_DIR)
+                t1 = time.perf_counter()
                 materialize(df)
-                samples.append(time.perf_counter() - t0)
-            timings[name] = min(samples)
+                t2 = time.perf_counter()
+                samples.append((t2 - t0, t1 - t0, t2 - t1))
+            timings[name] = min(s[0] for s in samples)
+            construct_timings[name] = min(s[1] for s in samples)
+            exec_timings[name] = min(s[2] for s in samples)
         except Exception as exc:  # noqa: BLE001 — record and keep timing
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     total = round(sum(timings.values()), 3)
@@ -129,6 +155,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": {n: round(t, 3) for n, t in timings.items()},
+        # continuity with rounds <=9 (exec-only timer) + the new split
+        "queries_exec": {n: round(t, 3) for n, t in exec_timings.items()},
+        "queries_construct": {n: round(t, 3) for n, t in construct_timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "duckdb_sec": duck_total,
@@ -181,6 +210,12 @@ def main() -> None:
         "unit": "sec",
         "queries": {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()
                     if _qnum(n) <= _PRINTED_MAP_MAX_QNUM},
+        # decomposes "value": sum over the q131+ entries that do not fit
+        # in the printed map (VERDICT r09 item 2) — value ==
+        # sum(queries) + extra_sec up to rounding, so PERF's total
+        # comparison can separate old-corpus from new-corpus time.
+        "extra_sec": round(sum(t for n, t in timings.items()
+                               if _qnum(n) > _PRINTED_MAP_MAX_QNUM), 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "duckdb_sec": duck_total,

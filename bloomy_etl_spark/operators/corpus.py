@@ -1472,10 +1472,23 @@ def first_seen_novelty(docs: DataFrame, n: int = 2, scale: int = 1_000_000,
 
     Returns every document: ``(id, n_distinct, n_novel, novelty_e6)``.
     """
+    # Grams enter the gram-keyed exchange as int64 xxhash64 FINGERPRINTS,
+    # not ~20-byte strings (guide §2.3 "narrower types", the q31 trick):
+    # novelty needs only gram IDENTITY (distinct-count per doc, min(id)
+    # per gram), never gram values, so fingerprints are exact up to
+    # 64-bit collisions (~2⁻⁶⁴ per gram pair — the same documented
+    # contract as ngram_jaccard_pairs). Hashing BEFORE array_distinct
+    # also makes the in-row dedup an int64 comparison instead of a
+    # string comparison, and the map-side hash-agg keys on 8 bytes.
     grams = docs.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(T.word_ngrams(F.col(text_col), n))
+            F.array_distinct(
+                F.transform(
+                    T.word_ngrams(F.col(text_col), n),
+                    lambda g: F.xxhash64(g),
+                )
+            )
         ).alias("__g"),
     )
     nd = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_distinct"))

@@ -1293,25 +1293,34 @@ def keep_best_per_cluster(labels: DataFrame, docs: DataFrame,
     ``(cluster_id, kept_id, kept_<quality_col>, n_docs)``.
 
     Scale: one broadcast-or-shuffle join of the (small) clustered-node
-    set against the docs' (id, quality) projection, then a per-label
-    window over cluster members — cluster sizes bound the partitions
-    (the same mega-cluster caveat as :func:`connected_components`;
-    a pathological giant cluster serializes its own members only).
+    set against the docs' (id, quality) projection, then ONE hash-agg
+    keyed by label. The arg-max is a ``max(struct(quality, -id))`` —
+    struct ordering compares fields left-to-right, so the max is the
+    highest quality with ties to the LOWEST id, exactly the window
+    ``row_number() over (order by quality desc, id asc) = 1`` it
+    replaces (r10, guide §2.3 "aggregate before you shuffle"): the
+    window shape shuffled EVERY cluster member to its label partition
+    and sorted it; the aggregate is map-side combinable, so the
+    exchange carries one partial row per (label, map partition) and no
+    sort exists. Requires a numeric (integer) id — negation is the
+    order-flip — which the exact-quality contract above already
+    implies; a pathological giant cluster now costs one combiner cell
+    instead of serializing its members through one window partition.
     """
     members = labels.join(
         docs.select(F.col(id_col).alias("node"), quality_col), "node"
     )
-    w = Window.partitionBy("label").orderBy(
-        F.col(quality_col).desc(), F.col("node").asc()
+    best = members.groupBy("label").agg(
+        F.max(
+            F.struct(
+                F.col(quality_col).alias("q"), (-F.col("node")).alias("nid")
+            )
+        ).alias("__m"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
-    return (
-        members.withColumn("__rn", F.row_number().over(w))
-        .withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("label")))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("label").alias("cluster_id"),
-            F.col("node").alias("kept_id"),
-            F.col(quality_col).alias(f"kept_{quality_col}"),
-            "n_docs",
-        )
+    return best.select(
+        F.col("label").alias("cluster_id"),
+        (-F.col("__m.nid")).alias("kept_id"),
+        F.col("__m.q").alias(f"kept_{quality_col}"),
+        "n_docs",
     )

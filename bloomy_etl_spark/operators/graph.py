@@ -35,7 +35,8 @@ __all__ = ["pagerank", "bfs_hops", "triangle_counts", "label_propagation",
 
 
 def basket_pairs(df: DataFrame, key: str, item: str,
-                 weight: str = "w") -> DataFrame:
+                 weight: str = "w",
+                 max_basket: int | None = None) -> DataFrame:
     """Ordered co-occurrence pairs ``(x < y, w = shared-key count)`` via
     per-key baskets and IN-ROW pair expansion — the r9 replacement for
     the ``distinct() ⋈ distinct() ON key`` self-join every co-purchase
@@ -53,13 +54,39 @@ def basket_pairs(df: DataFrame, key: str, item: str,
 
     At 100 TB the cap that matters is basket size: per-key item counts
     are bounded by the domain (lineitems per order), exactly the
-    bounded-actor assumption q140/q84 already rely on.
+    bounded-actor assumption q140/q84 already rely on. The whole basket
+    lives in ONE row, so an UNBOUNDED hot key is a single-row OOM where
+    the old self-join was merely slow — ``max_basket`` is the guard: when
+    set, any key whose basket exceeds it FAILS THE JOB LOUDLY
+    (``assert_true`` inside the aggregate's projection, evaluated before
+    the C(basket,2) expansion allocates anything) instead of silently
+    degrading. Default ``None`` keeps the plan byte-identical for callers
+    whose domain bound is structural (TPC-H lineitems/order ≤ 7); callers
+    on open-domain keys should pass their contract bound and fall back to
+    the pair self-join path if a legitimate basket can exceed memory.
     """
     baskets = (
         df.select(F.col(key).alias("__k"), F.col(item).alias("__i"))
         .groupBy("__k")
         .agg(F.array_sort(F.collect_set("__i")).alias("__ps"))
     )
+    if max_basket is not None:
+        baskets = baskets.select(
+            "__k",
+            F.when(
+                F.assert_true(
+                    F.size("__ps") <= F.lit(max_basket),
+                    F.concat(
+                        F.lit("basket_pairs: basket for key "),
+                        F.col("__k").cast("string"),
+                        F.lit(f" exceeds max_basket={max_basket} (size "),
+                        F.size("__ps").cast("string"),
+                        F.lit(")"),
+                    ),
+                ).isNull(),
+                F.col("__ps"),
+            ).alias("__ps"),
+        )
     ps = F.col("__ps")
     pairs = F.flatten(
         F.transform(

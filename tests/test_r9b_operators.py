@@ -923,6 +923,50 @@ class TestBasketPairs:
         # count the numbered detail entries only
         assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2, p
 
+    def test_max_basket_guard_fails_loudly(self, spark):
+        """r10 hot-key guard (VERDICT r09 item 7): a basket exceeding
+        ``max_basket`` must FAIL THE JOB with a diagnostic, not expand
+        C(basket,2) rows toward a single-row OOM."""
+        import pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkException
+
+        from bloomy_etl_spark.operators.graph import basket_pairs
+
+        # key 1 is the pathological basket (5 items > cap 3)
+        rows = [(1, i) for i in range(5)] + [(2, 10), (2, 11)]
+        df = spark.createDataFrame(rows, "o long, i long")
+        with pytest.raises((PySparkException, Py4JJavaError)) as exc:
+            basket_pairs(df, key="o", item="i", max_basket=3).collect()
+        assert "max_basket=3" in str(exc.value)
+
+    def test_max_basket_within_bound_identical(self, spark):
+        """A cap no basket reaches changes nothing: same pair multiset
+        as the unguarded path."""
+        from bloomy_etl_spark.operators.graph import basket_pairs
+
+        rows = [(1, 10), (1, 30), (1, 20), (2, 20), (2, 10)]
+        df = spark.createDataFrame(rows, "o long, i long")
+        unguarded = {(r["x"], r["y"]): r["w"]
+                     for r in basket_pairs(df, key="o", item="i").collect()}
+        guarded = {(r["x"], r["y"]): r["w"]
+                   for r in basket_pairs(df, key="o", item="i",
+                                         max_basket=7).collect()}
+        assert guarded == unguarded
+
+    def test_default_plan_unchanged_by_guard_param(self, spark):
+        """``max_basket=None`` (every current call site) must add no
+        plan node — callers' r9 plan pins stay byte-valid."""
+        from bloomy_etl_spark.operators.graph import basket_pairs
+
+        df = spark.createDataFrame([(1, 5), (1, 6)], "o long, i long")
+        p_default = _plan(basket_pairs(df, key="o", item="i"))
+        assert "raise_error" not in p_default
+        # assert_true renders as a raise_error(USER_RAISED_EXCEPTION, ...)
+        # guard expression in the physical plan
+        p_guarded = _plan(basket_pairs(df, key="o", item="i", max_basket=3))
+        assert "raise_error" in p_guarded
+
 
 # ---------------------------------------------------------------------------
 # cosine_topk pass-through columns (r9: q157's in-row label ride-along)
