@@ -63,18 +63,30 @@ def test_never_driver_verified_queries_fit_the_50_row_window():
 
 
 def test_rotation_puts_least_recently_verified_first():
-    """The driver verifies the first 50 queries() entries each round;
-    the rotation must re-verify the stalest cohort first so no query
+    """The driver verifies the first 50 queries() entries each round.
+    r10 policy: queries MODIFIED after their last driver-green round
+    front the window (their green status rests on builder self-runs
+    until the driver re-verifies them — VERDICT r09 item 9); within
+    each of the two tiers the stalest cohort comes first, so no query
     goes more than ceil(N/50) rounds without a driver-green row."""
     last = entry._last_green_round()
     if not last:
         return  # round 1: no correctness files yet
     names = list(entry.ALL_QUERIES)
     order = entry._driver_order(names)
-    rounds = [last.get(n, 0) for n in order]
-    assert rounds == sorted(rounds), (
-        "driver order is not least-recently-verified-first"
+
+    def touched_after_green(n):
+        return last.get(n, 0) < entry._TOUCHED_IN_ROUND.get(n, 0)
+
+    tiers = [0 if touched_after_green(n) else 1 for n in order]
+    assert tiers == sorted(tiers), (
+        "touched-after-last-green queries must front the driver window"
     )
+    for tier in (0, 1):
+        rounds = [last.get(n, 0) for n, t in zip(order, tiers) if t == tier]
+        assert rounds == sorted(rounds), (
+            f"tier {tier} is not least-recently-verified-first"
+        )
 
 
 def test_bench_compact_line_fits_the_2000_char_window():
