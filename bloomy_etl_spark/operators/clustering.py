@@ -36,7 +36,9 @@ from pyspark.sql import functions as F
 
 def _dist2(vec_col, centroid: list[float]):
     """Squared L2 distance to a literal centroid, summed in index order."""
-    carr = F.array(*[F.lit(float(c)) for c in centroid])
+    from bloomy_etl_spark.functions.vectors import lit_double_array
+
+    carr = lit_double_array(centroid)
     diffs = F.zip_with(
         vec_col, carr,
         lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
@@ -44,18 +46,31 @@ def _dist2(vec_col, centroid: list[float]):
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _dist2_sql(vec_sql: str, centroid: list[float]) -> str:
+    """SQL text of :func:`_dist2` — identical zip_with/aggregate tree,
+    rendered so an argmin over k centroids costs ONE driver→JVM call
+    instead of ~k·(dim+10) (see functions.vectors.lit_double_array)."""
+    arr = "array(" + ",".join(f"{float(c)!r}D" for c in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def assign_clusters(embs: DataFrame, centroids: list[list[float]],
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Label every vector with its nearest centroid (squared L2, ties to
     the lower cluster index) and the distance: columns ``cluster``,
-    ``dist2`` appended."""
-    scored = F.array(
-        *[
-            F.struct(_dist2(F.col(vec_col), c).alias("d"), F.lit(i).alias("c"))
-            for i, c in enumerate(centroids)
-        ]
+    ``dist2`` appended. The scored array is rendered as one SQL string
+    (node-identical tree to the fluent form, same argmin/tie
+    semantics) — k-means rebuilds this expression EVERY Lloyd round, so
+    construction cost is per-round driver overhead."""
+    scored = ",".join(
+        f"named_struct('d', {_dist2_sql(f'`{vec_col}`', c)}, 'c', {i})"
+        for i, c in enumerate(centroids)
     )
-    best = F.array_min(scored)
+    best = F.expr(f"array_min(array({scored}))")
     return embs.select(
         id_col, vec_col,
         best["c"].alias("cluster"), best["d"].alias("dist2"),

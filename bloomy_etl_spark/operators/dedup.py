@@ -1127,7 +1127,7 @@ def embedding_near_dups(embs: DataFrame, threshold: float = 0.4,
         )
     else:
         # shared bucket derivation with lsh_topk — one definition, no drift
-        stacked = stacked_lsh_buckets(F.col(vec_col), lsh_tables, lsh_bits, dim)
+        stacked = stacked_lsh_buckets(f"`{vec_col}`", lsh_tables, lsh_bits, dim)
         block_src = embs.select(
             F.col(id_col).alias("_id"), stacked.alias("blk"), prepped.alias("_nv"), *extra
         )

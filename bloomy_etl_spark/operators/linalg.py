@@ -231,7 +231,9 @@ def power_iteration_long(cov_long: DataFrame, dim: int, iters: int = 3,
     )
 
     def matvec_df(v_int: list[int]) -> DataFrame:
-        vlit = F.array(*[F.lit(float(x)) for x in v_int])
+        from bloomy_etl_spark.functions.vectors import lit_double_array
+
+        vlit = lit_double_array(v_int)
         return (
             full.withColumn(
                 "t", F.col("c") * F.element_at(vlit, F.col("j") + 1)
@@ -255,7 +257,9 @@ def power_iteration_long(cov_long: DataFrame, dim: int, iters: int = 3,
         v = [float(int(np.floor(x / nrm * scale))) for x in w]
     # final step in-plan: mat-vec -> one-row w array (pos-sorted) ->
     # index-order norm fold -> re-quantize -> Rayleigh quotient
-    vlit = F.array(*[F.lit(float(x)) for x in v])
+    from bloomy_etl_spark.functions.vectors import lit_double_array
+
+    vlit = lit_double_array(v)
     warr = matvec_df([int(x) for x in v]).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("i", "w"))),

@@ -77,12 +77,29 @@ def train_pq(embs: DataFrame, m: int = 4, ksub: int = 16, iters: int = 2,
 def _sub_dist2(vec_col, s: int, dsub: int, centroid: list[float]):
     """Squared L2 from subvector ``s`` of ``vec_col`` to a literal
     centroid, summed in index order (engine-stable)."""
+    from bloomy_etl_spark.functions.vectors import lit_double_array
+
     sub = F.slice(vec_col, s * dsub + 1, dsub)
-    carr = F.array(*[F.lit(float(c)) for c in centroid])
+    # one py4j call per centroid array (see lit_double_array): PQ encode
+    # embeds m*ksub*dsub literals and was construction-bound element-wise
+    carr = lit_double_array(centroid)
     return F.aggregate(
         F.zip_with(sub, carr, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, d: acc + d,
+    )
+
+
+def _sub_dist2_sql(vec_sql: str, s: int, dsub: int,
+                   centroid: list[float]) -> str:
+    """SQL text of :func:`_sub_dist2` — the identical
+    slice/zip_with/aggregate tree rendered as a string (see
+    ``lit_double_array`` for why: encode embeds m·ksub·dsub literals and
+    was construction-bound on py4j round trips when built fluently)."""
+    arr = "array(" + ",".join(f"{float(c)!r}D" for c in centroid) + ")"
+    return (
+        f"aggregate(zip_with(slice({vec_sql}, {s * dsub + 1}, {dsub}), "
+        f"{arr}, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, d) -> acc + d)"
     )
 
 
@@ -91,22 +108,25 @@ def pq_encode(embs: DataFrame, codebooks: list[list[list[float]]],
               vec_col: str = "embedding") -> DataFrame:
     """Encode every vector as ``codes: array<int>`` (one code per
     subspace, nearest centroid, ties to the lower index). Expression-
-    only — pipelines with the scan at any corpus size."""
+    only — pipelines with the scan at any corpus size. The whole codes
+    expression is rendered as ONE SQL string (node-identical tree to
+    the fluent form, same argmin/tie semantics) so construction costs
+    one driver→JVM call instead of ~m·ksub·dsub."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    codes = []
+    vec_sql = f"`{vec_col}`"
+    subs = []
     for s in range(m):
-        scored = F.array(
-            *[
-                F.struct(
-                    _sub_dist2(F.col(vec_col), s, dsub, c).alias("d"),
-                    F.lit(i).alias("c"),
-                )
-                for i, c in enumerate(codebooks[s])
-            ]
+        scored = ",".join(
+            f"named_struct('d', {_sub_dist2_sql(vec_sql, s, dsub, c)}, "
+            f"'c', {i})"
+            for i, c in enumerate(codebooks[s])
         )
-        codes.append(F.array_min(scored)["c"])
-    return embs.select(F.col(id_col).alias(id_col), F.array(*codes).alias("codes"))
+        subs.append(f"array_min(array({scored})).c")
+    codes_sql = "array(" + ",".join(subs) + ")"
+    return embs.select(
+        F.col(id_col).alias(id_col), F.expr(codes_sql).alias("codes")
+    )
 
 
 def pq_search(codes: DataFrame, codebooks: list[list[list[float]]],
@@ -132,7 +152,9 @@ def pq_search(codes: DataFrame, codebooks: list[list[list[float]]],
         ])
     score = None
     for s in range(m):
-        lut = F.array(*[F.lit(float(x)) for x in luts[s]])
+        from bloomy_etl_spark.functions.vectors import lit_double_array
+
+        lut = lit_double_array(luts[s])
         term = F.element_at(lut, F.element_at(F.col("codes"), s + 1) + 1)
         score = term if score is None else score + term
     scored = codes.select(F.col(id_col), score.alias("adc_dist2"))
@@ -170,10 +192,9 @@ def _decoded_expr(codebooks: list[list[list[float]]], codes_col="codes"):
     code row represents, usable in any distance expression with zero
     Python in the plan."""
     m = len(codebooks)
-    cb_lits = [
-        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
-        for book in codebooks
-    ]
+    from bloomy_etl_spark.functions.vectors import lit_double_matrix
+
+    cb_lits = [lit_double_matrix(book) for book in codebooks]
     return F.flatten(F.array(*[
         F.element_at(cb_lits[s], F.element_at(F.col(codes_col), s + 1) + 1)
         for s in range(m)
@@ -610,9 +631,9 @@ def reconstruction_mse(embs: DataFrame, codebooks: list[list[list[float]]],
     joined = embs.select(F.col(id_col), F.col(vec_col)).join(enc, id_col)
     err = None
     for s in range(m):
-        cb = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in codebooks[s]
-        ])
+        from bloomy_etl_spark.functions.vectors import lit_double_matrix
+
+        cb = lit_double_matrix(codebooks[s])
         rec = F.element_at(cb, F.element_at(F.col("codes"), s + 1) + 1)
         sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
         e = F.aggregate(
